@@ -1,0 +1,65 @@
+"""Benchmark runner: executes the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from covsonar_spark.registry import REGISTRY  # noqa: E402
+from covsonar_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "match_metadata_filters",
+    "match_profile_and",
+    "match_profile_or_groups",
+    "lineage_closure_prefix",
+    "window_rank_per_group",
+    "events_window_agg",
+    "events_sessionize",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "text_token_stats",
+    "text_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("sparksonar-bench")
+
+    # warm the JVM/session so per-query times measure the queries
+    spark.range(1).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _sql = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]}s rows={n}", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,224 @@
+"""Deduplication operators for large-scale corpus curation: exact,
+n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (100 TB corpus):
+  * exact dedup — one hash-groupBy; map-side partial agg, single shuffle
+    on the 128-bit content hash (uniform keys, no skew).
+  * MinHash+LSH — signatures are built with one groupBy over exploded
+    shingles (64 ``min`` partial aggs combine map-side); candidate
+    generation is a self-equi-join on (band_idx, band_key), i.e. a shuffle
+    on band keys rather than an O(n²) cross join; only candidates are
+    verified with the exact Jaccard.
+  * all hash functions are md5-derived so signatures are portable across
+    engines (the DuckDB oracle reproduces them bit-for-bit).
+
+Reference parity note: covsonar's only dedup is seqhash-exact dedup at
+ingest (/root/reference/sonar.py:607-641); the near-dup family extends the
+same engine to training-data curation workloads.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from covsonar_spark.functions import text as Tx
+
+
+def _md5_hash64(col: Column, seed: int) -> Column:
+    """Portable 60-bit integer hash: first 15 hex chars of md5(seed:value).
+
+    Deliberately md5-based (not xxhash64) so a DuckDB oracle can reproduce
+    it: ``('0x' || substr(md5(seed || ':' || s), 1, 15))::bigint``.
+    """
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10).cast("long")
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per duplicated
+    content hash with the survivor (min id) and the duplicate count."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 k: int = 3) -> DataFrame:
+    """Distinct word-k-gram shingle set per document (JVM-side HOFs)."""
+    toks = Tx.tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(Tx.word_shingles(toks, k)).alias("shingles"),
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return inter.cast("double") / union
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 3, threshold: float = 0.5,
+                        max_shingle_df: int | None = None) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs via an inverted-index
+    similarity self-join — the scale-correct exact algorithm:
+
+        explode shingles → self-equi-join on shingle → count shared
+        shingles per pair = |A∩B| → join set sizes → J = c/(|A|+|B|-c)
+
+    No O(n²) pair enumeration: only pairs sharing ≥1 shingle are ever
+    materialized, and any pair with J ≥ t > 0 shares a shingle, so the
+    result is exact.  All work is equi-shuffles on shingle / id keys.
+
+    Skew note (100 TB): a stop-phrase shingle with document frequency f
+    contributes f² join rows.  ``max_shingle_df`` caps this by dropping
+    shingles with df > cap from the index (a standard prefix-filter
+    relaxation — may lose pairs whose overlap is exclusively stop-phrase
+    shingles; leave None for exact semantics).
+    """
+    sh = shingle_sets(df, text_col, id_col, k)
+    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"), F.col("shingles"))
+    inv = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    if max_shingle_df is not None:
+        from pyspark.sql import Window
+
+        df_counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+        inv = inv.join(F.broadcast(df_counts.where(F.col("sdf") <= max_shingle_df)
+                                   .select("shingle")), "shingle")
+    a = inv.select(F.col(id_col).alias("id_a"), "shingle")
+    b = inv.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    j = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        shared.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", F.round(j, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       k: int = 3, num_hashes: int = 32) -> DataFrame:
+    """MinHash signature per document: for each of ``num_hashes`` seeded
+    hash functions, the min hash over the distinct shingle set.
+
+    Single shuffle: explode shingles → groupBy(id) with ``num_hashes``
+    ``min()`` aggregates (all combine map-side).
+    """
+    sh = shingle_sets(df, text_col, id_col, k)
+    exploded = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    aggs = [F.min(_md5_hash64(F.col("shingle"), i)).alias(f"mh_{i}") for i in range(num_hashes)]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 3, num_hashes: int = 32, band_rows: int = 2,
+                      threshold: float = 0.5) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates, verified with the exact
+    Jaccard — output is (id_a, id_b, jaccard) for verified pairs.
+
+    Banding: ``num_hashes / band_rows`` bands; docs sharing any band key
+    become candidates (equi-join on the band key — the LSH trick that
+    avoids the cross join at scale).
+    """
+    assert num_hashes % band_rows == 0
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    n_bands = num_hashes // band_rows
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws("_", *[F.col(f"mh_{b * band_rows + r}").cast("string")
+                               for r in range(band_rows)]).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("band")) \
+               .select(id_col, "band.band_idx", "band.band_key")
+    a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = shingle_sets(df, text_col, id_col, k)
+    cand = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+        .select("id_a", "id_b", F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return cand
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32) -> DataFrame:
+    """SimHash fingerprint over distinct tokens: bit b of the fingerprint is
+    1 iff Σ_tokens sign(bit b of md5-hash(token)) > 0.
+
+    Pure column math (explode → groupBy → bit sums) — portable to the
+    DuckDB oracle because the per-token hash is md5-derived.
+    """
+    toks = df.select(F.col(id_col), F.explode(Tx.distinct_tokens(text_col)).alias("tok"))
+    h = _md5_hash64(F.col("tok"), 0)
+    toks = toks.select(F.col(id_col), h.alias("h"))
+    bit_sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b_{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = reduce(
+        lambda acc, i: acc + F.when(F.col(f"b_{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long")),
+        range(1, bits),
+        F.when(F.col("b_0") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+    )
+    return bit_sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  bits: int = 32, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation partitions the fingerprint into ``max_hamming+1``
+    chunks (pigeonhole: any pair within distance d shares at least one
+    exact chunk) — equi-join per chunk, then exact Hamming verification
+    via ``bit_count(xor)``.
+    """
+    s = simhash(df, text_col, id_col, bits)
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    chunks = [
+        F.struct(
+            F.lit(i).alias("chunk_idx"),
+            F.shiftright(F.col("simhash"), i * chunk_bits)
+            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+            .alias("chunk_key"),
+        )
+        for i in range(n_chunks)
+    ]
+    ch = s.select(id_col, "simhash", F.explode(F.array(*chunks)).alias("c")) \
+          .select(id_col, "simhash", "c.chunk_idx", "c.chunk_key")
+    a = ch.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk_key")
+    b = ch.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk_key")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["chunk_idx", "chunk_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

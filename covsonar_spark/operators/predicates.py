@@ -1,0 +1,142 @@
+"""Filter/predicate builders — the `match` WHERE-layer re-expressed as
+Catalyst column expressions (reference: sonarDBManager.match,
+/root/reference/lib/sonardb.py:1623-2006).
+
+Every builder returns a :class:`pyspark.sql.Column` boolean expression, so
+predicates compose with ``&``/``|``/``~`` into one expression tree that
+Catalyst pushes into the Parquet scan wherever possible.  None of these
+functions trigger a job; they are pure plan construction.
+
+Include/exclude convention (reference ``^`` prefix, lib/sonardb.py:3295-3358):
+callers split values into include/exclude lists; excludes negate the same
+predicate shape (IN → NOT IN with AND-joined semantics, LIKE → NOT LIKE…).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def true_lit() -> Column:
+    return F.lit(True)
+
+
+def in_list(col: str | Column, values: Sequence) -> Column:
+    """F2 — ``field IN (…)`` (lib/sonardb.py:1641-1645)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isin(list(values))
+
+
+def not_in_list(col: str | Column, values: Sequence) -> Column:
+    """F2 negated — ``field NOT IN (…)``."""
+    return ~in_list(col, values)
+
+
+def equals(col: str | Column, value) -> Column:
+    """F3 — scalar equality (lib/sonardb.py:1647-1649)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c == F.lit(value)
+
+
+def numeric_between(col: str | Column, lo=None, hi=None) -> Column:
+    """F4 — numeric range, either bound optional (lib/sonardb.py:1651-1657)."""
+    c = F.col(col) if isinstance(col, str) else col
+    conds = []
+    if lo is not None:
+        conds.append(c >= F.lit(lo))
+    if hi is not None:
+        conds.append(c <= F.lit(hi))
+    return reduce(lambda a, b: a & b, conds) if conds else F.lit(True)
+
+
+def prefix_any(col: str | Column, prefixes: Sequence[str], negate: bool = False) -> Column:
+    """F5 — zip-style prefix match: OR over ``startswith`` for includes,
+    AND over negated for excludes (lib/sonardb.py:1659-1665)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if negate:
+        return reduce(lambda a, b: a & b, [~c.startswith(p) for p in prefixes])
+    return reduce(lambda a, b: a | b, [c.startswith(p) for p in prefixes])
+
+
+def date_ranges(col: str | Column, specs: Sequence[str], negate: bool = False) -> Column:
+    """F6 — date point/range filter (lib/sonardb.py:1667-1680).
+
+    Each spec is ``YYYY-MM-DD`` (point) or ``a:b`` (inclusive range).
+    Includes OR-join; excludes negate each and AND-join.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    preds = []
+    for spec in specs:
+        if ":" in spec:
+            a, b = spec.split(":", 1)
+            p = c.between(F.lit(a).cast("date"), F.lit(b).cast("date"))
+        else:
+            p = c == F.lit(spec).cast("date")
+        preds.append(p)
+    if negate:
+        return reduce(lambda a, b: a & b, [~p for p in preds])
+    return reduce(lambda a, b: a | b, preds)
+
+
+def token_contains(col: str | Column, token: str) -> Column:
+    """F7 atom — exact-token membership in an array<string> profile column.
+
+    The reference stores profiles as space-padded strings and matches with
+    ``LIKE '% tok %'`` (lib/sonardb.py:1623-1639); on an ArrayType column
+    the exact equivalent is ``array_contains`` — same semantics, no
+    substring pitfalls, and eligible for Catalyst optimizations.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_contains(c, token)
+
+
+def profile_group(col: str | Column, tokens: Sequence[str], any_mode: bool = False) -> Column:
+    """F7 group — AND across tokens of one ``-i`` group, unless the
+    reference's wildcard quirk flips the group to OR (``any_mode``;
+    lib/sonardb.py:1626-1637: any token ending in N/X switches the whole
+    group's conjunction to disjunction).
+
+    OR-mode uses ``arrays_overlap`` against the token set — one pass over
+    the array instead of k ``array_contains`` scans.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if not tokens:
+        return F.lit(True)
+    if any_mode:
+        return F.arrays_overlap(c, F.array(*[F.lit(t) for t in tokens]))
+    return reduce(lambda a, b: a & b, [F.array_contains(c, t) for t in tokens])
+
+
+def or_groups(groups: Iterable[Column]) -> Column:
+    """F8 — multiple include groups OR-ed (lib/sonardb.py:1927-1976)."""
+    groups = list(groups)
+    if not groups:
+        return F.lit(True)
+    return reduce(lambda a, b: a | b, groups)
+
+
+def and_all(preds: Iterable[Column]) -> Column:
+    preds = [p for p in preds if p is not None]
+    if not preds:
+        return F.lit(True)
+    return reduce(lambda a, b: a & b, preds)
+
+
+def empty_array(col: str | Column, empty: bool = True) -> Column:
+    """F9 — frameshift tri-state: profile array empty / non-empty
+    (lib/sonardb.py:1978-1982)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(c) == 0 if empty else F.size(c) > 0
+
+
+def distinct_values_matching(df: DataFrame, col: str, sql_like_pattern: str) -> list:
+    """F13 — lineage ``%`` wildcard expansion: collect DISTINCT values
+    matching a SQL LIKE pattern (lib/sonardb.py:1608-1614).  Driver-side
+    collect of a tiny distinct set; the result feeds :func:`in_list` so the
+    final scan predicate stays a static IN-list (partition-prunable)."""
+    rows = df.select(col).where(F.col(col).like(sql_like_pattern)).distinct().collect()
+    return [r[0] for r in rows]

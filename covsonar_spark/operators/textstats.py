@@ -1,0 +1,51 @@
+"""Text-analysis operators over a documents-like table: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All JVM-side column expressions (whole-stage codegen) — these run as pure
+map operations with no shuffle, so they scale linearly with input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from covsonar_spark.functions import text as Tx
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token statistics (token count, distinct tokens, chars)."""
+    toks = Tx.tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        Tx.token_count(text_col).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length(text_col).alias("n_chars_computed"),
+    )
+
+
+def quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality score per document."""
+    return df.select(F.col(id_col), Tx.quality_score(text_col).alias("quality"))
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                langs: tuple[str, ...] = ("en", "de", "fr")) -> DataFrame:
+    """Stopword-vote language identification."""
+    return df.select(F.col(id_col), Tx.lang_id(text_col, langs).alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                k: int = 8) -> DataFrame:
+    """Rolling-hash document fingerprint: min over md5 hashes of character
+    k-grams (a 1-permutation winnowing sketch).  md5 is available in both
+    Spark and DuckDB, so the fingerprint is engine-portable.
+    """
+    c = F.col(text_col)
+    n = F.length(c)
+    seq = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    grams = F.transform(seq, lambda i: F.md5(c.substr(i, F.lit(k))))
+    return df.select(
+        F.col(id_col),
+        F.array_min(grams).alias("fingerprint"),
+    )

@@ -1,0 +1,639 @@
+"""Query registry: every implemented operator from SURVEY.md §2 exposed as
+a (spark_fn, oracle_sql) pair over the driver's synthetic tables
+(/root/testdata/sf*/ — region nation customer supplier part orders
+lineitem events documents embeddings).
+
+Conventions for oracle parity (the driver hash-compares values):
+  * money aggregates go through DECIMAL (exact, order-independent), then
+    cast to double and rounded — bit-identical across engines;
+  * float similarity scores are rounded to 4 decimals;
+  * every computed column is aliased identically in both engines;
+  * hashes are md5-derived (identical in Spark and DuckDB).
+
+Each query's docstring names the SURVEY §2 operator(s) it exercises and
+the reference behavior it re-expresses (file:line into /root/reference).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covsonar_spark.functions import text as Tx
+from covsonar_spark.operators import closure, dedup, predicates as P, similarity, textstats, windows
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; read nanos as long and derive `ts_us` (epoch micros,
+    integer) — timezone-free and exactly reproducible in DuckDB via
+    ``epoch_us(CAST(ts AS TIMESTAMP))``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts_us", F.expr("ts div 1000"))
+    else:
+        ev = ev.withColumn("ts_us", F.unix_micros("ts"))
+    return ev
+
+
+def _dec(col, p=18, s=4):
+    return F.col(col).cast(f"decimal({p},{s})") if isinstance(col, str) else col.cast(f"decimal({p},{s})")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations / scans (SURVEY §2.4 A1-A8; §2.2 F1/F16)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    """A5/A1/O4 — grouped aggregation with exact decimal sums
+    (shape of reference info/count aggregates, lib/sonardb.py:1552-1595,
+    generalized to the TPC-H pricing-summary pattern)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice", 18, 2) * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec("l_quantity", 18, 2)).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice", 18, 2)).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.round((F.sum(_dec("l_quantity", 18, 2)).cast("double") / F.count(F.lit(1))), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_disc_price,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    """J1-chain + A + top-k — multi-join with aggregation and limit
+    (reference joins are seqhash equi-joins, lib/db.sqlite:95-123; here the
+    same shape over customer⟕orders⟕lineitem with broadcast dims)."""
+    cust = _t(spark, sf_dir, "customer").where(P.in_list("c_mktsegment", ["BUILDING"]))
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.sum(_dec("l_extendedprice", 18, 2) * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue.cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def agg_group_counts(spark, sf_dir):
+    """A5 — COUNT … GROUP BY two categoricals ORDER BY (reference
+    info_data_types, lib/sonardb.py:1567-1569)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "source")
+    )
+
+
+AGG_GROUP_COUNTS_SQL = """
+SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+def agg_distinct_counts(spark, sf_dir):
+    """A3/A4 — distinct-count statistics (reference count_sequences /
+    count_labs, lib/sonardb.py:1557-1565)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+AGG_DISTINCT_COUNTS_SQL = """
+SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps,
+       count(DISTINCT l_orderkey) AS n_orders FROM lineitem
+"""
+
+
+def agg_minmax_dates(spark, sf_dir):
+    """A6/A7 — min/max date statistics (reference get_earliest_import …,
+    lib/sonardb.py:1571-1585)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("first_date"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+AGG_MINMAX_DATES_SQL = """
+SELECT min(CAST(o_orderdate AS DATE)) AS first_date, max(CAST(o_orderdate AS DATE)) AS last_date,
+       count(*) AS n_rows FROM orders
+"""
+
+
+def agg_field_completeness(spark, sf_dir):
+    """A8 — one-pass per-field completeness counts (reference
+    count_metadata loop, lib/sonardb.py:1587-1595, sonar.py:893-922 —
+    N queries collapsed into one conditional-aggregation scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    def nn(c, alias):
+        return F.count(F.when(F.col(c).isNotNull(), 1)).alias(alias)
+    return li.agg(
+        F.count(F.lit(1)).alias("total"),
+        nn("l_returnflag", "has_returnflag"),
+        F.count(F.when(F.col("l_tax") > 0, 1)).alias("has_tax"),
+        F.count(F.when(F.col("l_discount") > 0, 1)).alias("has_discount"),
+        F.round(F.count(F.when(F.col("l_discount") > 0, 1)) * 100.0 / F.count(F.lit(1)), 4).alias("pct_discounted"),
+    )
+
+
+AGG_FIELD_COMPLETENESS_SQL = """
+SELECT count(*) AS total,
+       count(CASE WHEN l_returnflag IS NOT NULL THEN 1 END) AS has_returnflag,
+       count(CASE WHEN l_tax > 0 THEN 1 END) AS has_tax,
+       count(CASE WHEN l_discount > 0 THEN 1 END) AS has_discount,
+       round(count(CASE WHEN l_discount > 0 THEN 1 END) * 100.0 / count(*), 4) AS pct_discounted
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# match-style filters (SURVEY §2.2 F2-F16)
+# ---------------------------------------------------------------------------
+
+def match_metadata_filters(spark, sf_dir):
+    """F2+F4+F5+F6 — the covsonar `match` metadata WHERE-layer: IN-list,
+    numeric range, prefix-OR, date ranges, composed as one Catalyst
+    predicate tree (lib/sonardb.py:1641-1680) and pushed into the scan."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    pred = P.and_all([
+        P.in_list("c_mktsegment", ["BUILDING", "MACHINERY"]),
+        P.numeric_between("c_acctbal", 0.0, 8000.0),
+    ])
+    date_pred = P.date_ranges(F.col("o_orderdate").cast("date"), ["1996-01-01:1996-12-31", "1998-03-15"])
+    prio_pred = P.prefix_any("o_orderpriority", ["1-", "2-"])
+    return (
+        orders.where(date_pred & prio_pred)
+        .join(F.broadcast(cust.where(pred)), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "o_custkey", "c_mktsegment", "o_orderpriority",
+                F.col("o_orderdate").cast("date").alias("o_date"))
+        .orderBy("o_orderkey")
+    )
+
+
+MATCH_METADATA_SQL = """
+SELECT o_orderkey, o_custkey, c_mktsegment, o_orderpriority, CAST(o_orderdate AS DATE) AS o_date
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment IN ('BUILDING','MACHINERY')
+  AND c_acctbal >= 0.0 AND c_acctbal <= 8000.0
+  AND (CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+       OR CAST(o_orderdate AS DATE) = DATE '1998-03-15')
+  AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+ORDER BY o_orderkey
+"""
+
+
+def match_metadata_negation(spark, sf_dir):
+    """F2^/F5^/F6^ — the `^`-negated forms: NOT IN, NOT LIKE (AND-joined),
+    NOT BETWEEN (lib/sonardb.py:3295-3358 include/exclude split)."""
+    orders = _t(spark, sf_dir, "orders")
+    pred = P.and_all([
+        P.not_in_list("o_orderstatus", ["F"]),
+        P.prefix_any("o_orderpriority", ["4-", "5-"], negate=True),
+        P.date_ranges(F.col("o_orderdate").cast("date"), ["1995-01-01:1995-12-31"], negate=True),
+    ])
+    return orders.where(pred).select("o_orderkey", "o_orderstatus", "o_orderpriority").orderBy("o_orderkey")
+
+
+MATCH_METADATA_NEG_SQL = """
+SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+WHERE o_orderstatus NOT IN ('F')
+  AND o_orderpriority NOT LIKE '4-%' AND o_orderpriority NOT LIKE '5-%'
+  AND CAST(o_orderdate AS DATE) NOT BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+ORDER BY o_orderkey
+"""
+
+
+def match_profile_and(spark, sf_dir):
+    """F7 — exact-token AND group over an array column.  The reference
+    space-pads profile strings and matches `LIKE '% tok %'`
+    (lib/sonardb.py:1623-1639); here tokens are an ArrayType column and
+    the match is `array_contains` — same semantics, scan-friendly."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = Tx.tokens("text")
+    pred = P.profile_group(toks, ["merge", "hash", "join"])
+    return docs.where(pred).select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+MATCH_PROFILE_AND_SQL = """
+SELECT doc_id, lang, source FROM documents
+WHERE list_contains(string_split(text, ' '), 'merge')
+  AND list_contains(string_split(text, ' '), 'hash')
+  AND list_contains(string_split(text, ' '), 'join')
+ORDER BY doc_id
+"""
+
+
+def match_profile_or_groups(spark, sf_dir):
+    """F8 — OR across `-i` groups, AND within group; plus the wildcard
+    quirk where an ambiguous token flips a group to OR via arrays_overlap
+    (lib/sonardb.py:1626-1637, 1927-1976)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = Tx.tokens("text")
+    g1 = P.profile_group(toks, ["vector", "stream"])           # AND group
+    g2 = P.profile_group(toks, ["window", "batch"], any_mode=True)  # wildcard→OR group
+    return docs.where(P.or_groups([g1, g2])).select("doc_id", "lang").orderBy("doc_id")
+
+
+MATCH_PROFILE_OR_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE (list_contains(string_split(text, ' '), 'vector') AND list_contains(string_split(text, ' '), 'stream'))
+   OR (list_contains(string_split(text, ' '), 'window') OR list_contains(string_split(text, ' '), 'batch'))
+ORDER BY doc_id
+"""
+
+
+def match_profile_exclude(spark, sf_dir):
+    """F8 exclude — include group AND NOT(exclude group) with metadata
+    conjunction (reference -i/-e composition, lib/sonardb.py:1927-1976)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = Tx.tokens("text")
+    pred = P.profile_group(toks, ["spark"]) & ~P.profile_group(toks, ["slow"]) \
+        & P.in_list("lang", ["en", "de"])
+    return docs.where(pred).select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+MATCH_PROFILE_EXCL_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE list_contains(string_split(text, ' '), 'spark')
+  AND NOT list_contains(string_split(text, ' '), 'slow')
+  AND lang IN ('en','de')
+ORDER BY doc_id
+"""
+
+
+def match_count(spark, sf_dir):
+    """F16 — `--count` projection: the same predicate tree reduced to one
+    count (lib/sonardb.py:1983-1984)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = Tx.tokens("text")
+    pred = P.profile_group(toks, ["filter"]) & P.not_in_list("lang", ["zh"])
+    return docs.where(pred).agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+MATCH_COUNT_SQL = """
+SELECT count(*) AS n_matches FROM documents
+WHERE list_contains(string_split(text, ' '), 'filter') AND lang NOT IN ('zh')
+"""
+
+
+def profile_token_frequencies(spark, sf_dir):
+    """J5 — the variant-vocabulary semi-join shape: explode profile
+    tokens, count docs per queried token (reference models this as LIKE
+    scans; exploded form is the scale path for whole-vocabulary stats)."""
+    docs = _t(spark, sf_dir, "documents")
+    wanted = ["merge", "hash", "join", "scan", "sort"]
+    return (
+        docs.select(F.explode(Tx.distinct_tokens("text")).alias("token"))
+        .where(P.in_list("token", wanted))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("token")
+    )
+
+
+PROFILE_TOKEN_FREQ_SQL = """
+SELECT token, count(*) AS n_docs
+FROM (SELECT unnest(list_distinct(string_split(text, ' '))) AS token FROM documents)
+WHERE token IN ('merge','hash','join','scan','sort')
+GROUP BY token ORDER BY token
+"""
+
+
+def lineage_closure_prefix(spark, sf_dir):
+    """F13/F14 — wildcard + sublineage-closure expansion re-expressed as a
+    prefix predicate over dotted taxonomy paths (reference BFS over a
+    lineage dict, lib/sonardb.py:3390-3425; builder
+    lib/Lineages_UPDATER.py:105-164).  Here: region.nation paths,
+    descendants of EUROPE, then a broadcast semi-join counts customers."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    taxa = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey) \
+                 .select(F.concat_ws(".", "r_name", "n_name").alias("path"), "n_nationkey")
+    desc = closure.descendants(taxa, "EUROPE", include_self=False)
+    return (
+        cust.join(F.broadcast(desc), cust.c_nationkey == desc.n_nationkey)
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("path")
+    )
+
+
+LINEAGE_CLOSURE_SQL = """
+SELECT r_name || '.' || n_name AS path, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+WHERE (r_name || '.' || n_name) LIKE 'EUROPE.%'
+GROUP BY path ORDER BY path
+"""
+
+
+# ---------------------------------------------------------------------------
+# window / sort / rank (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+def window_rank_per_group(spark, sf_dir):
+    """O-class + window — top-3 orders by totalprice per customer
+    (deterministic tiebreak on orderkey).  The reference's sorts
+    (lib/sonardb.py:2840, sonartoVCF_v2.py:338) are global; the window
+    form is the per-group scale path."""
+    from pyspark.sql import Window
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders)
+WHERE rn <= 3 ORDER BY o_custkey, rn
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: windows, sessions, JSON (streaming-shaped batch ops)
+# ---------------------------------------------------------------------------
+
+def events_window_agg(spark, sf_dir):
+    """Tumbling event-time window agg (1 h buckets via integer epoch-µs
+    arithmetic — timezone-free; the Structured Streaming twin in
+    covsonar_spark.streaming uses the native `window()` on timestamps)."""
+    ev = _events(spark, sf_dir)
+    hour_us = (F.col("ts_us") - (F.col("ts_us") % F.lit(3_600_000_000))).alias("window_start_us")
+    return (
+        ev.groupBy(hour_us, F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("window_start_us", "event_type")
+    )
+
+
+EVENTS_WINDOW_SQL = """
+SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 AS window_start_us, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min): lag → boundary flag → running
+    sum = session id; one shuffle on user_id (applyInPandasWithState twin
+    in covsonar_spark.streaming)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    boundary = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("session_seq", F.sum(boundary).over(w))
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts_us").alias("session_start_us"),
+             F.max("ts_us").alias("session_end_us"),
+             F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id", "session_seq")
+    )
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS boundary
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+), sess AS (
+  SELECT user_id, ts_us,
+         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged)
+SELECT user_id, session_seq, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+"""
+
+
+def events_json_extract(spark, sf_dir):
+    """Semi-structured projection: JSON prop extraction + filtered agg
+    (S2-style source normalization, sonar.py:770-853, for JSON props)."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .where(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type, count(*) AS n, sum(k) AS sum_k FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+WHERE k >= 50 GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity / text analysis (training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash (reference seqhash dedup at ingest,
+    sonar.py:607-641) — here over the sorted distinct-token set so the
+    synthetic corpus yields non-trivial groups."""
+    docs = _t(spark, sf_dir, "documents")
+    canon = F.md5(F.concat_ws(" ", F.array_sort(Tx.distinct_tokens("text"))))
+    return (
+        docs.select(F.col("doc_id"), canon.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+        .orderBy("keep_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT content_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM (
+  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS content_hash
+  FROM documents)
+GROUP BY content_hash HAVING count(*) > 1 ORDER BY keep_id
+"""
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs via the inverted-index
+    similarity self-join (explode shingles → equi-join on shingle →
+    count shared) — exact results without O(n²) pair enumeration."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+DEDUP_NGRAM_SQL = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 0)),
+             i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1], string_split(text,' ')[i+2])))) AS shingle
+  FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs a literal query vector — per-partition
+    top-k + k-row merge, no full sort (baseline ANN; LSH path in
+    operators/similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [((i * 37 + 11) % 13 - 6) / 6.0 for i in range(64)]  # deterministic query
+    return similarity.cosine_topk(emb, qv, k=10)
+
+
+_QV = ", ".join(str(((i * 37 + 11) % 13 - 6) / 6.0) for i in range(64))
+ANN_COSINE_SQL = f"""
+WITH q AS (SELECT [{_QV}]::DOUBLE[] AS qv)
+SELECT vec_id,
+       round(list_sum(list_transform(generate_series(1,64), i -> embedding[i]::DOUBLE * qv[i])) /
+             (sqrt(list_sum(list_transform(generate_series(1,64), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) *
+              sqrt(list_sum(list_transform(generate_series(1,64), i -> qv[i] * qv[i])))), 4) AS cosine
+FROM embeddings, q
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+def text_token_stats(spark, sf_dir):
+    """Token counting (whitespace) — pure codegen map, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.token_stats(docs).orderBy("doc_id")
+
+
+TEXT_TOKEN_STATS_SQL = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       len(text) AS n_chars_computed
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_quality(spark, sf_dir):
+    """Heuristic quality scoring (length/alpha/diversity ratios)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.quality(docs).orderBy("doc_id")
+
+
+TEXT_QUALITY_SQL = """
+SELECT doc_id,
+       round((least((len(text) - (len(string_split(text,' ')) - 1))::DOUBLE / len(string_split(text,' ')) / 10.0, 1.0)
+              + len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest(len(text), 1)
+              + len(list_distinct(string_split(text,' ')))::DOUBLE / len(string_split(text,' '))) / 3.0, 6) AS quality
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_fingerprint(spark, sf_dir):
+    """Rolling-hash fingerprint: min md5 over char 8-grams (1-perm
+    winnowing sketch); md5 keeps it engine-portable."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.fingerprint(docs, k=8).orderBy("doc_id")
+
+
+TEXT_FINGERPRINT_SQL = """
+SELECT doc_id,
+       list_min(list_transform(generate_series(1, greatest(len(text) - 7, 1)),
+                i -> md5(substr(text, i, 8)))) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "agg_group_counts": (agg_group_counts, AGG_GROUP_COUNTS_SQL),
+    "agg_distinct_counts": (agg_distinct_counts, AGG_DISTINCT_COUNTS_SQL),
+    "agg_minmax_dates": (agg_minmax_dates, AGG_MINMAX_DATES_SQL),
+    "agg_field_completeness": (agg_field_completeness, AGG_FIELD_COMPLETENESS_SQL),
+    "match_metadata_filters": (match_metadata_filters, MATCH_METADATA_SQL),
+    "match_metadata_negation": (match_metadata_negation, MATCH_METADATA_NEG_SQL),
+    "match_profile_and": (match_profile_and, MATCH_PROFILE_AND_SQL),
+    "match_profile_or_groups": (match_profile_or_groups, MATCH_PROFILE_OR_SQL),
+    "match_profile_exclude": (match_profile_exclude, MATCH_PROFILE_EXCL_SQL),
+    "match_count": (match_count, MATCH_COUNT_SQL),
+    "profile_token_frequencies": (profile_token_frequencies, PROFILE_TOKEN_FREQ_SQL),
+    "lineage_closure_prefix": (lineage_closure_prefix, LINEAGE_CLOSURE_SQL),
+    "window_rank_per_group": (window_rank_per_group, WINDOW_RANK_SQL),
+    "events_window_agg": (events_window_agg, EVENTS_WINDOW_SQL),
+    "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
+    "events_json_extract": (events_json_extract, EVENTS_JSON_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
+    "text_token_stats": (text_token_stats, TEXT_TOKEN_STATS_SQL),
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
+}

@@ -1,0 +1,41 @@
+"""SparkSession factory.
+
+Local test profile: one JVM, N threads (``local[N]``). The settings below
+are chosen so the same logical plans scale to a multi-executor cluster:
+AQE handles skew/coalescing at runtime, shuffle partitions sized for the
+local core count (on a real cluster this would be ~2-3x total cores or
+left to AQE), Arrow enabled for the pandas-UDF alignment stage.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "sparksonar", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARKSONAR_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> dict:
+    """Load the driver's parquet tables as DataFrames keyed by name."""
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}

@@ -1,0 +1,17 @@
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from covsonar_spark.session import get_spark
+
+    s = get_spark("sparksonar-tests", shuffle_partitions=8)
+    yield s
