@@ -1,0 +1,265 @@
+"""The `match` engine — covsonar's flagship query re-expressed as one
+Catalyst expression tree over the essence DataFrame.
+
+Reference lifecycle (SURVEY §3.1): driver-side rewrite (IUPAC expansion,
+X/N injection, wildcard lineage, sublineage closure) → WHERE-fragment
+assembly (lib/sonardb.py:1682-2006) → SQLite scan → python post-filter.
+Spark shape: the same rewrite feeds a single boolean Column tree; the
+ambiguity post-filter becomes a higher-order array filter that runs
+distributed; projection/count stay in the plan.
+
+Deliberate divergences from reference bugs (SURVEY §7):
+  * exclude-profile clause joining the wrong list when a group mixes
+    dna+aa tokens (lib/sonardb.py:1970) — we AND the per-field clauses;
+  * `filter_ambig`'s keep-set being dict keys instead of the searched
+    tokens (lib/sonardb.py:3469-3482) — we keep the searched tokens.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from covsonar_spark.functions import tokens as TK
+from covsonar_spark.operators import closure as CL
+from covsonar_spark.operators import predicates as P
+from covsonar_spark.schemas import ESSENCE_COLUMNS
+
+# metadata dimensions filtered with IN/NOT IN semantics (reference
+# sonarDBManager.match call sites, lib/sonardb.py:1726-1924)
+IN_LIST_FIELDS = (
+    "accession", "lineage", "lab", "source", "collection", "technology",
+    "platform", "chemistry", "material", "seqhash", "gisaid", "ena",
+)
+# dimensions upper-cased by the CLI before matching (sonar.py:1068-1087)
+UPPERCASED_FIELDS = frozenset(
+    {"lineage", "lab", "source", "collection", "technology", "platform",
+     "chemistry", "material", "software"}
+)
+
+
+def split_negations(values: Sequence[str]) -> tuple[list[str], list[str]]:
+    """Split ``^``-prefixed excludes from includes (lib/sonardb.py:3295-3358)."""
+    inc = [v for v in values if not v.startswith("^")]
+    exc = [v[1:] for v in values if v.startswith("^")]
+    return inc, exc
+
+
+@dataclass
+class MatchQuery:
+    """Declarative match request — mirrors the reference CLI surface
+    (sonar.py:153-344)."""
+
+    profiles: list[list[str]] = dc_field(default_factory=list)         # -i groups
+    exclude_profiles: list[list[str]] = dc_field(default_factory=list)  # -e groups
+    accessions: list[str] = dc_field(default_factory=list)
+    lineages: list[str] = dc_field(default_factory=list)
+    with_sublineage: bool = False
+    zips: list[str] = dc_field(default_factory=list)
+    dates: list[str] = dc_field(default_factory=list)
+    submission_dates: list[str] = dc_field(default_factory=list)
+    labs: list[str] = dc_field(default_factory=list)
+    sources: list[str] = dc_field(default_factory=list)
+    collections: list[str] = dc_field(default_factory=list)
+    technologies: list[str] = dc_field(default_factory=list)
+    platforms: list[str] = dc_field(default_factory=list)
+    chemistries: list[str] = dc_field(default_factory=list)
+    materials: list[str] = dc_field(default_factory=list)
+    software: str | None = None
+    software_version: str | None = None
+    min_ct: float | None = None
+    max_ct: float | None = None
+    seqhashes: list[str] = dc_field(default_factory=list)
+    frameshifts: int = 0          # 0 any, -1 none-only, 1 only
+    count: bool = False
+    ambig: bool = False           # True = keep ambiguous calls in output
+
+
+def _profile_field_pred(col: str, expansions: list[list[str]], kind: str, negate: bool) -> Column:
+    """One field's clause for one group — AND across user tokens, flipped
+    to OR by the trailing-N/X wildcard quirk (lib/sonardb.py:1623-1639).
+
+    Each user token is one atom: ``array_contains`` when it expanded to
+    itself only, else ``arrays_overlap`` against its IUPAC expansion set
+    (one pass over the profile array instead of k contains-scans).
+    Negated atoms are the complement; join logic is unchanged."""
+    any_mode = TK.group_any_mode(expansions, kind)
+    atoms = []
+    for exp in expansions:
+        if len(exp) == 1:
+            a = F.array_contains(F.col(col), exp[0])
+        else:
+            a = F.arrays_overlap(F.col(col), F.array(*[F.lit(t) for t in exp]))
+        atoms.append(~a if negate else a)
+    op = (lambda a, b: a | b) if any_mode else (lambda a, b: a & b)
+    return reduce(op, atoms)
+
+
+def profile_predicate(groups: list[dict[str, list[list[str]]]], negate: bool = False) -> Column | None:
+    """OR over groups; within a group the dna clause AND the aa clause
+    (lib/sonardb.py:1927-1976, with the :1970 bug fixed)."""
+    group_preds = []
+    for g in groups:
+        parts = []
+        if g["dna"]:
+            parts.append(_profile_field_pred("dna_profile", g["dna"], "dna", negate))
+        if g["aa"]:
+            parts.append(_profile_field_pred("aa_profile", g["aa"], "aa", negate))
+        if parts:
+            group_preds.append(reduce(lambda a, b: a & b, parts))
+    if not group_preds:
+        return None
+    return reduce(lambda a, b: a | b, group_preds)
+
+
+def _ambig_output_filter(col: str, ambig_letters: frozenset[str], keep: list[str],
+                         del_pattern: str) -> Column:
+    """F15 — distributed re-expression of the reference's driver-side
+    `filter_ambig` (lib/sonardb.py:2994-3032): drop tokens whose terminal
+    letter is an ambiguity code, unless the token was searched for or is
+    a deletion.  Runs as a higher-order array filter in the scan stage."""
+    keep_arr = F.array(*[F.lit(t) for t in keep]) if keep else F.array().cast("array<string>")
+    ambig_arr = F.array(*[F.lit(c) for c in sorted(ambig_letters)])
+    return F.filter(
+        F.col(col),
+        lambda t: F.array_contains(keep_arr, t)
+        | t.rlike(del_pattern)
+        | ~F.array_contains(ambig_arr, F.substring(t, -1, 1))
+        | ~F.substring(t, -1, 1).rlike("[A-Z]$"),
+    )
+
+
+class MatchEngine:
+    """Executes MatchQuery against essence (genomes ⟕ profiles on seqhash).
+
+    ``essence`` must expose the 22 ESSENCE_COLUMNS with ArrayType
+    profiles.  ``sublineage_map`` is the lineage→children dict (broadcast
+    -sized sidecar, reference lib/lineage.all.tsv).
+    """
+
+    def __init__(self, essence: DataFrame, sublineage_map: dict[str, list[str]] | None = None,
+                 grammar: TK.TokenGrammar = TK.DEFAULT_GRAMMAR):
+        self.essence = essence
+        self.sublineage_map = sublineage_map or {}
+        self.grammar = grammar
+
+    # -- rewrite ----------------------------------------------------------
+
+    def _expand_lineages(self, lineages: list[str], with_sublineage: bool) -> list[str]:
+        """F13 wildcard expansion (driver-side distinct-collect, tiny) +
+        F14 BFS closure over the broadcast taxonomy."""
+        out: list[str] = []
+        for lin in lineages:
+            if "%" in lin:
+                out.extend(P.distinct_values_matching(self.essence, "lineage", lin))
+            else:
+                out.append(lin)
+        if with_sublineage:
+            out = CL.bfs_closure(self.sublineage_map, out)
+        return out
+
+    # -- plan construction ------------------------------------------------
+
+    def plan(self, q: MatchQuery) -> DataFrame:
+        preds: list[Column] = []
+
+        inc_prof = TK.rewrite_profiles(q.profiles, self.grammar) if q.profiles else []
+        exc_prof = TK.rewrite_profiles(q.exclude_profiles, self.grammar) if q.exclude_profiles else []
+        if inc_prof:
+            p = profile_predicate(inc_prof)
+            if p is not None:
+                preds.append(p)
+        if exc_prof:
+            p = profile_predicate(exc_prof, negate=True)
+            if p is not None:
+                preds.append(p)
+
+        # metadata IN/NOT IN dims
+        dims = {
+            "accession": q.accessions,
+            "lineage": None,  # handled below (wildcard/sublineage expansion)
+            "lab": q.labs, "source": q.sources, "collection": q.collections,
+            "technology": q.technologies, "platform": q.platforms,
+            "chemistry": q.chemistries, "material": q.materials,
+            "seqhash": q.seqhashes,
+        }
+        inc_lin, exc_lin = split_negations(q.lineages)
+        inc_lin = self._expand_lineages(inc_lin, q.with_sublineage)
+        exc_lin = self._expand_lineages(exc_lin, False)
+        if inc_lin:
+            preds.append(P.in_list("lineage", inc_lin))
+        if exc_lin:
+            preds.append(P.not_in_list("lineage", exc_lin))
+
+        for fld, vals in dims.items():
+            if not vals:
+                continue
+            inc, exc = split_negations(vals)
+            if inc:
+                preds.append(P.in_list(fld, inc))
+            if exc:
+                preds.append(P.not_in_list(fld, exc))
+
+        inc_zip, exc_zip = split_negations(q.zips)
+        if inc_zip:
+            preds.append(P.prefix_any("zip", inc_zip))
+        if exc_zip:
+            preds.append(P.prefix_any("zip", exc_zip, negate=True))
+
+        for fld, specs in (("date", q.dates), ("submission_date", q.submission_dates)):
+            if not specs:
+                continue
+            inc, exc = split_negations(specs)
+            if inc:
+                preds.append(P.date_ranges(fld, inc))
+            if exc:
+                preds.append(P.date_ranges(fld, exc, negate=True))
+
+        if q.software is not None:
+            preds.append(P.equals("software", q.software))
+            if q.software_version is not None:
+                preds.append(P.equals("software_version", q.software_version))
+        elif q.software_version is not None:
+            raise ValueError("matching a software version needs a software defined")
+
+        if q.min_ct is not None or q.max_ct is not None:
+            preds.append(P.numeric_between("ct", q.min_ct, q.max_ct))
+
+        if q.frameshifts == -1:
+            preds.append(P.empty_array("fs_profile", empty=True))
+        elif q.frameshifts == 1:
+            preds.append(P.empty_array("fs_profile", empty=False))
+
+        df = self.essence.where(P.and_all(preds)) if preds else self.essence
+
+        if q.count:
+            return df.agg(F.count(F.lit(1)).alias("count"))
+
+        if not q.ambig:
+            keep = [t for g in inc_prof for exps in g.values() for exp in exps for t in exp]
+            sym = "(?:" + "|".join(self.grammar.symbols) + ")"
+            del_pat = rf"^(?:{sym}:)?del:[0-9]+:[0-9]+$"
+            df = df.withColumn(
+                "dna_profile", _ambig_output_filter("dna_profile", TK.AMBIG_NT, keep, del_pat)
+            ).withColumn(
+                "aa_profile", _ambig_output_filter("aa_profile", TK.AMBIG_AA, keep, del_pat)
+            )
+        return df.select(*ESSENCE_COLUMNS)
+
+    def run(self, q: MatchQuery) -> DataFrame:
+        return self.plan(q)
+
+
+def build_essence(genomes: DataFrame, profiles: DataFrame) -> DataFrame:
+    """essence = genomes ⟕ profiles on seqhash (reference view
+    lib/db.sqlite:95-123).  Both sides bucketed by seqhash at write time
+    → no shuffle; empty arrays substituted for missing profiles."""
+    e = genomes.join(profiles, "seqhash", "left")
+    empty = F.array().cast("array<string>")
+    for c in ("dna_profile", "aa_profile", "fs_profile"):
+        e = e.withColumn(c, F.coalesce(F.col(c), empty))
+    return e.select(*ESSENCE_COLUMNS)
