@@ -164,6 +164,14 @@ class MatchEngine:
 
     # -- plan construction ------------------------------------------------
 
+    @staticmethod
+    def _norm(field: str, values):
+        """CLI-style upper-casing of categorical query values
+        (sonar.py:1068-1087); `^` negation prefixes survive."""
+        if values and field in UPPERCASED_FIELDS:
+            return [v.upper() for v in values]
+        return values
+
     def plan(self, q: MatchQuery) -> DataFrame:
         preds: list[Column] = []
 
@@ -187,7 +195,7 @@ class MatchEngine:
             "chemistry": q.chemistries, "material": q.materials,
             "seqhash": q.seqhashes,
         }
-        inc_lin, exc_lin = split_negations(q.lineages)
+        inc_lin, exc_lin = split_negations(self._norm("lineage", q.lineages))
         inc_lin = self._expand_lineages(inc_lin, q.with_sublineage)
         exc_lin = self._expand_lineages(exc_lin, False)
         if inc_lin:
@@ -198,7 +206,7 @@ class MatchEngine:
         for fld, vals in dims.items():
             if not vals:
                 continue
-            inc, exc = split_negations(vals)
+            inc, exc = split_negations(self._norm(fld, vals))
             if inc:
                 preds.append(P.in_list(fld, inc))
             if exc:
@@ -220,9 +228,9 @@ class MatchEngine:
                 preds.append(P.date_ranges(fld, exc, negate=True))
 
         if q.software is not None:
-            preds.append(P.equals("software", q.software))
+            preds.append(P.equals("software", q.software.upper()))
             if q.software_version is not None:
-                preds.append(P.equals("software_version", q.software_version))
+                preds.append(P.equals("software_version", q.software_version.upper()))
         elif q.software_version is not None:
             raise ValueError("matching a software version needs a software defined")
 

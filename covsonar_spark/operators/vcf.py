@@ -1,0 +1,200 @@
+"""VCF export — the `var2vcf` surface re-expressed aggregation-first.
+
+Reference behavior (lib/sonartoVCF_v2.py:368-455, 136-346, 99-118,
+121-133): pull (accession, start, end, ref, alt) rows from `dna_view`
+filtered by accession / date, shift to 1-based POS, drop deletions and
+out-of-range rows, then build a POS × samples genotype matrix per
+worker, assign GT indices in ALT-encounter order, compute
+``INFO=AN=..;AC=..;TYPE=..`` by counting genotype values, and merge the
+per-worker VCFs with external bcftools.
+
+Spark design — no genotype matrix, no bcftools, no driver loop:
+
+1. ``calls``: one row per (accession, pos, ref, alt) — the long format.
+2. ``site_table``: two aggregations. First ``groupBy(pos, bucket)``
+   collects the per-site ALT vocabulary (small output → broadcast back),
+   then per-call GT = ``array_position(alts, alt)`` and a second
+   ``groupBy(pos, bucket)`` folds AN/AC. Both aggregations combine
+   map-side; the big calls relation is never joined shuffle-to-shuffle.
+3. The dense sample-genotype matrix exists only in the optional
+   ``genotype_matrix`` pivot (guarded by a sample-count cap — a dense
+   matrix over millions of samples is the reference's known scaling
+   wall, README.md:296) and in the final text sink.
+
+Deliberate divergences from the reference, for determinism at scale:
+* ALT order (hence GT numbering) is lexicographic per site, not
+  encounter order — encounter order depends on worker scheduling.
+* AC counts are emitted in GT order. (The reference sorts genotype
+  values as *strings* via np.unique, so GT 10 would sort before GT 2;
+  sites with >9 ALTs don't occur in practice.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covsonar_spark.operators import predicates as P
+
+VCF_HEADER = (
+    "##fileformat=VCFv4.2\n"
+    '##FILTER=<ID=PASS,Description="All filters passed">\n'
+    '##INFO=<ID=AN,Number=1,Type=Integer,Description="Total number of alleles in called genotypes">\n'
+    '##INFO=<ID=AC,Number=A,Type=Integer,Description="Allele count in genotypes">\n'
+    '##INFO=<ID=TYPE,Number=A,Type=String,Description="Variant type">\n'
+    '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+    "##contig=<ID={chrom}>\n"
+)
+
+
+def variant_type(ref: Column, alt: Column) -> Column:
+    """T16 — SNP/INS/DEL/INDEL from ref/alt lengths
+    (lib/sonartoVCF_v2.py:121-133)."""
+    lr, la = F.length(ref), F.length(alt)
+    return (
+        F.when((lr == 1) & (la == 1), F.lit("SNP"))
+        .when((lr < la) & (la > 0),
+              F.when(ref == F.substring(alt, 1, 1), F.lit("INS"))
+               .otherwise(F.lit("INDEL")))
+        .when((lr > la) & (lr > 0), F.lit("DEL"))
+        .otherwise(F.lit("Unknown"))
+    )
+
+
+def dna_view(genomes: DataFrame, dna_variants: DataFrame) -> DataFrame:
+    """J2 — the reference's `dna_view`: per-(accession, variant) rows via
+    the seqhash bridge (lib/db.sqlite:125-155)."""
+    return genomes.select("accession", "seqhash", "date").join(
+        dna_variants, "seqhash")
+
+
+def calls_from_dna_view(view: DataFrame, accessions: list[str] | None = None,
+                        dates: list[str] | None = None, ref_len: int = 29903,
+                        keep_deletions: bool = False) -> DataFrame:
+    """Filter + 1-base the view into the long ``calls`` relation
+    (lib/sonartoVCF_v2.py:386-439). ``keep_deletions=False`` mirrors the
+    reference v2, which drops empty-ALT rows before matrix build."""
+    df = view
+    if accessions:
+        df = df.where(F.col("accession").isin(accessions))
+    if dates:
+        df = df.where(P.date_ranges(F.col("date"), dates))
+    df = df.withColumn("pos", F.col("start") + 1) \
+           .where((F.col("pos") >= 1) & (F.col("pos") <= ref_len))
+    if not keep_deletions:
+        df = df.where(F.col("alt") != "")
+    return df.select("accession", "pos", "ref", "alt")
+
+
+def site_table(calls: DataFrame, chrom: str = "NC_045512.2") -> DataFrame:
+    """The aggregation-first core: calls → one VCF row per (pos, bucket).
+
+    SNPs at one position share one row (multi-allelic, comma-joined
+    ALT); each indel type gets its own row keyed (pos, type) — the
+    reference's final_snp_df / final_indel_df split
+    (lib/sonartoVCF_v2.py:136-346) without the dense matrix.
+    """
+    typed = calls.withColumn("vcf_type", variant_type(F.col("ref"), F.col("alt")))
+    typed = typed.where(F.col("vcf_type") != "Unknown")
+
+    # site vocabulary: small aggregate (bounded by distinct variants)
+    sites = typed.groupBy("pos", "vcf_type").agg(
+        F.array_sort(F.collect_set("alt")).alias("alts"),
+        F.min("ref").alias("ref"),
+    )
+
+    # per-call genotype index against the broadcast vocabulary;
+    # one sample gets one call per (pos, type) by construction upstream
+    gts = typed.join(F.broadcast(sites.select("pos", "vcf_type", "alts")),
+                     ["pos", "vcf_type"]) \
+               .withColumn("gt", F.array_position(F.col("alts"), F.col("alt"))) \
+               .select("accession", "pos", "vcf_type", "gt")
+
+    stats = (
+        gts.groupBy("pos", "vcf_type", "gt").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("pos", "vcf_type").agg(
+            F.sum("c").cast("long").alias("an"),
+            F.concat_ws(",", F.transform(
+                F.array_sort(F.collect_list(F.struct("gt", "c"))),
+                lambda s: s["c"].cast("string"))).alias("ac"),
+        )
+    )
+
+    pos_str = F.col("pos").cast("string")
+    return (
+        sites.join(stats, ["pos", "vcf_type"])
+        .select(
+            F.lit(chrom).alias("chrom"),
+            "pos",
+            F.concat_ws(";", F.transform(
+                "alts", lambda a: F.concat(F.col("ref"), pos_str, a))).alias("vcf_id"),
+            "ref",
+            F.concat_ws(",", "alts").alias("alt"),
+            F.lit(".").alias("qual"),
+            F.lit(".").alias("filter"),
+            F.concat(F.lit("AN="), F.col("an").cast("string"), F.lit(";AC="),
+                     F.col("ac"), F.lit(";TYPE="), F.col("vcf_type")).alias("info"),
+            "an", "ac", "vcf_type",
+        )
+    )
+
+
+def sample_genotypes(calls: DataFrame) -> DataFrame:
+    """Long-format per-sample genotypes (the scale path: no pivot)."""
+    typed = calls.withColumn("vcf_type", variant_type(F.col("ref"), F.col("alt")))
+    typed = typed.where(F.col("vcf_type") != "Unknown")
+    sites = typed.groupBy("pos", "vcf_type").agg(
+        F.array_sort(F.collect_set("alt")).alias("alts"))
+    return typed.join(F.broadcast(sites), ["pos", "vcf_type"]) \
+                .select("accession", "pos", "vcf_type",
+                        F.array_position(F.col("alts"), F.col("alt")).alias("gt"))
+
+
+def genotype_matrix(calls: DataFrame, max_samples: int = 2000) -> DataFrame:
+    """Dense POS × samples pivot — reference parity output shape; only
+    valid for small cohorts (the pivot is a hard wall at scale, which is
+    why it is capped instead of being the default path)."""
+    samples = [r["accession"] for r in
+               calls.select("accession").distinct().limit(max_samples + 1).collect()]
+    if len(samples) > max_samples:
+        raise ValueError(
+            f"genotype_matrix caps at {max_samples} samples; "
+            "use sample_genotypes() (long format) at scale")
+    gts = sample_genotypes(calls)
+    mat = gts.groupBy("pos", "vcf_type").pivot("accession", sorted(samples)) \
+             .agg(F.first("gt"))
+    for s in sorted(samples):
+        mat = mat.withColumn(
+            s, F.when(F.col(s).isNull(), ".").otherwise(F.col(s).cast("string")))
+    return mat
+
+
+def write_vcf(sites: DataFrame, calls: DataFrame, path: str,
+              chrom: str = "NC_045512.2", max_samples: int = 2000) -> None:
+    """Merged multi-sample VCF text file (replaces the bcftools
+    merge pipeline, lib/sonartoVCF.py:226-303). Driver-side only for
+    the final small header+matrix assembly."""
+    mat = genotype_matrix(calls, max_samples=max_samples)
+    samples = sorted(c for c in mat.columns if c not in ("pos", "vcf_type"))
+    merged = sites.join(mat, ["pos", "vcf_type"]).orderBy("pos", "vcf_type")
+    rows = merged.collect()
+    with open(path, "w") as fh:
+        fh.write(VCF_HEADER.format(chrom=chrom))
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                 + "\t".join(samples) + "\n")
+        for r in rows:
+            fh.write("\t".join(
+                [r["chrom"], str(r["pos"]), r["vcf_id"], r["ref"], r["alt"],
+                 r["qual"], r["filter"], r["info"], "GT"]
+                + [r[s] for s in samples]) + "\n")
+
+
+def export_vcf(store, path: str, accessions: list[str] | None = None,
+               dates: list[str] | None = None, chrom: str = "NC_045512.2") -> DataFrame:
+    """End-to-end `var2vcf`: store → filtered calls → site table + text
+    file; returns the site table for inspection."""
+    view = dna_view(store.table("genomes"), store.table("dna_variants"))
+    calls = calls_from_dna_view(view, accessions, dates)
+    sites = site_table(calls, chrom=chrom)
+    write_vcf(sites, calls, path, chrom=chrom)
+    return sites

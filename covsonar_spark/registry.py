@@ -607,6 +607,65 @@ FROM documents ORDER BY doc_id
 """
 
 
+def vcf_site_stats(spark, sf_dir):
+    """S9/A9 — the var2vcf v2 aggregation core (site table + AN/AC,
+    lib/sonartoVCF_v2.py:99-118, 136-346) on synthetic calls derived
+    from lineitem: sample = suppkey, pos/ref from partkey, alt from
+    orderkey; one call per (sample, pos) like one variant per genome
+    position. Runs the real operator (operators/vcf.site_table)."""
+    from covsonar_spark.operators import vcf as V
+
+    li = _t(spark, sf_dir, "lineitem")
+    pos = (F.col("l_partkey") % 997 + 1)
+    base = li.select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("accession"),
+        pos.alias("pos"),
+        F.substring(F.lit("ACGT"), (pos % 4 + 1).cast("int"), 1).alias("ref"),
+        F.substring(F.lit("ACGT"), (F.col("l_orderkey") % 4 + 1).cast("int"), 1).alias("alt"),
+    ).where(F.col("ref") != F.col("alt"))
+    calls = base.groupBy("accession", "pos", "ref").agg(F.min("alt").alias("alt"))
+    return (
+        V.site_table(calls, chrom="SYN")
+        .select("pos", "ref", "alt", "vcf_id", "an", "ac", "info")
+        .orderBy("pos")
+    )
+
+
+VCF_SITE_STATS_SQL = """
+WITH base AS (
+  SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS accession,
+         (l_partkey % 997) + 1 AS pos,
+         substr('ACGT', CAST(((l_partkey % 997) + 1) % 4 + 1 AS INT), 1) AS ref,
+         substr('ACGT', CAST((l_orderkey % 4) + 1 AS INT), 1) AS alt
+  FROM lineitem
+),
+calls AS (
+  SELECT accession, pos, ref, min(alt) AS alt
+  FROM base WHERE ref <> alt GROUP BY accession, pos, ref
+),
+sites AS (
+  SELECT pos, ref, list_sort(list(DISTINCT alt)) AS alts FROM calls GROUP BY pos, ref
+),
+gts AS (
+  SELECT c.pos, c.ref, list_position(s.alts, c.alt) AS gt
+  FROM calls c JOIN sites s USING (pos, ref)
+),
+stats AS (
+  SELECT pos, ref, CAST(sum(c) AS BIGINT) AS an,
+         string_agg(CAST(c AS VARCHAR), ',' ORDER BY gt) AS ac
+  FROM (SELECT pos, ref, gt, count(*) AS c FROM gts GROUP BY pos, ref, gt)
+  GROUP BY pos, ref
+)
+SELECT s.pos, s.ref,
+       array_to_string(s.alts, ',') AS alt,
+       array_to_string(list_transform(s.alts, a -> s.ref || CAST(s.pos AS VARCHAR) || a), ';') AS vcf_id,
+       st.an, st.ac,
+       'AN=' || CAST(st.an AS VARCHAR) || ';AC=' || st.ac || ';TYPE=SNP' AS info
+FROM sites s JOIN stats st USING (pos, ref)
+ORDER BY pos
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -636,4 +695,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_token_stats": (text_token_stats, TEXT_TOKEN_STATS_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
+    "vcf_site_stats": (vcf_site_stats, VCF_SITE_STATS_SQL),
 }

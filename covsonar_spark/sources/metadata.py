@@ -1,0 +1,72 @@
+"""Metadata sources — the `update` subcommand inputs (S2/S3).
+
+Reference: generic CSV/TSV with per-field column remapping and
+upper-casing of categorical values (sonar.py:770-853), plus the
+pangolin-output special case (sonar.py:795-802: accession = first word
+of "Sequence name", lineage = "Lineage").
+
+Spark-first: ``spark.read.csv`` keeps the parse distributed (the
+reference DictReader-loops the whole file in the driver); empty cells
+become NULL so the merge never overwrites with blanks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# fields whose values the reference upper-cases on the way in
+UPPERCASED = {
+    "lineage", "collection", "source", "lab", "technology", "chemistry",
+    "platform", "software", "software_version", "material",
+}
+DATES = {"date", "submission_date"}
+
+
+def read_metadata_csv(spark: SparkSession, path: str, fields: dict[str, str],
+                      sep: str = ",") -> DataFrame:
+    """``fields`` maps engine column → source column, e.g.
+    ``{"accession": "acc", "lineage": "pango", "ct": "ct_value"}``.
+    Returns one row per accession with only the mapped columns."""
+    if "accession" not in fields:
+        raise ValueError("fields must map 'accession'")
+    raw = spark.read.csv(path, header=True, sep=sep)
+    cols = []
+    for target, source in fields.items():
+        c = F.col(source)
+        # reference treats empty strings as "no update" (falsy check)
+        c = F.when(F.trim(c) == "", None).otherwise(c)
+        if target in UPPERCASED:
+            c = F.upper(c)
+        elif target == "ct":
+            c = c.cast("double")
+        elif target in DATES:
+            c = c.cast("date")
+        cols.append(c.alias(target))
+    df = raw.select(*cols).where(F.col("accession").isNotNull())
+    # reference keeps the FIRST occurrence per accession (sonar.py:808-810)
+    return df.dropDuplicates(["accession"])
+
+
+def read_pangolin_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Pangolin output: key = first word of `Sequence name`, value =
+    `Lineage` (sonar.py:795-802)."""
+    raw = spark.read.csv(path, header=True, sep=",")
+    return raw.select(
+        F.split(F.col("Sequence name"), " ")[0].alias("accession"),
+        F.col("Lineage").alias("lineage"),
+    ).where(F.col("accession").isNotNull()).dropDuplicates(["accession"])
+
+
+def validate_ct(spark: SparkSession, path: str, fields: dict[str, str],
+                sep: str = ",") -> list[str]:
+    """Reference exits on any non-float ct (sonar.py:841-852); here:
+    return the offending accessions so the caller decides."""
+    if "ct" not in fields:
+        return []
+    raw = spark.read.csv(path, header=True, sep=sep)
+    bad = raw.select(F.col(fields["accession"]).alias("accession"),
+                     F.col(fields["ct"]).alias("ct_raw")) \
+             .where((F.trim(F.col("ct_raw")) != "") & F.col("ct_raw").isNotNull()
+                    & F.col("ct_raw").cast("double").isNull())
+    return [r["accession"] for r in bad.collect()]

@@ -136,7 +136,12 @@ class SonarStore:
         bad_hashes = {r["seqhash"] for r in errors}
         meta = metadata_defaults or {}
         gen_cols = [f.name for f in schemas.GENOMES.fields]
-        new_genomes = rec.drop("sequence")
+        # skip accessions already stored with the same sequence — re-add
+        # must not clobber their metadata (reference P1, sonar.py:572-641)
+        unchanged = rec.join(existing, "accession") \
+                       .where(F.col("seqhash") == F.col("old_seqhash")) \
+                       .select("accession")
+        new_genomes = rec.drop("sequence").join(unchanged, "accession", "left_anti")
         if bad_hashes:
             new_genomes = new_genomes.where(~F.col("seqhash").isin(list(bad_hashes)))
         for c in gen_cols:
@@ -165,6 +170,75 @@ class SonarStore:
         rec.unpersist()
         profiled.unpersist()
         return report
+
+    # -- metadata update / delete / info (P4, P5, A2-A8) -------------------
+
+    def update_metadata(self, updates: DataFrame) -> int:
+        """P4 — join-based metadata upsert (reference update_genome,
+        lib/sonardb.py:2010-2087, applied per accession in a driver
+        loop; here one MERGE-shaped join over the whole batch).
+        ``updates`` has an ``accession`` column plus any subset of the
+        genome metadata columns; NULL cells leave the stored value."""
+        gen = self.table("genomes")
+        meta_cols = [c for c in updates.columns if c != "accession"]
+        unknown = set(meta_cols) - {f.name for f in schemas.GENOMES.fields}
+        if unknown:
+            raise ValueError(f"unknown metadata columns: {sorted(unknown)}")
+        upd = updates.select(
+            "accession", *[F.col(c).alias(f"_u_{c}") for c in meta_cols])
+        n = upd.join(gen.select("accession"), "accession", "left_semi").count()
+        merged = gen.join(F.broadcast(upd), "accession", "left")
+        for c in meta_cols:
+            merged = merged.withColumn(
+                c, F.coalesce(F.col(f"_u_{c}").cast(
+                    dict((f.name, f.dataType) for f in schemas.GENOMES.fields)[c]),
+                    F.col(c)))
+        self._overwrite("genomes", merged.select(
+            *[f.name for f in schemas.GENOMES.fields]))
+        return n
+
+    def remove(self, accessions: list[str]) -> dict:
+        """P5 — delete genomes + orphan GC (reference delete_genome,
+        lib/sonardb.py:1470-1504): a seqhash whose last accession is
+        removed loses its sequence/profile/variant rows too."""
+        gen = self.table("genomes")
+        keep = gen.where(~F.col("accession").isin(accessions))
+        removed = gen.count() - keep.count()
+        self._overwrite("genomes", keep)
+        live = self.table("genomes").select("seqhash").distinct()
+        orphans = 0
+        for t in ("sequences", "profiles", "dna_variants", "prot_variants"):
+            df = self.table(t)
+            kept = df.join(F.broadcast(live), "seqhash", "left_semi")
+            if t == "sequences":
+                orphans = df.select("seqhash").distinct().count() - \
+                    kept.select("seqhash").distinct().count()
+            self._overwrite(t, kept)
+        return {"removed_accessions": removed, "gc_seqhashes": orphans}
+
+    def info(self) -> dict:
+        """A2-A8 — the `info` subcommand aggregates
+        (lib/sonardb.py:1552-1595) in two jobs: one multi-aggregate
+        pass over genomes, plus the source×collection group counts."""
+        gen = self.table("genomes")
+        meta = [f.name for f in schemas.GENOMES.fields
+                if f.name not in ("accession", "seqhash", "imported")]
+        row = gen.agg(
+            F.count("accession").alias("genomes"),
+            F.countDistinct("seqhash").alias("unique_sequences"),
+            F.countDistinct(F.when(F.col("lab") != "", F.col("lab"))).alias("labs"),
+            F.min("imported").alias("first_import"),
+            F.max("imported").alias("last_import"),
+            F.min("date").alias("earliest_date"),
+            F.max("date").alias("latest_date"),
+            *[F.count(F.when(F.col(c).isNotNull() & (F.col(c).cast("string") != ""), 1))
+              .alias(f"n_{c}") for c in meta],
+        ).collect()[0].asDict()
+        row["by_source_collection"] = [
+            r.asDict() for r in gen.groupBy("source", "collection")
+            .agg(F.count("accession").alias("n"))
+            .orderBy("source", "collection").collect()]
+        return row
 
     # -- query ------------------------------------------------------------
 

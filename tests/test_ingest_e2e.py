@@ -8,6 +8,8 @@ import csv
 
 import pytest
 
+from pyspark.sql.functions import col as F_col
+
 from covsonar_spark.functions.genetics import harmonize, parse_gff3, read_fasta_one
 from covsonar_spark.operators.match import MatchQuery
 from covsonar_spark.operators.restore import restore_genomes
@@ -29,7 +31,31 @@ def store(spark, tmp_path_factory):
     assert report["errors"] == {}
     assert report["paranoid_mismatches"] == []
     assert report["added_accessions"] == 4
+    # metadata flow of reference test.sh:33-35: pangolin then tsv
+    from covsonar_spark.sources.metadata import (read_metadata_csv,
+                                                 read_pangolin_csv)
+    st.update_metadata(read_pangolin_csv(spark, f"{REF_DIR}/test/test_pangolin.csv"))
+    st.update_metadata(read_metadata_csv(
+        spark, f"{REF_DIR}/test/test.tsv.gz", sep="\t",
+        fields={"accession": "accessions", "zip": "regions", "date": "dates",
+                "gisaid": "gisaid", "ena": "ena", "lab": "lab",
+                "source": "source", "collection": "collection",
+                "technology": "technology", "platform": "platform",
+                "chemistry": "chemistry", "material": "material", "ct": "ct",
+                "software": "software", "software_version": "software_version"}))
     return st
+
+
+def _row_as_csv_dict(row) -> dict:
+    out = {}
+    for k, v in row.asDict().items():
+        if isinstance(v, list):
+            out[k] = " ".join(v)
+        elif v is None:
+            out[k] = ""
+        else:
+            out[k] = str(v)
+    return out
 
 
 def test_counts(store):
@@ -89,9 +115,128 @@ def test_readd_is_idempotent(store, spark):
     assert store.table("profiles").count() == 4
 
 
+def test_match_full_rows_vs_expected_csv(store):
+    """test.sh match 1 — every output column (22) byte-equals
+    expected.csv after the metadata updates."""
+    exp = {r["accession"]: r
+           for r in csv.DictReader(open(f"{REF_DIR}/test/expected.csv"))}
+    rows = {r["accession"]: _row_as_csv_dict(r)
+            for r in store.match(MatchQuery(accessions=list(exp))).collect()}
+    assert set(rows) == set(exp)
+    for acc, e in exp.items():
+        got = rows[acc]
+        for col, want in e.items():
+            if col == "ct" and want:
+                assert float(got[col]) == float(want), (acc, col)
+            else:
+                want_v = want.strip() if col.endswith("profile") else want
+                assert got[col] == want_v, (acc, col)
+
+
+def _assert_expected2(store, query):
+    exp = next(csv.DictReader(open(f"{REF_DIR}/test/expected2.csv")))
+    got_rows = store.match(query).collect()
+    assert len(got_rows) == 1
+    got = _row_as_csv_dict(got_rows[0])
+    for col, want in exp.items():
+        if col == "ct":
+            assert float(got[col]) == float(want)
+        elif col.endswith("profile"):
+            assert got[col] == want.strip()
+        else:
+            assert got[col] == want, col
+
+
+def test_match_2_to_7_vs_expected2_csv(store):
+    """test.sh matches 2-7: date+SNP, SNP, include+exclude, --acc,
+    --zip prefix, ^-negations — all return exactly the test2 row."""
+    _assert_expected2(store, MatchQuery(dates=["2021-01-01:2021-01-31"],
+                                        profiles=[["C241T"]],
+                                        accessions=["NC_045512.2", "test1", "test2"]))
+    _assert_expected2(store, MatchQuery(profiles=[["G1820A"]]))
+    _assert_expected2(store, MatchQuery(profiles=[["G1820A"]],
+                                        exclude_profiles=[["C1348T"]]))
+    _assert_expected2(store, MatchQuery(accessions=["test2"]))
+    _assert_expected2(store, MatchQuery(zips=["0177"]))
+    _assert_expected2(store, MatchQuery(
+        accessions=["^NC_045512.2", "^test3"], lineages=["^B.1.1.297"]))
+
+
+def _count(store, **kw):
+    return store.match(MatchQuery(count=True, **kw)).collect()[0]["count"]
+
+
+def test_match_counts_8_to_12(store):
+    """test.sh matches 8-12 (post test2.fasta state): metadata combos
+    incl. ct range and the software/version equality pair."""
+    assert _count(store, labs=["l3"], sources=["sentinel"]) == 1
+    assert _count(store, collections=["random"], technologies=["Illumina"]) == 2
+    assert _count(store, zips=["033"], labs=["l3"], sources=["sentinel"],
+                  collections=["RANDOM"], technologies=["illumina"],
+                  platforms=["nextseq"], chemistries=["flex", "cleanplex"],
+                  materials=["swap"], min_ct=30.0, max_ct=34.0,
+                  software="covpipe", software_version="3.0.5") == 1
+    assert _count(store, min_ct=10.0, max_ct=30.0) == 2
+
+
+def test_info(store):
+    inf = store.info()
+    assert inf["genomes"] == 4
+    assert inf["unique_sequences"] == 4
+    assert inf["labs"] == 3
+    assert str(inf["earliest_date"]) == "2020-12-22"
+    assert str(inf["latest_date"]) == "2021-01-24"
+    assert inf["n_lineage"] == 3 and inf["n_ct"] == 3
+
+
+def test_vcf_export(store, tmp_path):
+    from covsonar_spark.operators.vcf import export_vcf
+
+    out = str(tmp_path / "out.vcf")
+    sites = export_vcf(store, out).collect()
+    assert sites, "expected at least one VCF site row"
+    by_pos = {(r["pos"], r["vcf_type"]): r for r in sites}
+    # D614G: A23403G (0-based 23402) is shared by test1/test2/test3 → AC=3
+    r = by_pos[(23403, "SNP")]
+    assert r["ref"] == "A" and r["alt"] == "G" and r["an"] == 3 and r["ac"] == "3"
+    assert r["info"] == "AN=3;AC=3;TYPE=SNP"
+    assert r["vcf_id"] == "A23403G"
+    # deletions are dropped (v2 parity); every pos is 1-based in range
+    assert all(t != "DEL" for (_, t) in by_pos)
+    assert all(1 <= p <= 29903 for (p, _) in by_pos)
+    lines = open(out).read().splitlines()
+    hdr = [ln for ln in lines if ln.startswith("#CHROM")][0]
+    assert hdr.split("\t")[9:] == sorted(hdr.split("\t")[9:])
+    data = [ln for ln in lines if not ln.startswith("#")]
+    assert len(data) == len(sites)
+    poss = [int(ln.split("\t")[1]) for ln in data]
+    assert poss == sorted(poss)
+    # genotype columns are ints or '.'
+    for ln in data[:5]:
+        for gt in ln.split("\t")[9:]:
+            assert gt == "." or gt.isdigit()
+
+
 def test_conflicting_sequence_rejected(store, spark):
     bad = spark.createDataFrame(
         [("test1", "test1 desc", "ACGT" * 100)],
         "accession string, description string, sequence string")
     with pytest.raises(ValueError, match="different"):
         store.add_fasta_df(bad)
+
+
+def test_remove_with_orphan_gc(store):
+    """test.sh:195-217 — removing the last accession of a seqhash
+    garbage-collects its sequence/profile/variant rows. Runs last: it
+    mutates the shared store."""
+    hash_before = {r["seqhash"] for r in
+                   store.table("genomes").where(F_col("accession") == "test3")
+                   .select("seqhash").collect()}
+    rep = store.remove(["test3"])
+    assert rep == {"removed_accessions": 1, "gc_seqhashes": 1}
+    assert store.table("genomes").count() == 3
+    for t in ("sequences", "profiles", "dna_variants", "prot_variants"):
+        left = {r["seqhash"] for r in
+                store.table(t).select("seqhash").distinct().collect()}
+        assert not (hash_before & left), t
+    assert _count(store, labs=["l3"], sources=["sentinel"]) == 0
