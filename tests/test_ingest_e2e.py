@@ -24,7 +24,10 @@ def store(spark, tmp_path_factory):
     _, _, ref = read_fasta_one(f"{REF_DIR}/lib/ref.fna")
     ref = harmonize(ref)
     cds = parse_gff3(f"{REF_DIR}/lib/ref.gff3", ref)
-    st = SonarStore(spark, str(tmp_path_factory.mktemp("sonar_db")), ref, cds)
+    from covsonar_spark.operators.lineage import load_sublineage_map
+    st = SonarStore(spark, str(tmp_path_factory.mktemp("sonar_db")), ref, cds,
+                    sublineage_map=load_sublineage_map(
+                        f"{REF_DIR}/lib/lineage.all.tsv"))
     records = read_fasta(spark, [f"{REF_DIR}/test/test.fasta",
                                  f"{REF_DIR}/test/test2.fasta"])
     report = st.add_fasta_df(records)
@@ -177,6 +180,17 @@ def test_match_counts_8_to_12(store):
                   materials=["swap"], min_ct=30.0, max_ct=34.0,
                   software="covpipe", software_version="3.0.5") == 1
     assert _count(store, min_ct=10.0, max_ct=30.0) == 2
+
+
+def test_match_with_sublineage(store):
+    """--with-sublineage: B.1.1 closes over B.1.1.189/B.1.1.297 via the
+    taxonomy (F14); exact lineage B.1.1 alone matches nothing."""
+    assert _count(store, lineages=["B.1.1"]) == 0
+    got = {r["accession"] for r in store.match(
+        MatchQuery(lineages=["B.1.1"], with_sublineage=True)).collect()}
+    assert got == {"test1", "test2"}
+    # wildcard expansion (F13): B.1.1.% hits the two stored sublineages
+    assert _count(store, lineages=["B.1.1.%"]) == 2
 
 
 def test_info(store):
