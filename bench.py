@@ -28,6 +28,10 @@ HEADLINE = [
     "events_sessionize",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embed_near_dup",
+    "vcf_site_stats",
     "ann_cosine_topk",
     "text_token_stats",
     "text_fingerprint",

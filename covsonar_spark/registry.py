@@ -607,6 +607,109 @@ FROM documents ORDER BY doc_id
 """
 
 
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup: shingle → 8 minhashes → 4 bands of 2 →
+    band-key equi-join candidates → exact-Jaccard verification. The
+    oracle reproduces the full LSH (md5-derived hashes are portable),
+    so the recall trade-off itself is checked, not just the verify."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, k=3, num_hashes=8, band_rows=2,
+                                   threshold=0.4).orderBy("id_a", "id_b")
+
+
+_MH = ",\n    ".join(
+    f"min(CAST(('0x' || substr(md5('{i}:' || shingle), 1, 15)) AS BIGINT)) AS mh_{i}"
+    for i in range(8))
+_BANDS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, CAST(mh_{2*b} AS VARCHAR) || '_' || CAST(mh_{2*b+1} AS VARCHAR) AS band_key FROM mh"
+    for b in range(4))
+DEDUP_MINHASH_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+             i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+  FROM toks),
+mh AS (
+  SELECT doc_id,
+    {_MH}
+  FROM sh GROUP BY doc_id),
+bands AS (
+  {_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+ver AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND a.shingle = b.shingle
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM ver JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: 48-bit fingerprint from token-hash bit votes;
+    pigeonhole chunking (4 × 8-bit) for candidates; exact Hamming
+    verification with bit_count(xor)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, bits=48, max_hamming=3).orderBy("id_a", "id_b")
+
+
+DEDUP_SIMHASH_SQL = """
+WITH tk AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+th AS (
+  SELECT doc_id, CAST(('0x' || substr(md5('0:' || tok), 1, 15)) AS BIGINT) AS h FROM tk),
+bits AS (
+  SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS i)
+  GROUP BY doc_id, i),
+fp AS (
+  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id),
+chunks AS (
+  SELECT doc_id, simhash, i AS chunk_idx, (simhash >> (i * 12)) & 4095 AS chunk_key
+  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM chunks a JOIN chunks b USING (chunk_idx, chunk_key)
+  WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b
+"""
+
+
+def embed_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.4) — exact baseline
+    (broadcast nested-loop; the LSH-bucketed lsh_knn_join is the
+    100 TB path, verified against this in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_exact(emb, threshold=0.4) \
+        .orderBy("id_a", "id_b")
+
+
+EMBED_NEAR_DUP_SQL = """
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(generate_series(1, 64), i -> embedding[i] * embedding[i]))) AS nrm
+  FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(generate_series(1, 64), i -> a.embedding[i] * b.embedding[i]))
+             / (a.nrm * b.nrm), 4) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(generate_series(1, 64), i -> a.embedding[i] * b.embedding[i]))
+            / (a.nrm * b.nrm), 4) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
 def vcf_site_stats(spark, sf_dir):
     """S9/A9 — the var2vcf v2 aggregation core (site table + AN/AC,
     lib/sonartoVCF_v2.py:99-118, 136-346) on synthetic calls derived
@@ -691,6 +794,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_json_extract": (events_json_extract, EVENTS_JSON_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "embed_near_dup": (embed_near_dup, EMBED_NEAR_DUP_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
     "text_token_stats": (text_token_stats, TEXT_TOKEN_STATS_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),

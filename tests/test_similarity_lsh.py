@@ -1,0 +1,77 @@
+"""RP-LSH similarity search: correctness of reported scores vs the
+exact baseline, planted-duplicate recall, and OR-amplification."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from covsonar_spark.operators.similarity import (cosine_pairs_exact,
+                                                 cosine_self_topk,
+                                                 lsh_knn_join, rp_lsh_buckets)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_lsh_scores_match_exact(spark, emb):
+    """Every pair the LSH join reports carries the exact cosine."""
+    small = emb.limit(80)
+    got = lsh_knn_join(small, k=3, n_planes=4, n_tables=2).collect()
+    assert got, "expected some candidate pairs"
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in cosine_pairs_exact(small, threshold=-1.0).collect()}
+    for r in got:
+        a, b = sorted((r["id_a"], r["id_b"]))
+        assert abs(exact[(a, b)] - r["cosine"]) < 1e-9
+
+
+def test_planted_duplicate_always_found(spark, emb):
+    """A scaled copy (cosine = 1) lands in the same bucket in every
+    table, so the knn-join must always recover it as rank 1."""
+    one = emb.limit(1).select(
+        F.lit(999999).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.05)).alias("embedding"),
+        F.col("label"))
+    planted = emb.unionByName(one)
+    got = {r["id_b"]: r for r in
+           lsh_knn_join(planted, k=1, n_planes=8, n_tables=1).where(
+               F.col("id_a") == 999999).collect()}
+    assert len(got) == 1
+    (hit,) = got.values()
+    assert hit["cosine"] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_or_amplification_monotone_recall(spark, emb):
+    """More tables → candidate set can only grow (OR-amplification)."""
+    small = emb.limit(120)
+    def cands(nt):
+        return {(r["id_a"], r["id_b"]) for r in
+                rp_lsh_buckets(small, n_planes=6, n_tables=nt)
+                .select(F.col("vec_id").alias("id_a"), "table", "bucket")
+                .join(rp_lsh_buckets(small, n_planes=6, n_tables=nt)
+                      .select(F.col("vec_id").alias("id_b"), "table", "bucket"),
+                      ["table", "bucket"])
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct().collect()}
+    c1, c4 = cands(1), cands(4)
+    assert c1 <= c4
+    assert len(c4) > len(c1)
+
+
+def test_self_topk_matches_exact(spark, emb):
+    """Brute-force self top-k agrees with the exact pair table."""
+    target = emb.select(F.min("vec_id")).collect()[0][0]
+    got = cosine_self_topk(emb, target, k=5).collect()
+    exact = cosine_pairs_exact(emb, threshold=-1.0)
+    exact_best = (
+        exact.where((F.col("id_a") == target) | (F.col("id_b") == target))
+        .select(F.when(F.col("id_a") == target, F.col("id_b"))
+                 .otherwise(F.col("id_a")).alias("other"), "cosine")
+        .orderBy(F.col("cosine").desc(), F.col("other").asc()).limit(5).collect())
+    assert [(r["vec_id"], r["cosine"]) for r in got] == \
+        [(r["other"], r["cosine"]) for r in exact_best]
