@@ -33,6 +33,8 @@ HEADLINE = [
     "embed_near_dup",
     "vcf_site_stats",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "text_lang_id",
     "text_token_stats",
     "text_fingerprint",
 ]

@@ -103,6 +103,62 @@ def cosine_pairs_exact(df: DataFrame, threshold: float,
         score, schema="id_a long, id_b long, cosine double")
 
 
+def ivf_assign(df: DataFrame, n_centroids: int = 16,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF coarse quantization: assign every vector to its
+    nearest-by-cosine centroid (ties → lowest centroid id).
+
+    Centroids here are the ``n_centroids`` lowest-id vectors — a
+    deterministic stand-in for a trained codebook (at scale the
+    codebook comes from a separate k-means job; assignment cost and
+    plan shape are identical). The centroid set is tiny → broadcast
+    cross join + per-vector rank, no shuffle of the big side.
+    """
+    from pyspark.sql import Window
+
+    cent = df.orderBy(id_col).limit(n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    sim = F.round(V.cosine(F.col(vec_col), F.col("cvec")), 6)
+    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cid").asc())
+    return (
+        df.crossJoin(F.broadcast(cent))
+        .select(F.col(id_col), F.col(vec_col), "cid", sim.alias("csim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             n_centroids: int = 16, n_probe: int = 2,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF search: probe the ``n_probe`` cells nearest the query, exact
+    cosine top-k within the probed cells only.
+
+    At 100 TB the assignment is precomputed and the table partitioned
+    by cell id, so a probe prunes partitions at the parquet level and
+    the scan touches n_probe/n_centroids of the data; here the
+    assignment runs inline to keep the operator self-contained.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    assigned = ivf_assign(df, n_centroids, vec_col, id_col)
+    cent = df.orderBy(id_col).limit(n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    probes = (
+        cent.select("cid", F.round(V.cosine(q, F.col("cvec")), 6).alias("qc"))
+        .orderBy(F.col("qc").desc(), F.col("cid").asc())
+        .limit(n_probe)
+        .select("cid")
+    )
+    sim = V.cosine_rounded(F.col(vec_col), q)
+    return (
+        assigned.join(F.broadcast(probes), "cid")
+        .select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def _deterministic_hyperplanes(n_planes: int, dim: int, table: int = 0) -> list[list[float]]:
     """±1 hyperplanes derived from md5 — stable across runs/engines, no RNG."""
     planes = []

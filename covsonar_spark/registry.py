@@ -710,6 +710,75 @@ ORDER BY id_a, id_b
 """
 
 
+def text_lang_id(spark, sf_dir):
+    """Stopword-vote language ID (argmax of per-language stopword hits,
+    'und' when no hits; ties break by language order). Pure codegen map
+    — no shuffle, linear scan at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.language_id(docs, langs=("en", "de", "fr")).orderBy("doc_id")
+
+
+_SW = {l: Tx.STOPWORDS[l] for l in ("en", "de", "fr")}
+_SW_SQL = {l: "[" + ", ".join(f"'{w}'" for w in ws) + "]" for l, ws in _SW.items()}
+TEXT_LANG_ID_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> list_contains({_SW_SQL['en']}, x))) AS s_en,
+         len(list_filter(toks, x -> list_contains({_SW_SQL['de']}, x))) AS s_de,
+         len(list_filter(toks, x -> list_contains({_SW_SQL['fr']}, x))) AS s_fr
+  FROM t)
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_de, s_fr) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_de, s_fr) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_fr) THEN 'de'
+            ELSE 'fr' END AS pred_lang
+FROM s ORDER BY doc_id
+"""
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: coarse-quantize vectors to 16 deterministic
+    centroids, probe the query's top-2 cells, exact top-k inside the
+    probed cells. The oracle reproduces the full index+probe, so the
+    IVF recall trade-off itself is checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [((i * 37 + 11) % 13 - 6) / 6.0 for i in range(64)]
+    return similarity.ivf_topk(emb, qv, k=10, n_centroids=16, n_probe=2)
+
+
+ANN_IVF_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16),
+assign AS (
+  SELECT vec_id, embedding, cid,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY round(
+             list_sum(list_transform(generate_series(1, 64), i -> embedding[i] * cvec[i])) /
+             (sqrt(list_sum(list_transform(generate_series(1, 64), i -> embedding[i] * embedding[i]))) *
+              sqrt(list_sum(list_transform(generate_series(1, 64), i -> cvec[i] * cvec[i])))), 6) DESC,
+             cid ASC) AS rnk
+  FROM embeddings CROSS JOIN cent),
+probes AS (
+  SELECT cid FROM (
+    SELECT cid, round(
+             list_sum(list_transform(generate_series(1, 64), i -> qv[i] * cvec[i])) /
+             (sqrt(list_sum(list_transform(generate_series(1, 64), i -> qv[i] * qv[i]))) *
+              sqrt(list_sum(list_transform(generate_series(1, 64), i -> cvec[i] * cvec[i])))), 6) AS qc
+    FROM cent, (SELECT [{_QV}]::DOUBLE[] AS qv)
+    ORDER BY qc DESC, cid ASC LIMIT 2))
+SELECT vec_id, round(
+         list_sum(list_transform(generate_series(1, 64), i -> qv[i] * embedding[i])) /
+         (sqrt(list_sum(list_transform(generate_series(1, 64), i -> qv[i] * qv[i]))) *
+          sqrt(list_sum(list_transform(generate_series(1, 64), i -> embedding[i] * embedding[i])))), 4) AS cosine
+FROM assign, (SELECT [{_QV}]::DOUBLE[] AS qv)
+WHERE rnk = 1 AND cid IN (SELECT cid FROM probes)
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
 def vcf_site_stats(spark, sf_dir):
     """S9/A9 — the var2vcf v2 aggregation core (site table + AN/AC,
     lib/sonartoVCF_v2.py:99-118, 136-346) on synthetic calls derived
@@ -798,6 +867,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "embed_near_dup": (embed_near_dup, EMBED_NEAR_DUP_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
+    "text_lang_id": (text_lang_id, TEXT_LANG_ID_SQL),
     "text_token_stats": (text_token_stats, TEXT_TOKEN_STATS_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
