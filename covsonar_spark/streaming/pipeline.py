@@ -1,0 +1,142 @@
+"""Structured Streaming over the events table: windowed aggregation
+with watermarks, native session windows, and a custom stateful
+sessionizer via ``applyInPandasWithState``.
+
+The reference is batch-only (SURVEY §2.8) — this extends the same
+event-table semantics to streams. Every operator here has a batch twin
+in the registry (events_window_agg / events_sessionize), and the tests
+drive both paths and compare results: the streaming plan with
+``availableNow`` must reproduce the batch answer.
+
+Scale notes:
+  * watermark bounds state: windows older than (max event time − delay)
+    are finalized and dropped — state size is O(active windows), not
+    O(stream history).
+  * session windows shuffle once on user_id; state per key is one open
+    session struct. applyInPandasWithState holds the same state
+    explicitly (Arrow-batched per key group).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType(), True),
+    T.StructField("user_id", T.LongType(), True),
+    T.StructField("event_type", T.StringType(), True),
+    T.StructField("ts", T.LongType(), True),          # TIMESTAMP(NANOS) as long
+    T.StructField("payload", T.StringType(), True),
+])
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (nanos ts → proper timestamp
+    column ``event_time`` + integer ``ts_us`` for exact comparisons)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts_us", F.expr("ts div 1000")) \
+              .withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Event-time tumbling-window counts per event_type with a
+    watermark bounding state."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_counts_native(events: DataFrame, gap: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Gap-based sessions via the built-in session_window — the
+    idiomatic Spark form of the batch lag/running-sum sessionizer."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ts_us").alias("session_start_us"),
+             F.max("ts_us").alias("session_end_us"))
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+    )
+
+
+def sessionize_stateful(events: DataFrame, gap_us: int = 1800 * 1_000_000,
+                        flush_timeout_ms: int | None = None) -> DataFrame:
+    """Custom stateful sessionization with ``applyInPandasWithState``:
+    per user, keep one open session (start, end, count); emit a row per
+    closed session.
+
+    This is the template for reference-style custom stateful operators
+    the built-ins can't express (e.g. per-key paranoid checks on a
+    stream of incoming genomes).
+
+    ``flush_timeout_ms`` enables ProcessingTimeTimeout so idle users'
+    open sessions flush — KNOWN ISSUE: in pyspark 4.1.2 the
+    ProcessingTimeTimeout path hard-crashes the Python worker
+    (Arrow reader dies before any user code runs), so it stays off by
+    default; with NoTimeout the open tail session simply stays in
+    state, which is the correct semantics for a continuous stream.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    out_schema = "user_id long, session_start_us long, session_end_us long, n_events long"
+    state_schema = "start_us long, end_us long, n long"
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n = state.get
+                closed.append((user_id, s, e, n))
+                state.remove()
+        else:
+            cur = tuple(state.get) if state.exists else None
+            ts_all = []
+            for pdf in pdf_iter:
+                ts_all.extend(int(t) for t in pdf["ts_us"])
+            for t in sorted(ts_all):
+                if cur is None:
+                    cur = (t, t, 1)
+                elif t - cur[1] > gap_us:
+                    closed.append((user_id, *cur))
+                    cur = (t, t, 1)
+                else:
+                    cur = (cur[0], t, cur[2] + 1)
+            if cur is not None:
+                state.update(cur)
+                if flush_timeout_ms:
+                    state.setTimeoutDuration(flush_timeout_ms)
+        yield pd.DataFrame(closed, columns=["user_id", "session_start_us",
+                                            "session_end_us", "n_events"])
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if flush_timeout_ms
+               else GroupStateTimeout.NoTimeout)
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append", timeoutConf=timeout)
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drain a stream into an in-memory table with availableNow (one
+    micro-batch sweep over all currently-available files) and return the
+    query handle; caller reads ``spark.table(name)``."""
+    q = (
+        stream_df.writeStream.format("memory").queryName(name)
+        .outputMode(output_mode).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return q

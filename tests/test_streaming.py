@@ -1,0 +1,78 @@
+"""Structured Streaming: the availableNow drain of each streaming
+operator must reproduce its batch twin's answer on the same events."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from covsonar_spark.streaming.pipeline import (run_to_memory,
+                                               session_counts_native,
+                                               sessionize_stateful,
+                                               stream_events, windowed_counts)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    return ev.withColumn("ts_us", F.expr("ts div 1000")) \
+             .withColumn("event_time", F.timestamp_micros(F.col("ts_us"))).cache()
+
+
+def test_windowed_counts_match_batch(spark, batch_events):
+    st = windowed_counts(stream_events(spark, SF_DIR))
+    run_to_memory(st, "win_counts", output_mode="complete")
+    got = {(r["window_start"], r["event_type"]): r["n"]
+           for r in spark.table("win_counts").collect()}
+    want = {(r["ws"], r["event_type"]): r["n"] for r in
+            batch_events.groupBy(
+                F.window("event_time", "1 hour")["start"].alias("ws"),
+                "event_type")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
+
+
+def test_native_sessions_match_batch_sessionize(spark, batch_events):
+    st = session_counts_native(stream_events(spark, SF_DIR))
+    run_to_memory(st, "sess_native", output_mode="complete")
+    got = {(r["user_id"], r["session_start_us"]): (r["session_end_us"], r["n_events"])
+           for r in spark.table("sess_native").collect()}
+    # batch twin: lag/running-sum gap sessionizer (registry events_sessionize)
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    boundary = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    want = {(r["user_id"], r["s"]): (r["e"], r["n"]) for r in
+            batch_events.withColumn("sid", F.sum(boundary).over(w))
+            .groupBy("user_id", "sid")
+            .agg(F.min("ts_us").alias("s"), F.max("ts_us").alias("e"),
+                 F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
+
+
+def test_stateful_sessionizer_closed_sessions(spark, batch_events):
+    """applyInPandasWithState emits every session except each user's
+    open tail (closed only on timeout) — compare against batch."""
+    st = sessionize_stateful(stream_events(spark, SF_DIR))
+    run_to_memory(st, "sess_state", output_mode="append")
+    got = {(r["user_id"], r["session_start_us"]): (r["session_end_us"], r["n_events"])
+           for r in spark.table("sess_state").collect()}
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    boundary = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = (batch_events.withColumn("sid", F.sum(boundary).over(w))
+            .groupBy("user_id", "sid")
+            .agg(F.min("ts_us").alias("s"), F.max("ts_us").alias("e"),
+                 F.count(F.lit(1)).alias("n")))
+    last = sess.groupBy("user_id").agg(F.max("s").alias("last_s"))
+    closed_want = {(r["user_id"], r["s"]): (r["e"], r["n"]) for r in
+                   sess.join(last, "user_id")
+                   .where(F.col("s") < F.col("last_s")).collect()}
+    assert got == closed_want
+    # nothing emitted that batch doesn't know about
+    all_want = {(r["user_id"], r["s"]) for r in sess.collect()}
+    assert set(got) <= all_want
