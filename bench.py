@@ -45,8 +45,15 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("sparksonar-bench")
 
-    # warm the JVM/session so per-query times measure the queries
-    spark.range(1).count()
+    # warm the JVM and the Python/Arrow worker pool so per-query times
+    # measure the queries, not one-time process startup
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(32).select(_warm("id")).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

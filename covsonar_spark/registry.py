@@ -617,9 +617,12 @@ def dedup_minhash_lsh(spark, sf_dir):
                                    threshold=0.4).orderBy("id_a", "id_b")
 
 
+from covsonar_spark.operators.dedup import MINHASH_P, minhash_coeffs  # noqa: E402
+
 _MH = ",\n    ".join(
-    f"min(CAST(('0x' || substr(md5('{i}:' || shingle), 1, 15)) AS BIGINT)) AS mh_{i}"
-    for i in range(8))
+    f"min(((CAST(('0x' || substr(md5('0:' || shingle), 1, 15)) AS BIGINT) % {MINHASH_P})"
+    f" * {a} + {b}) % {MINHASH_P}) AS mh_{i}"
+    for i, (a, b) in enumerate(minhash_coeffs(8)))
 _BANDS = "\n  UNION ALL ".join(
     f"SELECT doc_id, {b} AS band_idx, CAST(mh_{2*b} AS VARCHAR) || '_' || CAST(mh_{2*b+1} AS VARCHAR) AS band_key FROM mh"
     for b in range(4))
