@@ -1,0 +1,273 @@
+"""Thin CLI over the engine — the reference's subcommand surface
+(sonar.py:31-486: add, update, match, restore, var2vcf, remove, info,
+optimize, update-lineage-info) as batch Spark jobs over a store
+directory.
+
+Every subcommand is a pure function of (store, args) → DataFrame/side
+effect; argument names and semantics mirror the reference CLI so its
+users can switch (`--db` is a parquet directory instead of an SQLite
+file, `--ref`/`--gff` seed the reference assets on first use).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv as csv_mod
+import sys
+
+from covsonar_spark.operators.match import MatchQuery
+from covsonar_spark.store import SonarStore
+
+
+def _store(spark, args) -> SonarStore:
+    return SonarStore.open(
+        spark, args.db, getattr(args, "ref", None), getattr(args, "gff", None),
+        getattr(args, "lineages", None))
+
+
+def rows_to_csv(df, out, sep: str = ","):
+    """S6 — stream match rows as csv/tsv (reference sonar.rows_to_csv,
+    sonar.py:924-931); array columns print space-joined like the
+    reference's profile strings."""
+    cols = df.columns
+    w = csv_mod.writer(out, delimiter=sep, lineterminator="\n")
+    w.writerow(cols)
+    for row in df.toLocalIterator():
+        vals = []
+        for c in cols:
+            v = row[c]
+            if isinstance(v, list):
+                vals.append(" ".join(v))
+            elif v is None:
+                vals.append("")
+            else:
+                vals.append(v)
+        w.writerow(vals)
+
+
+def cmd_add(spark, args):
+    from covsonar_spark.sources.fasta import read_fasta
+
+    st = _store(spark, args)
+    defaults = {k: getattr(args, k) for k in ("source", "lab", "collection")
+                if getattr(args, k, None)}
+    rep = st.add_fasta_df(read_fasta(spark, args.file), force=args.force,
+                          paranoid=not args.no_paranoid,
+                          metadata_defaults=defaults or None)
+    print(f"added {rep['added_accessions']} accession(s), "
+          f"{rep['new_sequences']} new sequence(s)", file=sys.stderr)
+    for seqhash, err in rep["errors"].items():
+        print(f"error: {seqhash}: {err}", file=sys.stderr)
+    return rep
+
+
+def _match_query(args) -> MatchQuery:
+    fs = 0
+    if args.no_frameshifts:
+        fs = -1
+    elif args.only_frameshifts:
+        fs = 1
+    return MatchQuery(
+        profiles=args.include or [], exclude_profiles=args.exclude or [],
+        accessions=args.acc or [], lineages=args.lineage or [],
+        with_sublineage=args.with_sublineage, zips=args.zip or [],
+        dates=args.date or [], submission_dates=args.submission_date or [],
+        labs=args.lab or [], sources=args.source or [],
+        collections=args.collection or [], technologies=args.technology or [],
+        platforms=args.platform or [], chemistries=args.chemistry or [],
+        materials=args.material or [], software=args.software,
+        software_version=args.version, min_ct=args.min_ct, max_ct=args.max_ct,
+        seqhashes=args.seqhash or [], frameshifts=fs, count=args.count,
+        ambig=args.ambig)
+
+
+def cmd_match(spark, args):
+    st = _store(spark, args)
+    res = st.match(_match_query(args))
+    if args.count:
+        print(res.collect()[0]["count"])
+        return
+    sep = "\t" if args.tsv else ","
+    if args.out:
+        with open(args.out, "w") as fh:
+            rows_to_csv(res, fh, sep)
+    else:
+        rows_to_csv(res, sys.stdout, sep)
+
+
+def cmd_restore(spark, args):
+    from covsonar_spark.operators.restore import restore_genomes, to_fasta_lines
+
+    st = _store(spark, args)
+    lines = to_fasta_lines(restore_genomes(st, args.acc or None))
+    out = open(args.out, "w") if args.out else sys.stdout
+    try:
+        for r in lines.toLocalIterator():
+            print(r["text"], file=out)
+    finally:
+        if args.out:
+            out.close()
+
+
+def cmd_var2vcf(spark, args):
+    from covsonar_spark.operators.vcf import export_vcf
+
+    st = _store(spark, args)
+    export_vcf(st, args.out, accessions=args.acc or None, dates=args.date or None)
+    print(f"wrote {args.out}", file=sys.stderr)
+
+
+def cmd_update(spark, args):
+    from covsonar_spark.sources.metadata import (read_metadata_csv,
+                                                 read_pangolin_csv)
+
+    st = _store(spark, args)
+    if args.pangolin:
+        upd = read_pangolin_csv(spark, args.pangolin)
+    else:
+        path = args.tsv or args.csv
+        if not path or not args.fields:
+            raise SystemExit("update needs --pangolin or --csv/--tsv with --fields")
+        fields = dict(kv.split("=", 1) for kv in args.fields)
+        upd = read_metadata_csv(spark, path, fields,
+                                sep="\t" if args.tsv else ",")
+    n = st.update_metadata(upd)
+    print(f"updated {n} genome(s)", file=sys.stderr)
+
+
+def cmd_remove(spark, args):
+    st = _store(spark, args)
+    rep = st.remove(args.acc)
+    print(f"removed {rep['removed_accessions']} genome(s), "
+          f"gc'd {rep['gc_seqhashes']} sequence(s)", file=sys.stderr)
+
+
+def cmd_info(spark, args):
+    st = _store(spark, args)
+    for k, v in st.info().items():
+        if k != "by_source_collection":
+            print(f"{k}: {v}")
+
+
+def cmd_optimize(spark, args):
+    st = _store(spark, args)
+    print(st.optimize(), file=sys.stderr)
+
+
+def cmd_update_lineage_info(spark, args):
+    import json
+
+    from covsonar_spark.operators.lineage import build_sublineage_table
+
+    st = _store(spark, args)
+    alias = {}
+    if args.alias_key:
+        with open(args.alias_key) as fh:
+            raw = json.load(fh)
+        alias = {k: (v if isinstance(v, str) else "") for k, v in raw.items()}
+    with open(args.input) as fh:
+        lineages = [ln.strip().split(",")[0] for ln in fh if ln.strip()][1:]
+    table = build_sublineage_table(spark, lineages, alias)
+    with open(args.out, "w") as fh:
+        fh.write("lineage\tsublineage\n")
+        for r in table.toLocalIterator():
+            fh.write(f"{r['lineage']}\t{r['sublineage']}\n")
+    print(f"wrote {args.out}", file=sys.stderr)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="sparksonar")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--db", required=True)
+        sp.add_argument("--ref", help="reference FASTA (first use)")
+        sp.add_argument("--gff", help="reference GFF3 (first use)")
+        sp.add_argument("--lineages", help="lineage.all.tsv (first use)")
+
+    sp = sub.add_parser("add")
+    common(sp)
+    sp.add_argument("-f", "--file", nargs="+", required=True)
+    sp.add_argument("--force", action="store_true")
+    sp.add_argument("--no-paranoid", action="store_true")
+    sp.add_argument("--source")
+    sp.add_argument("--lab")
+    sp.add_argument("--collection")
+    sp.set_defaults(fn=cmd_add)
+
+    sp = sub.add_parser("match")
+    common(sp)
+    sp.add_argument("-i", "--include", nargs="+", action="append")
+    sp.add_argument("-e", "--exclude", nargs="+", action="append")
+    for flag in ("--acc", "--lineage", "--zip", "--date", "--submission_date",
+                 "--lab", "--source", "--collection", "--technology",
+                 "--platform", "--chemistry", "--material", "--seqhash"):
+        sp.add_argument(flag, nargs="+")
+    sp.add_argument("--software")
+    sp.add_argument("--version")
+    sp.add_argument("--min_ct", type=float)
+    sp.add_argument("--max_ct", type=float)
+    sp.add_argument("--with-sublineage", dest="with_sublineage", action="store_true")
+    sp.add_argument("--no_frameshifts", action="store_true")
+    sp.add_argument("--only_frameshifts", action="store_true")
+    sp.add_argument("--count", action="store_true")
+    sp.add_argument("--ambig", action="store_true")
+    sp.add_argument("--tsv", action="store_true")
+    sp.add_argument("-o", "--out")
+    sp.set_defaults(fn=cmd_match)
+
+    sp = sub.add_parser("restore")
+    common(sp)
+    sp.add_argument("--acc", nargs="+")
+    sp.add_argument("-o", "--out")
+    sp.set_defaults(fn=cmd_restore)
+
+    sp = sub.add_parser("var2vcf")
+    common(sp)
+    sp.add_argument("--acc", nargs="+")
+    sp.add_argument("--date", nargs="+")
+    sp.add_argument("-o", "--out", required=True)
+    sp.set_defaults(fn=cmd_var2vcf)
+
+    sp = sub.add_parser("update")
+    common(sp)
+    sp.add_argument("--pangolin")
+    sp.add_argument("--csv")
+    sp.add_argument("--tsv")
+    sp.add_argument("--fields", nargs="+")
+    sp.set_defaults(fn=cmd_update)
+
+    sp = sub.add_parser("remove")
+    common(sp)
+    sp.add_argument("--acc", nargs="+", required=True)
+    sp.set_defaults(fn=cmd_remove)
+
+    sp = sub.add_parser("info")
+    common(sp)
+    sp.set_defaults(fn=cmd_info)
+
+    sp = sub.add_parser("optimize")
+    common(sp)
+    sp.set_defaults(fn=cmd_optimize)
+
+    sp = sub.add_parser("update-lineage-info")
+    common(sp)
+    sp.add_argument("--input", required=True, help="lineage csv (pango designation)")
+    sp.add_argument("--alias-key", help="alias_key.json")
+    sp.add_argument("-o", "--out", required=True)
+    sp.set_defaults(fn=cmd_update_lineage_info)
+
+    return p
+
+
+def main(argv: list[str] | None = None, spark=None):
+    args = build_parser().parse_args(argv)
+    if spark is None:
+        from covsonar_spark.session import get_spark
+
+        spark = get_spark("sparksonar-cli")
+    return args.fn(spark, args)
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,59 @@ class SonarStore:
         self.cds_list = cds_list or []
         self.sublineage_map = sublineage_map or {}
 
+    # -- db bootstrap (S10) ------------------------------------------------
+
+    @classmethod
+    def open(cls, spark: SparkSession, root: str, ref_path: str | None = None,
+             gff_path: str | None = None,
+             lineage_tsv: str | None = None) -> "SonarStore":
+        """Open (or initialize) a store directory. On first open the
+        reference FASTA / GFF3 / lineage TSV are copied into
+        ``root/assets/`` so later commands need only ``root`` (the
+        reference embeds these in its package; the engine keeps them
+        with the data)."""
+        import shutil
+
+        from covsonar_spark.functions.genetics import (harmonize, parse_gff3,
+                                                       read_fasta_one)
+        from covsonar_spark.operators.lineage import load_sublineage_map
+
+        assets = os.path.join(root, "assets")
+        os.makedirs(assets, exist_ok=True)
+        for src, name in ((ref_path, "ref.fna"), (gff_path, "ref.gff3"),
+                          (lineage_tsv, "lineage.tsv")):
+            dst = os.path.join(assets, name)
+            if src and not os.path.exists(dst):
+                shutil.copy(src, dst)
+        ref_file = os.path.join(assets, "ref.fna")
+        gff_file = os.path.join(assets, "ref.gff3")
+        lin_file = os.path.join(assets, "lineage.tsv")
+        ref = None
+        cds = []
+        sub = {}
+        if os.path.exists(ref_file):
+            _, _, ref = read_fasta_one(ref_file)
+            ref = harmonize(ref)
+            if os.path.exists(gff_file):
+                cds = parse_gff3(gff_file, ref)
+        if os.path.exists(lin_file):
+            sub = load_sublineage_map(lin_file)
+        return cls(spark, root, ref, cds, sub)
+
+    def optimize(self) -> dict:
+        """P6 — compaction (reference VACUUM, lib/sonardb.py:2090-2093):
+        rewrite each table into size-appropriate files."""
+        out = {}
+        for t in TABLES:
+            if not os.path.exists(self._path(t)):
+                continue
+            df = self.table(t)
+            n = df.count()
+            parts = max(1, n // 500_000)
+            self._overwrite(t, df.coalesce(parts))
+            out[t] = parts
+        return out
+
     # -- table IO ---------------------------------------------------------
 
     def _path(self, table: str) -> str:

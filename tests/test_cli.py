@@ -1,0 +1,103 @@
+"""CLI-level replay of the reference CI script (test.sh) through
+covsonar_spark.cli.main — the user-facing switch-over surface."""
+
+from __future__ import annotations
+
+import csv
+import io
+import os
+
+import pytest
+
+from covsonar_spark.cli import main
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def db(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli_db"))
+    main(["add", "--db", d, "--ref", f"{REF}/lib/ref.fna",
+          "--gff", f"{REF}/lib/ref.gff3",
+          "--lineages", f"{REF}/lib/lineage.all.tsv",
+          "-f", f"{REF}/test/test.fasta", f"{REF}/test/test2.fasta"],
+         spark=spark)
+    main(["update", "--db", d, "--pangolin", f"{REF}/test/test_pangolin.csv"],
+         spark=spark)
+    main(["update", "--db", d, "--tsv", f"{REF}/test/test.tsv.gz", "--fields",
+          "accession=accessions", "zip=regions", "date=dates", "gisaid=gisaid",
+          "ena=ena", "lab=lab", "source=source", "collection=collection",
+          "technology=technology", "platform=platform", "chemistry=chemistry",
+          "material=material", "ct=ct", "software=software",
+          "software_version=software_version"], spark=spark)
+    main(["optimize", "--db", d], spark=spark)
+    return d
+
+
+def _match_csv(spark, db, *argv, capsys=None):
+    import covsonar_spark.cli as cli
+    import sys
+
+    buf = io.StringIO()
+    real = sys.stdout
+    sys.stdout = buf
+    try:
+        cli.main(["match", "--db", db, *argv], spark=spark)
+    finally:
+        sys.stdout = real
+    return list(csv.DictReader(io.StringIO(buf.getvalue())))
+
+
+def test_match_full_output_matches_expected_csv(spark, db):
+    exp = {r["accession"]: r
+           for r in csv.DictReader(open(f"{REF}/test/expected.csv"))}
+    rows = _match_csv(spark, db, "--acc", *exp)
+    assert {r["accession"] for r in rows} == set(exp)
+    for got in rows:
+        e = exp[got["accession"]]
+        for col, want in e.items():
+            if col == "ct" and want:
+                assert float(got[col]) == float(want)
+            else:
+                want_v = want.strip() if col.endswith("profile") else want
+                assert got[col] == want_v, (got["accession"], col)
+
+
+def test_match_filters_and_count(spark, db, capsys):
+    rows = _match_csv(spark, db, "-i", "G1820A", "-e", "C1348T")
+    assert [r["accession"] for r in rows] == ["test2"]
+    main(["match", "--db", db, "--count", "--lab", "l3", "--source", "sentinel"],
+         spark=spark)
+    assert capsys.readouterr().out.strip() == "1"
+
+
+def test_restore_roundtrip(spark, db, tmp_path):
+    out = str(tmp_path / "r.fasta")
+    main(["restore", "--db", db, "--acc", "test3", "-o", out], spark=spark)
+    text = open(out).read()
+    assert text.startswith(">test3")
+    from covsonar_spark.functions.genetics import harmonize, read_fasta_one
+    _, _, want = read_fasta_one(f"{REF}/test/test2.fasta")
+    assert text.splitlines()[1] == harmonize(want)
+
+
+def test_var2vcf_and_remove_info(spark, db, tmp_path, capsys):
+    out = str(tmp_path / "o.vcf")
+    main(["var2vcf", "--db", db, "-o", out], spark=spark)
+    lines = open(out).read().splitlines()
+    assert lines[0] == "##fileformat=VCFv4.2"
+    assert any(ln.startswith("#CHROM") for ln in lines)
+    assert len([ln for ln in lines if not ln.startswith("#")]) > 20
+
+    main(["info", "--db", db], spark=spark)
+    info_out = capsys.readouterr().out
+    assert "genomes: 4" in info_out
+
+    main(["remove", "--db", db, "--acc", "test3"], spark=spark)
+    main(["info", "--db", db], spark=spark)
+    assert "genomes: 3" in capsys.readouterr().out
+
+
+def test_assets_persisted(db):
+    assert os.path.exists(os.path.join(db, "assets", "ref.fna"))
+    assert os.path.exists(os.path.join(db, "assets", "ref.gff3"))
