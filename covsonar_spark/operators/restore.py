@@ -94,6 +94,63 @@ def to_fasta_lines(restored: DataFrame, width: int = 0) -> DataFrame:
         F.concat(F.lit(">"), F.col("description"), F.lit("\n"), seq).alias("text"))
 
 
+def apply_variants_aligned(ref_seq: str, variants: list[dict]) -> tuple[str, str]:
+    """T14 — rebuild the aligned (query, reference) pair from stored
+    variants (reference restore_alignment, lib/sonardb.py:3619-3682):
+    deletions become '-' in the query, insertions pad the reference
+    with '-', a start of −1 prefixes both."""
+    refs = list(ref_seq)
+    qrys = refs[:]
+    prefix_q, prefix_r = "", ""
+    for v in variants:
+        s = v["start"]
+        if s is None:
+            continue
+        if s >= 0:
+            if v["ref"] != ref_seq[s]:
+                raise ValueError(
+                    f"data inconsistency: {v['ref']} expected at reference "
+                    f"position {s + 1}, found {ref_seq[s]}")
+            qrys[s] = "-" if not v["alt"] else v["alt"]
+            if len(v["alt"]) > 1:
+                refs[s] += "-" * (len(v["alt"]) - 1)
+        else:
+            prefix_q = v["alt"]
+            prefix_r = "-" * len(v["alt"])
+    return prefix_q + "".join(qrys), prefix_r + "".join(refs)
+
+
+def restore_alignments(store, accessions: list[str] | None = None) -> DataFrame:
+    """(accession, qry_aligned, ref_aligned) per requested accession —
+    the batch form of the reference's per-accession restore_alignment."""
+    genomes = store.table("genomes").select("accession", "seqhash")
+    if accessions:
+        genomes = genomes.where(F.col("accession").isin(accessions))
+    hashes = genomes.select("seqhash").distinct()
+    ref_seq = store.ref_seq
+    grouped = (
+        store.table("dna_variants").join(hashes, "seqhash", "left_semi")
+        .groupBy("seqhash")
+        .agg(F.collect_list(F.struct("start", "ref", "alt")).alias("vars"))
+    )
+    with_empty = hashes.join(grouped, "seqhash", "left")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for seqhash, vars_ in zip(pdf["seqhash"], pdf["vars"]):
+                if vars_ is None or len(vars_) == 0:
+                    rows.append((seqhash, ref_seq, ref_seq))
+                else:
+                    q, r = apply_variants_aligned(ref_seq, list(vars_))
+                    rows.append((seqhash, q, r))
+            yield pd.DataFrame(rows, columns=["seqhash", "qry_aligned", "ref_aligned"])
+
+    schema = "seqhash string, qry_aligned string, ref_aligned string"
+    return genomes.join(with_empty.mapInPandas(run, schema), "seqhash") \
+                  .select("accession", "qry_aligned", "ref_aligned")
+
+
 def paranoid_check(store, expected: DataFrame) -> list[str]:
     """T15: restore every (accession, seqhash, sequence) from the stored
     variant rows and byte-compare — returns mismatching accessions

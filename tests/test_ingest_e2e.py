@@ -109,6 +109,19 @@ def test_restore_round_trip(store):
     assert len(restored) == 4
 
 
+def test_restore_alignment(store):
+    """T14 — the restored aligned pair degaps back to query/reference
+    and the rows align position-for-position."""
+    from covsonar_spark.functions.genetics import harmonize, read_fasta_one
+    from covsonar_spark.operators.restore import restore_alignments
+
+    got = restore_alignments(store, ["test3"]).collect()[0]
+    _, _, want = read_fasta_one(f"{REF_DIR}/test/test2.fasta")
+    assert got["qry_aligned"].replace("-", "") == harmonize(want)
+    assert got["ref_aligned"].replace("-", "") == store.ref_seq
+    assert len(got["qry_aligned"]) == len(got["ref_aligned"])
+
+
 def test_readd_is_idempotent(store, spark):
     # re-adding the same corpus creates no new sequences and keeps counts
     records = read_fasta(spark, [f"{REF_DIR}/test/test.fasta"])
