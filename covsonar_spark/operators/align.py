@@ -35,10 +35,37 @@ class BandedGotoh:
         self.ext = gapextend
         self.matrix = ednafull_byte_matrix().astype(np.int32)
 
+    # anchored divide-and-conquer tuning
+    MARGIN = 32          # matched bases kept around each DP window
+    DP_MAX = 1200        # window size below which we run the banded DP
+    ANCHOR_HALF = 32     # anchor = the 64-mer around the target midpoint
+
     def align(self, query: str, target: str, band_extra: int = 200) -> tuple[str, str]:
-        """Return (aligned_query, aligned_target) with '-' gaps."""
+        """Return (aligned_query, aligned_target) with '-' gaps.
+
+        Three tiers, fastest first:
+        1. gap-free check — SNP/N-only genomes (the common case) are the
+           identity alignment, O(n);
+        2. anchored divide-and-conquer — trim the shared prefix/suffix
+           (margin kept so the DP owns indel placement at the seams),
+           then split recursively on unique exact 64-mers until each
+           divergent window is ≤ DP_MAX, O(n) scans + tiny DPs;
+        3. banded Gotoh DP on whatever windows remain (band retries
+           wider on failure).
+        Gap runs are normalized afterwards by ``left_align_gaps`` on the
+        full stitched pair, so seam placement is canonical.
+        """
+        fast = self._align_gapfree(query, target)
+        if fast is not None:
+            return fast
+        return self._align_rec(query, target, band_extra, 0)
+
+    def _dp(self, query: str, target: str, extra: int) -> tuple[str, str]:
         n, m = len(target), len(query)
-        extra = band_extra
+        if m == 0:
+            return "-" * n, target
+        if n == 0:
+            return query, "-" * m
         while True:
             res = self._align_banded(query, target, extra)
             if res is not None:
@@ -46,6 +73,79 @@ class BandedGotoh:
             if extra > n + m:
                 raise RuntimeError("alignment failed even unbanded")
             extra *= 4
+
+    def _align_rec(self, q: str, t: str, band_extra: int, depth: int) -> tuple[str, str]:
+        # 1. trim shared prefix/suffix, keeping MARGIN matched bases
+        L = min(len(q), len(t))
+        if L:
+            qb = np.frombuffer(q.encode("ascii"), dtype=np.uint8)
+            tb = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
+            neq = np.nonzero(qb[:L] != tb[:L])[0]
+            p = int(neq[0]) if neq.size else L
+            neq2 = np.nonzero(qb[len(q) - L:][::-1] != tb[len(t) - L:][::-1])[0]
+            s = int(neq2[0]) if neq2.size else L
+        else:
+            p = s = 0
+        p = max(p - self.MARGIN, 0)
+        s = max(s - self.MARGIN, 0)
+        s = min(s, len(q) - p, len(t) - p)
+        qc, tc = q[p:len(q) - s], t[p:len(t) - s]
+
+        # 2. small window (or deep recursion): hand to the DP
+        if max(len(qc), len(tc)) <= self.DP_MAX or depth >= 40:
+            aq, at = self._dp(qc, tc, band_extra)
+        else:
+            # 3. split on a unique exact anchor near the target midpoint
+            mid = len(tc) // 2
+            a = tc[mid - self.ANCHOR_HALF: mid + self.ANCHOR_HALF]
+            drift = len(qc) - len(tc)
+            slack = abs(drift) + 800
+            lo_s = max(mid - self.ANCHOR_HALF - slack, 0)
+            hi_s = min(mid + self.ANCHOR_HALF + slack, len(qc))
+            pos = qc.find(a, lo_s, hi_s)
+            unique = pos != -1 and qc.find(a, pos + 1, hi_s) == -1
+            if not unique:
+                aq, at = self._dp(qc, tc, band_extra)
+            else:
+                qs, ts = pos + self.ANCHOR_HALF, mid
+                lq, lt = self._align_rec(qc[:qs], tc[:ts], band_extra, depth + 1)
+                rq, rt = self._align_rec(qc[qs:], tc[ts:], band_extra, depth + 1)
+                aq, at = lq + rq, lt + rt
+        return q[:p] + aq + q[len(q) - s:], t[:p] + at + t[len(t) - s:]
+
+    # conservative fast-path bounds: scattered substitutions can't be
+    # rescued by gaps (a gap pair costs ≥ 2·open+2·ext = 40 vs ≥ −4 per
+    # mismatch), and a shift signature (long mismatch run) forces DP.
+    FAST_MAX_MISMATCH = 100
+    FAST_MAX_RUN = 5
+
+    def _align_gapfree(self, query: str, target: str):
+        """SNP-only genomes (the overwhelming majority of a real corpus)
+        align as the identity — O(n) check instead of the O(n·w) DP.
+        Applies only when lengths match, mismatches are few and no long
+        mismatch run (a shifted block) exists; otherwise returns None
+        and the banded DP decides."""
+        if len(query) != len(target):
+            return None
+        qb = np.frombuffer(query.encode("ascii"), dtype=np.uint8)
+        tb = np.frombuffer(target.encode("ascii"), dtype=np.uint8)
+        # N-vs-base mismatches score a flat −2 wherever they sit, so N
+        # runs (ubiquitous in real genomes) never gain from gaps and are
+        # exempt from the shift-signature checks below
+        mism = (qb != tb) & (qb != ord("N"))
+        n_mism = int(mism.sum())
+        if n_mism == 0:
+            return query, target
+        if n_mism > self.FAST_MAX_MISMATCH:
+            return None
+        idx = np.nonzero(mism)[0]
+        run, best = 1, 1
+        for a, b in zip(idx[:-1], idx[1:]):
+            run = run + 1 if b == a + 1 else 1
+            best = max(best, run)
+        if best > self.FAST_MAX_RUN:
+            return None
+        return query, target
 
     def _align_banded(self, query: str, target: str, extra: int):
         op, ext = self.open, self.ext
@@ -79,53 +179,58 @@ class BandedGotoh:
 
         Hc[0, :] = _H_E  # row 0 is all leading query insertion
 
-        M = np.empty(W, dtype=np.int64)
-        for i in range(1, n + 1):
-            jrow = i + lo + ks
-            valid = (jrow >= 1) & (jrow <= m)
+        # hoisted out of the row loop: the full (n, W) substitution-score
+        # gather, with out-of-band cells pinned to NEG so the per-row
+        # masking disappears (row loop cost is numpy dispatch overhead —
+        # fewer calls per row beats smaller arrays)
+        all_i = np.arange(1, n + 1)[:, None]
+        all_j = all_i + lo + ks[None, :]                 # j at (i, k)
+        all_valid = (all_j >= 1) & (all_j <= m)
+        qidx = np.clip(all_j - 1, 0, m - 1)
+        S_all = self.matrix[tb[all_i - 1], qb[qidx]].astype(np.int64)
+        S_all[~all_valid] = NEG
+        INV = ~all_valid
 
-            # M: diagonal from (i-1, j-1) = prev row, same k
-            qidx = np.clip(jrow - 1, 0, m - 1)
-            s = self.matrix[tb[i - 1], qb[qidx]].astype(np.int64)
-            M[:] = Hprev + s
-            M[~valid] = NEG
+        M = np.empty(W, dtype=np.int64)
+        Hup = np.empty(W, dtype=np.int64)
+        Fup = np.empty(W, dtype=np.int64)
+        for i in range(1, n + 1):
+            # M: diagonal from (i-1, j-1) = prev row, same k; invalid
+            # cells carry NEG from the precomputed score matrix
+            np.add(Hprev, S_all[i - 1], out=M)
+            np.maximum(M, NEG, out=M)
 
             # F: vertical from (i-1, j) = prev row, k+1
-            Hup = np.empty(W, dtype=np.int64); Hup[:-1] = Hprev[1:]; Hup[-1] = NEG
-            Fup = np.empty(W, dtype=np.int64); Fup[:-1] = Fprev[1:]; Fup[-1] = NEG
+            Hup[:-1] = Hprev[1:]; Hup[-1] = NEG
+            Fup[:-1] = Fprev[1:]; Fup[-1] = NEG
             open_f = Hup - op
             Frow = np.maximum(Fup, open_f) - ext
-            Fo[i] = (open_f >= Fup).astype(np.uint8)
-            jvalid_f = (jrow >= 0) & (jrow <= m)
-            Frow[~jvalid_f] = NEG
+            Fo[i] = open_f >= Fup
 
             # j == 0 boundary: only vertical gaps
-            at_j0 = jrow == 0
-            if at_j0.any():
-                k0 = int(np.nonzero(at_j0)[0][0])
+            k0 = -i - lo
+            has_j0 = 0 <= k0 < W
+            if has_j0:
                 Frow[k0] = -(op + ext * i)
                 M[k0] = NEG
 
             # E: horizontal via cummax over G = max(M, F)
             G = np.maximum(M, Frow)
-            Gc[i] = (Frow > M).astype(np.uint8)
+            Gc[i] = Frow > M
             A = G + ext_ks
-            A_safe = np.where(G <= NEG // 2, NEG, A)
-            cm = np.maximum.accumulate(A_safe)
-            cm_idx = np.maximum.accumulate(
-                np.where(A_safe >= cm, ks, 0)
-            )
-            Erow = np.full(W, NEG, dtype=np.int64)
+            cm = np.maximum.accumulate(A)
+            cm_idx = np.maximum.accumulate(np.where(A >= cm, ks, 0))
+            Erow = np.empty(W, dtype=np.int64)
+            Erow[0] = NEG
             Erow[1:] = cm[:-1] - op - ext_ks[1:]
             Eo[i, 1:] = cm_idx[:-1]
-            Erow[~valid] = NEG
+            Erow[INV[i - 1]] = NEG
 
             # H = max(M, E, F); tie rule: prefer M, then E, then F (any
             # consistent rule works — left_align_gaps normalizes after)
             Hrow = np.maximum(np.maximum(M, Erow), Frow)
-            choice = np.where(Hrow == M, _H_M, np.where(Hrow == Erow, _H_E, _H_F)).astype(np.uint8)
-            Hc[i] = choice
-            if at_j0.any():
+            Hc[i] = np.where(Hrow == M, _H_M, np.where(Hrow == Erow, _H_E, _H_F))
+            if has_j0:
                 Hc[i, k0] = _H_F
 
             Hprev = Hrow
