@@ -841,6 +841,26 @@ ORDER BY pos
 """
 
 
+_STREAM_SEQ = {"n": 0}
+
+
+def stream_sessionize(spark, sf_dir):
+    """Structured Streaming sessionization (applyInPandasWithState) —
+    drains the events stream with availableNow into memory and returns
+    the closed sessions. Non-SQL-expressible (stateful streaming), so
+    no oracle twin; its batch twin events_sessionize IS oracle-checked
+    and the streaming tests assert equality with it."""
+    from covsonar_spark.streaming.pipeline import (run_to_memory,
+                                                   sessionize_stateful,
+                                                   stream_events)
+
+    _STREAM_SEQ["n"] += 1
+    name = f"reg_stream_sessions_{_STREAM_SEQ['n']}"
+    st = sessionize_stateful(stream_events(spark, sf_dir))
+    run_to_memory(st, name, output_mode="append")
+    return spark.table(name).orderBy("user_id", "session_start_us")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -876,4 +896,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
     "vcf_site_stats": (vcf_site_stats, VCF_SITE_STATS_SQL),
+    "stream_sessionize": (stream_sessionize, None),
 }

@@ -117,7 +117,26 @@ class SonarStore:
         path = self._path(name)
         if not os.path.exists(path):
             return self.spark.createDataFrame([], _SCHEMAS[name])
-        return self.spark.read.parquet(path)
+        try:
+            df = self.spark.read.parquet(path)
+        except Exception:  # dir exists but holds no data files (emptied table)
+            return self.spark.createDataFrame([], _SCHEMAS[name])
+        if "date_month" in df.columns:  # physical partition column only
+            df = df.drop("date_month")
+        return df.select(*[f.name for f in _SCHEMAS[name].fields])
+
+    def _layout(self, name: str, df: DataFrame):
+        """Physical layout per table (the scale story made real):
+        genomes partition by month(date) so date predicates prune
+        directories; seqhash-keyed tables cluster files by seqhash so
+        the essence join and ingest anti-joins co-locate (plain parquet
+        can't persist bucket metadata — repartition-on-write keeps each
+        file seqhash-local, a metastore/Delta deployment would declare
+        CLUSTERED BY instead)."""
+        if name == "genomes":
+            df = df.withColumn("date_month", F.date_format("date", "yyyy-MM"))
+            return df, ["date_month"]
+        return df.repartition(max(1, df.rdd.getNumPartitions() // 4 or 1), "seqhash"), []
 
     def _overwrite(self, name: str, df: DataFrame) -> None:
         """Copy-on-write table replace (write tmp → swap) so a failed job
@@ -125,14 +144,22 @@ class SonarStore:
         import shutil
 
         tmp = self._path(name) + ".tmp"
-        df.write.mode("overwrite").parquet(tmp)
+        out, parts = self._layout(name, df)
+        w = out.write.mode("overwrite")
+        if parts:
+            w = w.partitionBy(*parts)
+        w.parquet(tmp)
         final = self._path(name)
         if os.path.exists(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
 
     def _append(self, name: str, df: DataFrame) -> None:
-        df.write.mode("append").parquet(self._path(name))
+        out, parts = self._layout(name, df)
+        w = out.write.mode("append")
+        if parts:
+            w = w.partitionBy(*parts)
+        w.parquet(self._path(name))
 
     # -- ingest (add) -----------------------------------------------------
 
@@ -295,8 +322,50 @@ class SonarStore:
 
     # -- query ------------------------------------------------------------
 
-    def essence(self) -> DataFrame:
-        return build_essence(self.table("genomes"), self.table("profiles"))
+    @staticmethod
+    def _months_of(specs: list[str]) -> list[str] | None:
+        """yyyy-MM partition values covered by the include date specs
+        ('d' or 'a:b'); None when no include spec exists (no pruning —
+        negations can't bound the scan)."""
+        import datetime
+
+        months: set[str] = set()
+        saw_include = False
+        for spec in specs:
+            if spec.startswith("^"):
+                continue
+            saw_include = True
+            a, _, b = spec.partition(":")
+            b = b or a
+            try:
+                d0 = datetime.date.fromisoformat(a).replace(day=1)
+                d1 = datetime.date.fromisoformat(b).replace(day=1)
+            except ValueError:
+                return None
+            while d0 <= d1:
+                months.add(d0.strftime("%Y-%m"))
+                d0 = (d0 + datetime.timedelta(days=32)).replace(day=1)
+        return sorted(months) if saw_include else None
+
+    def essence(self, date_specs: list[str] | None = None) -> DataFrame:
+        """genomes ⟕ profiles; when the query carries include-date specs
+        the derived month set filters the hive partition column BEFORE
+        it is dropped, so the parquet scan prunes directories (the
+        match-time payoff of the partition-by-month layout)."""
+        path = self._path("genomes")
+        if date_specs and os.path.exists(path):
+            months = self._months_of(date_specs)
+            raw = self.table("genomes")
+            if months is not None:
+                raw = self.spark.read.parquet(path)
+                if "date_month" in raw.columns:
+                    raw = raw.where(F.col("date_month").isin(months))
+                raw = raw.select(*[f.name for f in schemas.GENOMES.fields])
+            genomes = raw
+        else:
+            genomes = self.table("genomes")
+        return build_essence(genomes, self.table("profiles"))
 
     def match(self, query: MatchQuery) -> DataFrame:
-        return MatchEngine(self.essence(), self.sublineage_map).run(query)
+        return MatchEngine(self.essence(query.dates or None),
+                           self.sublineage_map).run(query)

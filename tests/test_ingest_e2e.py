@@ -252,6 +252,19 @@ def test_conflicting_sequence_rejected(store, spark):
         store.add_fasta_df(bad)
 
 
+def test_physical_layout_and_partition_pruning(store):
+    """Genomes are hive-partitioned by month(date); a dated match
+    derives the month filter so the scan prunes partitions."""
+    import os
+    root = os.path.join(store.root, "genomes")
+    parts = [d for d in os.listdir(root) if d.startswith("date_month=")]
+    assert any("2021-01" in d for d in parts), parts
+    res = store.match(MatchQuery(dates=["2021-01-01:2021-01-31"]))
+    assert {r["accession"] for r in res.collect()} == {"NC_045512.2", "test2"}
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "date_month" in plan, "month partition filter not derived"
+
+
 def test_remove_with_orphan_gc(store):
     """test.sh:195-217 — removing the last accession of a seqhash
     garbage-collects its sequence/profile/variant rows. Runs last: it
