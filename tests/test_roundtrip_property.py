@@ -57,10 +57,13 @@ mutation_ops = st.lists(
 
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
-@given(ops=mutation_ops)
-def test_roundtrip_random_genomes(refdata, ops):
+@given(ops=mutation_ops, trunc_lo=st.integers(0, 250), trunc_hi=st.integers(0, 250))
+def test_roundtrip_random_genomes(refdata, ops, trunc_lo, trunc_hi):
+    """Includes truncated ends — real consensus genomes routinely miss
+    the first/last few hundred bases (terminal deletions)."""
     ref, cds = refdata
     seq = mutate(ref, ops)
+    seq = seq[trunc_lo:len(seq) - trunc_hi if trunc_hi else len(seq)]
     res = process_sequence(seq, ref, cds)
     variants = [{"ref": v[0], "alt": v[1], "start": v[2]}
                 for v in res["dna_vars"]]
