@@ -182,7 +182,17 @@ class SonarStore:
             F.col("description"),
             ING.harmonized(F.col("sequence")).alias("sequence"),
         ).withColumn("seqhash", ING.seguid_col("sequence"))
-        rec = rec.cache()
+        # within-batch duplicates: identical records collapse silently;
+        # one accession with two different sequences is a hard error —
+        # a distributed read has no "last record wins" order to honor
+        # (reference iterates the FASTA sequentially, sonar.py:572-641)
+        rec = rec.dropDuplicates(["accession", "seqhash"]).cache()
+        batch_dup = rec.groupBy("accession").count().where(F.col("count") > 1)
+        dups = [r["accession"] for r in batch_dup.limit(5).collect()]
+        if dups:
+            raise ValueError(
+                f"input batch contains conflicting sequences for the same "
+                f"accession(s): {dups}")
 
         existing = self.table("genomes").select("accession", "seqhash") \
                        .withColumnRenamed("seqhash", "old_seqhash")

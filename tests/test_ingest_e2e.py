@@ -252,6 +252,24 @@ def test_conflicting_sequence_rejected(store, spark):
         store.add_fasta_df(bad)
 
 
+def test_within_batch_conflict_rejected(store, spark):
+    a = "ACGT" * 100
+    b = "ACGT" * 99 + "ACGA"
+    bad = spark.createDataFrame(
+        [("dup1", "v1", a), ("dup1", "v2", b)],
+        "accession string, description string, sequence string")
+    with pytest.raises(ValueError, match="conflicting"):
+        store.add_fasta_df(bad)
+    # identical duplicate records collapse silently
+    ok = spark.createDataFrame(
+        [("test1", "test1", a), ("test1", "test1", a)],
+        "accession string, description string, sequence string")
+    with pytest.raises(ValueError, match="different"):
+        # still conflicts with the STORED test1 sequence, proving the
+        # batch-dedup ran before the store conflict check
+        store.add_fasta_df(ok)
+
+
 def test_physical_layout_and_partition_pruning(store):
     """Genomes are hive-partitioned by month(date); a dated match
     derives the month filter so the scan prunes partitions."""
