@@ -36,6 +36,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "text_lang_id",
     "text_token_stats",
+    "text_tfidf_topk",
     "text_fingerprint",
 ]
 

@@ -35,6 +35,32 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return df.select(F.col(id_col), Tx.lang_id(text_col, langs).alias("pred_lang"))
 
 
+def tfidf_top_terms(df: DataFrame, k: int = 5, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    Two shuffles total: term frequencies groupBy (doc, term), document
+    frequencies groupBy term (small output → broadcast back), then a
+    per-doc window top-k. idf = ln((N+1)/(df+1)); deterministic ties by
+    term. At corpus scale the df relation is the only global state and
+    it is vocabulary-sized, so the plan holds at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(Tx.tokens(text_col)).alias("term"))
+    n_docs = df.count()
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.select(id_col, "term").distinct() \
+                .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        F.col(id_col), F.col("term"),
+        F.round(F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6)
+         .alias("tfidf"))
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)) \
+                 .where(F.col("rnk") <= k).drop("rnk")
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 k: int = 8) -> DataFrame:
     """Rolling-hash document fingerprint: min over md5 hashes of character

@@ -841,6 +841,30 @@ ORDER BY pos
 """
 
 
+def text_tfidf_topk(spark, sf_dir):
+    """Top-5 TF-IDF terms per document — the corpus-statistics shape
+    (two aggregations + broadcast df join + per-doc window top-k)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.tfidf_top_terms(docs, k=5).orderBy("doc_id", "term")
+
+
+TEXT_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+n AS (SELECT count(*) AS n_docs FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+scored AS (
+  SELECT doc_id, term,
+         round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+SELECT doc_id, term, tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM scored)
+WHERE rnk <= 5 ORDER BY doc_id, term
+"""
+
+
 _STREAM_SEQ = {"n": 0}
 
 
@@ -897,4 +921,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
     "vcf_site_stats": (vcf_site_stats, VCF_SITE_STATS_SQL),
     "stream_sessionize": (stream_sessionize, None),
+    "text_tfidf_topk": (text_tfidf_topk, TEXT_TFIDF_SQL),
 }
