@@ -129,8 +129,14 @@ def cmd_update(spark, args):
         if not path or not args.fields:
             raise SystemExit("update needs --pangolin or --csv/--tsv with --fields")
         fields = dict(kv.split("=", 1) for kv in args.fields)
-        upd = read_metadata_csv(spark, path, fields,
-                                sep="\t" if args.tsv else ",")
+        sep = "\t" if args.tsv else ","
+        from covsonar_spark.sources.metadata import validate_ct
+
+        bad = validate_ct(spark, path, fields, sep)
+        if bad:
+            raise SystemExit(
+                f"metadata error: invalid ct value(s) for accession(s) {bad[:5]}")
+        upd = read_metadata_csv(spark, path, fields, sep=sep)
     n = st.update_metadata(upd)
     print(f"updated {n} genome(s)", file=sys.stderr)
 

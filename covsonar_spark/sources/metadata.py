@@ -39,9 +39,9 @@ def read_metadata_csv(spark: SparkSession, path: str, fields: dict[str, str],
         if target in UPPERCASED:
             c = F.upper(c)
         elif target == "ct":
-            c = c.cast("double")
+            c = c.try_cast("double")   # ANSI mode: plain cast throws on junk
         elif target in DATES:
-            c = c.cast("date")
+            c = c.try_cast("date")
         cols.append(c.alias(target))
     df = raw.select(*cols).where(F.col("accession").isNotNull())
     # reference keeps the FIRST occurrence per accession (sonar.py:808-810)
@@ -68,5 +68,5 @@ def validate_ct(spark: SparkSession, path: str, fields: dict[str, str],
     bad = raw.select(F.col(fields["accession"]).alias("accession"),
                      F.col(fields["ct"]).alias("ct_raw")) \
              .where((F.trim(F.col("ct_raw")) != "") & F.col("ct_raw").isNotNull()
-                    & F.col("ct_raw").cast("double").isNull())
+                    & F.col("ct_raw").try_cast("double").isNull())
     return [r["accession"] for r in bad.collect()]

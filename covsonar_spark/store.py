@@ -211,8 +211,14 @@ class SonarStore:
             .join(known_seqs, "seqhash", "left_anti")
         )
 
+        # localCheckpoint (NOT cache): appending to the sequences path
+        # below triggers CacheManager.recacheByPath, which would
+        # recompute a cached plan against the just-written table — the
+        # anti-join would then erase every new row from `ok` and the
+        # variant appends would write nothing. Truncating the lineage
+        # makes the profiled rows immune to the table writes.
         profiled = ING.derive_profiles(new_seqs, self.ref_seq, self.cds_list,
-                                       band_extra=band_extra).cache()
+                                       band_extra=band_extra).localCheckpoint()
         errors = profiled.where(F.col("error").isNotNull()) \
                          .select("seqhash", "error").collect()
         ok = profiled.where(F.col("error").isNull())
@@ -258,7 +264,6 @@ class SonarStore:
             if mism:
                 raise AssertionError(f"paranoid round-trip failed for {mism}")
         rec.unpersist()
-        profiled.unpersist()
         return report
 
     # -- metadata update / delete / info (P4, P5, A2-A8) -------------------
@@ -328,6 +333,14 @@ class SonarStore:
             r.asDict() for r in gen.groupBy("source", "collection")
             .agg(F.count("accession").alias("n"))
             .orderBy("source", "collection").collect()]
+        # A10 — database size (reference pretty-prints the sqlite file
+        # size, sonar.py:933-939; here the sum over table files)
+        total = 0
+        for t in TABLES:
+            p = self._path(t)
+            for dirpath, _dirs, files in os.walk(p) if os.path.exists(p) else []:
+                total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+        row["db_size_bytes"] = total
         return row
 
     # -- query ------------------------------------------------------------

@@ -130,6 +130,48 @@ def sessionize_stateful(events: DataFrame, gap_us: int = 1800 * 1_000_000,
         outputMode="append", timeoutConf=timeout)
 
 
+def stream_add_genomes(store, watch_dir: str,
+                       checkpoint_dir: str | None = None):
+    """Streaming ingest: FASTA files landing in ``watch_dir`` flow
+    through the full add pipeline (harmonize → dedup → align → profile
+    → paranoid) one micro-batch at a time via ``foreachBatch``.
+
+    The batch path IS the streaming path — ``foreachBatch`` hands each
+    micro-batch to ``store.add_fasta_df`` unchanged, so every
+    correctness guarantee (conflict checks, round-trip validation)
+    holds per batch. Returns the started query; callers trigger with
+    availableNow for drain-style tests or leave it running for a
+    landing-zone deployment.
+    """
+    from covsonar_spark.sources.fasta import iter_fasta_records
+
+    spark = store.spark
+
+    def parse_batch(batch_df: DataFrame, batch_id: int) -> None:
+        paths = [r["value"] for r in batch_df.select("value").collect()]
+        recs = []
+        for p in paths:
+            for acc, desc, seq in iter_fasta_records(p):
+                recs.append((acc, desc, seq))
+        if recs:
+            df = spark.createDataFrame(
+                recs, "accession string, description string, sequence string")
+            store.add_fasta_df(df)
+
+    # one row per landed file path (text stream of a manifest dir);
+    # binaryFile streaming would ship payloads through the plan — the
+    # manifest keeps the stream tiny and the FASTA read distributed-ready
+    files = (
+        spark.readStream.format("text")
+        .option("pathGlobFilter", "*.manifest")
+        .load(watch_dir)
+    )
+    w = files.writeStream.foreachBatch(parse_batch).trigger(availableNow=True)
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drain a stream into an in-memory table with availableNow (one
     micro-batch sweep over all currently-available files) and return the

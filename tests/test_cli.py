@@ -98,6 +98,21 @@ def test_var2vcf_and_remove_info(spark, db, tmp_path, capsys):
     assert "genomes: 3" in capsys.readouterr().out
 
 
+def test_bad_ct_rejected(spark, db, tmp_path):
+    bad = tmp_path / "meta.csv"
+    bad.write_text("acc,ctv\ntest1,notafloat\n")
+    with pytest.raises(SystemExit, match="ct value"):
+        main(["update", "--db", db, "--csv", str(bad),
+              "--fields", "accession=acc", "ct=ctv"], spark=spark)
+
+
+def test_info_reports_db_size(spark, db, capsys):
+    main(["info", "--db", db], spark=spark)
+    out = capsys.readouterr().out
+    line = [ln for ln in out.splitlines() if ln.startswith("db_size_bytes")][0]
+    assert int(line.split(": ")[1]) > 10000
+
+
 def test_assets_persisted(db):
     assert os.path.exists(os.path.join(db, "assets", "ref.fna"))
     assert os.path.exists(os.path.join(db, "assets", "ref.gff3"))
