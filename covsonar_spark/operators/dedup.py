@@ -148,6 +148,61 @@ def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
              (i * 40503 + 1) % MINHASH_P) for i in range(num_hashes)]
 
 
+def ngram_jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id", k: int = 3,
+                               threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram-Jaccard pairs via PPJoin-style prefix filtering —
+    the lossless candidate reducer for high thresholds at scale.
+
+    For J(A,B) ≥ t, the pair must share a shingle among the first
+    ``|X| − ⌈t·|X|⌉ + 1`` shingles of each side under a global
+    canonical order (rarest-first by document frequency). Only those
+    prefixes are indexed, so the self-join's pair space shrinks
+    roughly by (1−t)² while recall stays exact; candidates are then
+    verified against the full shingle sets.
+
+    Plan: index build → df aggregate (vocabulary-sized, broadcast
+    back) → per-doc rank window → prefix self-join → array-intersect
+    verification. More stages than the plain inverted-index join, but
+    each shuffle carries a fraction of the rows — the trade that wins
+    when the corpus, not the cluster, is the bottleneck.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    sh = shingle_sets(df, text_col, id_col, k).persist()
+    inv = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"),
+                    F.explode("shingles").alias("shingle"))
+    dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    w = Window.partitionBy(id_col).orderBy(F.col("sdf").asc(), F.col("shingle").asc())
+    prefix_len = (F.col("n_sh")
+                  - F.ceil(F.col("n_sh") * F.lit(float(threshold))).cast("int")
+                  + F.lit(1))
+    prefix = (
+        inv.join(F.broadcast(dfreq), "shingle")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= prefix_len)
+        .select(id_col, "shingle")
+    )
+    a = prefix.select(F.col(id_col).alias("id_a"), "shingle")
+    b = prefix.select(F.col(id_col).alias("id_b"), "shingle")
+    cand = (
+        a.join(b, "shingle").where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+    verified = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"),
+                            F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"),
+                        F.col("shingles").alias("sh_b")), "id_b")
+        .select("id_a", "id_b",
+                F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        k: int = 3, num_hashes: int = 32) -> DataFrame:
     """MinHash signature per document: for each of ``num_hashes`` affine
