@@ -1,0 +1,54 @@
+"""Skew mitigation helpers — salting for hot keys.
+
+AQE's skew-join splitting (enabled in the session factory) covers
+sort-merge joins at runtime; these helpers cover the two cases AQE
+does not:
+
+* ``salted_join`` — an equi-join against a dimension too big to
+  broadcast where a handful of keys dominate the fact side: the fact
+  side gets a deterministic salt, the dimension is replicated per
+  salt, and the shuffle spreads each hot key over ``n_salt``
+  partitions.
+* ``salted_collect_list`` — aggregation state (collect_list/set) is
+  not reduced map-side, so one hot key concentrates its entire state
+  in one task; two-phase salting builds partial lists per (key, salt)
+  and flattens them in a second, small aggregation.
+
+Salts are derived from xxhash64 of salt-source columns (deterministic,
+no RNG — reruns and resumed stages agree).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _salt(cols: list[str], n_salt: int):
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salt))
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, key: str, n_salt: int = 8,
+                salt_source: list[str] | None = None) -> DataFrame:
+    """fact ⋈ dim on ``key`` with the fact side salted; result equals
+    the plain join. ``salt_source`` columns (default: all non-key fact
+    columns) must vary within a hot key for the salt to spread it."""
+    src = salt_source or [c for c in fact.columns if c != key]
+    f = fact.withColumn("_salt", _salt(src, n_salt))
+    salts = fact.sparkSession.range(n_salt).select(F.col("id").cast("long").alias("_salt"))
+    d = dim.crossJoin(F.broadcast(salts))
+    return f.join(d, [key, "_salt"]).drop("_salt")
+
+
+def salted_collect_list(df: DataFrame, key: str, value: str,
+                        n_salt: int = 8) -> DataFrame:
+    """groupBy(key).agg(collect_list(value)) in two phases so a hot
+    key's state spreads over ``n_salt`` tasks; element order within the
+    list is not guaranteed (same as collect_list itself)."""
+    partial = (
+        df.withColumn("_salt", _salt([value], n_salt))
+        .groupBy(key, "_salt")
+        .agg(F.collect_list(value).alias("_part"))
+    )
+    return partial.groupBy(key).agg(
+        F.flatten(F.collect_list("_part")).alias(f"{value}_list"))

@@ -657,6 +657,16 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_ngram_prefix(spark, sf_dir):
+    """PPJoin prefix-filtered exact Jaccard (lossless candidate
+    reduction): results must equal dedup_ngram_jaccard at the same
+    threshold — the oracle reproduces the PLAIN algorithm, so this
+    checks the prefix filter's exactness, not just its plumbing."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_prefix_pairs(docs, threshold=0.5) \
+        .orderBy("id_a", "id_b")
+
+
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup: 48-bit fingerprint from token-hash bit votes;
     pigeonhole chunking (4 × 8-bit) for candidates; exact Hamming
@@ -911,6 +921,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_ngram_prefix": (dedup_ngram_prefix, DEDUP_NGRAM_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "embed_near_dup": (embed_near_dup, EMBED_NEAR_DUP_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
