@@ -189,6 +189,50 @@ def write_vcf(sites: DataFrame, calls: DataFrame, path: str,
                 + [r[s] for s in samples]) + "\n")
 
 
+def write_sample_vcfs(calls: DataFrame, out_dir: str,
+                      chrom: str = "NC_045512.2") -> int:
+    """S8 (v1 semantics) — one single-sample VCF per accession, written
+    as a partitioned distributed job (reference forks a worker per
+    accession and shells out to bgzip/tabix, lib/sonartoVCF.py:92-144;
+    here one ``partitionBy(accession)`` text write, no subprocesses).
+    Returns the number of samples written."""
+    typed = calls.withColumn("vcf_type", variant_type(F.col("ref"), F.col("alt"))) \
+                 .where(F.col("vcf_type") != "Unknown")
+    header = VCF_HEADER.format(chrom=chrom)
+    lines = typed.select(
+        "accession",
+        F.col("pos").alias("_pos"),
+        F.concat_ws("\t",
+                    F.lit(chrom), F.col("pos").cast("string"),
+                    F.concat(F.col("ref"), F.col("pos").cast("string"), F.col("alt")),
+                    F.col("ref"), F.col("alt"), F.lit("."), F.lit("."),
+                    F.concat(F.lit("TYPE="), F.col("vcf_type")),
+                    F.lit("GT"), F.lit("1")).alias("value"),
+    )
+    (lines.repartition("accession")
+     .sortWithinPartitions("accession", "_pos")
+     .select("accession", "value")
+     .write.mode("overwrite").partitionBy("accession").text(out_dir))
+    # prepend headers driver-side (tiny: one line-block per sample dir)
+    import glob
+    import os
+
+    n = 0
+    for d in glob.glob(os.path.join(out_dir, "accession=*")):
+        parts = sorted(glob.glob(os.path.join(d, "part-*")))
+        body = "".join(open(p).read() for p in parts)
+        acc = os.path.basename(d).split("=", 1)[1]
+        with open(os.path.join(d, f"{acc}.vcf"), "w") as fh:
+            fh.write(header)
+            fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                     + acc + "\n")
+            fh.write(body)
+        for p in parts:
+            os.remove(p)
+        n += 1
+    return n
+
+
 def export_vcf(store, path: str, accessions: list[str] | None = None,
                dates: list[str] | None = None, chrom: str = "NC_045512.2") -> DataFrame:
     """End-to-end `var2vcf`: store → filtered calls → site table + text

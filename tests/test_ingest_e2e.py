@@ -244,6 +244,31 @@ def test_vcf_export(store, tmp_path):
             assert gt == "." or gt.isdigit()
 
 
+def test_per_sample_vcfs(store, tmp_path):
+    """S8 v1 semantics — one single-sample VCF per accession via a
+    partitioned text write."""
+    from covsonar_spark.operators.vcf import (calls_from_dna_view, dna_view,
+                                              write_sample_vcfs)
+
+    view = dna_view(store.table("genomes"), store.table("dna_variants"))
+    calls = calls_from_dna_view(view)
+    out = str(tmp_path / "vcfs")
+    n = write_sample_vcfs(calls, out)
+    assert n == 3  # NC_045512.2 has no variants → no partition
+    import glob
+    files = glob.glob(f"{out}/accession=*/*.vcf")
+    assert len(files) == 3
+    t2 = [f for f in files if "test2" in f][0]
+    lines = open(t2).read().splitlines()
+    assert lines[0] == "##fileformat=VCFv4.2"
+    hdr = [ln for ln in lines if ln.startswith("#CHROM")][0]
+    assert hdr.split("\t")[9] == "test2"
+    data = [ln for ln in lines if not ln.startswith("#")]
+    poss = [int(ln.split("\t")[1]) for ln in data]
+    assert poss == sorted(poss) and len(data) >= 20
+    assert all(ln.split("\t")[9] == "1" for ln in data)
+
+
 def test_conflicting_sequence_rejected(store, spark):
     bad = spark.createDataFrame(
         [("test1", "test1 desc", "ACGT" * 100)],
