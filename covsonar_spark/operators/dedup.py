@@ -329,3 +329,83 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
+                         max_iter: int = 50) -> DataFrame:
+    """Connected components over an undirected edge list: min-label
+    propagation with pointer jumping.  Returns ``(node, component)``
+    where ``component`` is the smallest node id in the component —
+    the canonical cluster id for duplicate-group formation (every
+    near-dup pair family feeds this to turn pairs into clusters and
+    pick one survivor per cluster).
+
+    Per round: (1) relax — every node takes the min label over its
+    neighborhood (one equi-join + min-aggregate, all map-side
+    combinable); (2) pointer-jump — ``label := label(label)`` (one
+    self-join), which contracts label chains geometrically, so rounds
+    are O(log diameter) instead of O(diameter) — the difference
+    between 3 and 40 shuffles on a chain-shaped component at 100 TB.
+
+    Convergence detection is a single scalar aggregate, not a join:
+    labels only ever decrease, so ``sum(label)`` is strictly
+    decreasing until fixpoint and stable exactly at fixpoint.
+    ``localCheckpoint`` truncates lineage each round (iterative plans
+    otherwise grow exponentially in Catalyst).
+
+    Reference parity note: covsonar's ingest dedup is hash-exact only
+    (/root/reference/sonar.py:607-641 groups accessions by seqhash);
+    components generalize that grouping to transitive near-dup
+    relations.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    lbl = (
+        sym.select(F.col("u").alias("node")).distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint()
+    )
+    prev_sum = lbl.agg(F.sum("comp")).first()[0]
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(lbl.select(F.col("node").alias("v"),
+                                F.col("comp").alias("vcomp")), "v")
+            .groupBy("u").agg(F.min("vcomp").alias("nmin"))
+            .select(F.col("u").alias("node"), "nmin")
+        )
+        relaxed = (
+            lbl.join(nbr_min, "node", "left")
+            .select("node",
+                    F.least("comp", F.coalesce("nmin", "comp")).alias("comp"))
+        )
+        parent = relaxed.select(F.col("node").alias("comp"),
+                                F.col("comp").alias("jcomp"))
+        lbl = (
+            relaxed.join(parent, "comp", "left")
+            .select("node",
+                    F.least("comp", F.coalesce("jcomp", "comp")).alias("comp"))
+            .localCheckpoint()
+        )
+        new_sum = lbl.agg(F.sum("comp")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    sym.unpersist()
+    return lbl
+
+
+def duplicate_clusters(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3,
+                       threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate clusters: exact n-gram-Jaccard pairs (threshold
+    ``threshold``) closed under transitivity.  Returns one row per
+    document that has at least one near-dup, with its ``cluster_id``
+    (= min doc id in the cluster; rows where ``doc_id == cluster_id``
+    are the survivors a curation pipeline keeps)."""
+    pairs = ngram_jaccard_pairs(df, text_col, id_col, k, threshold)
+    return connected_components(pairs).select(
+        F.col("node").alias(id_col), F.col("comp").alias("cluster_id"))

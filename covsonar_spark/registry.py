@@ -699,6 +699,42 @@ SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b
 """
 
 
+def dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster formation: exact ngram-Jaccard pairs closed
+    under transitivity via distributed connected components (min-label
+    propagation + pointer jumping, O(log diameter) rounds). The oracle
+    recomputes the transitive closure with a recursive CTE, so the
+    iterative DataFrame algorithm is value-checked end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_clusters(docs, threshold=0.5).orderBy("doc_id")
+
+
+DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 0)),
+             i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1], string_split(text,' ')[i+2])))) AS shingle
+  FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b
+  FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v)
+SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id
+"""
+
+
 def embed_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (cosine ≥ 0.4) — exact baseline
     (broadcast nested-loop; the LSH-bucketed lsh_knn_join is the
@@ -923,6 +959,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_ngram_prefix": (dedup_ngram_prefix, DEDUP_NGRAM_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "embed_near_dup": (embed_near_dup, EMBED_NEAR_DUP_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
