@@ -160,6 +160,14 @@ def cmd_optimize(spark, args):
     print(st.optimize(), file=sys.stderr)
 
 
+def cmd_db_upgrade(spark, args):
+    from covsonar_spark.store import SonarStore
+
+    before, after = SonarStore.upgrade(spark, args.db)
+    print(f"store schema version {before} -> {after}"
+          + (" (already current)" if before == after else ""), file=sys.stderr)
+
+
 def cmd_update_lineage_info(spark, args):
     import json
 
@@ -255,6 +263,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("optimize")
     common(sp)
     sp.set_defaults(fn=cmd_optimize)
+
+    sp = sub.add_parser("db-upgrade")
+    common(sp)
+    sp.set_defaults(fn=cmd_db_upgrade)
 
     sp = sub.add_parser("update-lineage-info")
     common(sp)

@@ -36,6 +36,14 @@ from covsonar_spark.operators.match import MatchEngine, MatchQuery, build_essenc
 
 TABLES = ("genomes", "sequences", "profiles", "dna_variants", "prot_variants")
 
+# Store format history (marker file root/VERSION; see SonarStore.upgrade):
+#   1 — pre-versioning: genomes written unpartitioned; dates possibly
+#       strings; columns added later (e.g. submission_date — the same
+#       column the reference's migrate/4.sql retrofits) may be absent.
+#   2 — current: genomes conform to schemas.GENOMES and are partitioned
+#       by date_month for scan pruning.
+SCHEMA_VERSION = 2
+
 _SCHEMAS = {
     "genomes": schemas.GENOMES,
     "sequences": schemas.SEQUENCES,
@@ -92,7 +100,51 @@ class SonarStore:
                 cds = parse_gff3(gff_file, ref)
         if os.path.exists(lin_file):
             sub = load_sublineage_map(lin_file)
+        cls.upgrade(spark, root)
         return cls(spark, root, ref, cds, sub)
+
+    # -- schema versioning / migration (S11) -------------------------------
+
+    @classmethod
+    def version(cls, root: str) -> int:
+        """Stored schema version (reference: ``PRAGMA user_version``,
+        lib/sonardb.py:1369-1381). Stores from before versioning (tables
+        exist but no VERSION marker) report 1; a fresh directory reports
+        the current version (nothing to migrate)."""
+        vf = os.path.join(root, "VERSION")
+        if os.path.exists(vf):
+            with open(vf) as fh:
+                return int(fh.read().strip())
+        has_tables = any(os.path.exists(os.path.join(root, t)) for t in TABLES)
+        return 1 if has_tables else SCHEMA_VERSION
+
+    @classmethod
+    def upgrade(cls, spark: SparkSession, root: str) -> tuple[int, int]:
+        """Stepwise store migration (reference ``upgrade_db``,
+        lib/sonardb.py:1383-1421 + lib/migrate/<v>.sql): apply every
+        pending migration in order, recording the version marker after
+        each step so an interrupted upgrade resumes where it stopped.
+        Returns (version_before, version_after); refuses stores written
+        by a newer engine."""
+        os.makedirs(root, exist_ok=True)
+        before = cls.version(root)
+        if before > SCHEMA_VERSION:
+            raise ValueError(
+                f"store schema version {before} is newer than this engine "
+                f"supports ({SCHEMA_VERSION}) — upgrade the engine, not the store")
+        for v in range(before + 1, SCHEMA_VERSION + 1):
+            _MIGRATIONS[v](spark, root)
+            cls._write_version(root, v)
+        if before == SCHEMA_VERSION and not os.path.exists(os.path.join(root, "VERSION")):
+            cls._write_version(root, SCHEMA_VERSION)
+        return before, SCHEMA_VERSION
+
+    @staticmethod
+    def _write_version(root: str, v: int) -> None:
+        tmp = os.path.join(root, "VERSION.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(f"{v}\n")
+        os.replace(tmp, os.path.join(root, "VERSION"))
 
     def optimize(self) -> dict:
         """P6 — compaction (reference VACUUM, lib/sonardb.py:2090-2093):
@@ -402,3 +454,35 @@ class SonarStore:
     def match(self, query: MatchQuery) -> DataFrame:
         return MatchEngine(self.essence(query.dates or None),
                            self.sublineage_map).run(query)
+
+
+def _migrate_to_2(spark: SparkSession, root: str) -> None:
+    """v1 → v2: conform ``genomes`` to the canonical schema and rewrite
+    it into the date_month-partitioned layout.
+
+    Covers the same ground as the reference's only shipped migration
+    (lib/migrate/4.sql: ALTER TABLE genome ADD submission_date + view
+    rebuild): columns missing from old stores appear as typed nulls,
+    string-typed date columns are cast to DateType, and the physical
+    rewrite gives old stores the partition pruning new stores get at
+    write time. Other tables' schemas have never changed — they pass
+    through untouched."""
+    path = os.path.join(root, "genomes")
+    if not os.path.exists(path):
+        return
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        return
+    have = dict(df.dtypes)
+    cols = []
+    for f in schemas.GENOMES.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    store = SonarStore(spark, root)
+    store._overwrite("genomes", df.select(*cols))
+
+
+_MIGRATIONS = {2: _migrate_to_2}
