@@ -321,13 +321,24 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
           .select(id_col, "simhash", "c.chunk_idx", "c.chunk_key")
     a = ch.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk_key")
     b = ch.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk_key")
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    x = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    # a pair sharing m chunks comes out of the join m times; instead of a
+    # distinct() (a full shuffle of the candidate set — the largest
+    # intermediate in the whole plan), keep each pair only at its FIRST
+    # matching chunk: both fingerprints ride along, so "no earlier chunk
+    # matches" is a codegen filter evaluated map-side, and the join's
+    # shuffle is the plan's only one.
+    chunk_mask = (1 << chunk_bits) - 1
+    first_match = F.array_position(
+        F.array(*[(F.shiftright(x, j * chunk_bits).bitwiseAND(F.lit(chunk_mask)) == 0)
+                  for j in range(n_chunks)]),
+        F.lit(True)) - 1
     return (
         a.join(b, ["chunk_idx", "chunk_key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", ham.alias("hamming"))
-        .distinct()
-        .where(F.col("hamming") <= max_hamming)
+        .where((F.col("id_a") < F.col("id_b"))
+               & (F.col("chunk_idx") == first_match)
+               & (F.bit_count(x) <= max_hamming))
+        .select("id_a", "id_b", F.bit_count(x).alias("hamming"))
     )
 
 

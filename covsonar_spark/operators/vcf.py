@@ -97,32 +97,28 @@ def site_table(calls: DataFrame, chrom: str = "NC_045512.2") -> DataFrame:
     typed = calls.withColumn("vcf_type", variant_type(F.col("ref"), F.col("alt")))
     typed = typed.where(F.col("vcf_type") != "Unknown")
 
-    # site vocabulary: small aggregate (bounded by distinct variants)
-    sites = typed.groupBy("pos", "vcf_type").agg(
-        F.array_sort(F.collect_set("alt")).alias("alts"),
+    # AC per genotype index == call count per distinct alt (gt is just the
+    # alt's rank in the sorted alt vocabulary), so the site vocabulary and
+    # the AN/AC stats are ONE aggregation chain: calls → per-alt counts
+    # (map-side combine collapses the call set to the distinct-variant
+    # vocabulary before the shuffle) → per-site rollup. No per-call
+    # genotype-index join, no second pass over the calls.
+    per_alt = typed.groupBy("pos", "vcf_type", "alt").agg(
+        F.count(F.lit(1)).alias("c"), F.min("ref").alias("ref"))
+    sites = per_alt.groupBy("pos", "vcf_type").agg(
+        F.array_sort(F.collect_list(F.struct("alt", "c"))).alias("ac_pairs"),
         F.min("ref").alias("ref"),
-    )
-
-    # per-call genotype index against the broadcast vocabulary;
-    # one sample gets one call per (pos, type) by construction upstream
-    gts = typed.join(F.broadcast(sites.select("pos", "vcf_type", "alts")),
-                     ["pos", "vcf_type"]) \
-               .withColumn("gt", F.array_position(F.col("alts"), F.col("alt"))) \
-               .select("accession", "pos", "vcf_type", "gt")
-
-    stats = (
-        gts.groupBy("pos", "vcf_type", "gt").agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("pos", "vcf_type").agg(
-            F.sum("c").cast("long").alias("an"),
-            F.concat_ws(",", F.transform(
-                F.array_sort(F.collect_list(F.struct("gt", "c"))),
-                lambda s: s["c"].cast("string"))).alias("ac"),
-        )
+        F.sum("c").cast("long").alias("an"),
+    ).select(
+        "pos", "vcf_type", "ref", "an",
+        F.transform("ac_pairs", lambda s: s["alt"]).alias("alts"),
+        F.concat_ws(",", F.transform(
+            "ac_pairs", lambda s: s["c"].cast("string"))).alias("ac"),
     )
 
     pos_str = F.col("pos").cast("string")
     return (
-        sites.join(stats, ["pos", "vcf_type"])
+        sites
         .select(
             F.lit(chrom).alias("chrom"),
             "pos",

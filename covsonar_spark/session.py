@@ -29,7 +29,7 @@ def get_spark(app_name: str = "sparksonar", shuffle_partitions: int | None = Non
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARKSONAR_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARKSONAR_DRIVER_MEM", "16g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
