@@ -13,14 +13,25 @@ from pyspark.sql import functions as F
 from covsonar_spark.functions import text as Tx
 
 
+# BPE-style pre-tokenization: runs of letters / digits / other
+# non-space — the segmentation a byte-pair tokenizer subdivides, so its
+# count is the tight lower bound on (and in practice ~proportional to)
+# the LLM token count. Plain character classes only, so Java regex
+# (Spark) and RE2 (DuckDB oracle) agree exactly.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-document token statistics (token count, distinct tokens, chars)."""
+    """Per-document token statistics: whitespace token count, distinct
+    tokens, chars, and a BPE-ish subword-regex count (the training-data
+    budget metric) — all single-pass codegen expressions, no shuffle."""
     toks = Tx.tokens(text_col)
     return df.select(
         F.col(id_col),
         Tx.token_count(text_col).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
         F.length(text_col).alias("n_chars_computed"),
+        F.size(F.regexp_extract_all(text_col, F.lit(BPE_TOKEN_RE), 0)).alias("n_bpe_tokens"),
     )
 
 

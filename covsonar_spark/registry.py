@@ -564,15 +564,17 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 
 
 def text_token_stats(spark, sf_dir):
-    """Token counting (whitespace) — pure codegen map, no shuffle."""
+    """Token counting (whitespace + BPE-ish subword regex) — pure
+    codegen map, no shuffle."""
     docs = _t(spark, sf_dir, "documents")
     return textstats.token_stats(docs).orderBy("doc_id")
 
 
-TEXT_TOKEN_STATS_SQL = """
+TEXT_TOKEN_STATS_SQL = r"""
 SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
        len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
-       len(text) AS n_chars_computed
+       len(text) AS n_chars_computed,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpe_tokens
 FROM documents ORDER BY doc_id
 """
 
