@@ -116,6 +116,76 @@ def profile_predicate(groups: list[dict[str, list[list[str]]]], negate: bool = F
     return reduce(lambda a, b: a | b, group_preds)
 
 
+def profile_semijoin_keys(tokens_long: DataFrame,
+                          groups: list[dict[str, list[list[str]]]],
+                          key_col: str = "seqhash") -> DataFrame:
+    """The 100 TB execution strategy for the F7/F8 include predicate
+    (SURVEY §4's flagged rewrite): instead of scanning every profile
+    array with ``array_contains`` (per-row work ∝ corpus size), look the
+    query up in a long-format token table ``(key, field, token)``
+    bucketed/partitioned by token — broadcast the query atoms, equi-join
+    them against the token table (token-partition pruning reads only the
+    query tokens' buckets, i.e. work ∝ token selectivity, not corpus
+    size), and count satisfied atoms per key:
+
+      * per (key, group, field): distinct atoms hit; a field is
+        satisfied when hits == all its atoms (AND) or ≥ 1 (the
+        wildcard any-mode quirk, lib/sonardb.py:1626-1637);
+      * per (key, group): every present field satisfied (dna AND aa);
+      * any group satisfied → key matches (OR across `-i` groups).
+
+    Returns the distinct matching keys — ``left_semi``-join essence
+    against it.  Exact same semantics as ``profile_predicate`` (equality
+    is asserted in tests and against the driver oracle); the predicate
+    path stays the default below the scale where the token table pays
+    for itself.
+    """
+    spark = tokens_long.sparkSession
+    atoms, reqs, nfields = [], [], {}
+    for gi, g in enumerate(groups):
+        for fld in ("dna", "aa"):
+            exps = g.get(fld) or []
+            if not exps:
+                continue
+            any_mode = TK.group_any_mode(exps, fld)
+            reqs.append((gi, fld, 1 if any_mode else len(exps)))
+            nfields[gi] = nfields.get(gi, 0) + 1
+            for ai, exp in enumerate(exps):
+                atoms.extend((gi, fld, ai, t) for t in exp)
+    if not atoms:
+        raise ValueError("profile_semijoin_keys needs at least one include atom")
+    atoms_df = spark.createDataFrame(
+        atoms, "group_idx: int, field: string, atom_idx: int, token: string")
+    reqs_df = spark.createDataFrame(reqs, "group_idx: int, field: string, required: int")
+    nf_df = spark.createDataFrame(sorted(nfields.items()), "group_idx: int, n_fields: int")
+
+    hits = (
+        tokens_long.join(F.broadcast(atoms_df), ["field", "token"])
+        .groupBy(key_col, "group_idx", "field")
+        .agg(F.countDistinct("atom_idx").alias("hit"))
+    )
+    field_ok = hits.join(F.broadcast(reqs_df), ["group_idx", "field"]) \
+                   .where(F.col("hit") >= F.col("required"))
+    group_ok = (
+        field_ok.groupBy(key_col, "group_idx")
+        .agg(F.count(F.lit(1)).alias("fields_ok"))
+        .join(F.broadcast(nf_df), "group_idx")
+        .where(F.col("fields_ok") == F.col("n_fields"))
+    )
+    return group_ok.select(key_col).distinct()
+
+
+def profiles_to_tokens_long(profiles: DataFrame, key_col: str = "seqhash") -> DataFrame:
+    """Long-format token table from the profiles table — the structure a
+    cluster deployment materializes once, partitioned by token, to feed
+    ``profile_semijoin_keys``."""
+    dna = profiles.select(F.col(key_col), F.lit("dna").alias("field"),
+                          F.explode("dna_profile").alias("token"))
+    aa = profiles.select(F.col(key_col), F.lit("aa").alias("field"),
+                         F.explode("aa_profile").alias("token"))
+    return dna.unionByName(aa).distinct()
+
+
 def _ambig_output_filter(col: str, ambig_letters: frozenset[str], keep: list[str],
                          del_pattern: str) -> Column:
     """F15 — distributed re-expression of the reference's driver-side

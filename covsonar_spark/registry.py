@@ -270,6 +270,27 @@ ORDER BY doc_id
 """
 
 
+def match_profile_semijoin(spark, sf_dir):
+    """F7 via the 100 TB plan (SURVEY §4's flagged rewrite): the same
+    AND-group as match_profile_and executed as an inverted-index
+    semi-join — broadcast query atoms ⋈ long token table, count
+    satisfied atoms per key, left_semi against the base table. Work
+    scales with token selectivity, not corpus size. Shares
+    match_profile_and's oracle, so the strategy equivalence itself is
+    value-checked."""
+    from covsonar_spark.operators.match import profile_semijoin_keys
+
+    docs = _t(spark, sf_dir, "documents")
+    tokens_long = docs.select(
+        F.col("doc_id"), F.lit("dna").alias("field"),
+        F.explode(Tx.distinct_tokens("text")).alias("token"))
+    keys = profile_semijoin_keys(
+        tokens_long, [{"dna": [["merge"], ["hash"], ["join"]], "aa": []}],
+        key_col="doc_id")
+    return docs.join(keys, "doc_id", "left_semi") \
+               .select("doc_id", "lang", "source").orderBy("doc_id")
+
+
 def match_profile_or_groups(spark, sf_dir):
     """F8 — OR across `-i` groups, AND within group; plus the wildcard
     quirk where an ambiguous token flips a group to OR via arrays_overlap
@@ -947,6 +968,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "match_metadata_filters": (match_metadata_filters, MATCH_METADATA_SQL),
     "match_metadata_negation": (match_metadata_negation, MATCH_METADATA_NEG_SQL),
     "match_profile_and": (match_profile_and, MATCH_PROFILE_AND_SQL),
+    "match_profile_semijoin": (match_profile_semijoin, MATCH_PROFILE_AND_SQL),
     "match_profile_or_groups": (match_profile_or_groups, MATCH_PROFILE_OR_SQL),
     "match_profile_exclude": (match_profile_exclude, MATCH_PROFILE_EXCL_SQL),
     "match_count": (match_count, MATCH_COUNT_SQL),
