@@ -27,6 +27,7 @@ HEADLINE = [
     "events_window_agg",
     "events_sessionize",
     "dedup_exact",
+    "curate_corpus",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",

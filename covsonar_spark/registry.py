@@ -809,6 +809,84 @@ FROM s ORDER BY doc_id
 """
 
 
+def curate_corpus(spark, sf_dir):
+    """The composed training-data curation pipeline — the flow the
+    operator library exists for, end-to-end in ONE declarative plan:
+    (1) score quality + language + BPE token budget per document (all
+    codegen map-stage, zero shuffle); (2) keep quality ≥ 0.55 English
+    docs; (3) form near-dup clusters among the survivors (exact
+    3-gram-Jaccard ≥ 0.5 closed under transitivity via distributed
+    connected components) and keep one representative per cluster.
+    The oracle recomputes the whole pipeline, recursive closure
+    included, so operator COMPOSITION is value-checked, not just each
+    stage."""
+    from covsonar_spark.operators.textstats import BPE_TOKEN_RE
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "text",
+        Tx.quality_score("text").alias("quality"),
+        Tx.lang_id("text").alias("pred_lang"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), 0)).alias("n_bpe_tokens"),
+    )
+    kept = scored.where((F.col("quality") >= 0.55) & (F.col("pred_lang") == "en"))
+    clusters = dedup.duplicate_clusters(kept.select("doc_id", "text"), threshold=0.5)
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return (
+        kept.join(drop, "doc_id", "left_anti")
+        .select("doc_id", "pred_lang", "quality", "n_bpe_tokens")
+        .orderBy("doc_id")
+    )
+
+
+CURATE_CORPUS_SQL = rf"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+scored AS (
+  SELECT doc_id, text,
+         round((least((len(text) - (len(t) - 1))::DOUBLE / len(t) / 10.0, 1.0)
+                + len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest(len(text), 1)
+                + len(list_distinct(t))::DOUBLE / len(t)) / 3.0, 6) AS quality,
+         CASE WHEN greatest(s_en, s_de, s_fr) = 0 THEN 'und'
+              WHEN s_en = greatest(s_en, s_de, s_fr) THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_fr) THEN 'de'
+              ELSE 'fr' END AS pred_lang,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpe_tokens
+  FROM (SELECT doc_id, text, t,
+               len(list_filter(t, x -> list_contains({_SW_SQL['en']}, x))) AS s_en,
+               len(list_filter(t, x -> list_contains({_SW_SQL['de']}, x))) AS s_de,
+               len(list_filter(t, x -> list_contains({_SW_SQL['fr']}, x))) AS s_fr
+        FROM toks)),
+kept AS (SELECT * FROM scored WHERE quality >= 0.55 AND pred_lang = 'en'),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 0)),
+             i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1], string_split(text,' ')[i+2])))) AS shingle
+  FROM kept),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b
+  FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+clusters AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+SELECT k.doc_id, k.pred_lang, k.quality, k.n_bpe_tokens
+FROM kept k LEFT JOIN clusters c ON c.doc_id = k.doc_id
+WHERE c.cluster_id IS NULL OR c.cluster_id = k.doc_id
+ORDER BY k.doc_id
+"""
+
+
 def ann_ivf_topk(spark, sf_dir):
     """IVF-style ANN: coarse-quantize vectors to 16 deterministic
     centroids, probe the query's top-2 cells, exact top-k inside the
@@ -984,6 +1062,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_ngram_prefix": (dedup_ngram_prefix, DEDUP_NGRAM_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "curate_corpus": (curate_corpus, CURATE_CORPUS_SQL),
     "embed_near_dup": (embed_near_dup, EMBED_NEAR_DUP_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
