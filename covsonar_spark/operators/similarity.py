@@ -111,22 +111,31 @@ def ivf_assign(df: DataFrame, n_centroids: int = 16,
     Centroids here are the ``n_centroids`` lowest-id vectors — a
     deterministic stand-in for a trained codebook (at scale the
     codebook comes from a separate k-means job; assignment cost and
-    plan shape are identical). The centroid set is tiny → broadcast
-    cross join + per-vector rank, no shuffle of the big side.
+    plan shape are identical). The codebook is a driver-side artifact
+    (like any trained model), so assignment is a pure codegen map —
+    argmax over literal centroid vectors via array_max on
+    (similarity, -cid) structs. Zero shuffle, zero join: the previous
+    formulation (broadcast cross join + row_number window) shuffled a
+    16×-expanded table just to pick each row's max.
     """
-    from pyspark.sql import Window
+    cents = _centroids(df, n_centroids, vec_col, id_col)
+    scored = [
+        F.struct(
+            F.round(V.cosine(F.col(vec_col),
+                             F.array(*[F.lit(float(x)) for x in cvec])), 6).alias("csim"),
+            F.lit(-cid).cast("long").alias("ncid"),
+        )
+        for cid, cvec in cents
+    ]
+    best = F.array_max(F.array(*scored))
+    return df.select(F.col(id_col), F.col(vec_col),
+                     (-best["ncid"]).cast("long").alias("cid"))
 
-    cent = df.orderBy(id_col).limit(n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-    sim = F.round(V.cosine(F.col(vec_col), F.col("cvec")), 6)
-    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cid").asc())
-    return (
-        df.crossJoin(F.broadcast(cent))
-        .select(F.col(id_col), F.col(vec_col), "cid", sim.alias("csim"))
-        .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") == 1)
-        .select(id_col, vec_col, "cid")
-    )
+
+def _centroids(df: DataFrame, n_centroids: int, vec_col: str, id_col: str):
+    """Collect the deterministic codebook (tiny) to the driver."""
+    rows = df.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+    return [(r[0], list(r[1])) for r in rows]
 
 
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
@@ -140,19 +149,28 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     the scan touches n_probe/n_centroids of the data; here the
     assignment runs inline to keep the operator self-contained.
     """
+    import math
+
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     assigned = ivf_assign(df, n_centroids, vec_col, id_col)
-    cent = df.orderBy(id_col).limit(n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-    probes = (
-        cent.select("cid", F.round(V.cosine(q, F.col("cvec")), 6).alias("qc"))
-        .orderBy(F.col("qc").desc(), F.col("cid").asc())
-        .limit(n_probe)
-        .select("cid")
-    )
+    # probe selection is driver-side arithmetic over the collected
+    # codebook (same float64 op order as the column expression:
+    # sequential dot, round to 6); the probe set becomes an isin
+    # predicate, which prunes cell partitions at the parquet level
+    # when the assignment is a stored table.
+    qn = math.sqrt(sum(x * x for x in query_vec))
+    scored = []
+    for cid, cvec in _centroids(df, n_centroids, vec_col, id_col):
+        d = 0.0
+        for a, b in zip(query_vec, cvec):
+            d += float(a) * float(b)
+        cn = math.sqrt(sum(float(x) * float(x) for x in cvec))
+        scored.append((round(d / (qn * cn), 6), cid))
+    probe_cids = [cid for _, cid in
+                  sorted(scored, key=lambda s: (-s[0], s[1]))[:n_probe]]
     sim = V.cosine_rounded(F.col(vec_col), q)
     return (
-        assigned.join(F.broadcast(probes), "cid")
+        assigned.where(F.col("cid").isin(probe_cids))
         .select(F.col(id_col), sim.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
