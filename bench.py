@@ -39,6 +39,7 @@ HEADLINE = [
     "text_token_stats",
     "text_tfidf_topk",
     "text_fingerprint",
+    "multimodal_frames",
 ]
 
 

@@ -50,6 +50,31 @@ MEDIA_SCHEMA = T.StructType([
 _FEAT_DIM = 8
 
 
+def media_from_documents(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Deterministic media table from a text corpus: kind by id mod 3,
+    payload = the utf-8 bytes of the text, typed metadata derived from
+    the id. Pure column expressions (zero UDF) — this is the fixture
+    generator that lets the multimodal plumbing be value-checked
+    against a SQL oracle without real media files."""
+    m3 = F.col(id_col) % 3
+    kind = (F.when(m3 == 0, "image").when(m3 == 1, "audio")
+            .otherwise("video"))
+    mime = (F.when(m3 == 0, "image/png").when(m3 == 1, "audio/wav")
+            .otherwise("video/mp4"))
+    width = F.when(m3 == 0, (64 * (F.col(id_col) % 5 + 1)).cast("int"))
+    height = F.when(m3 == 0, (48 * (F.col(id_col) % 4 + 1)).cast("int"))
+    duration = F.when(m3 != 0, ((F.col(id_col) % 7 + 1) * 1500).cast("int"))
+    return docs.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col(text_col), "utf-8").alias("content"),
+        F.struct(mime.alias("mime"), width.alias("width"),
+                 height.alias("height"),
+                 duration.alias("duration_ms")).alias("meta"),
+    )
+
+
 def _fake_features(payload: bytes, dim: int = _FEAT_DIM) -> list[float]:
     """Deterministic stand-in for a decoded feature vector: ``dim``
     floats in [0,1) derived from md5(payload). Replace with a real

@@ -1012,6 +1012,84 @@ WHERE rnk <= 5 ORDER BY doc_id, term
 """
 
 
+def multimodal_frames(spark, sf_dir):
+    """Multimodal plumbing, oracle-checked end-to-end: documents →
+    deterministic media table (binary payload + typed metadata, pure
+    expressions) → video frame sampling (fan-out inside mapInPandas,
+    1 row → ⌈duration/1s⌉ frame rows, bytes never shuffled) →
+    base64 of each sampled frame slice. The oracle reproduces the
+    slicing on the text (pure ASCII ⇒ byte slice ≡ char slice), so
+    the binary path's offsets/lengths are value-checked."""
+    from covsonar_spark.operators import multimodal as M
+
+    media = M.media_from_documents(_t(spark, sf_dir, "documents"))
+    fr = M.sample_frames(media, every_ms=1000)
+    return (
+        fr.select("media_id", "frame_idx", "t_ms",
+                  # Spark's base64 MIME-chunks at 76 chars (\r\n);
+                  # normalize to the unchunked RFC 4648 form
+                  F.regexp_replace(F.base64("frame"), "[\\r\\n]", "")
+                   .alias("frame_b64"))
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+MULTIMODAL_FRAMES_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id, text,
+         ((doc_id % 7) + 1) * 1500 AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2),
+frames AS (
+  SELECT media_id, text,
+         unnest(generate_series(0, duration_ms - 1, 1000)) AS t
+  FROM media)
+SELECT media_id,
+       CAST(t // 1000 AS INT) AS frame_idx,
+       CAST(t AS INT) AS t_ms,
+       replace(replace(to_base64(encode(substr(text, CAST((t * 31) % greatest(length(text), 1) AS INT) + 1, 64))),
+               chr(13), ''), chr(10), '') AS frame_b64
+FROM frames
+ORDER BY media_id, frame_idx
+"""
+
+
+def multimodal_meta_stats(spark, sf_dir):
+    """Typed-metadata aggregation over the media table: per kind,
+    payload bytes and decode-budget stats — the query shape a media
+    pipeline runs constantly (pure codegen, content column pruned
+    everywhere except the byte-length scan)."""
+    from covsonar_spark.operators import multimodal as M
+
+    media = M.media_from_documents(_t(spark, sf_dir, "documents"))
+    return (
+        media.groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n_media"),
+             F.sum(F.length("content")).alias("total_bytes"),
+             F.sum(F.coalesce(F.col("meta.duration_ms"), F.lit(0)))
+              .alias("total_duration_ms"),
+             F.sum(F.coalesce(F.col("meta.width").cast("long")
+                              * F.col("meta.height"), F.lit(0)))
+              .alias("total_pixels"))
+        .orderBy("kind")
+    )
+
+
+MULTIMODAL_META_SQL = """
+SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       count(*) AS n_media,
+       sum(octet_length(encode(text))) AS total_bytes,
+       sum(CASE WHEN doc_id % 3 = 0 THEN 0
+                ELSE ((doc_id % 7) + 1) * 1500 END) AS total_duration_ms,
+       sum(CASE WHEN doc_id % 3 = 0
+                THEN (64 * ((doc_id % 5) + 1)) * (48 * ((doc_id % 4) + 1))
+                ELSE 0 END) AS total_pixels
+FROM documents
+GROUP BY 1
+ORDER BY kind
+"""
+
+
 _STREAM_SEQ = {"n": 0}
 
 
@@ -1073,4 +1151,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "vcf_site_stats": (vcf_site_stats, VCF_SITE_STATS_SQL),
     "stream_sessionize": (stream_sessionize, None),
     "text_tfidf_topk": (text_tfidf_topk, TEXT_TFIDF_SQL),
+    "multimodal_frames": (multimodal_frames, MULTIMODAL_FRAMES_SQL),
+    "multimodal_meta_stats": (multimodal_meta_stats, MULTIMODAL_META_SQL),
 }

@@ -79,3 +79,25 @@ def test_content_pruned_when_not_needed(media):
     pruned = media.select("media_id", "kind")
     assert "content" not in pruned.columns
     assert "content" not in pruned._jdf.queryExecution().optimizedPlan().schema().treeString()
+
+
+def test_media_from_documents_contract(spark):
+    """The oracle-checked fixture builder: schema matches MEDIA_SCHEMA
+    modulo nullability, payload is the exact utf-8 bytes, metadata is
+    typed per kind."""
+    from covsonar_spark.operators.multimodal import media_from_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    media = media_from_documents(docs)
+    assert [f.name for f in media.schema.fields] == [
+        f.name for f in MEDIA_SCHEMA.fields]
+    rows = {r["media_id"]: r for r in media.collect()}
+    docs_rows = {r["doc_id"]: r for r in docs.collect()}
+    for mid, r in rows.items():
+        assert bytes(r["content"]) == docs_rows[mid]["text"].encode()
+        if r["kind"] == "image":
+            assert r["meta"]["duration_ms"] is None
+            assert r["meta"]["width"] is not None
+        else:
+            assert r["meta"]["duration_ms"] == ((mid % 7) + 1) * 1500
+            assert r["meta"]["width"] is None
