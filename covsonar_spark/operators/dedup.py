@@ -343,7 +343,8 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         driver_cap: int = 1_000_000) -> DataFrame:
     """Connected components over an undirected edge list: min-label
     propagation with pointer jumping.  Returns ``(node, component)``
     where ``component`` is the smallest node id in the component —
@@ -368,6 +369,15 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
     (/root/reference/sonar.py:607-641 groups accessions by seqhash);
     components generalize that grouping to transitive near-dup
     relations.
+
+    Runtime-adaptive strategy (the same move AQE makes for joins): the
+    edge count is known before the loop starts (it materializes the
+    persisted edge list anyway), and near-dup pair sets are normally
+    orders of magnitude smaller than the corpus that produced them —
+    so below ``driver_cap`` edges (~16 MB of longs at the default) a
+    driver-side union-find replaces k rounds of join+aggregate
+    shuffles with one collect. Above the cap, the distributed loop
+    runs. Pass ``driver_cap=0`` to force the distributed path.
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -375,6 +385,11 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
         .distinct()
         .persist()
     )
+    n_edges = sym.count()
+    if driver_cap and n_edges <= driver_cap:
+        out = _driver_union_find(sym)
+        sym.unpersist()
+        return out
     lbl = (
         sym.select(F.col("u").alias("node")).distinct()
         .select("node", F.col("node").alias("comp"))
@@ -407,6 +422,39 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
         prev_sum = new_sum
     sym.unpersist()
     return lbl
+
+
+def _driver_union_find(sym: DataFrame) -> DataFrame:
+    """Union-find with path compression over a collected edge list;
+    component label = min node id (same contract as the distributed
+    loop). Returns (node, comp) with the distributed path's schema."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    # one collect, not toLocalIterator: the cap bounds memory and the
+    # per-partition round-trips of the iterator dominate at this size
+    for u, v in sym.collect():
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru          # smaller root wins → min label
+    rows = [(n, find(n)) for n in parent]
+    spark = sym.sparkSession
+    node_type = sym.schema["u"].dataType.simpleString()
+    return spark.createDataFrame(
+        rows, schema=f"node {node_type}, comp {node_type}")
 
 
 def duplicate_clusters(df: DataFrame, text_col: str = "text",

@@ -7,7 +7,15 @@ from __future__ import annotations
 
 import random
 
+import pytest
+
 from covsonar_spark.operators.dedup import connected_components
+
+# 0 forces the distributed label-propagation loop; the default cap
+# takes the adaptive driver union-find path — both must agree with
+# the reference implementation below.
+BOTH_PATHS = pytest.mark.parametrize("driver_cap", [1_000_000, 0],
+                                     ids=["driver", "distributed"])
 
 
 def union_find_components(edges):
@@ -31,30 +39,34 @@ def union_find_components(edges):
     return comps
 
 
-def spark_components(spark, edges):
+def spark_components(spark, edges, driver_cap=1_000_000):
     df = spark.createDataFrame(edges, "id_a: long, id_b: long")
-    return {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    return {r["node"]: r["comp"]
+            for r in connected_components(df, driver_cap=driver_cap).collect()}
 
 
-def test_chain_star_and_pairs(spark):
+@BOTH_PATHS
+def test_chain_star_and_pairs(spark, driver_cap):
     edges = (
         [(i, i + 1) for i in range(100, 130)]            # 31-node chain
         + [(500, x) for x in range(501, 511)]            # star
         + [(900, 901), (910, 911)]                       # isolated pairs
         + [(700, 701), (701, 702), (700, 702)]           # triangle
     )
-    assert spark_components(spark, edges) == union_find_components(edges)
+    assert spark_components(spark, edges, driver_cap) == union_find_components(edges)
 
 
-def test_random_graph_matches_union_find(spark):
+@BOTH_PATHS
+def test_random_graph_matches_union_find(spark, driver_cap):
     rng = random.Random(42)
     nodes = list(range(200))
     edges = [tuple(sorted(rng.sample(nodes, 2))) for _ in range(150)]
-    assert spark_components(spark, edges) == union_find_components(edges)
+    assert spark_components(spark, edges, driver_cap) == union_find_components(edges)
 
 
-def test_label_is_component_minimum(spark):
+@BOTH_PATHS
+def test_label_is_component_minimum(spark, driver_cap):
     edges = [(7, 3), (3, 9), (20, 21)]
-    comps = spark_components(spark, edges)
+    comps = spark_components(spark, edges, driver_cap)
     assert comps[7] == comps[3] == comps[9] == 3
     assert comps[20] == comps[21] == 20
