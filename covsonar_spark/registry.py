@@ -1012,6 +1012,57 @@ WHERE rnk <= 5 ORDER BY doc_id, term
 """
 
 
+def ann_lsh_knn(spark, sf_dir):
+    """Random-hyperplane LSH knn-join — candidates share a sign-hash
+    bucket in ANY of 2 tables (OR-amplified recall), exact-cosine
+    reranked to top-5 per vector. The hyperplanes are md5-derived
+    (engine-portable, no RNG), so the oracle reproduces the exact
+    bucketing, candidate set, and rerank — a value-check of the whole
+    probabilistic structure, not a recall smoke test."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (similarity.lsh_knn_join(emb, k=5, n_planes=6, n_tables=2)
+            .orderBy("id_a", "rank"))
+
+
+def _lsh_oracle_sql(n_planes: int = 6, n_tables: int = 2, k: int = 5) -> str:
+    from covsonar_spark.operators.similarity import _deterministic_hyperplanes
+
+    def bucket_expr(t: int) -> str:
+        bits = []
+        for p, plane in enumerate(_deterministic_hyperplanes(n_planes, 64, t)):
+            lits = ", ".join(str(x) for x in plane)
+            dot = (f"list_sum(list_transform(generate_series(1,64), "
+                   f"i -> embedding[i]::DOUBLE * ([{lits}]::DOUBLE[])[i]))")
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(bits)
+
+    tables = "\nUNION ALL\n".join(
+        f"SELECT vec_id, embedding, {t} AS tbl, {bucket_expr(t)} AS bucket FROM embeddings"
+        for t in range(n_tables))
+    return f"""
+WITH buckets AS ({tables}),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                  a.embedding AS va, b.embedding AS vb
+  FROM buckets a JOIN buckets b USING (tbl, bucket)
+  WHERE a.vec_id <> b.vec_id),
+scored AS (
+  SELECT id_a, id_b,
+         round(list_sum(list_transform(generate_series(1,64), i -> va[i]::DOUBLE * vb[i]::DOUBLE)) /
+               (sqrt(list_sum(list_transform(generate_series(1,64), i -> va[i]::DOUBLE * va[i]::DOUBLE))) *
+                sqrt(list_sum(list_transform(generate_series(1,64), i -> vb[i]::DOUBLE * vb[i]::DOUBLE)))), 4) AS cosine
+  FROM pairs)
+SELECT id_a, id_b, cosine, CAST(rnk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b ASC) AS rnk
+  FROM scored)
+WHERE rnk <= {k}
+ORDER BY id_a, rank
+"""
+
+
+ANN_LSH_KNN_SQL = _lsh_oracle_sql()
+
+
 def multimodal_frames(spark, sf_dir):
     """Multimodal plumbing, oracle-checked end-to-end: documents →
     deterministic media table (binary payload + typed metadata, pure
@@ -1153,4 +1204,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_tfidf_topk": (text_tfidf_topk, TEXT_TFIDF_SQL),
     "multimodal_frames": (multimodal_frames, MULTIMODAL_FRAMES_SQL),
     "multimodal_meta_stats": (multimodal_meta_stats, MULTIMODAL_META_SQL),
+    "ann_lsh_knn": (ann_lsh_knn, ANN_LSH_KNN_SQL),
 }
