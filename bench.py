@@ -39,6 +39,11 @@ HEADLINE = [
     "text_token_stats",
     "text_tfidf_topk",
     "text_fingerprint",
+    "text_repetition",
+    "decontaminate",
+    "sample_stratified",
+    "pack_sequences",
+    "ann_lsh_knn",
     "multimodal_frames",
 ]
 

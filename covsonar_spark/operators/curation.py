@@ -1,0 +1,149 @@
+"""Corpus-curation operators for training-data pipelines: repetition
+signals, train/eval decontamination, deterministic stratified sampling,
+and token-budget sequence packing.
+
+These extend the reference's screening model (rki-mf1/covsonar matches
+genomes by token profiles; here the "profiles" are text token streams)
+to the operations an LLM-data pipeline runs at 100 TB. Every operator
+is a declarative DataFrame plan — no Python in the hot path — and every
+randomized-looking choice (sampling, sharding) is an md5-derived
+deterministic function so a SQL oracle reproduces it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from covsonar_spark.functions import text as Tx
+from covsonar_spark.operators.textstats import BPE_TOKEN_RE
+
+
+def _md5_pct(col: Column) -> Column:
+    """Deterministic pseudo-uniform percentile in [0,100): 60-bit
+    md5-derived hash mod 100. Portable to DuckDB:
+    ``('0x' || substr(md5(s),1,15))::BIGINT % 100``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % 100
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token
+    fraction and the fraction of all bigrams/trigrams occupied by the
+    single most frequent bigram/trigram.
+
+    Scale shape: the token stream is exploded once and shuffled ONCE,
+    by document — lead() windows over (doc, pos) derive bi/trigrams
+    relationally, a codegen stack() fans each token into its (k, gram)
+    rows, and the groupBy(doc, k, gram) aggregation reuses the
+    window's doc_id partitioning (clustering on a key subset — no
+    second Exchange in the plan). An earlier higher-order-function
+    version built shingle arrays with transform+slice+concat_ws; HOFs
+    evaluate interpreted per element and measured 7× slower than this
+    whole-stage-codegen shape at sf0.1 — and a per-doc HOF top-gram
+    scan would be O(len²) per document, fatal for book-length docs.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col),
+                    F.posexplode(Tx.tokens(text_col)).alias("pos", "t"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    led = tok.select(id_col, "t",
+                     F.lead("t", 1).over(w).alias("t2"),
+                     F.lead("t", 2).over(w).alias("t3"))
+    grams = led.select(
+        id_col,
+        F.expr("stack(3, 1, t, 2, concat_ws(' ', t, t2), "
+               "3, concat_ws(' ', t, t2, t3))").alias("k", "gram"),
+    ).where(~((F.col("k") == 2) & F.isnull("t2"))
+            & ~((F.col("k") == 3) & (F.isnull("t2") | F.isnull("t3"))))
+    per_gram = grams.groupBy(id_col, "k", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_k = per_gram.groupBy(id_col, "k").agg(
+        F.max("cnt").alias("top"),
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_distinct"))
+
+    def frac(k: int, num: Column, den: Column) -> Column:
+        return F.round(F.max(F.when(F.col("k") == k, num / den)), 6)
+
+    return per_k.groupBy(id_col).agg(
+        frac(1, F.col("total") - F.col("n_distinct"), F.col("total"))
+            .alias("dup_token_frac"),
+        frac(2, F.col("top"), F.col("total")).alias("top_bigram_frac"),
+        frac(3, F.col("top"), F.col("total")).alias("top_trigram_frac"),
+    )
+
+
+def decontaminate(df: DataFrame, k: int = 3, eval_mod: int = 10,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Train/eval contamination check: flag training documents sharing
+    any word k-gram with the held-out split (doc_id % eval_mod == 0 —
+    a deterministic stand-in for a real eval set).
+
+    Output: (doc_id, n_hits) — training docs with ≥1 contaminated
+    shingle and how many distinct shingles leak.
+
+    Scale shape: the eval side reduces to a DISTINCT shingle vocabulary
+    (eval sets are tiny vs the corpus), which Catalyst broadcasts into
+    the exploded train-shingle stream — a broadcast semi-join keyed on
+    the shingle string, no corpus-sized shuffle. The per-doc count
+    aggregates map-side first (shingles already distinct per doc).
+    """
+    toks = Tx.tokens(text_col)
+    shingled = df.select(F.col(id_col),
+                         F.explode(F.array_distinct(Tx.word_shingles(toks, k)))
+                          .alias("shingle"))
+    is_eval = (F.col(id_col) % eval_mod) == 0
+    train = shingled.where(~is_eval)
+    eval_vocab = shingled.where(is_eval).select("shingle").distinct()
+    return (train.join(F.broadcast(eval_vocab), "shingle")
+            .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits")))
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, int],
+                      stratum_col: str = "lang",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic stratified downsampling: keep a row iff its
+    md5-percentile (hash of the id, mod 100) falls below the stratum's
+    rate — e.g. ``{"en": 50, "de": 100}`` keeps ~50% of English docs
+    and all German ones. Unlisted strata are dropped (rate 0).
+
+    This is the domain-mixing primitive of training-data pipelines.
+    Hash-based (not random) so the sample is reproducible, stable
+    under re-runs and appends, and oracle-checkable. Pure codegen
+    filter: no shuffle, prunes at the scan.
+    """
+    rate = F.lit(0)
+    for stratum, pct in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(pct)).otherwise(rate)
+    return df.where(_md5_pct(F.col(id_col).cast("string")) < rate) \
+             .select(id_col, stratum_col)
+
+
+def pack_sequences(df: DataFrame, budget: int = 512, n_shards: int = 8,
+                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token-budget sequence packing: concatenate documents (in id
+    order) into a token stream per shard and chop it into fixed-size
+    training sequences. Output: (doc_id, shard, seq_idx, begin_offset)
+    — the sequence each document starts in and its token offset there.
+
+    Scale shape: a single global ordering would serialize the window
+    into one partition, so packing is sharded — shard = doc_id %
+    n_shards, and the running token sum is windowed PER SHARD
+    (partitionBy(shard) parallelizes across the cluster; n_shards
+    scales with executor count, each shard streams through one task).
+    Token counts are the BPE-ish subword counts from textstats — the
+    budget metric a trainer actually packs by.
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0))
+    base = df.select(F.col(id_col), (F.col(id_col) % n_shards).alias("shard"),
+                     n_tok.alias("n_tok"))
+    w = Window.partitionBy("shard").orderBy(id_col)
+    start = (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start")
+    return base.select(
+        id_col, "shard",
+        F.floor(start / budget).cast("int").alias("seq_idx"),
+        (start % budget).cast("int").alias("begin_offset"),
+    )

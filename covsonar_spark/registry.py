@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from covsonar_spark.functions import text as Tx
-from covsonar_spark.operators import closure, dedup, predicates as P, similarity, textstats, windows
+from covsonar_spark.operators import (closure, curation, dedup, predicates as P,
+                                      similarity, textstats, windows)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1063,6 +1064,106 @@ ORDER BY id_a, rank
 ANN_LSH_KNN_SQL = _lsh_oracle_sql()
 
 
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (duplicate-token fraction, top
+    bigram/trigram coverage) — the quality gate that catches boilerplate
+    and degenerate generations in a training corpus. One tagged explode
+    + two-level aggregation (map-side combine collapses the token
+    stream before the shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.repetition_stats(docs).orderBy("doc_id")
+
+
+TEXT_REPETITION_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, 1 AS k, unnest(t) AS gram FROM toks
+  UNION ALL
+  SELECT doc_id, 2 AS k,
+         unnest(list_transform(generate_series(1, len(t)-1),
+                               i -> t[i] || ' ' || t[i+1])) AS gram FROM toks
+  UNION ALL
+  SELECT doc_id, 3 AS k,
+         unnest(list_transform(generate_series(1, len(t)-2),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram FROM toks),
+per_gram AS (SELECT doc_id, k, gram, count(*) AS cnt FROM grams GROUP BY doc_id, k, gram),
+per_k AS (SELECT doc_id, k, max(cnt) AS top, sum(cnt) AS total, count(*) AS n_distinct
+          FROM per_gram GROUP BY doc_id, k)
+SELECT doc_id,
+  round(max(CASE WHEN k=1 THEN (total - n_distinct)::DOUBLE / total END), 6) AS dup_token_frac,
+  round(max(CASE WHEN k=2 THEN top::DOUBLE / total END), 6) AS top_bigram_frac,
+  round(max(CASE WHEN k=3 THEN top::DOUBLE / total END), 6) AS top_trigram_frac
+FROM per_k GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def decontaminate(spark, sf_dir):
+    """Train/eval decontamination: training docs sharing any word
+    3-gram with the held-out split (doc_id % 10 == 0). Eval shingle
+    vocabulary is DISTINCT'd then broadcast into the exploded train
+    stream — no corpus-sized shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.decontaminate(docs, k=3, eval_mod=10).orderBy("doc_id")
+
+
+DECONTAMINATE_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(t)-2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0)
+SELECT doc_id, count(*) AS n_hits
+FROM sh JOIN ev USING (shingle)
+WHERE doc_id % 10 <> 0
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+SAMPLE_RATES = {"en": 35, "de": 100, "fr": 60, "es": 0, "zh": 85}
+
+
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified downsampling by language (the
+    domain-mixing primitive): keep a doc iff its md5-percentile falls
+    under its stratum's rate. Hash-based, so reproducible, append-
+    stable, and value-checkable — and a pure codegen filter."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.stratified_sample(docs, SAMPLE_RATES).orderBy("doc_id")
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 <
+      CASE lang {' '.join(f"WHEN '{s}' THEN {p}" for s, p in sorted(SAMPLE_RATES.items()))}
+      ELSE 0 END
+ORDER BY doc_id
+"""
+
+
+def pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (concatenate-and-chop into
+    512-token training sequences), sharded so the running-sum window
+    parallelizes: partitionBy(shard = doc_id % 8) instead of one
+    global ordering."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.pack_sequences(docs, budget=512, n_shards=8).orderBy("doc_id")
+
+
+PACK_SEQUENCES_SQL = r"""
+WITH base AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_tok
+  FROM documents),
+c AS (SELECT doc_id, shard,
+        sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) - n_tok AS strt
+      FROM base)
+SELECT doc_id, shard, CAST(floor(strt / 512.0) AS INT) AS seq_idx,
+       CAST(strt % 512 AS INT) AS begin_offset
+FROM c ORDER BY doc_id
+"""
+
+
 def multimodal_frames(spark, sf_dir):
     """Multimodal plumbing, oracle-checked end-to-end: documents →
     deterministic media table (binary payload + typed metadata, pure
@@ -1205,4 +1306,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_frames": (multimodal_frames, MULTIMODAL_FRAMES_SQL),
     "multimodal_meta_stats": (multimodal_meta_stats, MULTIMODAL_META_SQL),
     "ann_lsh_knn": (ann_lsh_knn, ANN_LSH_KNN_SQL),
+    "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
+    "decontaminate": (decontaminate, DECONTAMINATE_SQL),
+    "sample_stratified": (sample_stratified, SAMPLE_STRATIFIED_SQL),
+    "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
 }
