@@ -1,13 +1,19 @@
 """FASTA source (S1): plain / .gz / .xz multi-record files → DataFrame
 (accession, description, sequence).
 
-Scale shape: the file list is parallelized and each executor parses its
-files (gzip/xz are not splittable, and one genome record is small, so
-file-level parallelism is the right granularity — same reasoning as the
-reference's per-record loop, sonar.py:496-509, but distributed).  For a
-directory of thousands of FASTA files this scales linearly with
-executors; for one giant uncompressed FASTA use ``split_giant=True``
-which repartitions records after a driver-side index scan.
+Scale shape (reference parses records in a driver loop, sonar.py:496-509;
+here the read is distributed two ways):
+
+- **Plain (and .gz) files** go through Spark's text source with the
+  record delimiter set to ``"\\n>"`` — one row per FASTA record straight
+  off the scan, parsed with JVM column expressions (no Python). For
+  uncompressed files the text source SPLITS inside a single giant file,
+  so one 1 TB concatenated FASTA fans out across the whole cluster;
+  .gz decompresses per-file (codec limitation) but still parallelizes
+  across files.
+- **.xz files** (no Hadoop codec) fall back to parallelizing the path
+  list and parsing per file with a Python generator — right granularity
+  for many small compressed uploads, which is what .xz is used for.
 """
 
 from __future__ import annotations
@@ -16,6 +22,7 @@ import gzip
 import lzma
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 FASTA_SCHEMA = T.StructType([
@@ -48,12 +55,47 @@ def iter_fasta_records(path: str):
         yield header.split(" ")[0], header, "".join(chunks)
 
 
+def read_fasta_splittable(spark: SparkSession,
+                          paths: list[str] | str) -> DataFrame:
+    """Splittable FASTA scan: ``spark.read.text`` with record delimiter
+    ``"\\n>"`` yields one row per record (the first record of each file
+    keeps its leading ``>``, stripped below), then pure column
+    expressions slice header vs body. Whole-stage-codegen end to end;
+    a single multi-TB uncompressed FASTA parallelizes by HDFS split.
+    """
+    raw = spark.read.option("lineSep", "\n>").text(paths)
+    rec = raw.select(F.regexp_replace("value", "^>", "").alias("rec")) \
+             .where(F.length(F.trim("rec")) > 0)
+    header = F.regexp_replace(F.substring_index("rec", "\n", 1), "\r$", "")
+    body = F.when(F.instr("rec", "\n") > 0,
+                  F.expr("substring(rec, instr(rec, '\n') + 1)")) \
+            .otherwise(F.lit(""))
+    return rec.select(
+        F.substring_index(header, " ", 1).alias("accession"),
+        header.alias("description"),
+        F.translate(body, "\n\r ", "").alias("sequence"),
+    )
+
+
 def read_fasta(spark: SparkSession, paths: list[str] | str,
                partitions: int | None = None) -> DataFrame:
-    """Distributed FASTA read: parallelize the path list, parse per file
-    on executors."""
+    """Distributed FASTA read. Plain/.gz paths use the splittable text
+    scan; .xz (not codec-decodable in the JVM) parses per file on
+    executors. Mixed lists are unioned — both branches produce
+    FASTA_SCHEMA.
+    """
     if isinstance(paths, str):
         paths = [paths]
-    n = partitions or min(len(paths), 256)
-    rdd = spark.sparkContext.parallelize(paths, n).flatMap(iter_fasta_records)
-    return spark.createDataFrame(rdd, FASTA_SCHEMA)
+    xz = [p for p in paths if p.endswith(".xz")]
+    rest = [p for p in paths if not p.endswith(".xz")]
+    parts = []
+    if rest:
+        parts.append(read_fasta_splittable(spark, rest))
+    if xz:
+        n = partitions or min(len(xz), 256)
+        rdd = spark.sparkContext.parallelize(xz, n).flatMap(iter_fasta_records)
+        parts.append(spark.createDataFrame(rdd, FASTA_SCHEMA))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
