@@ -41,6 +41,7 @@ HEADLINE = [
     "text_fingerprint",
     "text_repetition",
     "decontaminate",
+    "pii_scrub",
     "sample_stratified",
     "pack_sequences",
     "ann_lsh_knn",

@@ -102,6 +102,42 @@ def decontaminate(df: DataFrame, k: int = 3, eval_mod: int = 10,
             .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits")))
 
 
+# PII patterns restricted to syntax Java regex and RE2 (the DuckDB
+# oracle) interpret identically: char classes, bounded repetition,
+# alternation — no lookaround, no backreferences.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """PII redaction — the compliance stage every training-data pipeline
+    runs before anything else sees the text. Emails, phone numbers and
+    IPv4 literals are replaced with ``<EMAIL>``/``<PHONE>``/``<IP>``
+    tags; per-document match counts come back alongside the scrubbed
+    text so a pipeline can route high-PII documents to quarantine.
+
+    Scale shape: a pure regexp_replace/regexp_extract_all column chain —
+    whole-stage codegen, zero shuffle, prunes to (id, text) at the scan.
+    Order matters: emails are counted and replaced before IPv4 so a
+    dotted hostname inside an address is consumed by the email tag, and
+    counts are taken on the SAME intermediate the replace runs on,
+    keeping counts and tags consistent.
+    """
+    out = df.select(F.col(id_col), F.col(text_col).alias("_t"))
+    for name, tag in [("email", "<EMAIL>"), ("phone", "<PHONE>"),
+                      ("ipv4", "<IP>")]:
+        pat = PII_PATTERNS[name]
+        out = out.withColumn(f"n_{name}",
+                             F.size(F.regexp_extract_all("_t", F.lit(pat), F.lit(0)))) \
+                 .withColumn("_t", F.regexp_replace("_t", pat, tag))
+    return out.select(id_col, F.col("_t").alias("scrubbed"),
+                      "n_email", "n_phone", "n_ipv4")
+
+
 def stratified_sample(df: DataFrame, rates: dict[str, int],
                       stratum_col: str = "lang",
                       id_col: str = "doc_id") -> DataFrame:

@@ -1120,6 +1120,51 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def pii_scrub(spark, sf_dir):
+    """PII redaction (emails / phones / IPv4 → tags + per-doc counts).
+    Synthetic documents carry no PII, so the query deterministically
+    injects doc_id-derived addresses into a subset of docs first — the
+    oracle reproduces the injection, so the scrubber's regex semantics
+    and replacement output are value-checked, not just smoke-run.
+    Pure codegen map stage: zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.concat(F.lit(" user"), d.cast("string"),
+                                    F.lit("@mail.example.org"))).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.concat(F.lit(" tel +1-555-"),
+                                    F.lpad((d % 1000).cast("string"), 3, "0"))).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(F.lit(" host 10."), (d % 250).cast("string"),
+                                    F.lit(".0."), (d % 200 + 7).cast("string"))).otherwise(F.lit("")),
+    )
+    return curation.scrub_pii(docs.select("doc_id", aug.alias("text"))) \
+                   .orderBy("doc_id")
+
+
+PII_SCRUB_SQL = r"""
+WITH aug AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0 THEN ' user' || doc_id || '@mail.example.org' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN ' tel +1-555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || (doc_id % 250) || '.0.' || (doc_id % 200 + 7) ELSE '' END
+    AS t FROM documents),
+e AS (SELECT doc_id,
+        len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+      FROM aug),
+p AS (SELECT doc_id, n_email,
+        len(regexp_extract_all(t, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}')) AS n_phone,
+        regexp_replace(t, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}', '<PHONE>', 'g') AS t
+      FROM e),
+i AS (SELECT doc_id, n_email, n_phone,
+        len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ipv4,
+        regexp_replace(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS t
+      FROM p)
+SELECT doc_id, t AS scrubbed, n_email, n_phone, n_ipv4 FROM i ORDER BY doc_id
+"""
+
+
 SAMPLE_RATES = {"en": 35, "de": 100, "fr": 60, "es": 0, "zh": 85}
 
 
@@ -1308,6 +1353,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_lsh_knn": (ann_lsh_knn, ANN_LSH_KNN_SQL),
     "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
     "decontaminate": (decontaminate, DECONTAMINATE_SQL),
+    "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "sample_stratified": (sample_stratified, SAMPLE_STRATIFIED_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
 }
