@@ -46,19 +46,38 @@ def rows_to_csv(df, out, sep: str = ","):
 
 
 def cmd_add(spark, args):
+    import glob as glob_mod
+
     from covsonar_spark.sources.fasta import read_fasta
 
     st = _store(spark, args)
+    paths = list(args.file or [])
+    for d in args.dir or []:
+        for pat in ("*.fasta", "*.fna"):
+            paths.extend(sorted(glob_mod.glob(f"{d}/{pat}")))
+    if not paths:
+        raise SystemExit("add needs --file or --dir")
     defaults = {k: getattr(args, k) for k in ("source", "lab", "collection")
                 if getattr(args, k, None)}
-    rep = st.add_fasta_df(read_fasta(spark, args.file), force=args.force,
-                          paranoid=not args.no_paranoid,
+    rep = st.add_fasta_df(read_fasta(spark, paths, compressed=args.compressed),
+                          force=args.force, paranoid=not args.no_paranoid,
                           metadata_defaults=defaults or None)
-    print(f"added {rep['added_accessions']} accession(s), "
-          f"{rep['new_sequences']} new sequence(s)", file=sys.stderr)
-    for seqhash, err in rep["errors"].items():
-        print(f"error: {seqhash}: {err}", file=sys.stderr)
+    if not args.quiet:
+        print(f"added {rep['added_accessions']} accession(s), "
+              f"{rep['new_sequences']} new sequence(s)", file=sys.stderr)
+        for seqhash, err in rep["errors"].items():
+            print(f"error: {seqhash}: {err}", file=sys.stderr)
     return rep
+
+
+def _accs_from(args) -> list[str]:
+    """--acc list plus --file (one accession per line), reference
+    restore/var2vcf/remove input convention."""
+    accs = list(args.acc or [])
+    if getattr(args, "acc_file", None):
+        with open(args.acc_file) as fh:
+            accs.extend(ln.strip() for ln in fh if ln.strip())
+    return accs
 
 
 def _match_query(args) -> MatchQuery:
@@ -84,6 +103,12 @@ def _match_query(args) -> MatchQuery:
 def cmd_match(spark, args):
     st = _store(spark, args)
     res = st.match(_match_query(args))
+    if args.debug:
+        # reference --debug prints the generated SQL (sonar.py:340-343);
+        # the Spark twin is the optimized physical plan
+        print(res._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted")), file=sys.stderr)
     if args.count:
         print(res.collect()[0]["count"])
         return
@@ -99,7 +124,7 @@ def cmd_restore(spark, args):
     from covsonar_spark.operators.restore import restore_genomes, to_fasta_lines
 
     st = _store(spark, args)
-    lines = to_fasta_lines(restore_genomes(st, args.acc or None))
+    lines = to_fasta_lines(restore_genomes(st, _accs_from(args) or None))
     out = open(args.out, "w") if args.out else sys.stdout
     try:
         for r in lines.toLocalIterator():
@@ -113,7 +138,8 @@ def cmd_var2vcf(spark, args):
     from covsonar_spark.operators.vcf import export_vcf
 
     st = _store(spark, args)
-    export_vcf(st, args.out, accessions=args.acc or None, dates=args.date or None)
+    export_vcf(st, args.out, accessions=_accs_from(args) or None,
+               dates=args.date or None)
     print(f"wrote {args.out}", file=sys.stderr)
 
 
@@ -143,7 +169,10 @@ def cmd_update(spark, args):
 
 def cmd_remove(spark, args):
     st = _store(spark, args)
-    rep = st.remove(args.acc)
+    accs = _accs_from(args)
+    if not accs:
+        raise SystemExit("remove needs --acc or --file")
+    rep = st.remove(accs)
     print(f"removed {rep['removed_accessions']} genome(s), "
           f"gc'd {rep['gc_seqhashes']} sequence(s)", file=sys.stderr)
 
@@ -198,12 +227,28 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--ref", help="reference FASTA (first use)")
         sp.add_argument("--gff", help="reference GFF3 (first use)")
         sp.add_argument("--lineages", help="lineage.all.tsv (first use)")
+        # reference general flag (sonar.py:48-54); Spark sizes its own
+        # pool — honored via SPARK_GRAFT_CPUS before session creation
+        sp.add_argument("--cpus", type=int, default=None)
 
     sp = sub.add_parser("add")
     common(sp)
-    sp.add_argument("-f", "--file", nargs="+", required=True)
+    grp = sp.add_mutually_exclusive_group()
+    grp.add_argument("-f", "--file", nargs="+")
+    grp.add_argument("-d", "--dir", nargs="+",
+                     help="ingest every *.fasta / *.fna in the director(ies)")
+    sp.add_argument("-c", "--cache", default=None,
+                    help="accepted for compatibility; the Spark engine has no "
+                         "file cache (shuffle/persist replace it)")
+    sp.add_argument("-t", "--timeout", type=int, default=600,
+                    help="accepted for compatibility; the banded aligner is "
+                         "deterministic-time, no per-sequence subprocess to kill")
+    sp.add_argument("--compressed", choices=["none", "gz", "xz", "auto"],
+                    default="auto")
     sp.add_argument("--force", action="store_true")
     sp.add_argument("--no-paranoid", action="store_true")
+    sp.add_argument("--noprogress", "-p", action="store_true")
+    sp.add_argument("--quiet", "-q", action="store_true")
     sp.add_argument("--source")
     sp.add_argument("--lab")
     sp.add_argument("--collection")
@@ -227,20 +272,32 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--count", action="store_true")
     sp.add_argument("--ambig", action="store_true")
     sp.add_argument("--tsv", action="store_true")
+    sp.add_argument("--debug", action="store_true")
+    sp.add_argument("--no-lineage-update", dest="no_lineage_update",
+                    action="store_true",
+                    help="accepted for compatibility; this engine never "
+                         "auto-downloads the taxonomy at match time")
     sp.add_argument("-o", "--out")
     sp.set_defaults(fn=cmd_match)
 
     sp = sub.add_parser("restore")
     common(sp)
     sp.add_argument("--acc", nargs="+")
+    sp.add_argument("-f", "--file", dest="acc_file",
+                    help="file with one accession per line")
     sp.add_argument("-o", "--out")
     sp.set_defaults(fn=cmd_restore)
 
     sp = sub.add_parser("var2vcf")
     common(sp)
     sp.add_argument("--acc", nargs="+")
+    sp.add_argument("-f", "--file", dest="acc_file",
+                    help="file with one accession per line")
     sp.add_argument("--date", nargs="+")
-    sp.add_argument("-o", "--out", required=True)
+    sp.add_argument("-o", "--out", "--output", required=True)
+    sp.add_argument("--betaV2", action="store_true",
+                    help="accepted for compatibility; this engine is always "
+                         "aggregation-first (the v2 semantics)")
     sp.set_defaults(fn=cmd_var2vcf)
 
     sp = sub.add_parser("update")
@@ -249,11 +306,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--csv")
     sp.add_argument("--tsv")
     sp.add_argument("--fields", nargs="+")
+    sp.add_argument("--compressed", choices=["none", "gz", "xz", "auto"],
+                    default="auto",
+                    help="accepted for compatibility; csv/tsv codecs are "
+                         "detected from the extension")
     sp.set_defaults(fn=cmd_update)
 
     sp = sub.add_parser("remove")
     common(sp)
-    sp.add_argument("--acc", nargs="+", required=True)
+    sp.add_argument("--acc", nargs="+")
+    sp.add_argument("-f", "--file", dest="acc_file",
+                    help="file with one accession per line")
     sp.set_defaults(fn=cmd_remove)
 
     sp = sub.add_parser("info")
@@ -281,8 +344,12 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None, spark=None):
     args = build_parser().parse_args(argv)
     if spark is None:
+        import os
+
         from covsonar_spark.session import get_spark
 
+        if getattr(args, "cpus", None):
+            os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
         spark = get_spark("sparksonar-cli")
     return args.fn(spark, args)
 

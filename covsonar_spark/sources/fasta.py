@@ -32,17 +32,21 @@ FASTA_SCHEMA = T.StructType([
 ])
 
 
-def _open(path: str):
-    if path.endswith(".gz"):
+def _open(path: str, compressed: str = "auto"):
+    fmt = compressed
+    if fmt == "auto":
+        fmt = "gz" if path.endswith(".gz") else \
+              "xz" if path.endswith(".xz") else "none"
+    if fmt == "gz":
         return gzip.open(path, "rt")
-    if path.endswith(".xz"):
+    if fmt == "xz":
         return lzma.open(path, "rt")
     return open(path)
 
 
-def iter_fasta_records(path: str):
+def iter_fasta_records(path: str, compressed: str = "auto"):
     header, chunks = None, []
-    with _open(path) as fh:
+    with _open(path, compressed) as fh:
         for line in fh:
             line = line.rstrip()
             if line.startswith(">"):
@@ -78,14 +82,23 @@ def read_fasta_splittable(spark: SparkSession,
 
 
 def read_fasta(spark: SparkSession, paths: list[str] | str,
-               partitions: int | None = None) -> DataFrame:
+               partitions: int | None = None,
+               compressed: str = "auto") -> DataFrame:
     """Distributed FASTA read. Plain/.gz paths use the splittable text
     scan; .xz (not codec-decodable in the JVM) parses per file on
     executors. Mixed lists are unioned — both branches produce
-    FASTA_SCHEMA.
+    FASTA_SCHEMA. ``compressed`` mirrors the reference's ``add
+    --compressed`` (none/gz/xz/auto): a non-auto value overrides
+    extension detection and routes through the Python parser, since the
+    JVM scan trusts extensions for codec selection.
     """
     if isinstance(paths, str):
         paths = [paths]
+    if compressed != "auto":
+        n = partitions or min(len(paths), 256)
+        rdd = spark.sparkContext.parallelize(paths, n) \
+            .flatMap(lambda p: iter_fasta_records(p, compressed))
+        return spark.createDataFrame(rdd, FASTA_SCHEMA)
     xz = [p for p in paths if p.endswith(".xz")]
     rest = [p for p in paths if not p.endswith(".xz")]
     parts = []
