@@ -31,14 +31,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; read nanos as long and derive `ts_us` (epoch micros,
-    integer) — timezone-free and exactly reproducible in DuckDB via
-    ``epoch_us(CAST(ts AS TIMESTAMP))``."""
+    """events.parquet has shipped ts as TIMESTAMP(NANOS) (rejected by the
+    vectorized reader → read nanos-as-long) and as TIMESTAMP(MICROS)
+    without a timezone (→ TIMESTAMP_NTZ in Spark 4). Normalize every
+    encoding to `ts_us` (epoch micros, integer) — timezone-free (session
+    tz is UTC, so NTZ wall-clock == UTC instant) and exactly reproducible
+    in DuckDB via ``epoch_us(CAST(ts AS TIMESTAMP))``."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes)["ts"] == "bigint":
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type == "bigint":
         ev = ev.withColumn("ts_us", F.expr("ts div 1000"))
+    elif ts_type == "timestamp_ntz":
+        ev = ev.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
     else:
         ev = ev.withColumn("ts_us", F.unix_micros("ts"))
     return ev

@@ -21,28 +21,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-EVENTS_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType(), True),
-    T.StructField("user_id", T.LongType(), True),
-    T.StructField("event_type", T.StringType(), True),
-    T.StructField("ts", T.LongType(), True),          # TIMESTAMP(NANOS) as long
-    T.StructField("payload", T.StringType(), True),
-])
-
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet (nanos ts → proper timestamp
-    column ``event_time`` + integer ``ts_us`` for exact comparisons)."""
+    """readStream over the events parquet. The table has shipped with ts
+    as TIMESTAMP(NANOS) (read nanos-as-long) and TIMESTAMP(MICROS)
+    (TIMESTAMP_NTZ in Spark 4); peek at the batch schema and normalize
+    either to integer ``ts_us`` + proper timestamp ``event_time``."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts_us", F.expr("ts div 1000")) \
-              .withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in schema.fields)["ts"]
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts_us", F.expr("ts div 1000"))
+    else:  # timestamp / timestamp_ntz; session tz is UTC so the cast is exact
+        raw = raw.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    return raw.withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour",

@@ -16,10 +16,9 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def batch_events(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    return ev.withColumn("ts_us", F.expr("ts div 1000")) \
-             .withColumn("event_time", F.timestamp_micros(F.col("ts_us"))).cache()
+    from covsonar_spark.registry import _events
+    ev = _events(spark, SF_DIR)
+    return ev.withColumn("event_time", F.timestamp_micros(F.col("ts_us"))).cache()
 
 
 def test_windowed_counts_match_batch(spark, batch_events):
