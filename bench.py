@@ -19,6 +19,10 @@ from covsonar_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q18_large_orders",
+    "join_parts_never_ordered",
     "match_metadata_filters",
     "match_profile_and",
     "match_profile_or_groups",

@@ -122,6 +122,153 @@ LIMIT 10
 """
 
 
+def q5_local_supplier_volume(spark, sf_dir):
+    """J1-chain at its widest — six-way star join (lineitem ⋈ orders ⋈
+    customer ⋈ supplier ⋈ nation ⋈ region) with the same-nation
+    customer/supplier equi-constraint, grouped revenue per nation.
+    region+nation are broadcast explicitly (tiny, fixed-size dims);
+    customer/supplier are left to Catalyst/AQE, which broadcasts them at
+    bench scale and falls back to shuffle joins on a cluster — the right
+    call at 100 TB is data-dependent, so it is not hardcoded."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    revenue = F.sum(_dec("l_extendedprice", 18, 2) * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(revenue.cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def q4_order_priority(spark, sf_dir):
+    """EXISTS-style left-semi join with a cross-table inequality: orders
+    in one quarter that have at least one line item shipped after the
+    order date, counted per priority. The semi-join keeps the probe side
+    one-row-per-order (no fanout, no distinct) — at scale that is one
+    shuffle on the order key and a partial-aggregated count."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li, (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi")
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def join_parts_never_ordered(spark, sf_dir):
+    """NOT EXISTS as a left-anti join: parts with zero lineitem
+    references inside a ship-date window, counted per brand. The date
+    filter is pushed into the anti-join's build-side scan; the build is
+    just the key column (pruned scan); no fanout on the probe side."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp")))
+    never = part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+    return (
+        never.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"),
+             F.round(F.sum(_dec("p_retailprice", 18, 2)).cast("double"), 2).alias("sum_retail"))
+        .orderBy("p_brand")
+    )
+
+
+PARTS_NEVER_ORDERED_SQL = """
+SELECT p_brand, count(*) AS n_parts,
+       round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_retail
+FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+                  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01')
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def q18_large_orders(spark, sf_dir):
+    """HAVING-gated aggregate feeding a top-k join (TPC-H q18 shape):
+    orders whose total quantity exceeds a threshold, joined back to
+    customer for reporting. The aggregate runs FIRST on lineitem alone
+    (partial map-side combine, one shuffle on l_orderkey) and only the
+    few surviving keys reach the join — the aggregate-then-join ordering
+    is the scale-critical choice."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.round(F.sum(_dec("l_quantity", 18, 2)).cast("double"), 2).alias("total_qty"))
+           .where(F.col("total_qty") > 180))
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                F.round(_dec("o_totalprice", 18, 2).cast("double"), 2).alias("o_total"),
+                "total_qty")
+        .orderBy(F.col("o_total").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) > 180)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS o_total,
+       total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_total DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
 def agg_group_counts(spark, sf_dir):
     """A5 — COUNT … GROUP BY two categoricals ORDER BY (reference
     info_data_types, lib/sonardb.py:1567-1569)."""
@@ -1319,6 +1466,10 @@ def stream_sessionize(spark, sf_dir):
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q4_order_priority": (q4_order_priority, Q4_SQL),
+    "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
+    "join_parts_never_ordered": (join_parts_never_ordered, PARTS_NEVER_ORDERED_SQL),
     "agg_group_counts": (agg_group_counts, AGG_GROUP_COUNTS_SQL),
     "agg_distinct_counts": (agg_distinct_counts, AGG_DISTINCT_COUNTS_SQL),
     "agg_minmax_dates": (agg_minmax_dates, AGG_MINMAX_DATES_SQL),
