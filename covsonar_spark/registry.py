@@ -269,6 +269,61 @@ LIMIT 20
 """
 
 
+def agg_rollup_revenue(spark, sf_dir):
+    """Hierarchical subtotals via ROLLUP (beyond the reference's flat
+    GROUP BYs): per (returnflag, linestatus), per returnflag, and grand
+    total in ONE pass — Spark expands the grouping sets map-side, so the
+    three levels cost one shuffle, not three scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.grouping("l_returnflag").alias("g_flag"),
+             F.grouping("l_linestatus").alias("g_status"),
+             F.count(F.lit(1)).alias("n_items"),
+             F.round(F.sum(_dec("l_extendedprice", 18, 2)).cast("double"), 2).alias("sum_price"))
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status",
+                "n_items", "sum_price")
+        .orderBy(F.col("g_flag"), F.col("g_status"),
+                 F.col("l_returnflag").asc_nulls_last(), F.col("l_linestatus").asc_nulls_last())
+    )
+
+
+AGG_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+       count(*) AS n_items,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY g_flag, g_status, l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST
+"""
+
+
+def agg_percentiles(spark, sf_dir):
+    """Exact continuous percentiles per group (median / p95 of extended
+    price per return flag). Exact percentile needs the group's values
+    together — one shuffle on the 3-value group key; for 100 TB
+    dashboards the approx_percentile sketch (t-digest, partial-merge,
+    no full materialization) is the drop-in scale path."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
+             F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50_price,
+       round(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p95_price,
+       round(avg(l_extendedprice), 4) AS avg_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def agg_group_counts(spark, sf_dir):
     """A5 — COUNT … GROUP BY two categoricals ORDER BY (reference
     info_data_types, lib/sonardb.py:1567-1569)."""
@@ -1471,6 +1526,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q18_large_orders": (q18_large_orders, Q18_SQL),
     "join_parts_never_ordered": (join_parts_never_ordered, PARTS_NEVER_ORDERED_SQL),
     "agg_group_counts": (agg_group_counts, AGG_GROUP_COUNTS_SQL),
+    "agg_rollup_revenue": (agg_rollup_revenue, AGG_ROLLUP_SQL),
+    "agg_percentiles": (agg_percentiles, AGG_PERCENTILES_SQL),
     "agg_distinct_counts": (agg_distinct_counts, AGG_DISTINCT_COUNTS_SQL),
     "agg_minmax_dates": (agg_minmax_dates, AGG_MINMAX_DATES_SQL),
     "agg_field_completeness": (agg_field_completeness, AGG_FIELD_COMPLETENESS_SQL),
