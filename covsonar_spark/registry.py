@@ -888,6 +888,51 @@ ORDER BY id_a, id_b
 """
 
 
+def stream_dedup_lsh(spark, sf_dir):
+    """Incremental near-dup detection (streaming/dedup.py): documents
+    arrive in three chunks; each chunk is minhash-signed and band-joined
+    against the persistent band store of everything seen before it, and
+    near-dup pairs are flagged by the MinHash signature-agreement
+    estimator. The union of per-batch pairs must equal a ONE-SHOT LSH
+    run over the whole corpus — exactly what the oracle computes — so
+    the exactly-once pair-emission invariant is value-checked."""
+    import tempfile
+
+    from covsonar_spark.streaming.dedup import StreamingLshDedup
+
+    docs = _t(spark, sf_dir, "documents")
+    state = tempfile.mkdtemp(prefix="stream_lsh_")
+    ded = StreamingLshDedup(spark, state, k=3, num_hashes=8, band_rows=2,
+                            threshold=0.4)
+    for i in range(3):
+        ded.process_batch(docs.where(F.col("doc_id") % 3 == i))
+    return ded.pairs().orderBy("id_a", "id_b")
+
+
+_EST = " + ".join(f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)" for i in range(8))
+STREAM_DEDUP_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+             i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+  FROM toks),
+mh AS (
+  SELECT doc_id,
+    {_MH}
+  FROM sh GROUP BY doc_id),
+bands AS (
+  {_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id)
+SELECT c.id_a, c.id_b, round(({_EST}) / 8.0, 4) AS est_jaccard
+FROM cand c JOIN mh a ON a.doc_id = c.id_a JOIN mh b ON b.doc_id = c.id_b
+WHERE ({_EST}) / 8.0 >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
 def dedup_ngram_prefix(spark, sf_dir):
     """PPJoin prefix-filtered exact Jaccard (lossless candidate
     reduction): results must equal dedup_ngram_jaccard at the same
@@ -1547,6 +1592,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "stream_dedup_lsh": (stream_dedup_lsh, STREAM_DEDUP_SQL),
     "dedup_ngram_prefix": (dedup_ngram_prefix, DEDUP_NGRAM_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),

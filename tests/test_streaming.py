@@ -3,6 +3,8 @@ operator must reproduce its batch twin's answer on the same events."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -101,3 +103,40 @@ def test_stateful_sessionizer_closed_sessions(spark, batch_events):
     # nothing emitted that batch doesn't know about
     all_want = {(r["user_id"], r["s"]) for r in sess.collect()}
     assert set(got) <= all_want
+
+
+def test_streaming_lsh_dedup_matches_one_shot(spark, tmp_path):
+    """Documents streamed file-by-file through StreamingLshDedup flag
+    exactly the pairs a one-shot LSH over the full corpus flags — the
+    exactly-once emission invariant, driven through a REAL stream
+    (maxFilesPerTrigger=1, so every parquet file is its own
+    micro-batch against the persistent band store)."""
+    from covsonar_spark.streaming.dedup import StreamingLshDedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    landing = tmp_path / "docs_landing"
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1) \
+            .write.parquet(str(landing / f"chunk{i}"))
+    files = [str(p) for p in sorted(landing.glob("chunk*/part-*.parquet"))]
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, p in enumerate(files):
+        os.rename(p, flat / f"{i}.parquet")
+
+    ded = StreamingLshDedup(spark, str(tmp_path / "state"),
+                            k=3, num_hashes=8, band_rows=2, threshold=0.4)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(flat)))
+    q = ded.attach(stream, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    got = {(r["id_a"], r["id_b"], r["est_jaccard"])
+           for r in ded.pairs().collect()}
+
+    one_shot = StreamingLshDedup(spark, str(tmp_path / "state_oneshot"),
+                                 k=3, num_hashes=8, band_rows=2, threshold=0.4)
+    want = {(r["id_a"], r["id_b"], r["est_jaccard"])
+            for r in one_shot.process_batch(docs).collect()}
+    assert got == want and len(got) > 0
