@@ -24,6 +24,71 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour",
     )
 
 
+def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
+              left_ts: str, right_ts: str,
+              right_cols: list[str] | None = None,
+              tolerance: int | None = None) -> DataFrame:
+    """Backward as-of join: for every left row, attach the right row
+    with the greatest ``right_ts`` ≤ ``left_ts`` within the same key
+    (DuckDB/kdb/pandas ``merge_asof`` semantics; Spark has no native
+    form — SURVEY §2.3 notes the reference has none either, this is
+    beyond-parity surface for event attribution).
+
+    Physical strategy is the union+window trick, NOT a range join: tag
+    both sides, union them, and per key take the running "last right
+    payload seen" ordered by (ts, side) — right rows sort before left
+    rows at equal ts, so ties match (>= semantics). ONE shuffle on the
+    key, no range-condition join (which Spark would execute as a
+    broadcast-nested-loop or an inequality sort-merge with per-key
+    fanout — the union+window plan is O(n log n) per key and
+    skew-safe under AQE).
+
+    ``tolerance`` (in the ts column's own units, for numeric ts): right
+    matches older than ``left_ts - tolerance`` are nulled out, matching
+    pandas ``merge_asof(tolerance=...)``.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns
+                      if c not in set(key_cols) | {right_ts}]
+    payload = F.struct(F.col(right_ts).alias("__rts"),
+                       *[F.col(c) for c in right_cols])
+    r = right.select(
+        *key_cols,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        payload.alias("__payload"))
+    # the window runs over a union that KEEPS the left columns (right
+    # rows hold nulls there) and filters back to left rows afterwards —
+    # a synthetic-row-id join-back would cost a second shuffle.
+    l_full = left.select(
+        "*",
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"))
+    left_types = dict(left.dtypes)
+    r_full = r
+    for c in left.columns:
+        if c not in set(key_cols):
+            r_full = r_full.withColumn(c, F.lit(None).cast(left_types[c]))
+    unioned = l_full.unionByName(r_full, allowMissingColumns=True)
+    w = (Window.partitionBy(*key_cols)
+         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = unioned.withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w))
+    out = matched.where(F.col("__side") == 1)
+    if tolerance is not None:
+        out = out.withColumn(
+            "__match",
+            F.when(F.col("__match").isNotNull()
+                   & (F.col("__ts") - F.col("__match.__rts") <= F.lit(tolerance)),
+                   F.col("__match")))
+    for c in right_cols:
+        out = out.withColumn(c, F.col(f"__match.{c}"))
+    out = out.withColumn("matched_ts", F.col("__match.__rts"))
+    return out.drop("__ts", "__side", "__payload", "__match")
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30,
                ts_col: str = "ts", user_col: str = "user_id") -> DataFrame:
     """Gap-based sessionization: a new session starts when the user's

@@ -1062,6 +1062,43 @@ FROM s ORDER BY doc_id
 """
 
 
+def events_asof_attribution(spark, sf_dir):
+    """Backward as-of join (operators/windows.asof_join — an operator
+    Spark lacks natively): every purchase event attributed to the same
+    user's most recent prior-or-simultaneous click. Executed as the
+    union+window plan (ONE shuffle on user_id, no range join); the
+    oracle is DuckDB's native ASOF LEFT JOIN, so the tie/lookback
+    semantics are value-checked against an independent implementation."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_us", F.round("value", 4).alias("value"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts_us", F.col("event_id").alias("click_id"))
+    joined = windows.asof_join(purchases, clicks, ["user_id"],
+                               "ts_us", "ts_us", ["click_id"])
+    return (
+        joined.select("user_id", "event_id", "ts_us", "value", "click_id",
+                      F.col("matched_ts").alias("click_ts_us"))
+        .orderBy("event_id")
+    )
+
+
+EVENTS_ASOF_SQL = """
+WITH purchases AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         round(value, 4) AS value
+  FROM events WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT user_id, event_id AS click_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS click_ts_us
+  FROM events WHERE event_type = 'click')
+SELECT p.user_id, p.event_id, p.ts_us, p.value, c.click_id, c.click_ts_us
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.click_ts_us <= p.ts_us
+ORDER BY p.event_id
+"""
+
+
 def curate_corpus(spark, sf_dir):
     """The composed training-data curation pipeline — the flow the
     operator library exists for, end-to-end in ONE declarative plan:
@@ -1589,6 +1626,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_window_agg": (events_window_agg, EVENTS_WINDOW_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_json_extract": (events_json_extract, EVENTS_JSON_SQL),
+    "events_asof_attribution": (events_asof_attribution, EVENTS_ASOF_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),

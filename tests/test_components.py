@@ -70,3 +70,40 @@ def test_label_is_component_minimum(spark, driver_cap):
     comps = spark_components(spark, edges, driver_cap)
     assert comps[7] == comps[3] == comps[9] == 3
     assert comps[20] == comps[21] == 20
+
+
+def test_asof_join_backward_and_tolerance(spark):
+    """asof_join against a brute-force per-row maximum: backward
+    semantics (>= tie matches), per-key isolation, and the tolerance
+    cutoff nulling out stale matches."""
+    from pyspark.sql import functions as F
+
+    from covsonar_spark.operators.windows import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d"), (3, 10, "e")],
+        "k long, t long, tag string")
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (1, 1, "r1"), (2, 99, "r99")],
+        "k long, t long, val string")
+
+    got = {r["tag"]: (r["val"], r["matched_ts"])
+           for r in asof_join(left, right, ["k"], "t", "t", ["val"]).collect()}
+    assert got == {
+        "a": ("r10", 10),   # tie at t=10 matches (>= semantics)
+        "b": ("r15", 15),   # most recent prior, not first
+        "c": ("r1", 1),
+        "d": (None, None),  # right row exists but is in the future
+        "e": (None, None),  # key absent from right
+    }
+
+    got_tol = {r["tag"]: r["val"]
+               for r in asof_join(left, right, ["k"], "t", "t", ["val"],
+                                  tolerance=5).collect()}
+    # staleness: a=0, b=5, c=4 — all within 5
+    assert got_tol == {"a": "r10", "b": "r15", "c": "r1", "d": None, "e": None}
+    got_tol0 = {r["tag"]: r["val"]
+                for r in asof_join(left, right, ["k"], "t", "t", ["val"],
+                                   tolerance=3).collect()}
+    # b (5 units stale) and c (4 units stale) exceed 3; a (exact tie) stays
+    assert got_tol0 == {"a": "r10", "b": None, "c": None, "d": None, "e": None}
