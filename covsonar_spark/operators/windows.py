@@ -89,6 +89,53 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
     return out.drop("__ts", "__side", "__payload", "__match")
 
 
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          l_start: str, l_end: str,
+                          r_start: str, r_end: str,
+                          bin_width: int) -> DataFrame:
+    """Interval-overlap join via binning — the scalable plan for a
+    big × big range join, which Spark would otherwise execute as a
+    broadcast-nested-loop (O(n·m)) or a one-sided sort-merge with a
+    residual inequality. Spark has no native interval join; the
+    reference has no range joins at all (SURVEY §2.3).
+
+    Each interval is exploded into the fixed-width bins it touches;
+    the join is then a plain EQUI-join on the bin id plus the exact
+    overlap predicate as a residual filter. Work is O(candidates) where
+    candidates share a bin — pick ``bin_width`` near the typical
+    interval length so most intervals touch O(1) bins. A pair spanning
+    several shared bins would appear once per bin, so the join keeps
+    only the pair's FIRST shared bin (greatest of the two start-bins) —
+    dedup by construction, no distinct() shuffle afterwards.
+
+    Returns all left×right column pairs that overlap:
+    max(start) ≤ min(end) (closed intervals).
+    """
+    def binned(df: DataFrame, s: str, e: str, prefix: str) -> DataFrame:
+        return df.select(
+            *[F.col(c).alias(f"{prefix}{c}") for c in df.columns],
+            F.explode(F.sequence(
+                F.floor(F.col(s) / bin_width).cast("long"),
+                F.floor(F.col(e) / bin_width).cast("long"))).alias("__bin"))
+
+    a = binned(left, l_start, l_end, "")
+    b = binned(right, r_start, r_end, "")
+    dup = set(left.columns) & set(right.columns)
+    for c in dup:
+        b = b.withColumnRenamed(c, f"r_{c}")
+    rs, re = (f"r_{r_start}" if r_start in dup else r_start,
+              f"r_{r_end}" if r_end in dup else r_end)
+    first_shared = F.greatest(
+        F.floor(F.col(l_start) / bin_width).cast("long"),
+        F.floor(F.col(rs) / bin_width).cast("long"))
+    return (
+        a.join(b, "__bin")
+        .where((F.col(l_start) <= F.col(re)) & (F.col(rs) <= F.col(l_end)))
+        .where(F.col("__bin") == first_shared)
+        .drop("__bin")
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30,
                ts_col: str = "ts", user_col: str = "user_id") -> DataFrame:
     """Gap-based sessionization: a new session starts when the user's

@@ -676,6 +676,68 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+def events_concurrent_sessions(spark, sf_dir):
+    """Big×big interval-overlap join (operators/windows.
+    interval_overlap_join): sessionize per user, then find session
+    pairs of DIFFERENT users that overlap in time. Executed as a
+    binned equi-join (explode into 1-hour bins, equi-join on bin,
+    exact-overlap residual, first-shared-bin dedup by construction) —
+    no nested-loop, no distinct shuffle. The oracle runs the naive
+    inequality join, so the binned plan's exactness is value-checked."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    boundary = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = (
+        ev.withColumn("session_seq", F.sum(boundary).over(w))
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts_us").alias("s_us"), F.max("ts_us").alias("e_us"))
+        .select("user_id", "s_us", "e_us")
+    )
+    a = sess.select(F.col("user_id").alias("user_a"),
+                    F.col("s_us").alias("sa"), F.col("e_us").alias("ea"))
+    b = sess.select(F.col("user_id").alias("user_b"),
+                    F.col("s_us").alias("sb"), F.col("e_us").alias("eb"))
+    pairs = windows.interval_overlap_join(a, b, "sa", "ea", "sb", "eb",
+                                          bin_width=3_600_000_000)
+    return (
+        pairs.where(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("n_overlaps"),
+             F.sum(F.least("ea", "eb") - F.greatest("sa", "sb")).alias("overlap_us"))
+        .orderBy("user_a", "user_b")
+    )
+
+
+EVENTS_CONCURRENT_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+), flagged AS (
+  SELECT user_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS boundary
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+), sess_id AS (
+  SELECT user_id, ts_us,
+         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts_us ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+), sess AS (
+  SELECT user_id, min(ts_us) AS s_us, max(ts_us) AS e_us
+  FROM sess_id GROUP BY user_id, session_seq)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       count(*) AS n_overlaps,
+       sum(least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us)) AS overlap_us
+FROM sess a JOIN sess b
+  ON a.user_id < b.user_id AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+GROUP BY 1, 2
+ORDER BY user_a, user_b
+"""
+
+
 EVENTS_SESSIONIZE_SQL = """
 WITH base AS (
   SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
@@ -1627,6 +1689,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_json_extract": (events_json_extract, EVENTS_JSON_SQL),
     "events_asof_attribution": (events_asof_attribution, EVENTS_ASOF_SQL),
+    "events_concurrent_sessions": (events_concurrent_sessions, EVENTS_CONCURRENT_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),

@@ -107,3 +107,26 @@ def test_asof_join_backward_and_tolerance(spark):
                                    tolerance=3).collect()}
     # b (5 units stale) and c (4 units stale) exceed 3; a (exact tie) stays
     assert got_tol0 == {"a": "r10", "b": None, "c": None, "d": None, "e": None}
+
+
+def test_interval_overlap_join_binned_exactness(spark):
+    """Binned interval join must equal the naive cross-filter: pairs
+    sharing several bins appear once, closed-interval touch counts as
+    overlap, and bin-width choice never changes the result."""
+    from covsonar_spark.operators.windows import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [("L1", 0, 25), ("L2", 30, 31), ("L3", 100, 100)],
+        "lid string, s long, e long")
+    right = spark.createDataFrame(
+        [("R1", 5, 7), ("R2", 25, 30), ("R3", 32, 99), ("R4", 100, 200)],
+        "rid string, s long, e long")
+    want = {("L1", "R1"), ("L1", "R2"),   # touch at 25 counts (closed)
+            ("L2", "R2"),                 # touch at 30
+            ("L3", "R4")}                 # touch at 100, point interval
+    for bw in (3, 10, 1000):              # narrow, medium, one-bin-fits-all
+        got = {(r["lid"], r["rid"])
+               for r in interval_overlap_join(
+                   left, right, "s", "e", "s", "e", bin_width=bw)
+               .collect()}
+        assert got == want, f"bin_width={bw}"
