@@ -30,6 +30,8 @@ HEADLINE = [
     "window_rank_per_group",
     "events_window_agg",
     "events_sessionize",
+    "events_asof_attribution",
+    "events_concurrent_sessions",
     "dedup_exact",
     "curate_corpus",
     "dedup_ngram_jaccard",
