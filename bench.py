@@ -40,6 +40,7 @@ HEADLINE = [
     "embed_near_dup",
     "vcf_site_stats",
     "ann_cosine_topk",
+    "hybrid_search_rrf",
     "ann_ivf_topk",
     "text_lang_id",
     "text_token_stats",

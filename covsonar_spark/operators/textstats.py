@@ -72,6 +72,41 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, text_col: str = "text",
                  .where(F.col("rnk") <= k).drop("rnk")
 
 
+def bm25_scores(df: DataFrame, query_terms: list[str], *,
+                k1: float = 1.2, b: float = 0.75,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Okapi BM25 score per document for a literal query-term set —
+    the lexical half of hybrid retrieval.
+
+    Relational plan, no UDFs and no driver-side constants: explode
+    tokens → filter to the query terms BEFORE the aggregate (the
+    per-term tf shuffle only carries query-term rows), per-term
+    document frequencies, and corpus stats (N, avgdl) as a one-row
+    aggregate cross-joined in (broadcast of one row). Scores are
+    rounded to 6 decimals so downstream ranking is reproducible across
+    engines (float-sum epsilon can't flip an order).
+
+    idf = ln((N - df + 0.5) / (df + 0.5) + 1)  (Lucene form, ≥ 0)
+    """
+    toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    hits = toks.where(F.col("tok").isin(query_terms))
+    tf = hits.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = hits.groupBy("tok").agg(F.countDistinct(id_col).alias("df"))
+    dl = df.select(F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("dl"))
+    corpus = df.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.avg(F.size(F.split(F.col(text_col), " "))).alias("avgdl"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 k: int = 8) -> DataFrame:
     """Rolling-hash document fingerprint: min over md5 hashes of character

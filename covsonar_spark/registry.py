@@ -1161,6 +1161,84 @@ ORDER BY p.event_id
 """
 
 
+_HYBRID_TERMS = ["vector", "stream", "merge"]
+
+
+def hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical ranking (textstats.bm25_scores —
+    relational, query-term filter pushed below the tf aggregate) fused
+    with cosine vector ranking by reciprocal-rank fusion
+    (score = Σ 1/(60+rank), the rank-only fusion that needs no score
+    normalization across modalities). Top-50 of each branch full-outer
+    join on doc_id → top-10. Ranks come from 6-decimal-rounded scores
+    with doc_id tiebreak, so the fusion is bit-reproducible in both
+    engines. At 100 TB each branch is a per-partition top-k + k-row
+    merge; the fusion join touches 100 rows."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [((i * 37 + 11) % 13 - 6) / 6.0 for i in range(64)]
+
+    lex = textstats.bm25_scores(docs, _HYBRID_TERMS)
+    w_lex = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lex_top = lex.withColumn("r_lex", F.row_number().over(w_lex)) \
+                 .where(F.col("r_lex") <= 50)
+
+    from covsonar_spark.functions import vectors as V
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    vec = emb.select(F.col("vec_id").alias("doc_id"),
+                     V.cosine_rounded(F.col("embedding"), q, 6).alias("cosine"))
+    w_vec = Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+    vec_top = vec.withColumn("r_vec", F.row_number().over(w_vec)) \
+                 .where(F.col("r_vec") <= 50)
+
+    rrf = (F.when(F.col("r_lex").isNotNull(), 1.0 / (60 + F.col("r_lex"))).otherwise(0.0)
+           + F.when(F.col("r_vec").isNotNull(), 1.0 / (60 + F.col("r_vec"))).otherwise(0.0))
+    return (
+        lex_top.join(vec_top, "doc_id", "full_outer")
+        .select("doc_id", "r_lex", "r_vec", F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _HYBRID_TERMS)
+HYBRID_SEARCH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+hits AS (SELECT doc_id, tok FROM toks WHERE tok IN ({_TERMS_SQL})),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM hits GROUP BY 1, 2),
+dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+corpus AS (SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl FROM documents),
+lex AS (
+  SELECT tf.doc_id,
+         round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN corpus
+  GROUP BY tf.doc_id),
+lex_top AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_lex
+  FROM lex QUALIFY r_lex <= 50),
+q AS (SELECT [{_QV}]::DOUBLE[] AS qv),
+vec AS (
+  SELECT vec_id AS doc_id,
+         round(list_sum(list_transform(generate_series(1,64), i -> embedding[i]::DOUBLE * qv[i])) /
+               (sqrt(list_sum(list_transform(generate_series(1,64), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) *
+                sqrt(list_sum(list_transform(generate_series(1,64), i -> qv[i] * qv[i])))), 6) AS cosine
+  FROM embeddings, q),
+vec_top AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS r_vec
+  FROM vec QUALIFY r_vec <= 50)
+SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.r_lex, v.r_vec,
+       round(coalesce(1.0 / (60 + l.r_lex), 0) + coalesce(1.0 / (60 + v.r_vec), 0), 6) AS rrf
+FROM lex_top l FULL OUTER JOIN vec_top v ON l.doc_id = v.doc_id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 def curate_corpus(spark, sf_dir):
     """The composed training-data curation pipeline — the flow the
     operator library exists for, end-to-end in ONE declarative plan:
@@ -1700,6 +1778,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "curate_corpus": (curate_corpus, CURATE_CORPUS_SQL),
     "embed_near_dup": (embed_near_dup, EMBED_NEAR_DUP_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
+    "hybrid_search_rrf": (hybrid_search_rrf, HYBRID_SEARCH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "text_lang_id": (text_lang_id, TEXT_LANG_ID_SQL),
     "text_token_stats": (text_token_stats, TEXT_TOKEN_STATS_SQL),
