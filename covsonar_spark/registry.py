@@ -738,6 +738,87 @@ ORDER BY user_a, user_b
 """
 
 
+def events_funnel(spark, sf_dir):
+    """Ordered funnel: per user, did view → click → purchase happen in
+    strict timestamp order? One aggregate per user computing each
+    stage's earliest qualifying time via conditional min — the chained
+    condition (click after first view, purchase after first
+    qualifying click) folds into ONE shuffle with min() aggregates,
+    no self-joins, no window sort. Counts users reaching each stage."""
+    ev = _events(spark, sf_dir)
+    # stage k's earliest qualifying time must follow stage k-1's first
+    # qualifying time; each stage is one groupBy(user) min aggregate
+    # joined forward — per-user 2-column frames, no window sort.
+    v = ev.where(F.col("event_type") == "view") \
+        .groupBy("user_id").agg(F.min("ts_us").alias("t_view"))
+    c = ev.where(F.col("event_type") == "click") \
+        .join(v, "user_id") \
+        .where(F.col("ts_us") > F.col("t_view")) \
+        .groupBy("user_id").agg(F.min("ts_us").alias("t_click"))
+    p = ev.where(F.col("event_type") == "purchase") \
+        .join(c, "user_id") \
+        .where(F.col("ts_us") > F.col("t_click")) \
+        .groupBy("user_id").agg(F.min("ts_us").alias("t_purchase"))
+    return (
+        v.agg(F.count(F.lit(1)).alias("n")).withColumn("stage", F.lit("1_view"))
+        .unionByName(c.agg(F.count(F.lit(1)).alias("n")).withColumn("stage", F.lit("2_view_click")))
+        .unionByName(p.agg(F.count(F.lit(1)).alias("n")).withColumn("stage", F.lit("3_view_click_purchase")))
+        .select("stage", "n")
+        .orderBy("stage")
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH base AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+v AS (SELECT user_id, min(ts_us) AS t_view FROM base WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT b.user_id, min(b.ts_us) AS t_click
+      FROM base b JOIN v USING (user_id)
+      WHERE b.event_type = 'click' AND b.ts_us > v.t_view GROUP BY 1),
+p AS (SELECT b.user_id, min(b.ts_us) AS t_purchase
+      FROM base b JOIN c USING (user_id)
+      WHERE b.event_type = 'purchase' AND b.ts_us > c.t_click GROUP BY 1)
+SELECT stage, n FROM (
+  SELECT '1_view' AS stage, count(*) AS n FROM v
+  UNION ALL SELECT '2_view_click', count(*) FROM c
+  UNION ALL SELECT '3_view_click_purchase', count(*) FROM p)
+ORDER BY stage
+"""
+
+
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity day; for each
+    (cohort_day, day_offset) the count of distinct active users.
+    Two shuffles total — first-activity aggregate, then the activity
+    join counted by offset. The classic triangle matrix every event
+    warehouse computes; at 100 TB the first-touch frame is the only
+    state carried between them."""
+    ev = _events(spark, sf_dir)
+    day = (F.col("ts_us") / F.lit(86_400_000_000)).cast("long")
+    acts = ev.select("user_id", day.alias("day")).distinct()
+    first = acts.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        acts.join(first, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH acts AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day
+  FROM events),
+first AS (SELECT user_id, min(day) AS cohort_day FROM acts GROUP BY 1)
+SELECT cohort_day, day - cohort_day AS day_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM acts a JOIN first USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_day, day_offset
+"""
+
+
 EVENTS_SESSIONIZE_SQL = """
 WITH base AS (
   SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
@@ -1768,6 +1849,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_json_extract": (events_json_extract, EVENTS_JSON_SQL),
     "events_asof_attribution": (events_asof_attribution, EVENTS_ASOF_SQL),
     "events_concurrent_sessions": (events_concurrent_sessions, EVENTS_CONCURRENT_SQL),
+    "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
+    "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
