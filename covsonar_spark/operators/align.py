@@ -39,6 +39,7 @@ class BandedGotoh:
     MARGIN = 32          # matched bases kept around each DP window
     DP_MAX = 1200        # window size below which we run the banded DP
     ANCHOR_HALF = 32     # anchor = the 64-mer around the target midpoint
+    ANCHOR_STEP = 96     # probe-slide stride when the midpoint 64-mer fails
 
     def align(self, query: str, target: str, band_extra: int = 200) -> tuple[str, str]:
         """Return (aligned_query, aligned_target) with '-' gaps.
@@ -91,23 +92,49 @@ class BandedGotoh:
         s = min(s, len(q) - p, len(t) - p)
         qc, tc = q[p:len(q) - s], t[p:len(t) - s]
 
-        # 2. small window (or deep recursion): hand to the DP
+        # 2a. SNP-only window: the anchored splits isolate each indel,
+        # so MOST windows between indels are substitution-only — the
+        # gap-free identity check resolves them in O(n) and the DP only
+        # ever sees windows that truly contain an indel
+        fast = self._align_gapfree(qc, tc)
+        if fast is not None:
+            aq, at = fast
+            return q[:p] + aq + q[len(q) - s:], t[:p] + at + t[len(t) - s:]
+
+        # 2b. small window (or deep recursion): hand to the DP
         if max(len(qc), len(tc)) <= self.DP_MAX or depth >= 40:
             aq, at = self._dp(qc, tc, band_extra)
         else:
-            # 3. split on a unique exact anchor near the target midpoint
-            mid = len(tc) // 2
-            a = tc[mid - self.ANCHOR_HALF: mid + self.ANCHOR_HALF]
+            # 3. split on a unique exact anchor near the target midpoint.
+            # A mutation inside the midpoint 64-mer would defeat a single
+            # probe (and one failed probe here costs a half-window O(n·w)
+            # DP), so slide the probe outward in ANCHOR_STEP hops until a
+            # unique hit — a handful of O(n) scans buys off a ~10⁷-cell DP.
+            split = None
             drift = len(qc) - len(tc)
             slack = abs(drift) + 800
-            lo_s = max(mid - self.ANCHOR_HALF - slack, 0)
-            hi_s = min(mid + self.ANCHOR_HALF + slack, len(qc))
-            pos = qc.find(a, lo_s, hi_s)
-            unique = pos != -1 and qc.find(a, pos + 1, hi_s) == -1
-            if not unique:
+            mid0 = len(tc) // 2
+            quarter = len(tc) // 4
+            offsets = [0]
+            step = self.ANCHOR_STEP
+            while step <= quarter:
+                offsets += [step, -step]
+                step += self.ANCHOR_STEP
+            for off in offsets:
+                mid = mid0 + off
+                if not (self.ANCHOR_HALF <= mid <= len(tc) - self.ANCHOR_HALF):
+                    continue
+                a = tc[mid - self.ANCHOR_HALF: mid + self.ANCHOR_HALF]
+                lo_s = max(mid - self.ANCHOR_HALF - slack, 0)
+                hi_s = min(mid + self.ANCHOR_HALF + slack, len(qc))
+                pos = qc.find(a, lo_s, hi_s)
+                if pos != -1 and qc.find(a, pos + 1, hi_s) == -1:
+                    split = (pos + self.ANCHOR_HALF, mid)
+                    break
+            if split is None:
                 aq, at = self._dp(qc, tc, band_extra)
             else:
-                qs, ts = pos + self.ANCHOR_HALF, mid
+                qs, ts = split
                 lq, lt = self._align_rec(qc[:qs], tc[:ts], band_extra, depth + 1)
                 rq, rt = self._align_rec(qc[qs:], tc[ts:], band_extra, depth + 1)
                 aq, at = lq + rq, lt + rt
