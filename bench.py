@@ -46,6 +46,7 @@ HEADLINE = [
     "text_token_stats",
     "text_tfidf_topk",
     "text_fingerprint",
+    "text_bigram_lm",
     "text_repetition",
     "decontaminate",
     "pii_scrub",

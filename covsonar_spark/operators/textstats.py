@@ -107,6 +107,43 @@ def bm25_scores(df: DataFrame, query_terms: list[str], *,
     )
 
 
+def bigram_lm_scores(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Perplexity-style quality scoring: train an add-1-smoothed bigram
+    LM on the corpus and score every document's mean bigram
+    log-probability — in ONE declarative plan (the classic
+    train-then-score filter real pipelines run as two jobs).
+
+    p(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V),  V = |vocab|
+
+    Plan shape: one explode into bigram occurrences, two count
+    aggregates over it (model "training"), then joins back to the same
+    occurrence frame for scoring — the bigram frame is the only big
+    intermediate and it is shuffled on its join key each time, so at
+    100 TB every stage is a plain shuffled agg/join AQE can plan; the
+    vocab size arrives as a broadcast one-row cross join."""
+    toks = df.select(F.col(id_col),
+                     F.split(F.col(text_col), " ").alias("t"))
+    bg = toks.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+            " (w, i) -> struct(w as w1, t[i + 1] as w2))")).alias("b")
+    ).select(id_col, "b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok")) \
+        .agg(F.countDistinct("tok").alias("v"))
+    return (
+        bg.join(c2, ["w1", "w2"]).join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(F.round(F.avg(F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))), 6)
+             .alias("mean_logp"),
+             F.count(F.lit(1)).alias("n_bigrams"))
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 k: int = 8) -> DataFrame:
     """Rolling-hash document fingerprint: min over md5 hashes of character

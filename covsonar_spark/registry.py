@@ -966,6 +966,35 @@ FROM documents ORDER BY doc_id
 """
 
 
+def text_bigram_lm(spark, sf_dir):
+    """Train-then-score in one plan (textstats.bigram_lm_scores): add-1
+    bigram LM over the corpus, every document scored by mean bigram
+    log-probability — the perplexity filter of real data pipelines.
+    The oracle retrains the same model in SQL, so smoothing, vocab
+    size and the score itself are all value-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.bigram_lm_scores(docs).orderBy("doc_id")
+
+
+TEXT_BIGRAM_LM_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+vocab AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents))
+SELECT doc_id,
+       round(avg(ln((c2 + 1.0) / (c1 + v))), 6) AS mean_logp,
+       count(*) AS n_bigrams
+FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def text_fingerprint(spark, sf_dir):
     """Rolling-hash fingerprint: min md5 over char 8-grams (1-perm
     winnowing sketch); md5 keeps it engine-portable."""
@@ -1867,6 +1896,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_token_stats": (text_token_stats, TEXT_TOKEN_STATS_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
+    "text_bigram_lm": (text_bigram_lm, TEXT_BIGRAM_LM_SQL),
     "vcf_site_stats": (vcf_site_stats, VCF_SITE_STATS_SQL),
     "stream_sessionize": (stream_sessionize, None),
     "text_tfidf_topk": (text_tfidf_topk, TEXT_TFIDF_SQL),
