@@ -1,0 +1,99 @@
+"""Physical-plan regression tests: the scale properties we audit with
+.explain("formatted") — pushdown, pruning, join strategy, top-k shape,
+shuffle counts — asserted mechanically so a refactor that silently
+degrades a plan (drops a pushed filter, widens a scan, turns a
+broadcast join into a shuffle join) fails CI, not a 100 TB run.
+
+These read plans, not data: each test builds the query at sf0.01 and
+inspects the executedPlan string. Assertions target plan SHAPE (which
+operators appear / how many exchanges), not costs — shapes are stable
+across Spark versions at fixed data scale; costs are not.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from covsonar_spark.registry import REGISTRY
+    return REGISTRY
+
+
+def test_q1_filter_pushed_and_schema_pruned(spark, registry):
+    plan = _plan(registry["q1_pricing_summary"][0](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # scan must NOT read the 11-column table for a 7-column aggregate
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_partkey" not in read and "l_suppkey" not in read
+
+
+def test_documents_scans_prune_to_two_columns(spark, registry):
+    plan = _plan(registry["text_token_stats"][0](spark, SF))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read and "text" in read
+    assert "lang" not in read and "source" not in read and "n_chars" not in read
+
+
+def test_q5_dimension_joins_broadcast_no_sort_merge(spark, registry):
+    plan = _plan(registry["q5_local_supplier_volume"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q18_aggregates_before_join_with_topk(spark, registry):
+    plan = _plan(registry["q18_large_orders"][0](spark, SF))
+    assert "TakeOrderedAndProject" in plan          # top-k, not global sort
+    # the lineitem aggregate must sit BELOW the first join: find operator
+    # order in the tree rendering (HashAggregate line before any join line)
+    lines = plan.splitlines()
+    first_agg = next(i for i, l in enumerate(lines) if "HashAggregate" in l)
+    first_join = next(i for i, l in enumerate(lines) if "Join" in l)
+    assert first_join < first_agg  # tree prints top-down: join consumes agg
+
+
+def test_anti_join_build_side_projected_to_key(spark, registry):
+    plan = _plan(registry["join_parts_never_ordered"][0](spark, SF))
+    assert "LeftAnti" in plan
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    li_read = [l for l in reads if "l_partkey" in l][0]
+    assert "l_extendedprice" not in li_read and "l_quantity" not in li_read
+
+
+def test_asof_join_is_single_window_exchange(spark, registry):
+    plan = _plan(registry["events_asof_attribution"][0](spark, SF))
+    tree = plan.split("\n\n")[0]
+    # one Exchange for the union+window join; the trailing orderBy of the
+    # registry wrapper adds one more — anything beyond that is regression
+    assert tree.count("Exchange") <= 2
+    assert "Window" in tree
+    assert "SortMergeJoin" not in tree and "BroadcastNestedLoopJoin" not in tree
+
+
+def test_interval_join_no_nested_loop_no_distinct(spark, registry):
+    plan = _plan(registry["events_concurrent_sessions"][0](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_match_metadata_filters_pushed(spark, registry):
+    plan = _plan(registry["match_metadata_filters"][0](spark, SF))
+    assert "PushedFilters" in plan and "PushedFilters: []" not in plan.split(
+        "PushedFilters", 1)[1][:2]
+
+
+def test_bigram_lm_single_explode(spark, registry):
+    # the bigram frame must be built once and reused (plan contains the
+    # explode generate at least once but the scan of documents.text for
+    # bigrams should not multiply beyond the model/score/vocab reads)
+    plan = _plan(registry["text_bigram_lm"][0](spark, SF))
+    assert "Generate" in plan
