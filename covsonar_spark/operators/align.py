@@ -37,7 +37,10 @@ class BandedGotoh:
 
     # anchored divide-and-conquer tuning
     MARGIN = 32          # matched bases kept around each DP window
-    DP_MAX = 1200        # window size below which we run the banded DP
+    DP_MAX = 160         # window size below which we run the banded DP
+    # (row-loop numpy dispatch costs ~0.5 ms per DP row regardless of
+    # band width, so smaller windows are a straight win; anchors still
+    # fit: a 161-base window leaves [48..112] for the midpoint 64-mer)
     ANCHOR_HALF = 32     # anchor = the 64-mer around the target midpoint
     ANCHOR_STEP = 96     # probe-slide stride when the midpoint 64-mer fails
 
