@@ -36,6 +36,7 @@ HEADLINE = [
     "curate_corpus",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_substring",
     "dedup_simhash",
     "embed_near_dup",
     "vcf_site_stats",

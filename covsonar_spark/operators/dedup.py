@@ -342,6 +342,93 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def substring_containment_pairs(df: DataFrame, text_col: str = "text",
+                                id_col: str = "doc_id",
+                                k: int = 8, w: int = 16) -> DataFrame:
+    """Exact substring-containment dedup: every pair (inner, outer)
+    where inner's FULL text occurs inside outer's — the
+    contained-document case (quotes, mirrors, truncated reposts) that
+    Jaccard-style near-dup misses because the longer doc dilutes the
+    shingle overlap.
+
+    Candidates come from WINNOWING (Schleimer et al., the MOSS
+    fingerprint): hash every char k-gram, slide a w-wide window, keep
+    each window's minimum hash. Any shared substring of length
+    ≥ w+k−1 forces at least one shared selected fingerprint, so for
+    inner docs of length ≥ w+k−1 the candidate set is LOSSLESS; inner
+    docs SHORTER than the threshold take a broadcast brute-force
+    branch (they are tiny by definition), making the operator
+    unconditionally exact — the `instr` verification only removes
+    false positives. Fingerprint selection is pure codegen
+    (transform/slice/array_min HOFs — no explode until the distinct
+    selected set), then one equi-join on the fingerprint, pair
+    distinct, and a text join for verification. At scale the
+    fingerprint join carries ~2n/w rows per doc and skewed
+    fingerprints (boilerplate) are AQE's skew-join case. Pick k to
+    span several words of the corpus: low-entropy text makes short
+    k-gram minima ubiquitous (k 8→16 cut candidate pairs 60× on the
+    synthetic corpus) — the recall guarantee is unaffected by k.
+    """
+    # the k-gram hash array MUST be a materialized column before the
+    # window sweep references it — inlining the transform() expression
+    # into each slice() makes Spark re-evaluate it per window, turning
+    # O(n) hash calls per doc into O(n·w·n) (measured: 150 s vs 2 s at
+    # 500 docs). xxhash64 (int64) instead of md5 (32-char string):
+    # the window mins compare/copy longs, not strings — recall only
+    # needs hash determinism, the exact instr verify absorbs collisions
+    # (measured 23 s → 4 s at 5000 docs)
+    n_grams = f"greatest(length({text_col}) - {k - 1}, 1)"
+    hashed = df.select(
+        F.col(id_col),
+        F.length(text_col).alias("len"),
+        F.expr(f"transform(sequence(1, {n_grams}),"
+               f" i -> xxhash64(substring({text_col}, i, {k})))").alias("hs"))
+    sel = (f"array_distinct(transform("
+           f"sequence(1, greatest(size(hs) - {w - 1}, 1)),"
+           f" j -> array_min(slice(hs, j, {w}))))")
+    fps = hashed.select(
+        F.col(id_col), "len", F.explode(F.expr(sel)).alias("fp"))
+    a = fps.select(F.col(id_col).alias("inner_id"), F.col("len").alias("len_a"), "fp")
+    b = fps.select(F.col(id_col).alias("outer_id"), F.col("len").alias("len_b"), "fp")
+    cand = (
+        a.join(b, "fp")
+        .where((F.col("len_a") < F.col("len_b"))
+               | ((F.col("len_a") == F.col("len_b"))
+                  & (F.col("inner_id") < F.col("outer_id"))))
+        .select("inner_id", "outer_id")
+        .distinct()
+    )
+    texts = df.select(F.col(id_col), F.col(text_col))
+    verified = (
+        cand.join(texts.select(F.col(id_col).alias("inner_id"),
+                               F.col(text_col).alias("t_in")), "inner_id")
+        .join(texts.select(F.col(id_col).alias("outer_id"),
+                           F.col(text_col).alias("t_out")), "outer_id")
+        .where(F.instr(F.col("t_out"), F.col("t_in")) > 0)
+        .select("inner_id", "outer_id")
+    )
+    # inner docs below the winnowing guarantee threshold: brute-force
+    # them against every doc (broadcast — they are short and few); the
+    # winnowed branch already covers every guaranteed inner, so this
+    # union restores unconditional exactness without a full cross join
+    shorts = df.where(F.length(text_col) < w + k - 1).select(
+        F.col(id_col).alias("inner_id"),
+        F.length(text_col).alias("len_a"),
+        F.col(text_col).alias("t_in"))
+    brute = (
+        df.select(F.col(id_col).alias("outer_id"),
+                  F.length(text_col).alias("len_b"),
+                  F.col(text_col).alias("t_out"))
+        .crossJoin(F.broadcast(shorts))
+        .where(((F.col("len_a") < F.col("len_b"))
+                | ((F.col("len_a") == F.col("len_b"))
+                   & (F.col("inner_id") < F.col("outer_id"))))
+               & (F.instr(F.col("t_out"), F.col("t_in")) > 0))
+        .select("inner_id", "outer_id")
+    )
+    return verified.unionByName(brute).distinct()
+
+
 def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
                          max_iter: int = 50,
                          driver_cap: int = 1_000_000) -> DataFrame:

@@ -1105,6 +1105,29 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_substring(spark, sf_dir):
+    """Exact substring containment (dedup.substring_containment_pairs):
+    winnowed-fingerprint candidates (lossless above the w+k−1
+    threshold; shorter inners take the broadcast brute-force branch)
+    + exact instr verify. k=16 spans ~2.5 words of this low-entropy
+    corpus — 60× fewer candidate pairs than k=8 with the same
+    guarantee. The oracle is the BRUTE-FORCE O(n²) position() cross
+    join, so the recall guarantee is value-checked, not assumed."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.substring_containment_pairs(docs, k=16, w=16) \
+        .orderBy("inner_id", "outer_id")
+
+
+DEDUP_SUBSTRING_SQL = """
+SELECT a.doc_id AS inner_id, b.doc_id AS outer_id
+FROM documents a JOIN documents b
+  ON (len(a.text) < len(b.text)
+      OR (len(a.text) = len(b.text) AND a.doc_id < b.doc_id))
+ AND position(a.text IN b.text) > 0
+ORDER BY inner_id, outer_id
+"""
+
+
 def dedup_ngram_prefix(spark, sf_dir):
     """PPJoin prefix-filtered exact Jaccard (lossless candidate
     reduction): results must equal dedup_ngram_jaccard at the same
@@ -1885,6 +1908,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "stream_dedup_lsh": (stream_dedup_lsh, STREAM_DEDUP_SQL),
     "dedup_ngram_prefix": (dedup_ngram_prefix, DEDUP_NGRAM_SQL),
+    "dedup_substring": (dedup_substring, DEDUP_SUBSTRING_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "curate_corpus": (curate_corpus, CURATE_CORPUS_SQL),

@@ -24,7 +24,11 @@ def _plan(df) -> str:
 
 
 @pytest.fixture(scope="module")
-def registry():
+def registry(spark):
+    # earlier suites may have persist()ed frames derived from the same
+    # parquet; a cached InMemoryRelation replaces the parquet scan node
+    # and hides ReadSchema/PushedFilters — audit plans against cold scans
+    spark.catalog.clearCache()
     from covsonar_spark.registry import REGISTRY
     return REGISTRY
 
