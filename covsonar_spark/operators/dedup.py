@@ -19,6 +19,7 @@ same engine to training-data curation workloads.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -369,25 +370,44 @@ def substring_containment_pairs(df: DataFrame, text_col: str = "text",
     k-gram minima ubiquitous (k 8→16 cut candidate pairs 60× on the
     synthetic corpus) — the recall guarantee is unaffected by k.
     """
-    # the k-gram hash array MUST be a materialized column before the
-    # window sweep references it — inlining the transform() expression
-    # into each slice() makes Spark re-evaluate it per window, turning
-    # O(n) hash calls per doc into O(n·w·n) (measured: 150 s vs 2 s at
-    # 500 docs). xxhash64 (int64) instead of md5 (32-char string):
-    # the window mins compare/copy longs, not strings — recall only
-    # needs hash determinism, the exact instr verify absorbs collisions
-    # (measured 23 s → 4 s at 5000 docs)
-    n_grams = f"greatest(length({text_col}) - {k - 1}, 1)"
-    hashed = df.select(
-        F.col(id_col),
-        F.length(text_col).alias("len"),
-        F.expr(f"transform(sequence(1, {n_grams}),"
-               f" i -> xxhash64(substring({text_col}, i, {k})))").alias("hs"))
-    sel = (f"array_distinct(transform("
-           f"sequence(1, greatest(size(hs) - {w - 1}, 1)),"
-           f" j -> array_min(slice(hs, j, {w}))))")
-    fps = hashed.select(
-        F.col(id_col), "len", F.explode(F.expr(sel)).alias("fp"))
+    # The winnow sweep (per-window min over a hash array) is the one
+    # stage built-in expressions can't run fast: nested HOFs
+    # (transform + slice + array_min) stay INTERPRETED in Spark — no
+    # whole-stage codegen — and re-evaluate boxed arrays per window
+    # (measured 150 s inlined, ~20 s materialized, at 5000 docs).
+    # A vectorized Arrow stage does the same math in numpy: polynomial
+    # rolling k-gram hashes (uint64 wraparound — deterministic
+    # everywhere) and a stride-tricks sliding-window min. Recall only
+    # needs hash determinism; the exact instr verify absorbs
+    # collisions.
+    out_schema = f"{id_col} long, len int, fp long"
+    B = np.uint64(1099511628211)  # FNV-ish odd multiplier, full period mod 2^64
+    powers = B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+
+    def winnow(batches):
+        for pdf in batches:
+            ids, lens, fps = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                n = len(b)
+                if n < k:
+                    hashes = np.array([int((b.astype(np.uint64) * powers[-n:]).sum())],
+                                      dtype=np.uint64)
+                else:
+                    grams = np.lib.stride_tricks.sliding_window_view(b, k)
+                    hashes = (grams.astype(np.uint64) * powers).sum(
+                        axis=1, dtype=np.uint64)
+                if len(hashes) <= w:
+                    sel = hashes.min(keepdims=True)
+                else:
+                    sel = np.unique(np.lib.stride_tricks
+                                    .sliding_window_view(hashes, w).min(axis=1))
+                ids.extend([doc_id] * len(sel))
+                lens.extend([n] * len(sel))
+                fps.extend(sel.astype(np.int64))
+            yield pandas.DataFrame({id_col: ids, "len": lens, "fp": fps})
+
+    fps = df.select(id_col, text_col).mapInPandas(winnow, out_schema)
     a = fps.select(F.col(id_col).alias("inner_id"), F.col("len").alias("len_a"), "fp")
     b = fps.select(F.col(id_col).alias("outer_id"), F.col("len").alias("len_b"), "fp")
     cand = (
