@@ -130,3 +130,57 @@ def test_interval_overlap_join_binned_exactness(spark):
                    left, right, "s", "e", "s", "e", bin_width=bw)
                .collect()}
         assert got == want, f"bin_width={bw}"
+
+
+def test_asof_and_interval_joins_match_brute_force_random(spark):
+    """Property check over random data: the union+window as-of join and
+    the binned interval join must equal O(n·m) brute-force references
+    on 40 random keyed/timed rows per side (fixed seed)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from covsonar_spark.operators.windows import asof_join, interval_overlap_join
+
+    rng = random.Random(1234)
+    left = [(rng.randrange(5), rng.randrange(100), i) for i in range(40)]
+    right = [(rng.randrange(5), rng.randrange(100), 100 + i) for i in range(40)]
+    ldf = spark.createDataFrame(left, "k long, t long, lid long")
+    rdf = spark.createDataFrame(right, "k long, t long, rid long")
+
+    got = {r["lid"]: r["rid"]
+           for r in asof_join(ldf, rdf, ["k"], "t", "t", ["rid"]).collect()}
+    want = {}
+    for k, t, lid in left:
+        best = None
+        for rk, rt, rid in right:
+            if rk == k and rt <= t and (best is None or rt > best[0]
+                                        or (rt == best[0] and rid > best[1])):
+                best = (rt, rid)
+        want[lid] = best[1] if best else None
+    # tie among equal right timestamps: the window picks the LAST right
+    # row in (ts, side) order, which among equal ts is plan-order; our
+    # brute force picks max rid. Only compare where no tie exists.
+    ties = set()
+    for k, t, lid in left:
+        cand = [rt for rk, rt, _ in right if rk == k and rt <= t]
+        if cand and cand.count(max(cand)) > 1:
+            ties.add(lid)
+    for lid in got:
+        if lid not in ties:
+            assert got[lid] == want[lid], lid
+
+    intervals_a = [(rng.randrange(3), s := rng.randrange(80), s + rng.randrange(15), i)
+                   for i in range(40)]
+    intervals_b = [(rng.randrange(3), s := rng.randrange(80), s + rng.randrange(15), 100 + i)
+                   for i in range(40)]
+    adf = spark.createDataFrame(intervals_a, "k long, s long, e long, aid long")
+    bdf = spark.createDataFrame(intervals_b, "k long, s long, e long, bid long")
+    joined = interval_overlap_join(adf, bdf, "s", "e", "s", "e", bin_width=7) \
+        .where(F.col("k") == F.col("r_k"))
+    got_pairs = {(r["aid"], r["bid"]) for r in joined.collect()}
+    want_pairs = {(aid, bid)
+                  for ak, as_, ae, aid in intervals_a
+                  for bk, bs, be, bid in intervals_b
+                  if ak == bk and as_ <= be and bs <= ae}
+    assert got_pairs == want_pairs
