@@ -68,6 +68,40 @@ def session_counts_native(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def attribution_join_stream(events: DataFrame, lookback: str = "30 minutes",
+                            watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream time-bounded join: every purchase joined to the
+    same user's clicks within the lookback window — last-touch
+    attribution as a LIVE join of two event streams.
+
+    This is the Structured Streaming capability the batch as-of /
+    interval joins can't give: both sides arrive continuously, and the
+    watermarks bound the buffered state (clicks older than watermark +
+    lookback are evicted — state is O(recent events), not O(stream)).
+    The time-range condition makes Spark derive the state-cleanup
+    predicate automatically. Batch twin = the identical inequality
+    join on the static frames; the test drives both and compares.
+    """
+    clicks = (events.where(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts_us").alias("click_ts_us"),
+                      F.col("event_time").alias("click_time"))
+              .withWatermark("click_time", watermark))
+    purchases = (events.where(F.col("event_type") == "purchase")
+                 .select("user_id", "event_id", "ts_us",
+                         F.col("event_time").alias("purchase_time"))
+                 .withWatermark("purchase_time", watermark))
+    return purchases.join(
+        clicks,
+        F.expr(f"""
+            user_id = c_user AND
+            click_time >= purchase_time - interval {lookback} AND
+            click_time <= purchase_time
+        """),
+    ).select("user_id", "event_id", "ts_us", "click_id", "click_ts_us")
+
+
 def sessionize_stateful(events: DataFrame, gap_us: int = 1800 * 1_000_000,
                         flush_timeout_ms: int | None = None) -> DataFrame:
     """Custom stateful sessionization with ``applyInPandasWithState``:

@@ -140,3 +140,26 @@ def test_streaming_lsh_dedup_matches_one_shot(spark, tmp_path):
     want = {(r["id_a"], r["id_b"], r["est_jaccard"])
             for r in one_shot.process_batch(docs).collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_attribution_matches_batch(spark, batch_events):
+    """Stream-stream time-bounded join (purchase ⋈ clicks within 30 min
+    per user) drained with availableNow must equal the identical
+    inequality join on the batch frames."""
+    from covsonar_spark.streaming.pipeline import attribution_join_stream
+
+    st = attribution_join_stream(stream_events(spark, SF_DIR))
+    run_to_memory(st, "attrib", output_mode="append")
+    got = {(r["event_id"], r["click_id"])
+           for r in spark.table("attrib").collect()}
+
+    c = batch_events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts_us").alias("click_ts_us"))
+    p = batch_events.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_us")
+    want = {(r["event_id"], r["click_id"]) for r in p.join(
+        c, (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts_us") >= F.col("ts_us") - 1800 * 1_000_000)
+        & (F.col("click_ts_us") <= F.col("ts_us"))).collect()}
+    assert got == want and len(got) > 0
