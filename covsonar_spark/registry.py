@@ -324,6 +324,36 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def agg_salted_collect(spark, sf_dir):
+    """Skew-safe two-phase collect (operators/skew.salted_collect_list):
+    l_returnflag has 3 hot keys each owning ~200k rows — a plain
+    collect_list concentrates one key's whole state in one task, the
+    salted form builds partials per (key, salt) and flattens. The query
+    reduces the flattened lists to order-independent summaries (count /
+    sum / min / max) and the oracle computes them with plain GROUP BY
+    aggregates — value-checking that the two-phase path loses nothing."""
+    from covsonar_spark.operators import skew
+
+    li = _t(spark, sf_dir, "lineitem")
+    lists = skew.salted_collect_list(li.select("l_returnflag", "l_orderkey"),
+                                     "l_returnflag", "l_orderkey", n_salt=8)
+    arr = F.col("l_orderkey_list")
+    return lists.select(
+        "l_returnflag",
+        F.size(arr).alias("n"),
+        F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x).alias("total"),
+        F.array_min(arr).alias("lo"),
+        F.array_max(arr).alias("hi"),
+    ).orderBy("l_returnflag")
+
+
+AGG_SALTED_SQL = """
+SELECT l_returnflag, count(*) AS n, sum(l_orderkey) AS total,
+       min(l_orderkey) AS lo, max(l_orderkey) AS hi
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def agg_group_counts(spark, sf_dir):
     """A5 — COUNT … GROUP BY two categoricals ORDER BY (reference
     info_data_types, lib/sonardb.py:1567-1569)."""
@@ -1882,6 +1912,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "join_parts_never_ordered": (join_parts_never_ordered, PARTS_NEVER_ORDERED_SQL),
     "agg_group_counts": (agg_group_counts, AGG_GROUP_COUNTS_SQL),
     "agg_rollup_revenue": (agg_rollup_revenue, AGG_ROLLUP_SQL),
+    "agg_salted_collect": (agg_salted_collect, AGG_SALTED_SQL),
     "agg_percentiles": (agg_percentiles, AGG_PERCENTILES_SQL),
     "agg_distinct_counts": (agg_distinct_counts, AGG_DISTINCT_COUNTS_SQL),
     "agg_minmax_dates": (agg_minmax_dates, AGG_MINMAX_DATES_SQL),
