@@ -101,3 +101,24 @@ def test_bigram_lm_single_explode(spark, registry):
     # bigrams should not multiply beyond the model/score/vocab reads)
     plan = _plan(registry["text_bigram_lm"][0](spark, SF))
     assert "Generate" in plan
+
+
+def test_salted_collect_two_phase(spark, registry):
+    plan = _plan(registry["agg_salted_collect"][0](spark, SF))
+    # two aggregation levels (partial per (key, salt), final per key) —
+    # at least two ObjectHashAggregate/HashAggregate pairs in the tree
+    assert plan.count("Aggregate") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_hybrid_search_no_full_sort_of_corpus(spark, registry):
+    plan = _plan(registry["hybrid_search_rrf"][0](spark, SF))
+    # final top-10 via TakeOrderedAndProject, not a global Sort+Limit
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bigram_lm_no_cartesian(spark, registry):
+    plan = _plan(registry["text_bigram_lm"][0](spark, SF))
+    assert "CartesianProduct" not in plan
+    # the one-row vocab frame joins via broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
