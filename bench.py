@@ -30,9 +30,14 @@ HEADLINE = [
     "window_rank_per_group",
     "events_window_agg",
     "events_sessionize",
+    "events_funnel",
+    "events_retention_cohorts",
     "events_asof_attribution",
     "events_concurrent_sessions",
     "dedup_exact",
+    "agg_salted_collect",
+    "agg_rollup_revenue",
+    "agg_percentiles",
     "curate_corpus",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
