@@ -29,6 +29,7 @@ HEADLINE = [
     "lineage_closure_prefix",
     "window_rank_per_group",
     "events_window_agg",
+    "events_json_extract",
     "events_sessionize",
     "events_funnel",
     "events_retention_cohorts",
@@ -60,6 +61,7 @@ HEADLINE = [
     "pack_sequences",
     "ann_lsh_knn",
     "multimodal_frames",
+    "multimodal_meta_stats",
 ]
 
 
