@@ -408,15 +408,27 @@ def substring_containment_pairs(df: DataFrame, text_col: str = "text",
             yield pandas.DataFrame({id_col: ids, "len": lens, "fp": fps})
 
     fps = df.select(id_col, text_col).mapInPandas(winnow, out_schema)
-    a = fps.select(F.col(id_col).alias("inner_id"), F.col("len").alias("len_a"), "fp")
+    # containment implies FULL fingerprint-set inclusion, not just one
+    # shared fingerprint: every w-window of the inner's hash array is a
+    # verbatim window of the outer's, so each of the inner's selected
+    # minima is selected in the outer too. Requiring the shared count
+    # to equal the inner's fingerprint count is therefore lossless
+    # (above the w+k−1 threshold) and collapses the verify set from
+    # every-pair-sharing-one-fp (~1M at 5000 docs) to near-real pairs.
+    n_fp = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fps.join(n_fp, id_col).select(
+        F.col(id_col).alias("inner_id"), F.col("len").alias("len_a"),
+        F.col("n_fp").alias("n_fp_a"), "fp")
     b = fps.select(F.col(id_col).alias("outer_id"), F.col("len").alias("len_b"), "fp")
     cand = (
         a.join(b, "fp")
         .where((F.col("len_a") < F.col("len_b"))
                | ((F.col("len_a") == F.col("len_b"))
                   & (F.col("inner_id") < F.col("outer_id"))))
+        .groupBy("inner_id", "outer_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"), F.first("n_fp_a").alias("n_fp_a"))
+        .where(F.col("n_shared") == F.col("n_fp_a"))
         .select("inner_id", "outer_id")
-        .distinct()
     )
     texts = df.select(F.col(id_col), F.col(text_col))
     verified = (
