@@ -54,6 +54,7 @@ HEADLINE = [
     "text_tfidf_topk",
     "text_fingerprint",
     "text_bigram_lm",
+    "text_chunk_windows",
     "text_repetition",
     "decontaminate",
     "pii_scrub",

@@ -1025,6 +1025,44 @@ ORDER BY doc_id
 """
 
 
+def text_chunk_windows(spark, sf_dir):
+    """Overlapping token-window chunking — the pre-embedding splitter
+    every retrieval/training pipeline runs: 32-token windows with an
+    8-token stride overlap, each chunk carrying provenance (doc_id,
+    chunk_idx) and its own token count. Pure codegen: one sequence()
+    of chunk starts exploded per doc, chunk text re-joined by
+    slice+concat_ws — a map-side-only plan, zero shuffles before the
+    output ordering."""
+    docs = _t(spark, sf_dir, "documents")
+    size, stride = 32, 24  # 8-token overlap
+    toks = F.split(F.col("text"), " ")
+    starts = F.expr(
+        f"sequence(1, greatest(size(split(text, ' ')) - {size - stride}, 1), {stride})")
+    return (
+        docs.select("doc_id", toks.alias("t"),
+                    F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id", "chunk_idx",
+            F.concat_ws(" ", F.slice("t", F.col("start"), size)).alias("chunk_text"),
+            F.least(F.lit(size), F.size("t") - F.col("start") + 1).alias("n_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+TEXT_CHUNK_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+starts AS (
+  SELECT doc_id, t, u.start,
+         row_number() OVER (PARTITION BY doc_id ORDER BY u.start) - 1 AS chunk_idx
+  FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 8, 1), 24)) AS u(start))
+SELECT doc_id, chunk_idx,
+       array_to_string(t[start:least(start + 31, len(t))], ' ') AS chunk_text,
+       least(32, len(t) - start + 1) AS n_tokens
+FROM starts
+ORDER BY doc_id, chunk_idx
+"""
+
+
 def text_fingerprint(spark, sf_dir):
     """Rolling-hash fingerprint: min md5 over char 8-grams (1-perm
     winnowing sketch); md5 keeps it engine-portable."""
@@ -1952,6 +1990,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
     "text_bigram_lm": (text_bigram_lm, TEXT_BIGRAM_LM_SQL),
+    "text_chunk_windows": (text_chunk_windows, TEXT_CHUNK_SQL),
     "vcf_site_stats": (vcf_site_stats, VCF_SITE_STATS_SQL),
     "stream_sessionize": (stream_sessionize, None),
     "text_tfidf_topk": (text_tfidf_topk, TEXT_TFIDF_SQL),
