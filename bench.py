@@ -28,6 +28,7 @@ HEADLINE = [
     "match_profile_or_groups",
     "lineage_closure_prefix",
     "window_rank_per_group",
+    "window_running_total",
     "events_window_agg",
     "events_json_extract",
     "events_sessionize",

@@ -653,6 +653,47 @@ def window_rank_per_group(spark, sf_dir):
     )
 
 
+def window_running_total(spark, sf_dir):
+    """Frame-based window aggregate (ROWS UNBOUNDED PRECEDING): per
+    customer, the running order-value total and each order's share of
+    the customer's final total — one shuffle on the partition key, the
+    frame scan is a per-partition streaming pass (no re-sort per row).
+    Decimal accumulation keeps the running sums bit-identical across
+    engines."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wtot = Window.partitionBy("o_custkey")
+    run = F.sum(_dec("o_totalprice", 18, 2)).over(w)
+    tot = F.sum(_dec("o_totalprice", 18, 2)).over(wtot)
+    return (
+        o.select(
+            "o_custkey", "o_orderkey",
+            F.round(run.cast("double"), 2).alias("running_total"),
+            # divide as DOUBLE: decimal-division scale/rounding rules
+            # differ across engines at the last printed digit
+            F.round(run.cast("double") / tot.cast("double"), 6).alias("share_of_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_total,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE), 6) AS share_of_total
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 WINDOW_RANK_SQL = """
 SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
@@ -1965,6 +2006,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "profile_token_frequencies": (profile_token_frequencies, PROFILE_TOKEN_FREQ_SQL),
     "lineage_closure_prefix": (lineage_closure_prefix, LINEAGE_CLOSURE_SQL),
     "window_rank_per_group": (window_rank_per_group, WINDOW_RANK_SQL),
+    "window_running_total": (window_running_total, WINDOW_RUNNING_SQL),
     "events_window_agg": (events_window_agg, EVENTS_WINDOW_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_json_extract": (events_json_extract, EVENTS_JSON_SQL),
