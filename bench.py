@@ -22,6 +22,16 @@ HEADLINE = [
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q18_large_orders",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q19_disjunctive",
+    "q22_global_sales",
     "join_parts_never_ordered",
     "match_metadata_filters",
     "match_profile_and",

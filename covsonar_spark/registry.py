@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from covsonar_spark.functions import text as Tx
 from covsonar_spark.operators import (closure, curation, dedup, predicates as P,
-                                      similarity, textstats, windows)
+                                      similarity, textstats, tpch, windows)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2044,4 +2044,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "sample_stratified": (sample_stratified, SAMPLE_STRATIFIED_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
+    # round-2 join-planning suite (operators/tpch.py): correlated-subquery
+    # decorrelation, dual-role dims, outer-join counts, conditional-agg
+    # ratios, window-max-over-aggregate, disjunctive pushdown, scalar-agg
+    # anti-join — each with a DuckDB oracle twin.
+    **tpch.QUERIES,
 }

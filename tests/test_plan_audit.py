@@ -122,3 +122,62 @@ def test_bigram_lm_no_cartesian(spark, registry):
     assert "CartesianProduct" not in plan
     # the one-row vocab frame joins via broadcast
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# --- round-2 join suite (operators/tpch.py) -------------------------------
+
+def test_q2_catalog_and_window_share_one_shuffle(spark, registry):
+    plan = _plan(registry["q2_min_cost_supplier"][0](spark, SF))
+    tree = plan.split("\n\n")[0]
+    # one Exchange for repartition(l_partkey) — reused by the groupBy
+    # (subset-key clustering) and the window — plus one for the final
+    # orderBy's range partitioning; broadcasts don't count (different node)
+    non_broadcast = [l for l in tree.splitlines()
+                     if "Exchange" in l and "Broadcast" not in l]
+    assert len(non_broadcast) <= 2, non_broadcast
+    assert "Window" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_q10_aggregates_fact_before_reporting_join(spark, registry):
+    plan = _plan(registry["q10_returned_items"][0](spark, SF))
+    lines = plan.splitlines()
+    # the customer reporting join must consume the per-custkey aggregate:
+    # in top-down tree print, a join appears above the (partial) aggregate
+    first_agg = next(i for i, l in enumerate(lines) if "HashAggregate" in l)
+    joins = [i for i, l in enumerate(lines) if "Join" in l]
+    assert any(j < first_agg for j in joins)
+    assert "TakeOrderedAndProject" in plan  # top-20, not a global sort
+
+
+def test_q13_outer_join_preserves_customers_filter_pushed(spark, registry):
+    plan = _plan(registry["q13_customer_distribution"][0](spark, SF))
+    assert "LeftOuter" in plan
+    # the priority filter reaches the orders scan, not a post-join Filter
+    assert "PushedFilters: [IsNotNull(o_orderpriority), Not(EqualTo(o_orderpriority" in plan
+
+
+def test_q19_shared_conjunct_pushed_disjunction_residual(spark, registry):
+    plan = _plan(registry["q19_disjunctive"][0](spark, SF))
+    # factored-out conjunct pushed into the lineitem scan
+    assert "Not(EqualTo(l_returnflag,R))" in plan
+    # the equi-join survives (no nested-loop fallback for the OR residual)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q22_anti_join_build_side_pruned_and_filtered(spark, registry):
+    plan = _plan(registry["q22_global_sales"][0](spark, SF))
+    assert "LeftAnti" in plan
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    orders_read = [l for l in reads if "o_custkey" in l][0]
+    # anti-join build side reads exactly the key + pushed date column
+    assert "o_totalprice" not in orders_read and "o_orderstatus" not in orders_read
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q7_all_dims_broadcast_single_fact_shuffle_pair(spark, registry):
+    plan = _plan(registry["q7_volume_shipping"][0](spark, SF))
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+    # ship-date window pushed to the lineitem scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
