@@ -32,6 +32,13 @@ HEADLINE = [
     "q17_small_quantity",
     "q19_disjunctive",
     "q22_global_sales",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_shipping_priority_classes",
+    "q16_parts_supplier_relationship",
+    "q20_excess_stock_suppliers",
+    "q21_waiting_suppliers",
     "join_parts_never_ordered",
     "match_metadata_filters",
     "match_profile_and",

@@ -500,8 +500,357 @@ ORDER BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# q6: forecast revenue change (pure scan-aggregate, everything pushed)
+# ---------------------------------------------------------------------------
+
+def q6_forecast_revenue(spark, sf_dir):
+    """Revenue increase if 1996 discounts in [0.05, 0.07] on sub-24-qty
+    lineitems were dropped. The simplest possible shape and therefore
+    the sharpest pushdown audit: NO join, NO post-scan filter — every
+    predicate (date range, discount range, quantity bound) must land in
+    PushedFilters, the scan must read exactly 4 of 11 columns, and the
+    whole query is one partial+final agg with no wide shuffle at all."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24))
+    return li.agg(
+        F.round(F.sum(_dec("l_extendedprice") * _dec("l_discount", 4, 2)).cast("double"), 2)
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"))
+
+
+Q6_SQL = """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# q9: product-type profit (widest join + expression over both sides)
+# ---------------------------------------------------------------------------
+
+def q9_product_profit(spark, sf_dir):
+    """Profit on 'red'-named parts per (supplier nation, order year):
+    revenue minus an inventory-cost proxy (0.5 * p_retailprice * qty —
+    the synthetic schema has no partsupp.ps_supplycost; TPC-H q9
+    lib-analog). part/supplier/nation broadcast; the single fact
+    shuffle is lineitem⋈orders on orderkey. The two money sums are
+    aggregated SEPARATELY in decimal and differenced as doubles at the
+    end — mixed-precision decimal subtraction promotes differently in
+    Spark vs DuckDB, double差 of two exact sums does not."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    vol = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
+    cost = _dec("p_retailprice") * _dec("l_quantity") * F.lit(0.5).cast("decimal(2,1)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
+        .agg(F.round(F.sum(vol).cast("double") - F.sum(cost).cast("double"), 2)
+             .alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_SQL = """
+SELECT nation, o_year,
+       round(CAST(sum(vol) AS DOUBLE) - CAST(sum(cost) AS DOUBLE), 2) AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS vol,
+         CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) * CAST(0.5 AS DECIMAL(2,1)) AS cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE p_name LIKE '%red%')
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# q11: important stock (scalar-aggregate threshold over one aggregate)
+# ---------------------------------------------------------------------------
+
+def q11_important_stock(spark, sf_dir):
+    """Parts representing > 0.1% of NATION_1 suppliers' shipped value.
+    TPC-H q11's shape: ONE aggregate frame feeds both the per-part rows
+    and the global threshold (scalar subquery). The threshold is an
+    empty-frame window SUM over the aggregated frame — NOT a separate
+    .agg() + crossJoin, which would reference the frame twice,
+    duplicate its subtree, and scan the fact twice (DataFrame lineage
+    is a tree, not a DAG; only identical subplans get ReusedExchange,
+    and pushed-down pruning makes the two copies differ). One fact
+    scan, one partkey shuffle, then a single-partition pass over the
+    ~|parts| rows — audited in test_plan_audit."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    n1_supp = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey) \
+                  .select("s_suppkey")
+    per_part = (
+        li.join(F.broadcast(n1_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("value_dec"))
+    )
+    # global threshold as an empty-frame window over the ~|parts| aggregate:
+    # referencing per_part twice (agg + crossJoin) would duplicate the
+    # subtree and scan the fact twice — the window keeps ONE scan
+    total_w = Window.partitionBy()
+    return (
+        per_part
+        .withColumn("threshold", F.sum("value_dec").over(total_w).cast("double") * F.lit(0.001))
+        .where(F.col("value_dec").cast("double") > F.col("threshold"))
+        .select(F.col("l_partkey").alias("partkey"),
+                F.round(F.col("value_dec").cast("double"), 2).alias("value"))
+        .orderBy(F.col("value").desc(), F.col("partkey"))
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+  GROUP BY l_partkey)
+SELECT partkey, round(CAST(value_dec AS DOUBLE), 2) AS value
+FROM per_part
+WHERE CAST(value_dec AS DOUBLE) > (SELECT CAST(sum(value_dec) AS DOUBLE) * 0.001 FROM per_part)
+ORDER BY value DESC, partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q12: late-shipment priority classes (join + dual conditional count)
+# ---------------------------------------------------------------------------
+
+def q12_shipping_priority_classes(spark, sf_dir):
+    """Per lineitem status: how many LATE shipments (shipped > 60 days
+    after order date) came from critical- vs low-priority orders.
+    TPC-H q12 with lateness derived from the shipdate/orderdate pair
+    (the synthetic schema has no commit/receipt dates). The lateness
+    predicate references both join sides, so it evaluates post-join
+    inside codegen; the count pair is a single-pass CASE aggregation,
+    not two scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.timestamp_add("DAY", F.lit(60), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(late)
+        .groupBy("l_linestatus")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q16: supplier relationship count (distinct-count + NOT-IN anti-join)
+# ---------------------------------------------------------------------------
+
+def q16_parts_supplier_relationship(spark, sf_dir):
+    """Distinct suppliers per (brand, type, size) for non-Brand#5 parts,
+    excluding 'complaint' suppliers (negative balance — the schema's
+    stand-in for q16's LIKE '%Customer%Complaints%'). The supply
+    catalog is DISTINCT (partkey, suppkey) pairs reduced from the fact
+    BEFORE any dim join — at 100 TB that collapses billions of
+    lineitems to the catalog's cardinality first; the complaint list is
+    a broadcast anti-join (NOT IN with no NULL hazard: keys are
+    non-null PKs); part is broadcast after its own filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") != "Brand#5")
+    complaints = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0) \
+        .select("s_suppkey")
+    catalog = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        catalog.join(F.broadcast(complaints),
+                     catalog.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) catalog
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# q20: excess-stock suppliers (nested semi-join chain)
+# ---------------------------------------------------------------------------
+
+def q20_excess_stock_suppliers(spark, sf_dir):
+    """NATION_1 suppliers who shipped > 30% of 1997's total volume of
+    some 'blue' part — q20's nested IN-subquery chain. Decorrelated
+    bottom-up from ONE partkey-clustered shuffle: the (part, supplier)
+    quantity rollup and the per-part total window both ride the same
+    hashpartitioning(l_partkey) — no second exchange, no second fact
+    scan (a per_ps ⋈ per_ps.groupBy() formulation would duplicate the
+    subtree and scan lineitem twice) — and only the surviving supplier
+    keys (distinct, broadcast-sized) semi-join the supplier dim.
+    Audited: exactly one lineitem scan in the plan."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").contains("blue"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    blue_li = li.join(F.broadcast(part.select("p_partkey")),
+                      li.l_partkey == F.col("p_partkey")).drop("p_partkey")
+    per_ps = (blue_li.repartition(F.col("l_partkey"))
+              .groupBy("l_partkey", "l_suppkey")
+              .agg(F.sum("l_quantity").alias("supp_qty")))
+    # per-part total as a window over the rollup — joining per_ps to a
+    # per_ps.groupBy() derivative would duplicate the subtree (two fact
+    # scans); the window shares the repartition's partkey clustering
+    heavy = (per_ps
+             .withColumn("part_qty", F.sum("supp_qty").over(Window.partitionBy("l_partkey")))
+             .where(F.col("supp_qty") > F.lit(0.3) * F.col("part_qty"))
+             .select("l_suppkey").distinct())
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = """
+WITH blue_li AS (
+  SELECT l_partkey, l_suppkey, l_quantity
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%blue%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'),
+per_ps AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+  FROM blue_li GROUP BY l_partkey, l_suppkey),
+per_part AS (
+  SELECT l_partkey, sum(supp_qty) AS part_qty FROM per_ps GROUP BY l_partkey)
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+  AND s_suppkey IN (SELECT l_suppkey FROM per_ps JOIN per_part USING (l_partkey)
+                    WHERE supp_qty > 0.3 * part_qty)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q21: suppliers who kept orders waiting (EXISTS + NOT EXISTS self-joins)
+# ---------------------------------------------------------------------------
+
+def q21_waiting_suppliers(spark, sf_dir):
+    """NATION_1 suppliers who were the SOLE late shipper (> 90 days
+    after order date) on a finished multi-supplier order — q21's
+    double-correlated EXISTS / NOT EXISTS, the hardest self-join shape
+    in the suite. The literal form (left-semi "another supplier exists"
+    + left-anti "no other late supplier") references the derived
+    (order, supplier) frame three times; DataFrame lineage is a tree,
+    so that plan scans the fact THREE times. Decorrelated instead into
+    per-order window counts over one frame: EXISTS(other supplier) ⇔
+    count(*) over (partition by order) > 1, NOT EXISTS(other late) ⇔
+    sum(is_late) over (partition by order) = 1 for a late row. One fact
+    scan, and the explicit repartition on l_orderkey alone feeds the
+    (orderkey, suppkey) groupBy AND the window — one shuffle, audited.
+    The DuckDB oracle keeps the literal EXISTS/NOT-EXISTS form."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn("is_late",
+                    F.col("l_shipdate") > F.timestamp_add("DAY", F.lit(90), F.col("o_orderdate")))
+        .repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_late").alias("is_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    waiting = (
+        base
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum(F.col("is_late").cast("int")).over(w))
+        .where(F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        waiting.join(F.broadcast(
+            supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+            .select("s_suppkey", "s_name")),
+            waiting.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+Q21_SQL = """
+WITH base AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) = 1 AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey)
+SELECT s_name, count(*) AS numwait
+FROM base l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1' AND l1.is_late
+  AND EXISTS (SELECT 1 FROM base l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM base l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
 QUERIES = {
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q9_product_profit": (q9_product_profit, Q9_SQL),
+    "q11_important_stock": (q11_important_stock, Q11_SQL),
+    "q12_shipping_priority_classes": (q12_shipping_priority_classes, Q12_SQL),
+    "q16_parts_supplier_relationship": (q16_parts_supplier_relationship, Q16_SQL),
+    "q20_excess_stock_suppliers": (q20_excess_stock_suppliers, Q20_SQL),
+    "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),

@@ -181,3 +181,74 @@ def test_q7_all_dims_broadcast_single_fact_shuffle_pair(spark, registry):
     assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
     # ship-date window pushed to the lineitem scan
     assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q6_pure_scan_agg_everything_pushed(spark, registry):
+    plan = _plan(registry["q6_forecast_revenue"][0](spark, SF))
+    # every predicate lands in the parquet scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24" in plan
+    # scan reads only the 4 referenced columns of 11
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for col in ("l_partkey", "l_suppkey", "l_returnflag", "l_tax"):
+        assert col not in read
+    # no wide shuffle at all: the only exchange is the single-partition final agg
+    tree = plan.split("\n\n")[0]
+    assert "hashpartitioning" not in tree
+
+
+def test_q9_single_fact_scan_all_dims_broadcast(spark, registry):
+    plan = _plan(registry["q9_product_profit"][0](spark, SF))
+    assert plan.count("lineitem.parquet") == 1
+    # part's name filter pushed as a string-contains into its scan
+    assert "StringContains(p_name,red)" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q11_threshold_via_window_one_fact_scan(spark, registry):
+    # the scalar-subquery threshold must NOT duplicate the aggregate subtree
+    plan = _plan(registry["q11_important_stock"][0](spark, SF))
+    assert plan.count("lineitem.parquet") == 1
+    assert ") Window" in plan
+
+
+def test_q12_lateness_residual_single_pass_counts(spark, registry):
+    plan = _plan(registry["q12_shipping_priority_classes"][0](spark, SF))
+    # cross-table lateness predicate cannot push; it must not force a
+    # nested-loop join — the orderkey equi-join survives with a residual
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("lineitem.parquet") == 1 and plan.count("orders.parquet") == 1
+
+
+def test_q16_distinct_catalog_below_joins_anti_broadcast(spark, registry):
+    plan = _plan(registry["q16_parts_supplier_relationship"][0](spark, SF))
+    lines = plan.splitlines()
+    # the (partkey, suppkey) distinct collapses the fact BEFORE any join:
+    # top-down, every join sits above the deepest HashAggregate pair
+    tree = plan.split("\n\n")[0]
+    assert "LeftAnti" in plan
+    read = [l for l in lines if "ReadSchema" in l and "l_partkey" in l][0]
+    # catalog scan reads exactly the two key columns
+    assert "l_extendedprice" not in read and "l_shipdate" not in read
+
+
+def test_q20_rollup_and_window_share_partkey_shuffle(spark, registry):
+    plan = _plan(registry["q20_excess_stock_suppliers"][0](spark, SF))
+    assert plan.count("lineitem.parquet") == 1
+    assert ") Window" in plan
+    tree = plan.split("\n\n")[0]
+    # shuffles: repartition(l_partkey) + distinct(l_suppkey) + final sort —
+    # the groupBy and the window both reuse the repartition's clustering
+    non_broadcast = [l for l in tree.splitlines()
+                     if "Exchange" in l and "Broadcast" not in l]
+    assert len(non_broadcast) <= 3, non_broadcast
+
+
+def test_q21_decorrelated_single_scan_single_orderkey_shuffle(spark, registry):
+    # the EXISTS/NOT-EXISTS pair is decorrelated into window counts: the
+    # literal self-join form scans the fact three times (lineage is a tree)
+    plan = _plan(registry["q21_waiting_suppliers"][0](spark, SF))
+    assert plan.count("lineitem.parquet") == 1
+    assert "SortMergeJoin" not in plan
+    assert ") Window" in plan
