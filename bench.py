@@ -77,6 +77,8 @@ HEADLINE = [
     "decontaminate",
     "pii_scrub",
     "sample_stratified",
+    "sample_temperature_mix",
+    "embed_kmeans",
     "pack_sequences",
     "ann_lsh_knn",
     "multimodal_frames",

@@ -185,3 +185,45 @@ def pack_sequences(df: DataFrame, budget: int = 512, n_shards: int = 8,
         F.floor(start / budget).cast("int").alias("seq_idx"),
         (start % budget).cast("int").alias("begin_offset"),
     )
+
+
+def temperature_mix(df: DataFrame, alpha: float = 0.5, budget: int = 250,
+                    group_col: str = "lang", id_col: str = "doc_id") -> DataFrame:
+    """Temperature-weighted mixture sampling (the multilingual-LM
+    recipe: sample group g with probability ∝ p_g^alpha, p_g its
+    corpus share) realized as deterministic per-row keep rates.
+
+    Per group: q_g = (n_g / N)^alpha, normalized over groups; the
+    per-row keep rate is min(1, budget * q_g / q_sum / n_g), applied
+    as an md5-per-mille threshold on the row id — reproducible,
+    append-stable, and reproducible in SQL. alpha=0.5 is sqrt
+    (IEEE-correctly-rounded, so bit-identical across engines; other
+    alphas go through pow and are libm-dependent — keep 0.5 for
+    oracle-checked runs).
+
+    Scale shape: ONE pass over the fact for group counts (a
+    tiny |groups|-row aggregate), the share/normalize math as
+    empty-frame windows over that aggregate (NOT a second .agg() +
+    crossJoin, which would duplicate the subtree and re-scan the
+    fact), then a broadcast join of the |groups|-row rate table back
+    onto the fact — the rate lookup + hash filter are pure codegen.
+    """
+    from pyspark.sql import Window
+
+    if alpha != 0.5:
+        raise ValueError("only alpha=0.5 (sqrt) is cross-engine exact")
+    per = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_g"))
+    everything = Window.partitionBy()
+    rates = (
+        per
+        .withColumn("q_g", F.sqrt(F.col("n_g") / F.sum("n_g").over(everything)))
+        .withColumn("keep_rate", F.least(
+            F.lit(1.0),
+            F.lit(float(budget)) * F.col("q_g") / F.sum("q_g").over(everything) / F.col("n_g")))
+        .select(group_col, F.floor(F.col("keep_rate") * 1000).cast("long").alias("keep_mille"))
+    )
+    mille = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10) \
+             .cast("long") % 1000
+    return (df.join(F.broadcast(rates), group_col)
+              .where(mille < F.col("keep_mille"))
+              .select(id_col, group_col, "keep_mille"))

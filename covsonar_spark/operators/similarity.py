@@ -354,3 +354,81 @@ def lsh_knn_join(df: DataFrame, k: int = 5, n_planes: int = 8, n_tables: int = 1
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
+                  vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Lloyd k-means over an embedding column (the SemDedup /
+    corpus-clustering primitive): deterministic init (the ``k``
+    lowest-id vectors, like ``ivf_assign``'s codebook), ``iters``
+    assign/update rounds, then a final assignment emitting
+    (id, cluster, squared distance).
+
+    Scale shape — the MLlib pattern, hand-rolled so every step is
+    auditable: per iteration ONE pass over the fact (numpy
+    mapInPandas assignment, same block-vectorized sequential-fold
+    kernel as ``cosine_pairs_exact``), then a k×dim aggregate
+    (``avg(v[i]) GROUP BY cid``) collected to the driver — the model
+    is a driver-side artifact exactly like a trained codebook, so no
+    shuffle ever moves the vectors; only k*dim doubles cross the wire
+    per round. Total cost: (iters+1) scans, zero wide shuffles.
+
+    Cross-engine determinism: distances are rounded to 6 decimals
+    before argmin (ties → lowest cluster id), and the updated
+    centroid means are rounded to 6 decimals before the next round —
+    float sums are order-sensitive at the last ulp, and rounding at
+    each fixpoint makes Spark's partial-agg order and the oracle's
+    single-threaded order agree bit-for-bit. An empty cluster keeps
+    its previous centroid."""
+    init = _centroids(df, k, vec_col, id_col)
+    cents = [list(map(float, c)) for _, c in init]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = _kmeans_assign_pass(df, cents, vec_col, id_col)
+        stats = assigned.groupBy("cid").agg(
+            *[F.round(F.avg(F.col(vec_col)[i].cast("double")), 6).alias(f"m{i}")
+              for i in range(dim)])
+        new = {r["cid"]: [r[f"m{i}"] for i in range(dim)] for r in stats.collect()}
+        cents = [new.get(c, cents[c]) for c in range(k)]
+    return (_kmeans_assign_pass(df, cents, vec_col, id_col, with_dist=True)
+            .select(id_col, "cid", "dist2"))
+
+
+def _kmeans_assign_pass(df: DataFrame, cents, vec_col: str, id_col: str,
+                        with_dist: bool = False) -> DataFrame:
+    """One assignment sweep: nearest centroid by squared L2, distances
+    rounded to 6 decimals, ties to the lowest cluster id. numpy with
+    sequential per-dimension accumulation — the same left-to-right
+    float64 fold order the SQL oracle's list_sum produces."""
+    C = [list(c) for c in cents]
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        M = np.array(C, dtype=np.float64)          # k x dim
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            d2 = np.zeros((len(A), len(C)))
+            for i in range(M.shape[1]):            # sequential per dimension
+                diff = A[:, i:i + 1] - M[None, :, i]
+                d2 += diff * diff
+            # round half-away-from-zero (values are >= 0, so floor(+0.5))
+            # — np.round is half-even, SQL round() is half-away; a d2
+            # landing exactly on a .5 boundary would diverge otherwise
+            d2 = np.floor(d2 * 1e6 + 0.5) / 1e6
+            cid = np.argmin(d2, axis=1)            # first min → lowest cid
+            out = {id_col: pdf[id_col], vec_col: pdf[vec_col],
+                   "cid": cid.astype("int64")}
+            if with_dist:
+                out["dist2"] = np.floor(d2[np.arange(len(A)), cid] * 1e4 + 0.5) / 1e4
+            yield pd.DataFrame(out)
+
+    schema = f"{id_col} {id_type}, {vec_col} {vec_type}, cid long"
+    if with_dist:
+        schema += ", dist2 double"
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(gen, schema=schema)

