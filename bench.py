@@ -79,6 +79,8 @@ HEADLINE = [
     "sample_stratified",
     "sample_temperature_mix",
     "embed_kmeans",
+    "dedup_semantic",
+    "text_quality_gate",
     "pack_sequences",
     "ann_lsh_knn",
     "multimodal_frames",

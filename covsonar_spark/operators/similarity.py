@@ -432,3 +432,53 @@ def _kmeans_assign_pass(df: DataFrame, cents, vec_col: str, id_col: str,
     if with_dist:
         schema += ", dist2 double"
     return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(gen, schema=schema)
+
+
+def semantic_dedup_pairs(df: DataFrame, k: int = 8, iters: int = 2,
+                         threshold: float = 0.4, vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """SemDedup: k-means to LOCALIZE near-duplicates, then exact cosine
+    pairs only WITHIN each cluster — the composition that turns the
+    O(n²) all-pairs problem into k independent O((n/k)²) problems.
+
+    Scale shape: ``kmeans_assign`` (zero vector shuffles, driver-held
+    model) labels every vector; ONE shuffle co-locates each cluster
+    (groupBy(cid) → applyInPandas), and the pairwise kernel runs
+    block-vectorized per cluster with the same sequential-fold cosine
+    as ``cosine_pairs_exact``. Recall trade-off is explicit and
+    testable: exactly the cross-cluster pairs are lost relative to the
+    exact baseline (asserted in tests) — the SemDedup bargain: at 100 TB
+    with k ~ corpus/4096 the within-cluster quadratic is tractable and
+    near-duplicates overwhelmingly share a cluster."""
+    assigned = kmeans_assign(df, k=k, iters=iters,
+                             vec_col=vec_col, id_col=id_col)
+    with_cid = df.select(id_col, vec_col).join(
+        assigned.select(id_col, "cid"), id_col)
+
+    def pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cid": [],
+                                 "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cid": "int64",
+                 "cosine": "float64"})
+        A = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        cid = int(pdf["cid"].iloc[0])
+        dot = np.zeros((n, n))
+        na2 = np.zeros(n)
+        for i in range(A.shape[1]):                # sequential per dimension
+            dot += A[:, i:i + 1] * A[:, i][None, :]
+            na2 += A[:, i] * A[:, i]
+        nrm = np.sqrt(na2)
+        cos = np.round(dot / (nrm[:, None] * nrm[None, :]), 4)
+        ii, jj = np.nonzero((cos >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj],
+                             "cid": np.full(len(ii), cid, dtype=np.int64),
+                             "cosine": cos[ii, jj]})
+
+    return with_cid.groupBy("cid").applyInPandas(
+        pairs, schema="id_a long, id_b long, cid long, cosine double")

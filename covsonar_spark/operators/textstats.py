@@ -116,26 +116,36 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
 
     p(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V),  V = |vocab|
 
-    Plan shape: one explode into bigram occurrences, two count
-    aggregates over it (model "training"), then joins back to the same
-    occurrence frame for scoring — the bigram frame is the only big
-    intermediate and it is shuffled on its join key each time, so at
-    100 TB every stage is a plain shuffled agg/join AQE can plan; the
-    vocab size arrives as a broadcast one-row cross join."""
-    toks = df.select(F.col(id_col),
-                     F.split(F.col(text_col), " ").alias("t"))
-    bg = toks.select(
-        F.col(id_col),
-        F.explode(F.expr(
-            "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
-            " (w, i) -> struct(w as w1, t[i + 1] as w2))")).alias("b")
-    ).select(id_col, "b.w1", "b.w2")
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    Plan shape: the big bigram-occurrence frame is exploded twice
+    (once into the model aggregate, once for scoring — lineage is a
+    tree, so a third reference would mean a third explode) and
+    SHUFFLED once each. The unigram context count c(w1,·) is NOT a
+    second aggregate over the occurrences — it's a window-sum over the
+    already-aggregated (w1, w2) model frame (Σ_w2 c(w1,w2) ≡ c(w1,·)),
+    which at 100 TB turns a full-corpus shuffle into one over the
+    model's vocab² (orders smaller). The vocab size arrives as a
+    broadcast one-row cross join."""
+    from pyspark.sql import Window
+
+    def bigram_occurrences():
+        toks = df.select(F.col(id_col),
+                         F.split(F.col(text_col), " ").alias("t"))
+        return toks.select(
+            F.col(id_col),
+            F.explode(F.expr(
+                "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " (w, i) -> struct(w as w1, t[i + 1] as w2))")).alias("b")
+        ).select(id_col, "b.w1", "b.w2")
+
+    model = (
+        bigram_occurrences()
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+        .withColumn("c1", F.sum("c2").over(Window.partitionBy("w1")))
+    )
     vocab = df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok")) \
         .agg(F.countDistinct("tok").alias("v"))
     return (
-        bg.join(c2, ["w1", "w2"]).join(c1, "w1")
+        bigram_occurrences().join(model, ["w1", "w2"])
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(F.round(F.avg(F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))), 6)
@@ -158,3 +168,31 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.col(id_col),
         F.array_min(grams).alias("fingerprint"),
     )
+
+
+def quality_gate(df: DataFrame, pct: float = 0.25, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Corpus-relative quality filtering: keep documents whose heuristic
+    quality score clears the corpus's ``pct`` percentile — the
+    distribution-anchored gate real pipelines use instead of magic
+    absolute thresholds.
+
+    Scale shape: two passes over the corpus (inherent — a global
+    order statistic must exist before any row can be judged): pass 1
+    aggregates the exact percentile threshold (one scalar), pass 2
+    re-scores and filters with the threshold broadcast as a one-row
+    cross join — pure codegen, no shuffle of the corpus itself. At
+    100 TB swap the exact percentile for ``approx_percentile``
+    (t-digest sketch, partial-merge, no per-group materialization);
+    the exact form is kept here because it is oracle-checkable.
+    The threshold is rounded to 6 decimals BEFORE the comparison in
+    both engines: percentile interpolation arithmetic may differ in
+    the last ulp across engines, and rounding the single scalar pins
+    the boundary."""
+    scores = quality(df, text_col, id_col)
+    thr = scores.agg(
+        F.round(F.percentile("quality", F.lit(pct)), 6).alias("q_thr"))
+    return (quality(df, text_col, id_col)
+            .crossJoin(F.broadcast(thr))
+            .where(F.col("quality") >= F.col("q_thr"))
+            .select(id_col, "quality", "q_thr"))

@@ -2008,6 +2008,88 @@ ORDER BY doc_id
 """
 
 
+def _KM_ASSIGN(src_e: str, src_c: str) -> str:
+    """Squared-L2 distance fragment shared by the k-means oracle CTEs."""
+    return ("round(list_sum(list_transform(range(1, 65), "
+            f"i -> ({src_e}.v[i] - {src_c}.cvec[i]) * ({src_e}.v[i] - {src_c}.cvec[i]))), 6)")
+
+
+def text_quality_gate(spark, sf_dir):
+    """Corpus-relative quality filter: docs at/above the corpus p25
+    quality score. Two passes (threshold scalar, then codegen filter
+    with the one-row threshold broadcast); exact percentile here for
+    oracle parity, approx_percentile named as the 100 TB path."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.quality_gate(docs, pct=0.25).orderBy("doc_id")
+
+
+TEXT_QUALITY_GATE_SQL = """
+WITH scores AS (
+  SELECT doc_id,
+         round((least((len(text) - (len(string_split(text,' ')) - 1))::DOUBLE / len(string_split(text,' ')) / 10.0, 1.0)
+                + len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest(len(text), 1)
+                + len(list_distinct(string_split(text,' ')))::DOUBLE / len(string_split(text,' '))) / 3.0, 6) AS quality
+  FROM documents),
+thr AS (SELECT round(percentile_cont(0.25) WITHIN GROUP (ORDER BY quality), 6) AS q_thr FROM scores)
+SELECT doc_id, quality, q_thr
+FROM scores CROSS JOIN thr
+WHERE quality >= q_thr
+ORDER BY doc_id
+"""
+
+
+def dedup_semantic(spark, sf_dir):
+    """SemDedup: Lloyd k-means localizes candidates, exact cosine runs
+    only within clusters — O(n²) becomes k × O((n/k)²) with one
+    co-locating shuffle. The oracle replays BOTH stages (the full
+    k-means trajectory + within-cluster pairs), so the recall
+    trade-off itself — exactly the cross-cluster pairs are lost — is
+    value-checked, not assumed."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_pairs(emb, k=8, iters=2, threshold=0.4) \
+        .orderBy("id_a", "id_b")
+
+
+DEDUP_SEMANTIC_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v AS cvec
+       FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+a0 AS (SELECT vec_id, v, cid FROM (
+         SELECT e.vec_id, e.v, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                                   ORDER BY {_KM_ASSIGN('e', 'c')}, c.cid) AS rnk
+         FROM e CROSS JOIN c0 c) WHERE rnk = 1),
+c1 AS (SELECT cid, list(m ORDER BY i) AS cvec FROM (
+         SELECT cid, i, round(avg(v[i]), 6) AS m
+         FROM a0 CROSS JOIN range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid),
+a1 AS (SELECT vec_id, v, cid FROM (
+         SELECT e.vec_id, e.v, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                                   ORDER BY {_KM_ASSIGN('e', 'c')}, c.cid) AS rnk
+         FROM e CROSS JOIN c1 c) WHERE rnk = 1),
+c2 AS (SELECT cid, list(m ORDER BY i) AS cvec FROM (
+         SELECT cid, i, round(avg(v[i]), 6) AS m
+         FROM a1 CROSS JOIN range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid),
+af AS (SELECT vec_id, cid FROM (
+         SELECT e.vec_id, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                                   ORDER BY {_KM_ASSIGN('e', 'c')}, c.cid) AS rnk
+         FROM e CROSS JOIN c2 c) WHERE rnk = 1),
+n AS (SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(generate_series(1, 64), i -> embedding[i] * embedding[i]))) AS nrm
+      FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, fa.cid,
+       round(list_sum(list_transform(generate_series(1, 64), i -> a.embedding[i] * b.embedding[i]))
+             / (a.nrm * b.nrm), 4) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+JOIN af fa ON fa.vec_id = a.vec_id
+JOIN af fb ON fb.vec_id = b.vec_id AND fb.cid = fa.cid
+WHERE round(list_sum(list_transform(generate_series(1, 64), i -> a.embedding[i] * b.embedding[i]))
+            / (a.nrm * b.nrm), 4) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
 def embed_kmeans(spark, sf_dir):
     """Deterministic Lloyd k-means over the embeddings table (the
     SemDedup / corpus-clustering primitive): k=8, init = 8 lowest-id
@@ -2018,12 +2100,6 @@ def embed_kmeans(spark, sf_dir):
     float trajectory regardless of summation order."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.kmeans_assign(emb, k=8, iters=2).orderBy("vec_id")
-
-
-def _KM_ASSIGN(src_e: str, src_c: str) -> str:
-    d2 = ("round(list_sum(list_transform(range(1, 65), "
-          f"i -> ({src_e}.v[i] - {src_c}.cvec[i]) * ({src_e}.v[i] - {src_c}.cvec[i]))), 6)")
-    return d2
 
 
 EMBED_KMEANS_SQL = f"""
@@ -2122,6 +2198,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sample_stratified": (sample_stratified, SAMPLE_STRATIFIED_SQL),
     "sample_temperature_mix": (sample_temperature_mix, SAMPLE_TEMPERATURE_SQL),
     "embed_kmeans": (embed_kmeans, EMBED_KMEANS_SQL),
+    "text_quality_gate": (text_quality_gate, TEXT_QUALITY_GATE_SQL),
+    "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
     # round-2 join-planning suite (operators/tpch.py): correlated-subquery
     # decorrelation, dual-role dims, outer-join counts, conditional-agg

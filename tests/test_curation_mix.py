@@ -102,3 +102,37 @@ def test_kmeans_plan_no_wide_shuffle_of_vectors(spark, emb):
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert "Exchange" not in plan.split("\n\n")[0]
+
+
+def test_semantic_dedup_is_within_cluster_subset_of_exact(spark, emb):
+    """SemDedup's contract: its pairs are EXACTLY the exact-cosine
+    pairs whose endpoints share a k-means cluster — nothing invented,
+    only cross-cluster pairs lost."""
+    from covsonar_spark.operators.similarity import (cosine_pairs_exact,
+                                                     kmeans_assign,
+                                                     semantic_dedup_pairs)
+
+    exact = {(r["id_a"], r["id_b"]) for r in
+             cosine_pairs_exact(emb, threshold=0.4).collect()}
+    sem = {(r["id_a"], r["id_b"]) for r in
+           semantic_dedup_pairs(emb, k=8, iters=2, threshold=0.4).collect()}
+    assert sem <= exact
+    cid = {r["vec_id"]: r["cid"] for r in kmeans_assign(emb, k=8, iters=2).collect()}
+    same_cluster = {(a, b) for a, b in exact if cid[a] == cid[b]}
+    assert sem == same_cluster
+
+
+def test_quality_gate_keeps_top_three_quarters(spark, docs):
+    from covsonar_spark.operators.textstats import quality, quality_gate
+
+    total = docs.count()
+    kept = quality_gate(docs, pct=0.25)
+    n_kept = kept.count()
+    # p25 gate keeps ~75% (exact count depends on ties at the threshold)
+    assert 0.70 * total <= n_kept <= 0.80 * total
+    # every kept score clears the threshold; every dropped one doesn't
+    thr = kept.select("q_thr").first()["q_thr"]
+    scores = {r["doc_id"]: r["quality"] for r in quality(docs).collect()}
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    for doc, q in scores.items():
+        assert (q >= thr) == (doc in kept_ids)

@@ -95,12 +95,14 @@ def test_match_metadata_filters_pushed(spark, registry):
         "PushedFilters", 1)[1][:2]
 
 
-def test_bigram_lm_single_explode(spark, registry):
-    # the bigram frame must be built once and reused (plan contains the
-    # explode generate at least once but the scan of documents.text for
-    # bigrams should not multiply beyond the model/score/vocab reads)
+def test_bigram_lm_two_explodes_windowed_context_count(spark, registry):
     plan = _plan(registry["text_bigram_lm"][0](spark, SF))
     assert "Generate" in plan
+    # exactly three reads of documents: model explode, score explode,
+    # vocab — and c(w1,·) comes from a window over the aggregated model
+    # frame, NOT a third explode + full-corpus shuffle
+    assert plan.count("documents.parquet") <= 3
+    assert ") Window" in plan
 
 
 def test_salted_collect_two_phase(spark, registry):
