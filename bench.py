@@ -42,6 +42,7 @@ HEADLINE = [
     "join_parts_never_ordered",
     "match_metadata_filters",
     "match_profile_and",
+    "match_profile_bloom",
     "match_profile_or_groups",
     "lineage_closure_prefix",
     "window_rank_per_group",

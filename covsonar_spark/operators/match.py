@@ -116,6 +116,53 @@ def profile_predicate(groups: list[dict[str, list[list[str]]]], negate: bool = F
     return reduce(lambda a, b: a | b, group_preds)
 
 
+def profile_bloom_prefilter(groups: list[dict[str, list[list[str]]]]) -> Column | None:
+    """SURVEY §4's flagged scale rewrite (a): a necessary-condition
+    bitmask test over the STORED 64-bit bloom fingerprint columns,
+    prepended to the exact include predicate.
+
+    Per group and field: AND-mode single-token atoms fold into one
+    required-bits mask (``bloom & m == m``); IUPAC-expanded atoms and
+    wildcard-OR groups degrade to an any-bit test over their token
+    union (``bloom & m != 0``) — still necessary, never sufficient, so
+    the exact array predicate behind it keeps full semantics and the
+    rewrite is LOSSLESS. Groups OR together like the exact predicate;
+    a group that yields no usable mask makes the whole prefilter
+    vacuous (returns None). The payoff at 100 TB: the common
+    no-wildcard screen reads one fixed-width long per row and rejects
+    non-matches with two integer ops in codegen, touching the token
+    arrays only for candidate rows.
+    """
+    group_preds: list[Column] = []
+    for g in groups:
+        parts: list[Column] = []
+        for field, col in (("dna", "dna_bloom"), ("aa", "aa_bloom")):
+            exps = g.get(field) or []
+            if not exps:
+                continue
+            if TK.group_any_mode(exps, field):
+                union = [t for exp in exps for t in exp]
+                m = P.bloom_mask(union)
+                parts.append(F.col(col).bitwiseAND(F.lit(m)) != 0)
+            else:
+                single_mask = 0
+                for exp in exps:
+                    if len(exp) == 1:
+                        single_mask |= P.bloom_mask(exp)
+                    else:
+                        m = P.bloom_mask(exp)
+                        parts.append(F.col(col).bitwiseAND(F.lit(m)) != 0)
+                if single_mask:
+                    parts.append(
+                        F.col(col).bitwiseAND(F.lit(single_mask)) == F.lit(single_mask))
+        if not parts:
+            return None
+        group_preds.append(reduce(lambda a, b: a & b, parts))
+    if not group_preds:
+        return None
+    return reduce(lambda a, b: a | b, group_preds)
+
+
 def profile_semijoin_keys(tokens_long: DataFrame,
                           groups: list[dict[str, list[list[str]]]],
                           key_col: str = "seqhash") -> DataFrame:
@@ -248,6 +295,13 @@ class MatchEngine:
         inc_prof = TK.rewrite_profiles(q.profiles, self.grammar) if q.profiles else []
         exc_prof = TK.rewrite_profiles(q.exclude_profiles, self.grammar) if q.exclude_profiles else []
         if inc_prof:
+            # cheap stored-fingerprint prefilter first (codegen && is
+            # left-to-right, so the two-integer-op test short-circuits
+            # the array scans for non-candidates)
+            if "dna_bloom" in self.essence.columns:
+                bp = profile_bloom_prefilter(inc_prof)
+                if bp is not None:
+                    preds.append(bp)
             p = profile_predicate(inc_prof)
             if p is not None:
                 preds.append(p)
@@ -335,9 +389,17 @@ class MatchEngine:
 def build_essence(genomes: DataFrame, profiles: DataFrame) -> DataFrame:
     """essence = genomes ⟕ profiles on seqhash (reference view
     lib/db.sqlite:95-123).  Both sides bucketed by seqhash at write time
-    → no shuffle; empty arrays substituted for missing profiles."""
+    → no shuffle; empty arrays substituted for missing profiles. Stored
+    bloom fingerprint columns ride along (match uses them as a cheap
+    necessary-condition prefilter; they never reach the output)."""
     e = genomes.join(profiles, "seqhash", "left")
     empty = F.array().cast("array<string>")
     for c in ("dna_profile", "aa_profile", "fs_profile"):
         e = e.withColumn(c, F.coalesce(F.col(c), empty))
-    return e.select(*ESSENCE_COLUMNS)
+    extra = [c for c in ("dna_bloom", "aa_bloom") if c in e.columns]
+    for c in extra:
+        # NULL fingerprint = unknown (profile row absent or pre-v3):
+        # all-ones passes every necessary-condition test, so the exact
+        # array predicate keeps sole authority for such rows
+        e = e.withColumn(c, F.coalesce(F.col(c), F.lit(-1).cast("long")))
+    return e.select(*ESSENCE_COLUMNS, *extra)

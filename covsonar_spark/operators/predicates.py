@@ -140,3 +140,55 @@ def distinct_values_matching(df: DataFrame, col: str, sql_like_pattern: str) -> 
     final scan predicate stays a static IN-list (partition-prunable)."""
     rows = df.select(col).where(F.col(col).like(sql_like_pattern)).distinct().collect()
     return [r[0] for r in rows]
+
+
+# ---------------------------------------------------------------------------
+# Bloom-fingerprint pre-filter (SURVEY §4's flagged scale rewrite (a):
+# turn array_contains conjunctions into a pushable cheap test)
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 64
+
+
+def token_bloom(tokens_col: str | Column) -> Column:
+    """64-bit bloom fingerprint of a token-array column: OR of
+    ``1 << (md5(token) % 64)`` — md5-derived so the ingest-side column
+    and the driver-side query mask use the same hash everywhere.
+
+    Stored next to the profile arrays at ingest, this turns an
+    AND-of-array_contains profile query into a single-long bitmask
+    test ``(bloom & mask) = mask`` that (1) reads ONE fixed-width
+    column instead of the token array, (2) runs in whole-stage codegen
+    as two integer ops, and (3) is a *necessary* condition — false
+    positives fall through to the exact array_contains check, false
+    negatives are impossible, so the rewrite is lossless."""
+    c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    # call_function, not F.shiftleft: the Python wrapper only accepts a
+    # literal int for numBits, the SQL resolver takes a column
+    bit = lambda t: F.call_function(  # noqa: E731
+        "shiftleft", F.lit(1).cast("long"),
+        (F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+         % BLOOM_BITS).cast("int"))
+    return F.aggregate(c, F.lit(0).cast("long"),
+                       lambda acc, t: acc.bitwiseOR(bit(t)))
+
+
+def bloom_mask(tokens: Sequence[str]) -> int:
+    """Driver-side query mask: same md5 bit mapping as token_bloom."""
+    import hashlib
+
+    mask = 0
+    for t in tokens:
+        idx = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % BLOOM_BITS
+        mask |= 1 << idx
+    # two's-complement fold: bit 63 makes the JVM long negative, and
+    # F.lit rejects unsigned values above Long.MAX_VALUE
+    return mask - (1 << 64) if mask >= (1 << 63) else mask
+
+
+def bloom_prefilter(bloom_col: str | Column, tokens: Sequence[str]) -> Column:
+    """Cheap necessary-condition test for an AND token group:
+    every query token's bit must be set in the row's fingerprint."""
+    c = F.col(bloom_col) if isinstance(bloom_col, str) else bloom_col
+    mask = bloom_mask(tokens)
+    return c.bitwiseAND(F.lit(mask)) == F.lit(mask)

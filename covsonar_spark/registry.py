@@ -508,6 +508,25 @@ ORDER BY doc_id
 """
 
 
+def match_profile_bloom(spark, sf_dir):
+    """F7 via the OTHER SURVEY §4-flagged scale rewrite: a 64-bit bloom
+    fingerprint column pre-screens the AND group with one bitmask test
+    ((bloom & mask) = mask — two integer ops in codegen on a
+    fixed-width long) before the exact array_contains conjunction
+    touches the token arrays. Lossless (necessary condition only),
+    so it shares match_profile_and's oracle — the strategy equivalence
+    is value-checked. In the real store the fingerprint is a persisted
+    column written at ingest (store.py, schema v3); here it stands in
+    computed on the fly."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = Tx.tokens("text")
+    with_bloom = docs.withColumn("dna_bloom", P.token_bloom(toks))
+    pre = P.bloom_prefilter("dna_bloom", ["merge", "hash", "join"])
+    exact = P.profile_group(toks, ["merge", "hash", "join"])
+    return (with_bloom.where(pre & exact)
+            .select("doc_id", "lang", "source").orderBy("doc_id"))
+
+
 def match_profile_semijoin(spark, sf_dir):
     """F7 via the 100 TB plan (SURVEY §4's flagged rewrite): the same
     AND-group as match_profile_and executed as an inverted-index
@@ -2153,6 +2172,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "match_metadata_negation": (match_metadata_negation, MATCH_METADATA_NEG_SQL),
     "match_profile_and": (match_profile_and, MATCH_PROFILE_AND_SQL),
     "match_profile_semijoin": (match_profile_semijoin, MATCH_PROFILE_AND_SQL),
+    "match_profile_bloom": (match_profile_bloom, MATCH_PROFILE_AND_SQL),
     "match_profile_or_groups": (match_profile_or_groups, MATCH_PROFILE_OR_SQL),
     "match_profile_exclude": (match_profile_exclude, MATCH_PROFILE_EXCL_SQL),
     "match_count": (match_count, MATCH_COUNT_SQL),

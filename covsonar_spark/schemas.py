@@ -51,6 +51,10 @@ PROFILES = T.StructType([
     T.StructField("dna_profile", T.ArrayType(T.StringType()), False),
     T.StructField("aa_profile", T.ArrayType(T.StringType()), False),
     T.StructField("fs_profile", T.ArrayType(T.StringType()), False),
+    # 64-bit md5-derived bloom fingerprints of the token arrays —
+    # match's necessary-condition prefilter (predicates.token_bloom)
+    T.StructField("dna_bloom", T.LongType(), True),
+    T.StructField("aa_bloom", T.LongType(), True),
 ])
 
 DNA_VARIANTS = T.StructType([

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from covsonar_spark import schemas
 from covsonar_spark.functions.genetics import CDS
 from covsonar_spark.operators import ingest as ING
+from covsonar_spark.operators import predicates as P
 from covsonar_spark.operators.match import MatchEngine, MatchQuery, build_essence
 
 TABLES = ("genomes", "sequences", "profiles", "dna_variants", "prot_variants")
@@ -40,9 +41,12 @@ TABLES = ("genomes", "sequences", "profiles", "dna_variants", "prot_variants")
 #   1 — pre-versioning: genomes written unpartitioned; dates possibly
 #       strings; columns added later (e.g. submission_date — the same
 #       column the reference's migrate/4.sql retrofits) may be absent.
-#   2 — current: genomes conform to schemas.GENOMES and are partitioned
+#   2 — genomes conform to schemas.GENOMES and are partitioned
 #       by date_month for scan pruning.
-SCHEMA_VERSION = 2
+#   3 — current: profiles carry dna_bloom/aa_bloom 64-bit fingerprint
+#       columns (match's necessary-condition prefilter; computed at
+#       ingest, backfilled by migration for older stores).
+SCHEMA_VERSION = 3
 
 _SCHEMAS = {
     "genomes": schemas.GENOMES,
@@ -287,7 +291,10 @@ class SonarStore:
 
         self._append("sequences", new_seqs.join(
             ok.select("seqhash"), "seqhash", "left_semi"))
-        self._append("profiles", ok.select("seqhash", "dna_profile", "aa_profile", "fs_profile"))
+        self._append("profiles", ok.select(
+            "seqhash", "dna_profile", "aa_profile", "fs_profile",
+            P.token_bloom("dna_profile").alias("dna_bloom"),
+            P.token_bloom("aa_profile").alias("aa_bloom")))
         self._append("dna_variants", ING.explode_dna_variants(ok))
         self._append("prot_variants", ING.explode_prot_variants(ok))
 
@@ -485,4 +492,23 @@ def _migrate_to_2(spark: SparkSession, root: str) -> None:
     store._overwrite("genomes", df.select(*cols))
 
 
-_MIGRATIONS = {2: _migrate_to_2}
+def _migrate_to_3(spark: SparkSession, root: str) -> None:
+    """v2 → v3: backfill the profiles table's bloom fingerprint columns
+    from the stored token arrays (one pass, pure codegen)."""
+    path = os.path.join(root, "profiles")
+    if not os.path.exists(path):
+        return
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        return
+    if "dna_bloom" in df.columns:
+        return
+    store = SonarStore(spark, root)
+    store._overwrite("profiles", df.select(
+        "seqhash", "dna_profile", "aa_profile", "fs_profile",
+        P.token_bloom("dna_profile").alias("dna_bloom"),
+        P.token_bloom("aa_profile").alias("aa_bloom")))
+
+
+_MIGRATIONS = {2: _migrate_to_2, 3: _migrate_to_3}
