@@ -86,6 +86,12 @@ HEADLINE = [
     "ann_lsh_knn",
     "multimodal_frames",
     "multimodal_meta_stats",
+    "agg_cube_revenue",
+    "pivot_revenue_matrix",
+    "unpivot_acctbal",
+    "agg_stats_profile",
+    "agg_histogram",
+    "window_navigation",
 ]
 
 

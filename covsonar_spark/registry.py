@@ -22,8 +22,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from covsonar_spark.functions import text as Tx
-from covsonar_spark.operators import (closure, curation, dedup, predicates as P,
-                                      similarity, textstats, tpch, windows)
+from covsonar_spark.operators import (closure, curation, dedup, olap,
+                                      predicates as P, similarity, textstats,
+                                      tpch, windows)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2226,4 +2227,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # ratios, window-max-over-aggregate, disjunctive pushdown, scalar-agg
     # anti-join — each with a DuckDB oracle twin.
     **tpch.QUERIES,
+    # OLAP surface extensions (operators/olap.py): CUBE, pivot/unpivot,
+    # moment statistics, data-driven histogram, navigation windows.
+    **olap.QUERIES,
+    "window_navigation": (
+        lambda spark, sf_dir: olap.window_navigation(spark, sf_dir, events_fn=_events),
+        olap.WINDOW_NAVIGATION_SQL,
+    ),
 }
