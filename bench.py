@@ -92,6 +92,10 @@ HEADLINE = [
     "agg_stats_profile",
     "agg_histogram",
     "window_navigation",
+    "ts_gap_fill",
+    "ts_ewma",
+    "ts_ohlc",
+    "ts_anomaly_zscore",
 ]
 
 

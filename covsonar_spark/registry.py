@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from covsonar_spark.functions import text as Tx
 from covsonar_spark.operators import (closure, curation, dedup, olap,
                                       predicates as P, similarity, textstats,
-                                      tpch, windows)
+                                      timeseries, tpch, windows)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2233,5 +2233,23 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "window_navigation": (
         lambda spark, sf_dir: olap.window_navigation(spark, sf_dir, events_fn=_events),
         olap.WINDOW_NAVIGATION_SQL,
+    ),
+    # time-series family (operators/timeseries.py): grid resample +
+    # forward fill, EWMA fold, OHLC bars, two-pass z-score anomalies.
+    "ts_gap_fill": (
+        lambda spark, sf_dir: timeseries.ts_gap_fill(_events(spark, sf_dir)),
+        timeseries.TS_GAP_FILL_SQL,
+    ),
+    "ts_ewma": (
+        lambda spark, sf_dir: timeseries.ts_ewma(_events(spark, sf_dir)),
+        timeseries.TS_EWMA_SQL,
+    ),
+    "ts_ohlc": (
+        lambda spark, sf_dir: timeseries.ts_ohlc(_events(spark, sf_dir)),
+        timeseries.TS_OHLC_SQL,
+    ),
+    "ts_anomaly_zscore": (
+        lambda spark, sf_dir: timeseries.ts_anomaly_zscore(_events(spark, sf_dir)),
+        timeseries.TS_ANOMALY_SQL,
     ),
 }
