@@ -96,6 +96,9 @@ HEADLINE = [
     "ts_ewma",
     "ts_ohlc",
     "ts_anomaly_zscore",
+    "graph_pagerank",
+    "graph_triangles",
+    "graph_degree_stats",
 ]
 
 

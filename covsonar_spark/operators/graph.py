@@ -1,0 +1,222 @@
+"""Graph analytics as DataFrame programs: weighted PageRank, triangle
+counting, and degree distributions over graphs derived from the
+relational tables.
+
+The reference's only graph-shaped computation is the sublineage
+closure BFS (SURVEY.md §2.2 F14; lib/sonardb.py:3342-3360), already
+covered by operators/closure.py.  This module adds the general
+iterative-graph repertoire a data-curation engine needs (duplicate
+clusters are already in operators/dedup.py via connected components —
+pointer-jumping, the same family as these).
+
+Graphs used (derived, not stored):
+  * nation trade graph: edge cust-nation -> supp-nation weighted by
+    lineitem revenue (25 nodes, |E| <= 625 at any scale — the EDGE
+    AGGREGATION is the big-data step, one shuffle over the fact);
+  * part co-purchase graph: undirected edge (a,b) when parts a,b ship
+    in the same order (edge build = self-join on l_orderkey, bounded
+    by per-order line counts).
+
+Scale notes (100 TB):
+  * PageRank iterations run over the AGGREGATED edge list, never the
+    fact table — the fact is scanned once to build weighted edges;
+  * each iteration is join(ranks, edges on src) + groupBy(dst): two
+    hash-partitioned exchanges over |E| rows; with ranks tiny (#nodes)
+    Spark broadcasts it, so per-iteration cost is a map over edges;
+  * per-iteration rounding to 6 decimals pins the float trajectory,
+    which is what makes an ITERATIVE algorithm value-checkable against
+    the chained-CTE DuckDB oracle (same trick as embed_kmeans);
+  * triangle counting orders each edge (a<b) so every triangle is
+    counted exactly once, and joins edges-to-edges before the final
+    membership semi-join — the standard two-hop + closure check;
+    at scale the wedge join is the shuffle to watch: it is quadratic
+    in per-node degree, so high-degree nodes should be capped or
+    sampled (noted, not needed at this density).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# nation trade graph + PageRank
+# ---------------------------------------------------------------------------
+
+DAMP = 0.85
+PR_ITERS = 3
+
+
+def trade_edges(spark, sf_dir) -> DataFrame:
+    """cust-nation -> supp-nation revenue edges: one pass over lineitem
+    with broadcast dims; self-loops dropped."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("src"))
+    sn = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("dst"))
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(cn), c.c_nationkey == F.col("ck"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sk"))
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("weight"))
+    )
+
+
+def pagerank(edges: DataFrame, iters: int = PR_ITERS, damp: float = DAMP) -> DataFrame:
+    """Weighted PageRank over a DataFrame edge list.  Nodes = src∪dst;
+    transition weight = edge weight / node out-weight; dangling nodes
+    simply emit no mass (simplified standard).  Each iteration rounds
+    rank to 6 decimals — the cross-engine fixpoint pin."""
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst"))).distinct()
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("ow"))
+    trans = (edges.join(out_w, "src")
+             .select("src", "dst", (F.col("weight") / F.col("ow")).alias("p")))
+    n_nodes = nodes.count()
+    ranks = nodes.select("node", F.round(F.lit(1.0 / n_nodes), 6).alias("rank"))
+    for _ in range(iters):
+        contrib = (trans.join(F.broadcast(ranks), trans.src == ranks.node)
+                   .groupBy("dst")
+                   .agg(F.sum(F.col("p") * F.col("rank")).alias("c")))
+        ranks = (nodes.join(contrib, nodes.node == contrib.dst, "left")
+                 .select("node",
+                         F.round(F.lit((1.0 - damp) / n_nodes)
+                                 + F.lit(damp) * F.coalesce(F.col("c"), F.lit(0.0)),
+                                 6).alias("rank")))
+    return ranks
+
+
+def graph_pagerank(spark, sf_dir):
+    """3-iteration weighted PageRank over the nation trade graph."""
+    ranks = pagerank(trade_edges(spark, sf_dir))
+    return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
+def _pr_sql(iters: int = PR_ITERS, damp: float = DAMP) -> str:
+    base = f"""
+WITH edges AS (
+  SELECT src, dst, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS weight
+  FROM lineitem
+  JOIN orders    ON l_orderkey = o_orderkey
+  JOIN customer  ON o_custkey = c_custkey
+  JOIN supplier  ON l_suppkey = s_suppkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey,
+  LATERAL (SELECT cn.n_name AS src, sn.n_name AS dst) t
+  WHERE src <> dst
+  GROUP BY src, dst
+),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+nn AS (SELECT count(*) AS n FROM nodes),
+trans AS (
+  SELECT src, dst, weight / sum(weight) OVER (PARTITION BY src) AS p FROM edges
+),
+r0 AS (SELECT node, round(1.0 / n, 6) AS rank FROM nodes CROSS JOIN nn)
+"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        base += f""",
+c{i} AS (SELECT dst, sum(p * rank) AS c FROM trans JOIN {prev} ON src = node GROUP BY dst),
+r{i} AS (SELECT node, round((1.0 - {damp}) / n + {damp} * coalesce(c, 0.0), 6) AS rank
+         FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON node = dst)
+"""
+        prev = f"r{i}"
+    base += f"SELECT node, round(rank, 6) AS rank FROM {prev} ORDER BY node"
+    return base
+
+
+GRAPH_PAGERANK_SQL = _pr_sql()
+
+
+# ---------------------------------------------------------------------------
+# part co-purchase graph: triangles + degrees
+# ---------------------------------------------------------------------------
+
+def copurchase_edges(spark, sf_dir) -> DataFrame:
+    """Undirected (a<b) part pairs shipping in the same order.  The
+    per-order self-join is bounded by order width (~4-7 lines), so the
+    pair fan-out is ~d²/2 per order — linear in the fact overall."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b"))
+    return (a.join(b, "k").where(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
+def graph_triangles(spark, sf_dir):
+    """Global triangle census of the co-purchase graph: wedge join
+    (ab ⋈ bc) closed by an (a,c) edge semi-join; each triangle counted
+    once because edges are oriented a<b<c."""
+    e = copurchase_edges(spark, sf_dir).cache()
+    e2 = e.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    wedges = e.join(e2, e.b == e2.b2).select("a", "b", "c")
+    tri = wedges.join(e.select(F.col("a").alias("ta"), F.col("b").alias("tc")),
+                      (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+                      "left_semi")
+    nodes = e.select(F.col("a").alias("v")).union(e.select("b")).distinct()
+    return (
+        nodes.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
+            e.agg(F.count(F.lit(1)).alias("n_edges"))).crossJoin(
+            tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )
+
+
+GRAPH_TRIANGLES_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+nodes AS (SELECT DISTINCT v FROM (SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)),
+tri AS (
+  SELECT 1 FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  WHERE EXISTS (SELECT 1 FROM edges e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+)
+SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+       (SELECT count(*) FROM edges) AS n_edges,
+       (SELECT count(*) FROM tri) AS n_triangles
+"""
+
+
+def graph_degree_stats(spark, sf_dir):
+    """Degree distribution of the co-purchase graph: how many nodes
+    have each degree.  Two skinny aggregates over the edge list."""
+    e = copurchase_edges(spark, sf_dir)
+    deg = (e.select(F.col("a").alias("v")).union(e.select("b"))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("degree")))
+    return (deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+            .orderBy("degree"))
+
+
+GRAPH_DEGREES_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+deg AS (
+  SELECT v, count(*) AS degree
+  FROM (SELECT a AS v FROM edges UNION ALL SELECT b FROM edges) GROUP BY v
+)
+SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+QUERIES = {
+    "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
+    "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
+    "graph_degree_stats": (graph_degree_stats, GRAPH_DEGREES_SQL),
+}

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from covsonar_spark.functions import text as Tx
-from covsonar_spark.operators import (closure, curation, dedup, olap,
+from covsonar_spark.operators import (closure, curation, dedup, graph, olap,
                                       predicates as P, similarity, textstats,
                                       timeseries, tpch, windows)
 
@@ -2252,4 +2252,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         lambda spark, sf_dir: timeseries.ts_anomaly_zscore(_events(spark, sf_dir)),
         timeseries.TS_ANOMALY_SQL,
     ),
+    # graph analytics (operators/graph.py): iterative weighted PageRank
+    # (chained-CTE oracle), triangle census, degree distribution.
+    **graph.QUERIES,
 }
