@@ -99,6 +99,9 @@ HEADLINE = [
     "graph_pagerank",
     "graph_triangles",
     "graph_degree_stats",
+    "sketch_hll_distinct",
+    "sketch_kmv_distinct",
+    "sketch_countmin",
 ]
 
 

@@ -1,0 +1,249 @@
+"""Deterministic cardinality/frequency sketches: HyperLogLog, KMV
+(k-minimum-values), and Count-Min — the partial-mergeable summaries a
+100 TB engine uses where exact DISTINCT/GROUP BY state would not fit.
+
+The reference engine always counts exactly (SURVEY.md §2.4 A2/A6;
+lib/sonardb.py:1552-1595 runs COUNT(DISTINCT ...) over sqlite) — fine
+at millions of rows, not at 10^12.  Sketches are the scale path, and
+the classic objection to testing them is that estimates are
+implementation-defined.  This module removes that objection by
+construction: every hash is the repo's portable md5-64 idiom
+(operators/dedup.py:30-36) and every register update is INTEGER
+arithmetic (max of rho, bit-shift sums, min of counters), so Spark and
+DuckDB compute IDENTICAL sketch states and IDENTICAL estimates — the
+estimates are value-checked against the oracle like any exact query,
+and each query also returns the exact answer next to the estimate so
+the error is visible.
+
+Determinism details:
+  * rho (HLL register) = index of the lowest set bit of the suffix,
+    found via v & -v (a power of two) and log2 — log2 is exact on
+    powers of two in IEEE doubles, so no boundary misrounding;
+  * the HLL denominator Σ 2^(-M_j) is summed as Σ 2^(52-M_j) in
+    BIGINT — exact and order-independent, unlike a float sum —
+    and divided once at the end;
+  * KMV uses the k-th smallest 60-bit hash (row_number over a total
+    order), Count-Min takes integer minima over d=4 counter rows.
+
+Scale notes (100 TB):
+  * all three sketches are one-shuffle partial aggregates: HLL's
+    (group, bucket) max merges map-side into ≤256 registers per
+    group; Count-Min's counter table is d×w = 256 cells per group —
+    both orders of magnitude smaller than exact distinct state;
+  * KMV as written keeps a per-group distinct-hash set before the
+    top-k — the demo form.  The production form replaces the distinct
+    + row_number with a partial bounded min-heap per partition
+    (Spark: groupBy + sort_array(slice(collect_set,...)) or an
+    approx top-k accumulator); noted here because at 10^9 distinct
+    keys the exact distinct shuffle is the thing the sketch exists
+    to avoid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# portable 60-bit hash (15 hex chars of md5), same as operators/dedup.py:30
+def _h60(col):
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+_H60_SQL = "CAST(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+HLL_M = 256  # 2^8 buckets
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def sketch_hll_distinct(spark, sf_dir):
+    """Deterministic HLL (m=256) estimate of distinct customers per
+    order priority, next to the exact count.  Registers: bucket =
+    h % 256, rho = lowest-set-bit index of h//256 (capped at 52);
+    denominator summed exactly in BIGINT as Σ 2^(52-M).  Includes the
+    standard linear-counting small-range correction (branch is
+    deterministic, so both engines take the same one)."""
+    o = _t(spark, sf_dir, "orders")
+    h = _h60(F.col("o_custkey"))
+    # integer division: h/256 via `/` would go through DOUBLE and lose
+    # the low bits for h > 2^53 — exactly the bits rho depends on
+    v = F.expr(f"h div {HLL_M}")
+    rho = F.when(v == 0, F.lit(52)).otherwise(
+        F.least(F.log2(v.bitwiseAND(-v)).cast("long") + 1, F.lit(52)))
+    regs = (
+        o.select("o_orderpriority", h.alias("h"))
+        .withColumn("bucket", F.pmod(F.col("h"), F.lit(HLL_M)))
+        .withColumn("rho", rho)
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    per_group = regs.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(52 - m AS INT))"))
+         .alias("present_sum"),
+        F.count(F.lit(1)).alias("n_buckets"))
+    denom = ((F.col("present_sum") / F.lit(2.0 ** 52))
+             + (F.lit(HLL_M) - F.col("n_buckets")))
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / denom
+    zeros = F.lit(HLL_M) - F.col("n_buckets")
+    est = F.when((raw <= 2.5 * HLL_M) & (zeros > 0),
+                 F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros)
+                 ).otherwise(raw)
+    exact = (o.groupBy("o_orderpriority")
+             .agg(F.countDistinct("o_custkey").alias("exact_distinct")))
+    return (
+        per_group.select("o_orderpriority", F.round(est, 2).alias("hll_est"))
+        .join(exact, "o_orderpriority")
+        .orderBy("o_orderpriority")
+    )
+
+
+_H = _H60_SQL.format(c="o_custkey")
+SKETCH_HLL_SQL = f"""
+WITH hashed AS (
+  SELECT o_orderpriority, {_H} AS h FROM orders
+), regs AS (
+  SELECT o_orderpriority, h % {HLL_M} AS bucket,
+         max(CASE WHEN h // {HLL_M} = 0 THEN 52
+             ELSE least(CAST(log2((h // {HLL_M}) & -(h // {HLL_M})) AS BIGINT) + 1, 52) END) AS m
+  FROM hashed GROUP BY 1, 2
+), per_group AS (
+  SELECT o_orderpriority,
+         sum(1::BIGINT << CAST(52 - m AS INT)) AS present_sum,
+         count(*) AS n_buckets
+  FROM regs GROUP BY 1
+), est AS (
+  SELECT o_orderpriority,
+         CASE WHEN raw <= {2.5 * HLL_M} AND zeros > 0
+              THEN {float(HLL_M)} * ln({float(HLL_M)} / zeros)
+              ELSE raw END AS e
+  FROM (SELECT o_orderpriority,
+               {HLL_ALPHA * HLL_M * HLL_M} / (present_sum / {2.0 ** 52} + ({HLL_M} - n_buckets)) AS raw,
+               {HLL_M} - n_buckets AS zeros
+        FROM per_group)
+)
+SELECT o_orderpriority, round(e, 2) AS hll_est, exact_distinct
+FROM est JOIN (SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_distinct
+               FROM orders GROUP BY 1) USING (o_orderpriority)
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# KMV
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+
+
+def sketch_kmv_distinct(spark, sf_dir):
+    """K-minimum-values distinct estimate per order priority: the k-th
+    smallest normalized 60-bit hash R gives est = (k-1)/R.  Exact
+    integer k-th order statistic via row_number over distinct hashes —
+    deterministic in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    hashed = (o.select("o_orderpriority", _h60(F.col("o_custkey")).alias("h"))
+              .distinct())
+    w = Window.partitionBy("o_orderpriority").orderBy("h")
+    kth = (hashed.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") == KMV_K))
+    est = F.lit(float(KMV_K - 1)) / (F.col("h") / F.lit(2.0 ** 60))
+    exact = (o.groupBy("o_orderpriority")
+             .agg(F.countDistinct("o_custkey").alias("exact_distinct")))
+    return (
+        kth.select("o_orderpriority", F.round(est, 2).alias("kmv_est"))
+        .join(exact, "o_orderpriority")
+        .orderBy("o_orderpriority")
+    )
+
+
+SKETCH_KMV_SQL = f"""
+WITH hashed AS (
+  SELECT DISTINCT o_orderpriority, {_H} AS h FROM orders
+), kth AS (
+  SELECT o_orderpriority, h FROM (
+    SELECT o_orderpriority, h,
+           row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+    FROM hashed) WHERE rn = {KMV_K}
+)
+SELECT o_orderpriority,
+       round({float(KMV_K - 1)} / (h / {2.0 ** 60}), 2) AS kmv_est,
+       exact_distinct
+FROM kth JOIN (SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_distinct
+               FROM orders GROUP BY 1) USING (o_orderpriority)
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+# ---------------------------------------------------------------------------
+
+CM_D = 4
+CM_W = 64
+
+
+def sketch_countmin(spark, sf_dir):
+    """Count-Min (d=4, w=64) frequency estimates for every event type,
+    next to exact counts.  Counter build: explode each row into d
+    (row, bucket) cells — partial counts merge map-side, so the
+    shuffled state is d×w cells, independent of input size.  Estimate:
+    min over the d counters hit by each key (integer min — exact)."""
+    ev = _t(spark, sf_dir, "events")
+    rows = F.array(*[F.lit(i) for i in range(CM_D)])
+    cells = (
+        ev.select("event_type")
+        .withColumn("i", F.explode(rows))
+        .withColumn("bucket", F.pmod(
+            _h60(F.concat_ws(":", F.col("i"), F.col("event_type"))), F.lit(CM_W)))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    keys = (
+        ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_count"))
+        .withColumn("i", F.explode(rows))
+        .withColumn("bucket", F.pmod(
+            _h60(F.concat_ws(":", F.col("i"), F.col("event_type"))), F.lit(CM_W)))
+    )
+    return (
+        keys.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("event_type", "exact_count")
+        .agg(F.min("cnt").alias("cm_est"))
+        .select("event_type", "cm_est", "exact_count")
+        .orderBy("event_type")
+    )
+
+
+_HK = _H60_SQL.format(c="i || ':' || event_type")
+SKETCH_CM_SQL = f"""
+WITH exploded AS (
+  SELECT event_type, i, {_HK} % {CM_W} AS bucket
+  FROM events CROSS JOIN (SELECT unnest(range(0, {CM_D})) AS i)
+), cells AS (
+  SELECT i, bucket, count(*) AS cnt FROM exploded GROUP BY 1, 2
+), keys AS (
+  SELECT event_type, exact_count, i, {_HK} % {CM_W} AS bucket
+  FROM (SELECT event_type, count(*) AS exact_count FROM events GROUP BY 1)
+  CROSS JOIN (SELECT unnest(range(0, {CM_D})) AS i)
+)
+SELECT event_type, min(cnt) AS cm_est, exact_count
+FROM keys JOIN cells USING (i, bucket)
+GROUP BY event_type, exact_count
+ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "sketch_hll_distinct": (sketch_hll_distinct, SKETCH_HLL_SQL),
+    "sketch_kmv_distinct": (sketch_kmv_distinct, SKETCH_KMV_SQL),
+    "sketch_countmin": (sketch_countmin, SKETCH_CM_SQL),
+}

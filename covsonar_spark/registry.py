@@ -23,8 +23,8 @@ from pyspark.sql import functions as F
 
 from covsonar_spark.functions import text as Tx
 from covsonar_spark.operators import (closure, curation, dedup, graph, olap,
-                                      predicates as P, similarity, textstats,
-                                      timeseries, tpch, windows)
+                                      predicates as P, similarity, sketches,
+                                      textstats, timeseries, tpch, windows)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2255,4 +2255,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # graph analytics (operators/graph.py): iterative weighted PageRank
     # (chained-CTE oracle), triangle census, degree distribution.
     **graph.QUERIES,
+    # deterministic sketches (operators/sketches.py): md5-hashed,
+    # integer-register HLL / KMV / Count-Min — estimates value-checked
+    # exactly because both engines compute identical sketch states.
+    **sketches.QUERIES,
 }
