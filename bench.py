@@ -102,6 +102,9 @@ HEADLINE = [
     "sketch_hll_distinct",
     "sketch_kmv_distinct",
     "sketch_countmin",
+    "join_fuzzy_levenshtein",
+    "text_chunk_dedup",
+    "text_pmi_collocations",
 ]
 
 

@@ -22,9 +22,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from covsonar_spark.functions import text as Tx
-from covsonar_spark.operators import (closure, curation, dedup, graph, olap,
-                                      predicates as P, similarity, sketches,
-                                      textstats, timeseries, tpch, windows)
+from covsonar_spark.operators import (closure, curation, dedup, fuzzy, graph,
+                                      olap, predicates as P, similarity,
+                                      sketches, textstats, timeseries, tpch,
+                                      windows)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2259,4 +2260,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # integer-register HLL / KMV / Count-Min — estimates value-checked
     # exactly because both engines compute identical sketch states.
     **sketches.QUERIES,
+    # string-similarity analytics (operators/fuzzy.py): blocked
+    # levenshtein join, cross-doc chunk dedup + reassembly, PMI
+    # collocations.
+    **fuzzy.QUERIES,
 }
