@@ -254,3 +254,90 @@ def test_q21_decorrelated_single_scan_single_orderkey_shuffle(spark, registry):
     assert plan.count("lineitem.parquet") == 1
     assert "SortMergeJoin" not in plan
     assert ") Window" in plan
+
+
+# ---------------------------------------------------------------------------
+# round-3 families: OLAP surface, time-series, graph, sketches, fuzzy
+# ---------------------------------------------------------------------------
+
+def test_cube_expands_once_single_wide_shuffle(spark, registry):
+    plan = _plan(registry["agg_cube_revenue"][0](spark, SF))
+    # CUBE = Expand (4 grouping sets) + partial agg BELOW one exchange —
+    # never four separate scans
+    assert "Expand" in plan
+    assert plan.count("orders.parquet") == 1
+    tree = plan.split("\n\n")[0]
+    non_broadcast = [l for l in tree.splitlines()
+                     if "Exchange" in l and "Broadcast" not in l]
+    assert len(non_broadcast) <= 2, non_broadcast  # agg + final sort
+
+
+def test_pivot_no_value_discovery_scan_dims_broadcast(spark, registry):
+    plan = _plan(registry["pivot_revenue_matrix"][0](spark, SF))
+    # explicit pivot values -> exactly one fact scan (no distinct-values
+    # pre-job materializes in this plan), dims broadcast
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_histogram_bounds_broadcast_scan_pruned(spark, registry):
+    plan = _plan(registry["agg_histogram"][0](spark, SF))
+    # the min/max bounds row is broadcast into the binning scan — the
+    # big scan is never range-partitioned or windowed
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert all("o_orderdate" not in r and "o_orderpriority" not in r
+               for r in reads)  # both scans pruned to o_totalprice
+
+
+def test_stats_moments_are_partial_aggregates(spark, registry):
+    plan = _plan(registry["agg_stats_profile"][0](spark, SF))
+    # corr/covar/stddev/regr_slope all merge map-side: partial + final
+    # HashAggregate pair around exactly one wide exchange
+    tree = plan.split("\n\n")[0]
+    non_broadcast = [l for l in tree.splitlines()
+                     if "Exchange" in l and "Broadcast" not in l]
+    assert len(non_broadcast) <= 2, non_broadcast
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_ewma_fold_stays_jvm_side(spark, registry):
+    plan = _plan(registry["ts_ewma"][0](spark, SF))
+    # the EWMA recurrence runs as a codegen'd higher-order function —
+    # not a Python UDF round-trip
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "aggregate(" in plan or "Aggregate" in plan
+
+
+def test_zscore_stats_broadcast_one_fact_pass_per_stage(spark, registry):
+    plan = _plan(registry["ts_anomaly_zscore"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_ranks_broadcast_per_iteration(spark, registry):
+    plan = _plan(registry["graph_pagerank"][0](spark, SF))
+    # rank vectors are tiny (#nations) — every iteration joins them
+    # broadcast; the fact is scanned once to build weighted edges
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hll_registers_merge_map_side(spark, registry):
+    plan = _plan(registry["sketch_hll_distinct"][0](spark, SF))
+    # register build is a partial-mergeable (group, bucket) max — no
+    # Python anywhere, no sort-based aggregation fallback for the sketch
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fuzzy_join_blocked_not_cartesian(spark, registry):
+    plan = _plan(registry["join_fuzzy_levenshtein"][0](spark, SF))
+    # candidate generation is equi-join on blocking keys — the verify
+    # step must never degrade to a cross product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_dedup_single_window_shuffle_no_python(spark, registry):
+    plan = _plan(registry["text_chunk_dedup"][0](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert ") Window" in plan
