@@ -43,7 +43,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -147,15 +146,30 @@ KMV_K = 64
 
 def sketch_kmv_distinct(spark, sf_dir):
     """K-minimum-values distinct estimate per order priority: the k-th
-    smallest normalized 60-bit hash R gives est = (k-1)/R.  Exact
-    integer k-th order statistic via row_number over distinct hashes —
-    deterministic in both engines."""
+    smallest normalized 60-bit hash R gives est = (k-1)/R — an exact
+    integer order statistic, deterministic in both engines.
+
+    Two-phase bucketed form: hashes are bucketed (h % 64), each
+    (group, bucket) set-aggregates its distinct hashes (map-side
+    combine dedups early) and emits only its k smallest; the per-group
+    k-th smallest is then taken from the ≤ 64·k survivors.  min-k is
+    order-independent, so this equals the global sort without a full
+    distinct shuffle + per-group row_number sort.  The true streaming
+    form bounds the per-bucket state too (a min-k accumulator instead
+    of collect_set) — the bucketing here is what makes that swap
+    local."""
     o = _t(spark, sf_dir, "orders")
-    hashed = (o.select("o_orderpriority", _h60(F.col("o_custkey")).alias("h"))
-              .distinct())
-    w = Window.partitionBy("o_orderpriority").orderBy("h")
-    kth = (hashed.withColumn("rn", F.row_number().over(w))
-           .where(F.col("rn") == KMV_K))
+    hashed = o.select("o_orderpriority", _h60(F.col("o_custkey")).alias("h"))
+    per_bucket = (
+        hashed.groupBy("o_orderpriority", F.pmod(F.col("h"), F.lit(64)).alias("bk"))
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, KMV_K).alias("mins"))
+    )
+    kth = (
+        per_bucket.groupBy("o_orderpriority")
+        .agg(F.element_at(
+            F.array_sort(F.flatten(F.collect_list("mins"))), KMV_K).alias("h"))
+        .where(F.col("h").isNotNull())
+    )
     est = F.lit(float(KMV_K - 1)) / (F.col("h") / F.lit(2.0 ** 60))
     exact = (o.groupBy("o_orderpriority")
              .agg(F.countDistinct("o_custkey").alias("exact_distinct")))
