@@ -105,6 +105,7 @@ HEADLINE = [
     "join_fuzzy_levenshtein",
     "text_chunk_dedup",
     "text_pmi_collocations",
+    "ts_islands_scd2",
 ]
 
 

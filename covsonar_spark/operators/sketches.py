@@ -65,28 +65,32 @@ HLL_M = 256  # 2^8 buckets
 HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 
 
-def sketch_hll_distinct(spark, sf_dir):
-    """Deterministic HLL (m=256) estimate of distinct customers per
-    order priority, next to the exact count.  Registers: bucket =
-    h % 256, rho = lowest-set-bit index of h//256 (capped at 52);
-    denominator summed exactly in BIGINT as Σ 2^(52-M).  Includes the
-    standard linear-counting small-range correction (branch is
-    deterministic, so both engines take the same one)."""
-    o = _t(spark, sf_dir, "orders")
-    h = _h60(F.col("o_custkey"))
-    # integer division: h/256 via `/` would go through DOUBLE and lose
-    # the low bits for h > 2^53 — exactly the bits rho depends on
+def hll_registers(df: DataFrame, group_col: str, key_col) -> DataFrame:
+    """(group, bucket, m) HLL register table — the MERGEABLE sketch
+    state: registers from any partition of the data combine by MAX, so
+    they union across batches/streams/partitions losslessly.  bucket =
+    h % 256, rho = lowest-set-bit index of h//256 (capped at 52).
+    h//256 must be INTEGER division — `/` goes through DOUBLE and
+    loses the low bits for h > 2^53, exactly the bits rho reads."""
+    h = _h60(F.col(key_col) if isinstance(key_col, str) else key_col)
     v = F.expr(f"h div {HLL_M}")
     rho = F.when(v == 0, F.lit(52)).otherwise(
         F.least(F.log2(v.bitwiseAND(-v)).cast("long") + 1, F.lit(52)))
-    regs = (
-        o.select("o_orderpriority", h.alias("h"))
+    return (
+        df.select(F.col(group_col).alias("grp"), h.alias("h"))
         .withColumn("bucket", F.pmod(F.col("h"), F.lit(HLL_M)))
         .withColumn("rho", rho)
-        .groupBy("o_orderpriority", "bucket")
+        .groupBy("grp", "bucket")
         .agg(F.max("rho").alias("m"))
     )
-    per_group = regs.groupBy("o_orderpriority").agg(
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """(grp, hll_est) from a register table.  Denominator Σ 2^(-M) is
+    summed exactly in BIGINT as Σ 2^(52-M); the linear-counting
+    small-range branch is deterministic, so every engine/partition
+    ordering computes the identical estimate."""
+    per_group = regs.groupBy("grp").agg(
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(52 - m AS INT))"))
          .alias("present_sum"),
         F.count(F.lit(1)).alias("n_buckets"))
@@ -97,44 +101,62 @@ def sketch_hll_distinct(spark, sf_dir):
     est = F.when((raw <= 2.5 * HLL_M) & (zeros > 0),
                  F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros)
                  ).otherwise(raw)
+    return per_group.select("grp", F.round(est, 2).alias("hll_est"))
+
+
+def sketch_hll_distinct(spark, sf_dir):
+    """Deterministic HLL (m=256) estimate of distinct customers per
+    order priority, next to the exact count (see hll_registers /
+    hll_estimate — the same mergeable state backs the streaming
+    variant in streaming/sketches.py)."""
+    o = _t(spark, sf_dir, "orders")
+    regs = hll_registers(o, "o_orderpriority", "o_custkey")
     exact = (o.groupBy("o_orderpriority")
              .agg(F.countDistinct("o_custkey").alias("exact_distinct")))
     return (
-        per_group.select("o_orderpriority", F.round(est, 2).alias("hll_est"))
+        hll_estimate(regs).withColumnRenamed("grp", "o_orderpriority")
         .join(exact, "o_orderpriority")
         .orderBy("o_orderpriority")
     )
 
 
-_H = _H60_SQL.format(c="o_custkey")
-SKETCH_HLL_SQL = f"""
+def _hll_sql(table: str, group_col: str, key_col: str) -> str:
+    """One-shot DuckDB HLL twin (identical register math) for any
+    (table, group, key) — also the oracle for the STREAMING sketch,
+    because max-merged per-batch registers equal the one-shot ones."""
+    h = _H60_SQL.format(c=key_col)
+    return f"""
 WITH hashed AS (
-  SELECT o_orderpriority, {_H} AS h FROM orders
+  SELECT {group_col} AS grp, {h} AS h FROM {table}
 ), regs AS (
-  SELECT o_orderpriority, h % {HLL_M} AS bucket,
+  SELECT grp, h % {HLL_M} AS bucket,
          max(CASE WHEN h // {HLL_M} = 0 THEN 52
              ELSE least(CAST(log2((h // {HLL_M}) & -(h // {HLL_M})) AS BIGINT) + 1, 52) END) AS m
   FROM hashed GROUP BY 1, 2
 ), per_group AS (
-  SELECT o_orderpriority,
+  SELECT grp,
          sum(1::BIGINT << CAST(52 - m AS INT)) AS present_sum,
          count(*) AS n_buckets
   FROM regs GROUP BY 1
 ), est AS (
-  SELECT o_orderpriority,
+  SELECT grp,
          CASE WHEN raw <= {2.5 * HLL_M} AND zeros > 0
               THEN {float(HLL_M)} * ln({float(HLL_M)} / zeros)
               ELSE raw END AS e
-  FROM (SELECT o_orderpriority,
+  FROM (SELECT grp,
                {HLL_ALPHA * HLL_M * HLL_M} / (present_sum / {2.0 ** 52} + ({HLL_M} - n_buckets)) AS raw,
                {HLL_M} - n_buckets AS zeros
         FROM per_group)
 )
-SELECT o_orderpriority, round(e, 2) AS hll_est, exact_distinct
-FROM est JOIN (SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_distinct
-               FROM orders GROUP BY 1) USING (o_orderpriority)
-ORDER BY o_orderpriority
+SELECT grp AS {group_col}, round(e, 2) AS hll_est, exact_distinct
+FROM est JOIN (SELECT {group_col} AS grp, count(DISTINCT {key_col}) AS exact_distinct
+               FROM {table} GROUP BY 1) USING (grp)
+ORDER BY 1
 """
+
+
+SKETCH_HLL_SQL = _hll_sql("orders", "o_orderpriority", "o_custkey")
+STREAM_HLL_SQL = _hll_sql("events", "event_type", "user_id")
 
 
 # ---------------------------------------------------------------------------
@@ -180,6 +202,7 @@ def sketch_kmv_distinct(spark, sf_dir):
     )
 
 
+_H = _H60_SQL.format(c="o_custkey")
 SKETCH_KMV_SQL = f"""
 WITH hashed AS (
   SELECT DISTINCT o_orderpriority, {_H} AS h FROM orders

@@ -242,6 +242,65 @@ def ts_anomaly_zscore(ev: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# gaps-and-islands / SCD2 intervals
+# ---------------------------------------------------------------------------
+
+def ts_islands_scd2(ev: DataFrame) -> DataFrame:
+    """Gaps-and-islands: collapse each user's consecutive runs of the
+    same event_type into SCD2-style validity intervals — the classic
+    change-capture shape (lag-change flag -> running sum -> island id),
+    the same two-window one-shuffle plan as sessionization but keyed on
+    VALUE change, not time gap.  Intervals then roll up per (cohort,
+    event_type): island count, row count, and total in-island dwell
+    time.  One shuffle on user_id serves both windows AND the island
+    aggregate (same partitioning)."""
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w)), 1).otherwise(0)
+    run = (Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    islands = (
+        ev.withColumn("chg", chg)
+        .withColumn("island", F.sum("chg").over(run))
+        .groupBy("user_id", "island", "event_type")
+        .agg(F.min("ts_us").alias("valid_from"),
+             F.max("ts_us").alias("valid_to"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+    return (
+        islands.groupBy((F.col("user_id") % 10).alias("cohort"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_islands"),
+             F.sum("n_rows").alias("n_events"),
+             F.sum(F.col("valid_to") - F.col("valid_from")).alias("dwell_us"))
+        .orderBy("cohort", "event_type")
+    )
+
+
+TS_ISLANDS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR event_type <> lag(event_type) OVER w THEN 1 ELSE 0 END AS chg
+  FROM (SELECT user_id, event_id, event_type, {_TS_US} AS ts_us FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), runs AS (
+  SELECT user_id, event_type, ts_us,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+), islands AS (
+  SELECT user_id, island, event_type,
+         min(ts_us) AS valid_from, max(ts_us) AS valid_to, count(*) AS n_rows
+  FROM runs GROUP BY 1, 2, 3
+)
+SELECT user_id % 10 AS cohort, event_type, count(*) AS n_islands,
+       sum(n_rows) AS n_events, sum(valid_to - valid_from) AS dwell_us
+FROM islands GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 TS_ANOMALY_SQL = f"""
 WITH stats AS (
   SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd

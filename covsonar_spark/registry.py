@@ -2264,4 +2264,36 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # levenshtein join, cross-doc chunk dedup + reassembly, PMI
     # collocations.
     **fuzzy.QUERIES,
+    # gaps-and-islands SCD2 intervals over the event stream
+    "ts_islands_scd2": (
+        lambda spark, sf_dir: timeseries.ts_islands_scd2(_events(spark, sf_dir)),
+        timeseries.TS_ISLANDS_SQL,
+    ),
+    # streaming HLL: three micro-batches max-merged through the
+    # log-structured register store MUST equal the one-shot batch
+    # sketch (register merge is max — commutative/associative), so the
+    # DuckDB one-shot twin is a full value oracle for the stream.
+    "stream_hll_distinct": (
+        lambda spark, sf_dir: _stream_hll(spark, sf_dir),
+        sketches.STREAM_HLL_SQL,
+    ),
 }
+
+
+def _stream_hll(spark, sf_dir):
+    """Chunked replay of the events table through StreamingHll
+    (streaming/sketches.py), estimates joined with exact counts."""
+    import tempfile
+
+    from covsonar_spark.streaming.sketches import StreamingHll
+
+    ev = _t(spark, sf_dir, "events")
+    hll = StreamingHll(spark, tempfile.mkdtemp(prefix="stream_hll_"),
+                       group_col="event_type", key_col="user_id",
+                       compact_every=2)
+    for i in range(3):
+        hll.process_batch(ev.where(F.col("event_id") % 3 == i))
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_distinct")))
+    return (hll.estimates().withColumnRenamed("grp", "event_type")
+            .join(exact, "event_type").orderBy("event_type"))

@@ -1,0 +1,58 @@
+"""Streaming HLL: max-merged per-batch registers must equal the
+one-shot batch sketch — the mergeable-state algebra driven through a
+REAL stream (maxFilesPerTrigger=1) and through chunked replay with
+mid-stream compaction."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from covsonar_spark.operators.sketches import hll_estimate, hll_registers
+from covsonar_spark.streaming.sketches import StreamingHll
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _batch_estimates(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    return {(r["grp"], r["hll_est"])
+            for r in hll_estimate(
+                hll_registers(ev, "event_type", "user_id")).collect()}
+
+
+def test_chunked_replay_with_compaction_equals_one_shot(spark, tmp_path):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    hll = StreamingHll(spark, str(tmp_path / "state"),
+                       group_col="event_type", key_col="user_id",
+                       compact_every=2)  # forces a compaction mid-stream
+    for i in range(5):
+        hll.process_batch(ev.where(F.col("event_id") % 5 == i))
+    got = {(r["grp"], r["hll_est"]) for r in hll.estimates().collect()}
+    assert got == _batch_estimates(spark) and len(got) > 0
+
+
+def test_real_stream_drain_equals_one_shot(spark, tmp_path):
+    ev = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+          .select("event_type", "user_id", "event_id"))
+    landing = tmp_path / "landing"
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).coalesce(1) \
+          .write.parquet(str(landing / f"chunk{i}"))
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    files = [str(p) for p in sorted(landing.glob("chunk*/part-*.parquet"))]
+    for i, p in enumerate(files):
+        os.rename(p, flat / f"{i}.parquet")
+
+    hll = StreamingHll(spark, str(tmp_path / "state"),
+                       group_col="event_type", key_col="user_id")
+    stream = (spark.readStream
+              .schema("event_type string, user_id long, event_id long")
+              .option("maxFilesPerTrigger", 1).parquet(str(flat)))
+    q = hll.attach(stream, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    got = {(r["grp"], r["hll_est"]) for r in hll.estimates().collect()}
+    assert got == _batch_estimates(spark) and len(got) > 0
