@@ -106,6 +106,9 @@ HEADLINE = [
     "text_chunk_dedup",
     "text_pmi_collocations",
     "ts_islands_scd2",
+    "window_trailing_range",
+    "profile_table_stats",
+    "dedup_canonical",
 ]
 
 

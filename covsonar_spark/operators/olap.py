@@ -291,7 +291,106 @@ FROM per_row GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# RANGE-frame trailing window
+# ---------------------------------------------------------------------------
+
+def window_trailing_range(spark, sf_dir):
+    """30-day trailing spend per customer order — a RANGE frame over
+    the day number (value-based, so it spans calendar gaps and ties,
+    which a ROWS frame cannot).  The running sum stays DECIMAL through
+    both the window and the cohort rollup — exact and order-free —
+    and is cast/rounded exactly once.  One shuffle on o_custkey."""
+    o = _t(spark, sf_dir, "orders")
+    day = F.expr("datediff(o_orderdate, DATE '1970-01-01')")
+    w = (Window.partitionBy("o_custkey").orderBy("day")
+         .rangeBetween(-29, 0))
+    per_order = (
+        o.withColumn("day", day)
+        .withColumn("trail_spend", F.sum(_dec("o_totalprice")).over(w))
+        .withColumn("trail_n", F.count(F.lit(1)).over(w))
+    )
+    return (
+        per_order.groupBy((F.col("o_custkey") % 10).alias("cohort"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum("trail_n").alias("sum_trail_n"),
+             F.round(F.sum("trail_spend").cast("double"), 2).alias("sum_trail_spend"))
+        .orderBy("cohort")
+    )
+
+
+WINDOW_TRAILING_SQL = """
+WITH per_order AS (
+  SELECT o_custkey,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS trail_spend,
+         count(*) OVER w AS trail_n
+  FROM (SELECT o_custkey, o_totalprice,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+        FROM orders)
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+)
+SELECT o_custkey % 10 AS cohort, count(*) AS n_orders,
+       sum(trail_n) AS sum_trail_n,
+       round(CAST(sum(trail_spend) AS DOUBLE), 2) AS sum_trail_spend
+FROM per_order GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# dataset profiler
+# ---------------------------------------------------------------------------
+
+def profile_table_stats(spark, sf_dir):
+    """Column-profile summary of the orders table — the warehouse
+    `ANALYZE`/data-quality primitive: per column, non-null count,
+    distinct count, min and max (stringified to a uniform schema).
+    One pass: all per-column aggregates compute in a single scan
+    (multiple DISTINCTs expand map-side), then pivot long via
+    explode — no per-column scans."""
+    o = _t(spark, sf_dir, "orders")
+
+    def agg_of(c, numeric=False):
+        mn, mx = F.min(c), F.max(c)
+        if numeric:
+            mn, mx = F.round(mn, 2), F.round(mx, 2)
+        return [F.count(c).alias(f"n_{c}"),
+                F.countDistinct(c).alias(f"d_{c}"),
+                mn.cast("string").alias(f"mn_{c}"),
+                mx.cast("string").alias(f"mx_{c}")]
+
+    one = o.agg(*(agg_of("o_orderstatus") + agg_of("o_orderpriority")
+                  + agg_of("o_totalprice", numeric=True)))
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("column_name"),
+                 F.col(f"n_{c}").alias("n_nonnull"),
+                 F.col(f"d_{c}").alias("n_distinct"),
+                 F.col(f"mn_{c}").alias("min_val"),
+                 F.col(f"mx_{c}").alias("max_val"))
+        for c in ["o_orderstatus", "o_orderpriority", "o_totalprice"]])
+    return (one.select(F.explode(rows).alias("r")).select("r.*")
+            .orderBy("column_name"))
+
+
+PROFILE_TABLE_SQL = """
+SELECT * FROM (
+  SELECT 'o_orderstatus' AS column_name, count(o_orderstatus) AS n_nonnull,
+         count(DISTINCT o_orderstatus) AS n_distinct,
+         CAST(min(o_orderstatus) AS VARCHAR) AS min_val,
+         CAST(max(o_orderstatus) AS VARCHAR) AS max_val FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', count(o_orderpriority), count(DISTINCT o_orderpriority),
+         CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', count(o_totalprice), count(DISTINCT o_totalprice),
+         CAST(round(min(o_totalprice), 2) AS VARCHAR), CAST(round(max(o_totalprice), 2) AS VARCHAR) FROM orders
+) ORDER BY column_name
+"""
+
+
 QUERIES = {
+    "window_trailing_range": (window_trailing_range, WINDOW_TRAILING_SQL),
+    "profile_table_stats": (profile_table_stats, PROFILE_TABLE_SQL),
     "agg_cube_revenue": (agg_cube_revenue, AGG_CUBE_SQL),
     "pivot_revenue_matrix": (pivot_revenue_matrix, PIVOT_REVENUE_SQL),
     "unpivot_acctbal": (unpivot_acctbal, UNPIVOT_ACCTBAL_SQL),

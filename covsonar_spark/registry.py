@@ -20,6 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from covsonar_spark.functions import text as Tx
 from covsonar_spark.operators import (closure, curation, dedup, fuzzy, graph,
@@ -2152,6 +2153,75 @@ ORDER BY vec_id
 """
 
 
+def _dedup_canonical(spark, sf_dir):
+    """After clustering near-dups (connected components over Jaccard
+    pairs, same pipeline as dedup_clusters), keep ONE representative
+    per cluster: the highest quality score, doc_id as tie-break — the
+    step that turns a dedup analysis into an actual curation decision.
+    The broadcast-joinable cluster table (pairs are orders smaller than
+    the corpus) attaches to the quality frame without reshuffling it."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dedup.duplicate_clusters(docs, threshold=0.5)
+    q = textstats.quality(docs)
+    member_q = clusters.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id"))
+    return (
+        member_q.withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("canonical_doc_id"),
+             F.count(F.lit(1)).alias("n_members"),
+             F.max("quality").alias("best_quality"))
+        .orderBy("cluster_id")
+    )
+
+
+_QUALITY_EXPR = """
+round((least((len(text) - (len(string_split(text,' ')) - 1))::DOUBLE / len(string_split(text,' ')) / 10.0, 1.0)
+       + len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest(len(text), 1)
+       + len(list_distinct(string_split(text,' ')))::DOUBLE / len(string_split(text,' '))) / 3.0, 6)
+"""
+
+DEDUP_CANONICAL_SQL = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 0)),
+             i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1], string_split(text,' ')[i+2])))) AS shingle
+  FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b
+  FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+clusters AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+member_q AS (
+  SELECT cluster_id, c.doc_id, {_QUALITY_EXPR} AS quality
+  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id),
+ranked AS (
+  SELECT cluster_id, doc_id, quality,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, doc_id) AS rn
+  FROM member_q)
+SELECT cluster_id,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc_id,
+       count(*) AS n_members,
+       max(quality) AS best_quality
+FROM ranked GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2268,6 +2338,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ts_islands_scd2": (
         lambda spark, sf_dir: timeseries.ts_islands_scd2(_events(spark, sf_dir)),
         timeseries.TS_ISLANDS_SQL,
+    ),
+    # canonical-document selection per duplicate cluster
+    "dedup_canonical": (
+        lambda spark, sf_dir: _dedup_canonical(spark, sf_dir),
+        DEDUP_CANONICAL_SQL,
     ),
     # streaming HLL: three micro-batches max-merged through the
     # log-structured register store MUST equal the one-shot batch
