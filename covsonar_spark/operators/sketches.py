@@ -229,6 +229,35 @@ CM_D = 4
 CM_W = 64
 
 
+def cm_cells(df: DataFrame, key_col: str) -> DataFrame:
+    """(i, bucket, cnt) Count-Min counter table — MERGEABLE state:
+    counters from any partition of the data combine by SUM, so cells
+    union across batches/streams losslessly (streaming/sketches.py
+    builds on exactly this)."""
+    rows = F.array(*[F.lit(i) for i in range(CM_D)])
+    return (
+        df.select(F.col(key_col).alias("key"))
+        .withColumn("i", F.explode(rows))
+        .withColumn("bucket", F.pmod(
+            _h60(F.concat_ws(":", F.col("i"), F.col("key"))), F.lit(CM_W)))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_estimate(cells: DataFrame, keys: DataFrame) -> DataFrame:
+    """(key, cm_est) — min over the d counters each key hashes into.
+    ``keys`` is a one-column frame of distinct keys to estimate."""
+    rows = F.array(*[F.lit(i) for i in range(CM_D)])
+    probes = (
+        keys.withColumn("i", F.explode(rows))
+        .withColumn("bucket", F.pmod(
+            _h60(F.concat_ws(":", F.col("i"), F.col("key"))), F.lit(CM_W)))
+    )
+    return (probes.join(F.broadcast(cells), ["i", "bucket"])
+            .groupBy("key").agg(F.min("cnt").alias("cm_est")))
+
+
 def sketch_countmin(spark, sf_dir):
     """Count-Min (d=4, w=64) frequency estimates for every event type,
     next to exact counts.  Counter build: explode each row into d
@@ -236,25 +265,12 @@ def sketch_countmin(spark, sf_dir):
     shuffled state is d×w cells, independent of input size.  Estimate:
     min over the d counters hit by each key (integer min — exact)."""
     ev = _t(spark, sf_dir, "events")
-    rows = F.array(*[F.lit(i) for i in range(CM_D)])
-    cells = (
-        ev.select("event_type")
-        .withColumn("i", F.explode(rows))
-        .withColumn("bucket", F.pmod(
-            _h60(F.concat_ws(":", F.col("i"), F.col("event_type"))), F.lit(CM_W)))
-        .groupBy("i", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    keys = (
-        ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_count"))
-        .withColumn("i", F.explode(rows))
-        .withColumn("bucket", F.pmod(
-            _h60(F.concat_ws(":", F.col("i"), F.col("event_type"))), F.lit(CM_W)))
-    )
+    cells = cm_cells(ev, "event_type")
+    exact = (ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_count")))
     return (
-        keys.join(F.broadcast(cells), ["i", "bucket"])
-        .groupBy("event_type", "exact_count")
-        .agg(F.min("cnt").alias("cm_est"))
+        cm_estimate(cells, exact.select(F.col("event_type").alias("key")))
+        .withColumnRenamed("key", "event_type")
+        .join(exact, "event_type")
         .select("event_type", "cm_est", "exact_count")
         .orderBy("event_type")
     )

@@ -2352,7 +2352,34 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         lambda spark, sf_dir: _stream_hll(spark, sf_dir),
         sketches.STREAM_HLL_SQL,
     ),
+    # streaming Count-Min: per-batch counter cells merge by SUM, so the
+    # chunked replay equals the one-shot batch sketch (same oracle).
+    "stream_countmin": (
+        lambda spark, sf_dir: _stream_countmin(spark, sf_dir),
+        sketches.SKETCH_CM_SQL,
+    ),
 }
+
+
+def _stream_countmin(spark, sf_dir):
+    """Chunked replay of events through StreamingCountMin
+    (streaming/sketches.py); counter SUM-merge makes the streamed
+    estimates equal the one-shot sketch_countmin exactly."""
+    import tempfile
+
+    from covsonar_spark.streaming.sketches import StreamingCountMin
+
+    ev = _t(spark, sf_dir, "events")
+    cm = StreamingCountMin(spark, tempfile.mkdtemp(prefix="stream_cm_"),
+                           key_col="event_type", compact_every=2)
+    for i in range(3):
+        cm.process_batch(ev.where(F.col("event_id") % 3 == i))
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (cm.estimates(exact.select(F.col("event_type").alias("key")))
+            .withColumnRenamed("key", "event_type")
+            .join(exact, "event_type")
+            .select("event_type", "cm_est", "exact_count")
+            .orderBy("event_type"))
 
 
 def _stream_hll(spark, sf_dir):

@@ -39,48 +39,48 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from covsonar_spark.operators.sketches import hll_estimate, hll_registers
+from covsonar_spark.operators.sketches import (cm_cells, cm_estimate,
+                                               hll_estimate, hll_registers)
 
 
-class StreamingHll:
-    """Incremental per-group distinct-count sketch."""
+class _LogStructuredSketch:
+    """Shared state machinery: per-batch sketch rows APPEND to a
+    parquet log; a lazy algebraic merge (subclass-defined) reconstructs
+    the exact one-shot sketch; the log compacts every N batches."""
 
-    def __init__(self, spark: SparkSession, state_dir: str, *,
-                 group_col: str, key_col: str,
-                 compact_every: int = 8) -> None:
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 compact_every: int) -> None:
         self.spark = spark
-        self.group_col, self.key_col = group_col, key_col
-        self._regs_path = os.path.join(state_dir, "regs")
+        self._path = os.path.join(state_dir, "sketch")
         self._compact_every = compact_every
         self._batches_since_compact = 0
 
+    def _merge(self, log: DataFrame) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError
+
+    def _sketch_of(self, df: DataFrame) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError
+
     def _read_or_none(self) -> DataFrame | None:
         try:
-            return self.spark.read.parquet(self._regs_path)
+            return self.spark.read.parquet(self._path)
         except Exception:  # noqa: BLE001 — first batch: no state yet
             return None
 
     def process_batch(self, df: DataFrame) -> None:
-        """Append this batch's registers to the log; periodically
-        compact the log back to one row per (grp, bucket)."""
-        regs = hll_registers(df, self.group_col, self.key_col)
-        regs.write.mode("append").parquet(self._regs_path)
+        self._sketch_of(df).write.mode("append").parquet(self._path)
         self._batches_since_compact += 1
         if self._batches_since_compact >= self._compact_every:
             merged = self._merged().cache()
             merged.count()  # materialize before overwriting the source
-            merged.write.mode("overwrite").parquet(self._regs_path)
+            merged.write.mode("overwrite").parquet(self._path)
             merged.unpersist()
             self._batches_since_compact = 0
 
     def _merged(self) -> DataFrame:
         log = self._read_or_none()
         assert log is not None, "no batches processed yet"
-        return log.groupBy("grp", "bucket").agg(F.max("m").alias("m"))
-
-    def estimates(self) -> DataFrame:
-        """(grp, hll_est) over everything streamed so far."""
-        return hll_estimate(self._merged())
+        return self._merge(log)
 
     def attach(self, stream_df: DataFrame, checkpoint_dir: str):
         """foreachBatch sink; availableNow-triggered for drain tests."""
@@ -89,3 +89,47 @@ class StreamingHll:
                 .option("checkpointLocation", checkpoint_dir)
                 .trigger(availableNow=True)
                 .start())
+
+
+class StreamingCountMin(_LogStructuredSketch):
+    """Incremental Count-Min: per-batch (i, bucket, cnt) cells merge by
+    SUM — commutative/associative, so the streamed sketch equals the
+    one-shot batch sketch for any chunking of the input."""
+
+    def __init__(self, spark: SparkSession, state_dir: str, *,
+                 key_col: str, compact_every: int = 8) -> None:
+        super().__init__(spark, state_dir, compact_every)
+        self.key_col = key_col
+
+    def _sketch_of(self, df: DataFrame) -> DataFrame:
+        return cm_cells(df, self.key_col)
+
+    def _merge(self, log: DataFrame) -> DataFrame:
+        return log.groupBy("i", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+    def estimates(self, keys: DataFrame) -> DataFrame:
+        """(key, cm_est) for the given distinct-key frame."""
+        return cm_estimate(self._merged(), keys)
+
+
+class StreamingHll(_LogStructuredSketch):
+    """Incremental per-group distinct-count sketch: per-batch (grp,
+    bucket, m) registers merge by MAX — commutative/associative/
+    idempotent, so the streamed sketch equals the one-shot batch
+    sketch for any chunking (and even replayed batches)."""
+
+    def __init__(self, spark: SparkSession, state_dir: str, *,
+                 group_col: str, key_col: str,
+                 compact_every: int = 8) -> None:
+        super().__init__(spark, state_dir, compact_every)
+        self.group_col, self.key_col = group_col, key_col
+
+    def _sketch_of(self, df: DataFrame) -> DataFrame:
+        return hll_registers(df, self.group_col, self.key_col)
+
+    def _merge(self, log: DataFrame) -> DataFrame:
+        return log.groupBy("grp", "bucket").agg(F.max("m").alias("m"))
+
+    def estimates(self) -> DataFrame:
+        """(grp, hll_est) over everything streamed so far."""
+        return hll_estimate(self._merged())

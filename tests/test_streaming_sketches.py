@@ -56,3 +56,20 @@ def test_real_stream_drain_equals_one_shot(spark, tmp_path):
 
     got = {(r["grp"], r["hll_est"]) for r in hll.estimates().collect()}
     assert got == _batch_estimates(spark) and len(got) > 0
+
+
+def test_countmin_chunked_replay_equals_one_shot(spark, tmp_path):
+    from covsonar_spark.operators.sketches import cm_cells, cm_estimate
+    from covsonar_spark.streaming.sketches import StreamingCountMin
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    keys = ev.select(F.col("event_type").alias("key")).distinct()
+    cm = StreamingCountMin(spark, str(tmp_path / "state"),
+                           key_col="event_type", compact_every=2)
+    for i in range(5):
+        cm.process_batch(ev.where(F.col("event_id") % 5 == i))
+    got = {(r["key"], r["cm_est"])
+           for r in cm.estimates(keys).collect()}
+    want = {(r["key"], r["cm_est"])
+            for r in cm_estimate(cm_cells(ev, "event_type"), keys).collect()}
+    assert got == want and len(got) > 0
