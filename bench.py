@@ -109,6 +109,9 @@ HEADLINE = [
     "window_trailing_range",
     "profile_table_stats",
     "dedup_canonical",
+    "basket_association_rules",
+    "stats_ab_test",
+    "forecast_linear_trend",
 ]
 
 

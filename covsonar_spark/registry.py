@@ -23,10 +23,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from covsonar_spark.functions import text as Tx
-from covsonar_spark.operators import (closure, curation, dedup, fuzzy, graph,
-                                      olap, predicates as P, similarity,
-                                      sketches, textstats, timeseries, tpch,
-                                      windows)
+from covsonar_spark.operators import (analytics, closure, curation, dedup,
+                                      fuzzy, graph, olap, predicates as P,
+                                      similarity, sketches, textstats,
+                                      timeseries, tpch, windows)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2358,6 +2358,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         lambda spark, sf_dir: _stream_countmin(spark, sf_dir),
         sketches.SKETCH_CM_SQL,
     ),
+    # decision analytics (operators/analytics.py): association rules,
+    # Welch A/B z-test, regression forecast.
+    **analytics.QUERIES,
 }
 
 
