@@ -112,6 +112,7 @@ HEADLINE = [
     "basket_association_rules",
     "stats_ab_test",
     "forecast_linear_trend",
+    "skew_diagnose",
 ]
 
 

@@ -52,3 +52,40 @@ def salted_collect_list(df: DataFrame, key: str, value: str,
     )
     return partial.groupBy(key).agg(
         F.flatten(F.collect_list("_part")).alias(f"{value}_list"))
+
+
+def diagnose(df: DataFrame, key_cols: list[str], top_k: int = 5) -> DataFrame:
+    """Key-distribution diagnosis for a prospective join/agg key — the
+    measurement that decides between a plain shuffle, AQE skew-join,
+    and explicit salting.  Returns the ``top_k`` heaviest keys, each
+    annotated with the global distribution stats (rows, distinct keys,
+    max/avg rows per key, skew ratio, the share of all rows owned by
+    that key).  Two skinny aggregates over one shuffle on the key:
+    the per-key counts feed both the top-k and the 1-row stats, which
+    broadcast back onto the top-k rows.
+
+    Reading: skew_ratio = max_key_rows / avg_key_rows.  ~1 → uniform;
+    >> #partitions → one task dominates the stage and salting (or a
+    broadcast, if the other side allows) is warranted."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("key_rows"))
+    stats = counts.agg(
+        F.sum("key_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("key_rows").alias("max_key_rows"),
+        (F.sum("key_rows") / F.count(F.lit(1))).alias("avg_key_rows"))
+    # top-k via orderBy+limit -> TakeOrderedAndProject (per-partition
+    # heaps, no global sort); the rank window then runs over ≤ top_k
+    # rows, never over the full key-count frame
+    w = Window.orderBy(F.col("key_rows").desc(), *key_cols)
+    top = (counts.orderBy(F.col("key_rows").desc(), *key_cols).limit(top_k)
+           .withColumn("rank", F.row_number().over(w)))
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select("rank", *key_cols, "key_rows",
+                F.round(F.col("key_rows") / F.col("total_rows"), 6).alias("row_share"),
+                "n_keys",
+                F.round(F.col("max_key_rows") / F.col("avg_key_rows"), 4).alias("skew_ratio"))
+        .orderBy("rank")
+    )

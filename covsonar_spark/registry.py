@@ -2222,6 +2222,74 @@ FROM ranked GROUP BY cluster_id ORDER BY cluster_id
 
 
 
+def _skew_diagnose(spark, sf_dir):
+    """Key-distribution report for lineitem.l_suppkey (a prospective
+    join key): top-5 heaviest suppliers + global skew stats."""
+    from covsonar_spark.operators import skew as SK
+    return SK.diagnose(_t(spark, sf_dir, "lineitem"), ["l_suppkey"], top_k=5)
+
+
+SKEW_DIAGNOSE_SQL = """
+WITH counts AS (
+  SELECT l_suppkey, count(*) AS key_rows FROM lineitem GROUP BY 1
+), stats AS (
+  SELECT sum(key_rows) AS total_rows, count(*) AS n_keys,
+         max(key_rows) AS max_key_rows,
+         sum(key_rows)::DOUBLE / count(*) AS avg_key_rows
+  FROM counts
+), top AS (
+  SELECT l_suppkey, key_rows,
+         row_number() OVER (ORDER BY key_rows DESC, l_suppkey) AS rank
+  FROM counts ORDER BY key_rows DESC, l_suppkey LIMIT 5
+)
+SELECT rank, l_suppkey, key_rows,
+       round(key_rows / total_rows, 6) AS row_share,
+       n_keys,
+       round(max_key_rows / avg_key_rows, 4) AS skew_ratio
+FROM top CROSS JOIN stats ORDER BY rank
+"""
+
+
+def _stream_countmin(spark, sf_dir):
+    """Chunked replay of events through StreamingCountMin
+    (streaming/sketches.py); counter SUM-merge makes the streamed
+    estimates equal the one-shot sketch_countmin exactly."""
+    import tempfile
+
+    from covsonar_spark.streaming.sketches import StreamingCountMin
+
+    ev = _t(spark, sf_dir, "events")
+    cm = StreamingCountMin(spark, tempfile.mkdtemp(prefix="stream_cm_"),
+                           key_col="event_type", compact_every=2)
+    for i in range(3):
+        cm.process_batch(ev.where(F.col("event_id") % 3 == i))
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (cm.estimates(exact.select(F.col("event_type").alias("key")))
+            .withColumnRenamed("key", "event_type")
+            .join(exact, "event_type")
+            .select("event_type", "cm_est", "exact_count")
+            .orderBy("event_type"))
+
+
+def _stream_hll(spark, sf_dir):
+    """Chunked replay of the events table through StreamingHll
+    (streaming/sketches.py), estimates joined with exact counts."""
+    import tempfile
+
+    from covsonar_spark.streaming.sketches import StreamingHll
+
+    ev = _t(spark, sf_dir, "events")
+    hll = StreamingHll(spark, tempfile.mkdtemp(prefix="stream_hll_"),
+                       group_col="event_type", key_col="user_id",
+                       compact_every=2)
+    for i in range(3):
+        hll.process_batch(ev.where(F.col("event_id") % 3 == i))
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_distinct")))
+    return (hll.estimates().withColumnRenamed("grp", "event_type")
+            .join(exact, "event_type").orderBy("event_type"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2361,44 +2429,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # decision analytics (operators/analytics.py): association rules,
     # Welch A/B z-test, regression forecast.
     **analytics.QUERIES,
+    # skew diagnosis (operators/skew.py): the measurement behind the
+    # salting decisions — top heavy keys + distribution stats.
+    "skew_diagnose": (
+        lambda spark, sf_dir: _skew_diagnose(spark, sf_dir),
+        SKEW_DIAGNOSE_SQL,
+    ),
 }
-
-
-def _stream_countmin(spark, sf_dir):
-    """Chunked replay of events through StreamingCountMin
-    (streaming/sketches.py); counter SUM-merge makes the streamed
-    estimates equal the one-shot sketch_countmin exactly."""
-    import tempfile
-
-    from covsonar_spark.streaming.sketches import StreamingCountMin
-
-    ev = _t(spark, sf_dir, "events")
-    cm = StreamingCountMin(spark, tempfile.mkdtemp(prefix="stream_cm_"),
-                           key_col="event_type", compact_every=2)
-    for i in range(3):
-        cm.process_batch(ev.where(F.col("event_id") % 3 == i))
-    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_count"))
-    return (cm.estimates(exact.select(F.col("event_type").alias("key")))
-            .withColumnRenamed("key", "event_type")
-            .join(exact, "event_type")
-            .select("event_type", "cm_est", "exact_count")
-            .orderBy("event_type"))
-
-
-def _stream_hll(spark, sf_dir):
-    """Chunked replay of the events table through StreamingHll
-    (streaming/sketches.py), estimates joined with exact counts."""
-    import tempfile
-
-    from covsonar_spark.streaming.sketches import StreamingHll
-
-    ev = _t(spark, sf_dir, "events")
-    hll = StreamingHll(spark, tempfile.mkdtemp(prefix="stream_hll_"),
-                       group_col="event_type", key_col="user_id",
-                       compact_every=2)
-    for i in range(3):
-        hll.process_batch(ev.where(F.col("event_id") % 3 == i))
-    exact = (ev.groupBy("event_type")
-             .agg(F.countDistinct("user_id").alias("exact_distinct")))
-    return (hll.estimates().withColumnRenamed("grp", "event_type")
-            .join(exact, "event_type").orderBy("event_type"))

@@ -341,3 +341,35 @@ def test_chunk_dedup_single_window_shuffle_no_python(spark, registry):
     plan = _plan(registry["text_chunk_dedup"][0](spark, SF))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert ") Window" in plan
+
+
+def test_skew_diagnose_topk_no_global_sort(spark, registry):
+    plan = _plan(registry["skew_diagnose"][0](spark, SF))
+    # heavy-key report must use per-partition top-k heaps, never rank
+    # the full key-count frame through one window task
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_trailing_range_single_custkey_shuffle(spark, registry):
+    plan = _plan(registry["window_trailing_range"][0](spark, SF))
+    assert plan.count("orders.parquet") == 1
+    assert ") Window" in plan
+
+
+def test_profiler_single_scan(spark, registry):
+    plan = _plan(registry["profile_table_stats"][0](spark, SF))
+    # all per-column stats come from ONE pass (Expand for the multiple
+    # DISTINCTs), not one scan per column
+    assert plan.count("orders.parquet") == 1
+
+
+def test_basket_rules_item_supports_broadcast(spark, registry):
+    plan = _plan(registry["basket_association_rules"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_forecast_regression_partial_aggregates(spark, registry):
+    plan = _plan(registry["forecast_linear_trend"][0](spark, SF))
+    assert plan.count("orders.parquet") == 1
+    assert "BatchEvalPython" not in plan
