@@ -66,3 +66,71 @@ def colocated_join(spark: SparkSession, left_table: str, right_table: str,
     task merge-joins bucket i of both tables in place."""
     left, right = spark.table(left_table), spark.table(right_table)
     return left.join(right, left[key_left] == right[key_right], how)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (space-filling-curve) file layout
+# ---------------------------------------------------------------------------
+
+Z_BITS = 16
+
+
+def with_zorder(df: DataFrame, c1: str, c2: str,
+                lo1, hi1, lo2, hi2, bits: int = Z_BITS,
+                out: str = "_z") -> DataFrame:
+    """Attach the Morton/Z-value of (c1, c2): each column is
+    normalized to a ``bits``-wide integer grid against the given
+    bounds, then the bits interleave (c1 even positions, c2 odd).
+    The interleave is a codegen'd SQL fold over bit positions — no
+    UDF, no shuffle.
+
+    Sorting by this value clusters rows that are close in BOTH
+    dimensions into the same files, so file-level min/max statistics
+    prune 2-D box predicates — a single-column sort can only ever
+    prune its own column (measured in tests/test_layout.py: the
+    z-ordered layout reads a fraction of the files the linear layout
+    reads for the same box query)."""
+    from pyspark.sql import functions as F
+
+    def grid(c, lo, hi):
+        scaled = (F.col(c).cast("double") - F.lit(float(lo))) \
+            / F.lit(float(hi) - float(lo))
+        cell = F.floor(scaled * (1 << bits)).cast("long")
+        return F.greatest(F.least(cell, F.lit((1 << bits) - 1)), F.lit(0))
+
+    interleave = (
+        f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), (acc, i) -> "
+        f"acc + shiftleft(shiftright(_zg_a, i) & 1, CAST(2*i AS INT)) "
+        f"    + shiftleft(shiftright(_zg_b, i) & 1, CAST(2*i + 1 AS INT)))")
+    return (df.withColumn("_zg_a", grid(c1, lo1, hi1))
+              .withColumn("_zg_b", grid(c2, lo2, hi2))
+              .withColumn(out, F.expr(interleave))
+              .drop("_zg_a", "_zg_b"))
+
+
+def write_zordered(df: DataFrame, path: str, c1: str, c2: str,
+                   n_cells: int) -> None:
+    """Write ``df`` clustered on the Z-curve of (c1, c2) into
+    ``n_cells`` equal z-space cells (hive directories) — one curve
+    segment per cell.  Bounds come from a column-pruned min/max scan
+    (the histogram operator's two-pass shape).
+
+    Cell assignment is the TOP bits of the z-value — deterministic,
+    unlike repartitionByRange's sampled boundaries, so layouts are
+    byte-stable across runs (reruns of a 100 TB compaction job must
+    not move rows between files).  Equal z-space cells can be
+    row-skewed where the data is; size n_cells so the hottest cell
+    still fits a task, or recurse on hot cells (kd-style split) —
+    the classic trade against sampled range boundaries."""
+    from pyspark.sql import functions as F
+
+    n_bits = max(1, (n_cells - 1).bit_length())
+    lo1, hi1, lo2, hi2 = df.agg(
+        F.min(c1), F.max(c1), F.min(c2), F.max(c2)).first()
+    z = with_zorder(df, c1, c2, lo1, hi1, lo2, hi2)
+    cell = F.expr(f"shiftright(_z, {2 * Z_BITS - n_bits})")
+    (z.withColumn("_zcell", cell)
+      .repartition(n_cells, "_zcell")
+      .sortWithinPartitions("_zcell", "_z")
+      .drop("_z")
+      .write.mode("overwrite").partitionBy("_zcell").parquet(path))

@@ -101,3 +101,61 @@ def test_bucketed_join_values_match_plain_join(spark, bucketed_tables):
               F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2)
                .alias("total")))
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout: 2-D box pruning beats single-column sort
+# ---------------------------------------------------------------------------
+
+def _cells_hit(spark, paths, c1, r1, c2, r2):
+    """How many storage cells a (c1 in r1) AND (c2 in r2) box query
+    must read, judged by per-cell min/max stats — the same decision a
+    file-skipping reader makes from parquet footers."""
+    from pyspark.sql import functions as F
+
+    hit = 0
+    for p in paths:
+        s = spark.read.parquet(p).agg(
+            F.min(c1), F.max(c1), F.min(c2), F.max(c2)).first()
+        if s[0] <= r1[1] and s[1] >= r1[0] and s[2] <= r2[1] and s[3] >= r2[0]:
+            hit += 1
+    return hit
+
+
+def test_zorder_prunes_2d_box_better_than_linear_sort(spark, tmp_path):
+    import glob
+
+    from covsonar_spark.operators.layout import write_zordered
+
+    o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet") \
+        .withColumn("day", F.expr("datediff(o_orderdate, DATE '1970-01-01')"))
+    n_cells = 16
+    lo_c, hi_c = o.agg(F.min("o_custkey"), F.max("o_custkey")).first()
+    lo_d, hi_d = o.agg(F.min("day"), F.max("day")).first()
+
+    # linear layout: 16 deterministic equal-width custkey cells
+    lin = str(tmp_path / "linear")
+    lin_cell = F.least(
+        F.floor((F.col("o_custkey") - lo_c) / ((hi_c - lo_c + 1) / n_cells)),
+        F.lit(n_cells - 1)).cast("int")
+    (o.withColumn("_cell", lin_cell).repartition(n_cells, "_cell")
+      .write.partitionBy("_cell").parquet(lin))
+    zo = str(tmp_path / "zorder")
+    write_zordered(o, zo, "o_custkey", "day", n_cells)
+
+    # a box covering ~1/4 of each dimension => ~1/16 of the plane
+    c_box = (lo_c, lo_c + (hi_c - lo_c) // 4)
+    d_box = (lo_d, lo_d + (hi_d - lo_d) // 4)
+
+    lin_hit = _cells_hit(spark, sorted(glob.glob(f"{lin}/_cell=*")),
+                         "o_custkey", c_box, "day", d_box)
+    z_hit = _cells_hit(spark, sorted(glob.glob(f"{zo}/_zcell=*")),
+                       "o_custkey", c_box, "day", d_box)
+
+    # linear layout prunes custkey only: the date half of the box hits
+    # every custkey-selected cell; the z-layout prunes BOTH dimensions
+    assert z_hit < lin_hit, (z_hit, lin_hit)
+    assert z_hit <= n_cells // 4
+
+    # and the layouts hold the same rows (clustering is lossless)
+    assert spark.read.parquet(zo).count() == o.count()
