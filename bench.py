@@ -113,6 +113,7 @@ HEADLINE = [
     "stats_ab_test",
     "forecast_linear_trend",
     "skew_diagnose",
+    "ivm_orders_rollup",
 ]
 
 

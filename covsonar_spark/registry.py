@@ -2222,6 +2222,32 @@ FROM ranked GROUP BY cluster_id ORDER BY cluster_id
 
 
 
+def _ivm_orders_rollup(spark, sf_dir):
+    """Materialized (priority, status) revenue view maintained through
+    three delta merges (operators/ivm.py) — the merged state MUST
+    equal a one-shot GROUP BY, which is exactly what the oracle runs."""
+    from covsonar_spark.operators import ivm
+
+    o = _t(spark, sf_dir, "orders")
+    keys = ["o_orderpriority", "o_orderstatus"]
+    state = None
+    for i in range(3):
+        delta = ivm.agg_state(o.where(F.col("o_orderkey") % 3 == i),
+                              keys, "o_totalprice")
+        state = ivm.merge_states(state, delta, keys)
+    return ivm.finalize(state, keys).orderBy(*keys)
+
+
+IVM_ORDERS_SQL = """
+SELECT o_orderpriority, o_orderstatus, count(o_totalprice) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) / count(o_totalprice) AS DOUBLE), 4) AS avg_val,
+       round(min(o_totalprice), 2) AS min_val,
+       round(max(o_totalprice), 2) AS max_val
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def _skew_diagnose(spark, sf_dir):
     """Key-distribution report for lineitem.l_suppkey (a prospective
     join key): top-5 heaviest suppliers + global skew stats."""
@@ -2434,5 +2460,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "skew_diagnose": (
         lambda spark, sf_dir: _skew_diagnose(spark, sf_dir),
         SKEW_DIAGNOSE_SQL,
+    ),
+    # incremental view maintenance (operators/ivm.py): delta-merged
+    # mergeable aggregate states == one-shot GROUP BY.
+    "ivm_orders_rollup": (
+        lambda spark, sf_dir: _ivm_orders_rollup(spark, sf_dir),
+        IVM_ORDERS_SQL,
     ),
 }
