@@ -114,6 +114,10 @@ HEADLINE = [
     "forecast_linear_trend",
     "skew_diagnose",
     "ivm_orders_rollup",
+    "dedup_normalized",
+    "sketch_hll_setops",
+    "dq_constraint_audit",
+    "cdc_snapshot_diff",
 ]
 
 

@@ -587,3 +587,30 @@ def duplicate_clusters(df: DataFrame, text_col: str = "text",
     pairs = ngram_jaccard_pairs(df, text_col, id_col, k, threshold)
     return connected_components(pairs).select(
         F.col("node").alias(id_col), F.col("comp").alias("cluster_id"))
+
+
+def normalized_duplicates(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """C4/CCNet-style near-exact dedup: canonicalize the text
+    (lowercase, strip non-alphanumerics, collapse runs of spaces) and
+    hash-groupBy the canonical form — catches reformatted/repunctuated
+    copies that byte-exact dedup misses, at exactly the cost of exact
+    dedup: one scan, one shuffle on the 128-bit canonical hash
+    (uniform keys, no skew).  ``n_raw_variants`` counts how many
+    distinct raw byte-forms collapsed into each canonical cluster.
+
+    Entirely codegen'd JVM expressions (lower/regexp_replace/md5) —
+    no Python in the path.
+    """
+    canon = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+        " +", " "))
+    return (
+        df.select(F.col(id_col), F.md5(canon).alias("canon_hash"),
+                  F.md5(F.col(text_col)).alias("raw_hash"))
+        .groupBy("canon_hash")
+        .agg(F.min(id_col).alias("keep_id"),
+             F.count(F.lit(1)).alias("n_copies"),
+             F.countDistinct("raw_hash").alias("n_raw_variants"))
+        .where(F.col("n_copies") > 1)
+    )

@@ -159,6 +159,108 @@ SKETCH_HLL_SQL = _hll_sql("orders", "o_orderpriority", "o_custkey")
 STREAM_HLL_SQL = _hll_sql("events", "event_type", "user_id")
 
 
+def sketch_hll_setops(spark, sf_dir):
+    """HLL set algebra — the property that makes the sketch a 100 TB
+    operator: register tables MERGE by per-bucket MAX, so the union
+    cardinality of two sets costs one tiny merge of two 256-register
+    states instead of a re-scan, and intersections follow by
+    inclusion-exclusion (|A∩B| = |A| + |B| - |A∪B|).
+
+    Sets here: customers holding 1-URGENT orders (A) vs 5-LOW orders
+    (B).  Output rows A / B / A_union_B / A_intersect_B, each with the
+    sketch estimate next to the exact answer.  Every path is integer
+    register math on md5 hashes, so the DuckDB twin computes the
+    identical registers and the estimates value-check exactly.
+    """
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+    regs = hll_registers(o, "o_orderpriority", "o_custkey")
+    union_regs = (regs.groupBy("bucket").agg(F.max("m").alias("m"))
+                  .select(F.lit("A_union_B").alias("grp"), "bucket", "m"))
+    named = regs.withColumn(
+        "grp", F.when(F.col("grp") == "1-URGENT", "A").otherwise("B"))
+    est = hll_estimate(named.unionByName(union_regs))
+    inter_est = est.agg(
+        (F.sum(F.when(F.col("grp") != "A_union_B", F.col("hll_est")))
+         - F.sum(F.when(F.col("grp") == "A_union_B", F.col("hll_est"))))
+        .alias("hll_est")).select(F.lit("A_intersect_B").alias("grp"),
+                                  F.round("hll_est", 2).alias("hll_est"))
+    per_cust = (o.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0)).alias("in_b")))
+    exact = per_cust.agg(
+        F.sum("in_a").alias("A"), F.sum("in_b").alias("B"),
+        F.count(F.lit(1)).alias("A_union_B"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("A_intersect_B")
+    ).selectExpr("stack(4, 'A', A, 'B', B, 'A_union_B', A_union_B, "
+                 "'A_intersect_B', A_intersect_B) AS (grp, exact_distinct)")
+    return (est.unionByName(inter_est)
+            .join(exact, "grp")
+            .select(F.col("grp").alias("set_expr"), "hll_est",
+                    F.col("exact_distinct").cast("long").alias("exact_distinct"))
+            .orderBy("set_expr"))
+
+
+_SETOPS_H = _H60_SQL.format(c="o_custkey")
+SKETCH_HLL_SETOPS_SQL = f"""
+WITH src AS (
+  SELECT o_orderpriority, o_custkey FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), hashed AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'A' ELSE 'B' END AS grp,
+         {_SETOPS_H} AS h FROM src
+), regs AS (
+  SELECT grp, h % {HLL_M} AS bucket,
+         max(CASE WHEN h // {HLL_M} = 0 THEN 52
+             ELSE least(CAST(log2((h // {HLL_M}) & -(h // {HLL_M})) AS BIGINT) + 1, 52) END) AS m
+  FROM hashed GROUP BY 1, 2
+), all_regs AS (
+  SELECT grp, bucket, m FROM regs
+  UNION ALL
+  SELECT 'A_union_B', bucket, max(m) FROM regs GROUP BY 2
+), per_group AS (
+  SELECT grp,
+         sum(1::BIGINT << CAST(52 - m AS INT)) AS present_sum,
+         count(*) AS n_buckets
+  FROM all_regs GROUP BY 1
+), est AS (
+  SELECT grp,
+         round(CASE WHEN raw <= {2.5 * HLL_M} AND zeros > 0
+              THEN {float(HLL_M)} * ln({float(HLL_M)} / zeros)
+              ELSE raw END, 2) AS hll_est
+  FROM (SELECT grp,
+               {HLL_ALPHA * HLL_M * HLL_M} / (present_sum / {2.0 ** 52} + ({HLL_M} - n_buckets)) AS raw,
+               {HLL_M} - n_buckets AS zeros
+        FROM per_group)
+), est_all AS (
+  SELECT grp, hll_est FROM est
+  UNION ALL
+  SELECT 'A_intersect_B',
+         round(sum(CASE WHEN grp <> 'A_union_B' THEN hll_est ELSE 0 END)
+               - sum(CASE WHEN grp = 'A_union_B' THEN hll_est ELSE 0 END), 2)
+  FROM est
+), per_cust AS (
+  SELECT o_custkey,
+         max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS in_b
+  FROM src GROUP BY 1
+), exact_wide AS (
+  SELECT sum(in_a) AS a, sum(in_b) AS b, count(*) AS u,
+         sum(in_a * in_b) AS i
+  FROM per_cust
+), exact AS (
+  SELECT 'A' AS grp, a AS exact_distinct FROM exact_wide
+  UNION ALL SELECT 'B', b FROM exact_wide
+  UNION ALL SELECT 'A_union_B', u FROM exact_wide
+  UNION ALL SELECT 'A_intersect_B', i FROM exact_wide
+)
+SELECT est_all.grp AS set_expr, hll_est,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct
+FROM est_all JOIN exact ON est_all.grp = exact.grp
+ORDER BY set_expr
+"""
+
+
 # ---------------------------------------------------------------------------
 # KMV
 # ---------------------------------------------------------------------------

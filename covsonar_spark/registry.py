@@ -25,8 +25,8 @@ from pyspark.sql.window import Window
 from covsonar_spark.functions import text as Tx
 from covsonar_spark.operators import (analytics, closure, curation, dedup,
                                       fuzzy, graph, olap, predicates as P,
-                                      similarity, sketches, textstats,
-                                      timeseries, tpch, windows)
+                                      quality, similarity, sketches,
+                                      textstats, timeseries, tpch, windows)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -977,6 +977,29 @@ SELECT content_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM (
   SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS content_hash
   FROM documents)
 GROUP BY content_hash HAVING count(*) > 1 ORDER BY keep_id
+"""
+
+
+def dedup_normalized(spark, sf_dir):
+    """C4-style canonicalize-then-hash near-exact dedup
+    (operators/dedup.py normalized_duplicates): lowercase + strip
+    punctuation + collapse spaces, then the same one-shuffle
+    hash-groupBy as exact dedup — catches reformatted copies byte-exact
+    dedup misses, with zero extra shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.normalized_duplicates(docs).orderBy("keep_id")
+
+
+DEDUP_NORMALIZED_SQL = """
+SELECT canon_hash, min(doc_id) AS keep_id, count(*) AS n_copies,
+       count(DISTINCT raw_hash) AS n_raw_variants
+FROM (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g'))) AS canon_hash,
+         md5(text) AS raw_hash
+  FROM documents)
+GROUP BY canon_hash HAVING count(*) > 1 ORDER BY keep_id
 """
 
 
@@ -2354,6 +2377,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_normalized": (dedup_normalized, DEDUP_NORMALIZED_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "stream_dedup_lsh": (stream_dedup_lsh, STREAM_DEDUP_SQL),
@@ -2424,6 +2448,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # integer-register HLL / KMV / Count-Min — estimates value-checked
     # exactly because both engines compute identical sketch states.
     **sketches.QUERIES,
+    # HLL set algebra: union by register max-merge, intersection by
+    # inclusion-exclusion — the mergeability that makes sketches the
+    # 100 TB path (same oracle-exact register math).
+    "sketch_hll_setops": (sketches.sketch_hll_setops,
+                          sketches.SKETCH_HLL_SETOPS_SQL),
     # string-similarity analytics (operators/fuzzy.py): blocked
     # levenshtein join, cross-doc chunk dedup + reassembly, PMI
     # collocations.
@@ -2461,6 +2490,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         lambda spark, sf_dir: _skew_diagnose(spark, sf_dir),
         SKEW_DIAGNOSE_SQL,
     ),
+    # data-quality constraint audit + snapshot diff / CDC
+    # (operators/quality.py): the table-health surface.
+    **quality.QUERIES,
     # incremental view maintenance (operators/ivm.py): delta-merged
     # mergeable aggregate states == one-shot GROUP BY.
     "ivm_orders_rollup": (

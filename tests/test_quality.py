@@ -1,0 +1,96 @@
+"""Data-quality audit, snapshot diff (CDC), normalized dedup, and HLL
+set-ops — crafted-data behavior tests (the sf0.01 oracle sweep checks
+the registry twins; these pin the semantics on inputs that actually
+contain violations / reformatted copies / partial overlaps)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from covsonar_spark.operators.dedup import normalized_duplicates
+from covsonar_spark.operators.quality import dq_audit, snapshot_diff
+
+
+def test_dq_audit_counts_each_violation_class(spark):
+    orders = spark.createDataFrame(
+        [
+            # (key, custkey, status, price, date)
+            (1, 10, "O", 5.0, "2024-01-01"),
+            (1, 10, "O", 5.0, "2024-01-02"),   # duplicate PK
+            (2, 99, "F", 7.0, "2024-01-03"),   # orphan custkey
+            (3, 10, "Z", 7.0, "2024-01-04"),   # bad status
+            (4, 11, "P", -1.0, None),           # bad price + null date
+            (5, 11, "P", 0.0, "2024-01-05"),   # zero price is a violation
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    customer = spark.createDataFrame(
+        [(10,), (11,)], "c_custkey long")
+
+    got = {r["rule"]: (r["violations"], r["rows_checked"], r["ok"])
+           for r in dq_audit(orders, customer).collect()}
+    assert got == {
+        "pk_unique_o_orderkey": (1, 6, False),
+        "fk_orders_customer": (1, 6, False),
+        "not_null_o_orderdate": (1, 6, False),
+        "domain_o_orderstatus": (1, 6, False),
+        "range_o_totalprice_positive": (2, 6, False),
+    }
+
+
+def test_dq_audit_clean_table_all_ok(spark):
+    orders = spark.createDataFrame(
+        [(1, 10, "O", 5.0, "2024-01-01")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    customer = spark.createDataFrame([(10,)], "c_custkey long")
+    rows = dq_audit(orders, customer).collect()
+    assert len(rows) == 5 and all(r["ok"] and r["violations"] == 0 for r in rows)
+
+
+def test_snapshot_diff_classifies_added_removed_changed(spark):
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", None)],
+        "k long, s string, t string")
+    new = spark.createDataFrame(
+        [(2, "b", "y"), (3, "CHANGED", None), (4, "d", "z")],
+        "k long, s string, t string")
+    got = {r["k"]: r["change_type"]
+           for r in snapshot_diff(old, new, "k", ("s", "t")).collect()}
+    # key 2 is unchanged → absent; null-safe compare keeps 3's t=None equal
+    assert got == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_normalized_dedup_catches_reformatted_copies(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!  The   quick fox."),
+            (2, "hello world the quick fox"),      # same after canon
+            (3, "HELLO WORLD: the quick fox"),     # same after canon
+            (4, "a different document entirely"),
+            (5, "the quick fox hello world"),      # same words, other ORDER
+        ],
+        "doc_id long, text string")
+    rows = normalized_duplicates(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # word order is preserved by canonicalization → doc 5 stays distinct
+    assert (r["keep_id"], r["n_copies"], r["n_raw_variants"]) == (1, 3, 3)
+
+
+def test_hll_setops_inclusion_exclusion_consistent(spark):
+    from covsonar_spark.operators.sketches import sketch_hll_setops
+
+    out = {r["set_expr"]: r for r in
+           sketch_hll_setops(spark, "/root/testdata/sf0.001").collect()}
+    assert set(out) == {"A", "B", "A_union_B", "A_intersect_B"}
+    # the estimate identity holds by construction
+    assert abs(out["A"]["hll_est"] + out["B"]["hll_est"]
+               - out["A_union_B"]["hll_est"]
+               - out["A_intersect_B"]["hll_est"]) < 1e-6
+    # exact set algebra sanity on the same data
+    assert (out["A_union_B"]["exact_distinct"]
+            == out["A"]["exact_distinct"] + out["B"]["exact_distinct"]
+            - out["A_intersect_B"]["exact_distinct"])
