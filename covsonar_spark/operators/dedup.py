@@ -498,17 +498,24 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
     shuffles with one collect. Above the cap, the distributed loop
     runs. Pass ``driver_cap=0`` to force the distributed path.
     """
+    # materialize the (possibly expensive) edge list ONCE, one
+    # direction only — symmetrizing before the persist would compute
+    # the upstream pair-join twice (the union's branches are separate
+    # subplans to Catalyst).  Union-find is direction-agnostic, so the
+    # driver path consumes the one-direction list as-is; only the
+    # distributed loop needs the symmetric closure, built from cache.
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
+    n_edges = e.count()
+    if driver_cap and n_edges <= driver_cap:
+        out = _driver_union_find(e)
+        e.unpersist()
+        return out
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .persist()
     )
-    n_edges = sym.count()
-    if driver_cap and n_edges <= driver_cap:
-        out = _driver_union_find(sym)
-        sym.unpersist()
-        return out
+    e.unpersist()
     lbl = (
         sym.select(F.col("u").alias("node")).distinct()
         .select("node", F.col("node").alias("comp"))
