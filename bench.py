@@ -118,6 +118,7 @@ HEADLINE = [
     "sketch_hll_setops",
     "dq_constraint_audit",
     "cdc_snapshot_diff",
+    "ann_pq_topk",
 ]
 
 

@@ -2059,6 +2059,67 @@ def _KM_ASSIGN(src_e: str, src_c: str) -> str:
             f"i -> ({src_e}.v[i] - {src_c}.cvec[i]) * ({src_e}.v[i] - {src_c}.cvec[i]))), 6)")
 
 
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (similarity.pq_topk): per-subspace
+    codebooks (deterministic init + one Lloyd refinement), 4-byte
+    codes, per-query LUT scoring with exact re-rank distances — the
+    64x-compressed scan that answers billion-vector queries at 100 TB.
+    The oracle replays training, encoding, and LUT scoring in chained
+    CTEs (every fixpoint rounded, ties to the lowest code id)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(emb, query_id=0, k_top=10)
+
+
+def _PQ_D2(a: str, c: str) -> str:
+    """Subspace squared-L2 fragment (16 dims, rounded 6)."""
+    return ("round(list_sum(list_transform(range(1, 17), "
+            f"i -> ({a}.sv[i] - {c}.cvec[i]) * ({a}.sv[i] - {c}.cvec[i]))), 6)")
+
+
+ANN_PQ_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sub AS (
+  SELECT vec_id, s, list_transform(range(1, 17), i -> v[s * 16 + i]) AS sv
+  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS s)),
+cinit AS (
+  SELECT s, CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         sv AS cvec
+  FROM sub WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+a0 AS (SELECT vec_id, s, sv, cid FROM (
+  SELECT a.vec_id, a.s, a.sv, c.cid,
+         row_number() OVER (PARTITION BY a.vec_id, a.s
+                            ORDER BY {_PQ_D2('a', 'c')}, c.cid) AS rnk
+  FROM sub a JOIN cinit c ON c.s = a.s) WHERE rnk = 1),
+c1raw AS (SELECT s, cid, list(m ORDER BY i) AS cvec FROM (
+   SELECT s, cid, i, round(avg(sv[i]), 6) AS m
+   FROM a0 CROSS JOIN range(1, 17) t(i) GROUP BY s, cid, i) GROUP BY s, cid),
+c1 AS (SELECT ci.s, ci.cid, coalesce(cr.cvec, ci.cvec) AS cvec
+       FROM cinit ci LEFT JOIN c1raw cr ON cr.s = ci.s AND cr.cid = ci.cid),
+codes AS (SELECT vec_id, s, cid FROM (
+  SELECT a.vec_id, a.s, c.cid,
+         row_number() OVER (PARTITION BY a.vec_id, a.s
+                            ORDER BY {_PQ_D2('a', 'c')}, c.cid) AS rnk
+  FROM sub a JOIN c1 c ON c.s = a.s) WHERE rnk = 1),
+q AS (SELECT s, sv FROM sub WHERE vec_id = 0),
+lut AS (SELECT c.s, c.cid, {_PQ_D2('q', 'c')} AS ld2
+        FROM c1 c JOIN q ON q.s = c.s),
+approx AS (SELECT vec_id, round(list_sum(list(ld2 ORDER BY s)), 6) AS approx_d2
+           FROM codes JOIN lut USING (s, cid) GROUP BY vec_id),
+qfull AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+exact AS (SELECT e.vec_id,
+                 round(list_sum(list_transform(range(1, 65),
+                       i -> (e.v[i] - qfull.qv[i]) * (e.v[i] - qfull.qv[i]))), 4) AS exact_d2
+          FROM e CROSS JOIN qfull),
+pool AS (
+  SELECT vec_id, approx_d2, exact_d2
+  FROM approx JOIN exact USING (vec_id)
+  WHERE vec_id <> 0
+  ORDER BY approx_d2, vec_id LIMIT 100)
+SELECT vec_id, approx_d2, exact_d2 FROM pool
+ORDER BY exact_d2, vec_id LIMIT 10
+"""
+
+
 def text_quality_gate(spark, sf_dir):
     """Corpus-relative quality filter: docs at/above the corpus p25
     quality score. Two passes (threshold scalar, then codegen filter
@@ -2390,6 +2451,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
     "hybrid_search_rrf": (hybrid_search_rrf, HYBRID_SEARCH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
+    "ann_pq_topk": (ann_pq_topk, ANN_PQ_SQL),
     "text_lang_id": (text_lang_id, TEXT_LANG_ID_SQL),
     "text_token_stats": (text_token_stats, TEXT_TOKEN_STATS_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),

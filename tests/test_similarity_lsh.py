@@ -75,3 +75,25 @@ def test_self_topk_matches_exact(spark, emb):
         .orderBy(F.col("cosine").desc(), F.col("other").asc()).limit(5).collect())
     assert [(r["vec_id"], r["cosine"]) for r in got] == \
         [(r["other"], r["cosine"]) for r in exact_best]
+
+
+def test_pq_topk_rerank_recall(spark):
+    """PQ with exact re-rank: the top-10 must substantially overlap the
+    brute-force exact top-10 (on iid random vectors the measured
+    pool=100 recall is 0.8 — assert a safe floor), and the returned
+    rows must be ordered by the exact re-rank distance."""
+    from covsonar_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = pq_topk(emb, query_id=0, k_top=10).collect()
+    assert len(rows) == 10
+    ys = [r["exact_d2"] for r in rows]
+    assert ys == sorted(ys)
+    import numpy as np
+    data = {r["vec_id"]: np.array(list(r["embedding"]), dtype=float)
+            for r in emb.collect()}
+    q = data[0]
+    exact_top = [i for _, i in sorted(
+        (float(((v - q) ** 2).sum()), i) for i, v in data.items() if i != 0)][:10]
+    overlap = len(set(exact_top) & {r["vec_id"] for r in rows})
+    assert overlap >= 6
