@@ -373,3 +373,33 @@ def test_forecast_regression_partial_aggregates(spark, registry):
     plan = _plan(registry["forecast_linear_trend"][0](spark, SF))
     assert plan.count("orders.parquet") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_probe(spark):
+    """Spark's runtime bloom-filter join pruning — the mechanism that
+    makes a selective-dim ⋈ huge-fact SortMergeJoin viable at 100 TB:
+    the dim side's keys aggregate into a bloom filter that filters the
+    fact scan BEFORE the shuffle (might_contain on the probe side).
+    Local thresholds are sized for multi-GB inputs, so the audit
+    lowers them to prove the plan rewrite fires on our join shape."""
+    from pyspark.sql import functions as F
+
+    saved = {k: spark.conf.get(k) for k in (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold")}
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = (spark.read.parquet(f"{SF}/orders.parquet")
+             .where(F.col("o_orderpriority") == "1-URGENT"))
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        plan = _plan(j)
+        assert "might_contain" in plan          # probe-side pruning filter
+        assert "bloom_filter_agg" in plan       # build-side filter creation
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
