@@ -119,6 +119,7 @@ HEADLINE = [
     "dq_constraint_audit",
     "cdc_snapshot_diff",
     "ann_pq_topk",
+    "sample_split_leakage_safe",
 ]
 
 

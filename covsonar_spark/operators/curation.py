@@ -227,3 +227,39 @@ def temperature_mix(df: DataFrame, alpha: float = 0.5, budget: int = 250,
     return (df.join(F.broadcast(rates), group_col)
               .where(mille < F.col("keep_mille"))
               .select(id_col, group_col, "keep_mille"))
+
+
+def leakage_safe_split(docs: DataFrame, clusters: DataFrame,
+                       test_mille: int = 100, val_mille: int = 200,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Train/val/test split with NO near-duplicate leakage: the split
+    key is the document's duplicate-CLUSTER id (near-dup cluster
+    members always land in the same split), not the document id —
+    hashing doc ids would put reformatted copies of one text on both
+    sides of the train/eval boundary, the classic eval-contamination
+    bug dedup exists to prevent.
+
+    ``clusters`` is (id, cluster_id) for documents that HAVE a near
+    dup (duplicate_clusters' contract); singletons fall back to their
+    own id via the left join + coalesce.  Split assignment is the
+    repo's portable md5-per-mille idiom — deterministic, engine
+    -portable, and stable under corpus growth (a new document never
+    reassigns an old one).  Cost on top of clustering: one broadcast
+    -joinable cluster attach + pure codegen hashing; no extra
+    shuffle of the corpus.
+    """
+    mille = (F.conv(F.substring(
+        F.md5(F.col("group_key").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 1000)
+    return (
+        docs.select(id_col)
+        .join(F.broadcast(clusters.withColumnRenamed("cluster_id", "ck")),
+              id_col, "left")
+        .select(F.col(id_col),
+                F.coalesce(F.col("ck"), F.col(id_col)).alias("group_key"))
+        .withColumn("split",
+                    F.when(mille < test_mille, "test")
+                    .when(mille < val_mille, "val")
+                    .otherwise("train"))
+    )

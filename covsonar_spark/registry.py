@@ -1360,6 +1360,56 @@ SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id
 """
 
 
+def sample_split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/val/test split (curation.leakage_safe_split):
+    the split key is the near-dup CLUSTER id (duplicate_clusters'
+    transitive closure over exact Jaccard pairs), so reformatted copies
+    can never straddle the train/eval boundary; singletons hash their
+    own id. 10/10/80 via the portable md5-per-mille idiom."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dedup.duplicate_clusters(docs, threshold=0.5)
+    return curation.leakage_safe_split(docs, clusters).orderBy("doc_id")
+
+
+_CLUSTER_CTES = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 0)),
+             i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1], string_split(text,' ')[i+2])))) AS shingle
+  FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b
+  FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+"""
+
+SAMPLE_SPLIT_SQL = _CLUSTER_CTES + """
+, asg AS (
+  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS group_key
+  FROM documents d LEFT JOIN cl USING (doc_id))
+SELECT doc_id, group_key,
+       CASE WHEN h < 100 THEN 'test' WHEN h < 200 THEN 'val'
+            ELSE 'train' END AS split
+FROM (SELECT doc_id, group_key,
+             CAST(('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS h
+      FROM asg)
+ORDER BY doc_id
+"""
+
+
 def embed_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (cosine ≥ 0.4) — exact baseline
     (broadcast nested-loop; the LSH-bucketed lsh_knn_join is the
@@ -2469,6 +2519,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "sample_stratified": (sample_stratified, SAMPLE_STRATIFIED_SQL),
     "sample_temperature_mix": (sample_temperature_mix, SAMPLE_TEMPERATURE_SQL),
+    "sample_split_leakage_safe": (sample_split_leakage_safe, SAMPLE_SPLIT_SQL),
     "embed_kmeans": (embed_kmeans, EMBED_KMEANS_SQL),
     "text_quality_gate": (text_quality_gate, TEXT_QUALITY_GATE_SQL),
     "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),

@@ -94,3 +94,22 @@ def test_hll_setops_inclusion_exclusion_consistent(spark):
     assert (out["A_union_B"]["exact_distinct"]
             == out["A"]["exact_distinct"] + out["B"]["exact_distinct"]
             - out["A_intersect_B"]["exact_distinct"])
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """No near-dup cluster may straddle train/val/test, and the split
+    has all three classes on the sf0.001 corpus."""
+    from covsonar_spark.operators.curation import leakage_safe_split
+    from covsonar_spark.operators.dedup import duplicate_clusters
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    clusters = duplicate_clusters(docs, threshold=0.5)
+    out = leakage_safe_split(docs, clusters)
+    splits_per_cluster = (out.groupBy("group_key")
+                          .agg({"split": "approx_count_distinct"})
+                          .collect())
+    assert all(r[1] == 1 for r in splits_per_cluster)
+    classes = {r["split"] for r in out.select("split").distinct().collect()}
+    assert classes == {"train", "val", "test"}
+    # every document is assigned exactly once
+    assert out.count() == docs.count()
