@@ -120,6 +120,8 @@ HEADLINE = [
     "cdc_snapshot_diff",
     "ann_pq_topk",
     "sample_split_leakage_safe",
+    "sample_weighted_priority",
+    "sketch_histogram_quantile",
 ]
 
 

@@ -263,3 +263,28 @@ def leakage_safe_split(docs: DataFrame, clusters: DataFrame,
                     .when(mille < val_mille, "val")
                     .otherwise("train"))
     )
+
+
+def priority_sample(df: DataFrame, weight_col: str, k: int = 50,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted sampling without replacement (priority
+    sampling, Duffield/Lund/Thorup): each row gets priority = w / u
+    with u a uniform from the portable md5 hash of its id, and the
+    sample is the top-k by priority — heavy rows are proportionally
+    more likely to be kept, yet the choice is a pure function of
+    (id, weight), so the sample is reproducible across engines and
+    stable across reruns (the property a training pipeline needs to
+    re-materialize the same subset).
+
+    Every step is a single IEEE operation on identical operands
+    (integer hash → one division → one division), so the priorities
+    are bit-identical in Spark and DuckDB without any rounding.
+    Plan: pure codegen scan + TakeOrderedAndProject — no shuffle of
+    the corpus, no RNG state."""
+    u = ((F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+                 16, 10).cast("long") + 1) / F.lit(2.0 ** 60))
+    prio = F.col(weight_col).cast("double") / u
+    return (df.select(F.col(id_col), F.col(weight_col).alias("weight"),
+                      prio.alias("priority"))
+            .orderBy(F.col("priority").desc(), id_col)
+            .limit(k))

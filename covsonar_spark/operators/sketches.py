@@ -397,8 +397,106 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# equi-width histogram quantile (the mergeable quantile sketch)
+# ---------------------------------------------------------------------------
+
+HQ_BINS = 64
+
+
+def histogram_quantile(df, group_col: str, val_col: str,
+                       p: float = 0.5, bins: int = HQ_BINS):
+    """Quantile estimation from a mergeable equi-width histogram — the
+    quantile member of the sketch family (HLL=distinct, CM=frequency,
+    this=order statistics): per-group state is ``bins`` integer
+    counters that merge by SUM across partitions/batches/streams, vs
+    the full value multiset an exact percentile needs.  Estimate =
+    linear interpolation inside the bin where the cumulative count
+    crosses p·n.
+
+    Deterministic by construction: bin bounds come from the global
+    min/max (broadcast one-row cross join), bin index is a single
+    floor((x-lo)/width) — every step one IEEE operation on identical
+    operands in both engines — and the interpolation is a fixed
+    expression tree rounded once at the end, so the DuckDB twin
+    value-checks the estimate exactly, like the other sketches."""
+    from pyspark.sql import Window
+
+    bounds = df.agg(F.min(val_col).alias("lo"), F.max(val_col).alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+    cells = (
+        df.select(F.col(group_col).alias("grp"), F.col(val_col).alias("x"))
+        .crossJoin(F.broadcast(bounds))
+        .withColumn("b", F.least(
+            F.floor((F.col("x") - F.col("lo")) / width).cast("long"),
+            F.lit(bins - 1)))
+        .groupBy("grp", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.first("lo").alias("lo"), F.first("hi").alias("hi"))
+    )
+    wg = Window.partitionBy("grp")
+    wc = Window.partitionBy("grp").orderBy("b")
+    cum = (cells
+           .withColumn("cum", F.sum("cnt").over(wc))
+           .withColumn("n", F.sum("cnt").over(wg)))
+    target = F.col("n") * F.lit(p)
+    est = (F.col("lo") + width * F.col("b")
+           + (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt") * width)
+    est = F.when(F.col("hi") == F.col("lo"), F.col("lo")).otherwise(est)
+    return (cum.where((F.col("cum") >= target)
+                      & ((F.col("cum") - F.col("cnt")) < target))
+            .groupBy("grp")
+            .agg(F.round(F.min(est), 4).alias("hist_quantile")))
+
+
+def sketch_histogram_quantile(spark, sf_dir):
+    """Histogram-sketch median of order totalprice per priority, next
+    to the exact percentile (rounded 4, the agg_percentiles idiom) —
+    the bounded-state path for order statistics at 100 TB."""
+    o = _t(spark, sf_dir, "orders")
+    est = histogram_quantile(o, "o_orderpriority", "o_totalprice", p=0.5)
+    exact = (o.groupBy("o_orderpriority")
+             .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 4)
+                  .alias("exact_p50")))
+    return (est.withColumnRenamed("grp", "o_orderpriority")
+            .join(exact, "o_orderpriority")
+            .select("o_orderpriority", F.col("hist_quantile").alias("hist_p50"),
+                    "exact_p50")
+            .orderBy("o_orderpriority"))
+
+
+SKETCH_HISTQ_SQL = f"""
+WITH bounds AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+cells AS (
+  SELECT o_orderpriority AS grp,
+         least(CAST(floor((o_totalprice - lo) / ((hi - lo) / {float(HQ_BINS)})) AS BIGINT),
+               {HQ_BINS - 1}) AS b,
+         count(*) AS cnt, min(lo) AS lo, min(hi) AS hi
+  FROM orders CROSS JOIN bounds GROUP BY 1, 2),
+cum AS (
+  SELECT grp, b, cnt, lo, hi,
+         sum(cnt) OVER (PARTITION BY grp ORDER BY b) AS cum,
+         sum(cnt) OVER (PARTITION BY grp) AS n
+  FROM cells),
+est AS (
+  SELECT grp,
+         round(min(CASE WHEN hi = lo THEN lo
+               ELSE lo + ((hi - lo) / {float(HQ_BINS)}) * b
+                    + (n * 0.5 - (cum - cnt)) / cnt * ((hi - lo) / {float(HQ_BINS)})
+               END), 4) AS hist_p50
+  FROM cum WHERE cum >= n * 0.5 AND (cum - cnt) < n * 0.5
+  GROUP BY grp)
+SELECT grp AS o_orderpriority, hist_p50, exact_p50
+FROM est JOIN (SELECT o_orderpriority AS grp,
+                      round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50
+               FROM orders GROUP BY 1) USING (grp)
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "sketch_hll_distinct": (sketch_hll_distinct, SKETCH_HLL_SQL),
+    "sketch_histogram_quantile": (sketch_histogram_quantile, SKETCH_HISTQ_SQL),
     "sketch_kmv_distinct": (sketch_kmv_distinct, SKETCH_KMV_SQL),
     "sketch_countmin": (sketch_countmin, SKETCH_CM_SQL),
 }

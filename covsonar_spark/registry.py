@@ -1360,6 +1360,25 @@ SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id
 """
 
 
+def sample_weighted_priority(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (curation.priority_sample): top-50 documents by priority =
+    n_chars / md5-uniform — reproducible heavy-weighted subset
+    selection, pure codegen + TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.priority_sample(docs, "n_chars", k=50)
+
+
+SAMPLE_PRIORITY_SQL = """
+SELECT doc_id, n_chars AS weight,
+       CAST(n_chars AS DOUBLE)
+       / ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+          / """ + repr(2.0 ** 60) + """) AS priority
+FROM documents
+ORDER BY priority DESC, doc_id LIMIT 50
+"""
+
+
 def sample_split_leakage_safe(spark, sf_dir):
     """Leakage-safe train/val/test split (curation.leakage_safe_split):
     the split key is the near-dup CLUSTER id (duplicate_clusters'
@@ -2520,6 +2539,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sample_stratified": (sample_stratified, SAMPLE_STRATIFIED_SQL),
     "sample_temperature_mix": (sample_temperature_mix, SAMPLE_TEMPERATURE_SQL),
     "sample_split_leakage_safe": (sample_split_leakage_safe, SAMPLE_SPLIT_SQL),
+    "sample_weighted_priority": (sample_weighted_priority, SAMPLE_PRIORITY_SQL),
     "embed_kmeans": (embed_kmeans, EMBED_KMEANS_SQL),
     "text_quality_gate": (text_quality_gate, TEXT_QUALITY_GATE_SQL),
     "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),

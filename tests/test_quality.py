@@ -113,3 +113,29 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert classes == {"train", "val", "test"}
     # every document is assigned exactly once
     assert out.count() == docs.count()
+
+
+def test_histogram_quantile_close_to_exact(spark):
+    """The 64-bin histogram median must land within one bin width of
+    the exact median for every group."""
+    from covsonar_spark.operators.sketches import sketch_histogram_quantile
+
+    rows = sketch_histogram_quantile(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5
+    spread = (max(r["exact_p50"] for r in rows)
+              - min(r["exact_p50"] for r in rows))
+    for r in rows:
+        assert abs(r["hist_p50"] - r["exact_p50"]) < max(spread, 1.0)
+
+
+def test_priority_sample_reproducible_and_weight_biased(spark):
+    from covsonar_spark.operators.curation import priority_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = [r["doc_id"] for r in priority_sample(docs, "n_chars", k=50).collect()]
+    b = [r["doc_id"] for r in priority_sample(docs, "n_chars", k=50).collect()]
+    assert a == b                      # deterministic, stable across runs
+    sampled_mean = (docs.where(F.col("doc_id").isin(a))
+                    .agg(F.avg("n_chars")).first()[0])
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    assert sampled_mean > corpus_mean  # weight-proportional inclusion
