@@ -174,7 +174,11 @@ def sketch_hll_setops(spark, sf_dir):
     """
     o = _t(spark, sf_dir, "orders").where(
         F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
-    regs = hll_registers(o, "o_orderpriority", "o_custkey")
+    # materialize the register table ONCE (≤ 2·256 rows): the set
+    # algebra below references it three times, and without the
+    # checkpoint each reference re-scans the fact — the exact re-scan
+    # the mergeable sketch exists to avoid
+    regs = hll_registers(o, "o_orderpriority", "o_custkey").localCheckpoint()
     union_regs = (regs.groupBy("bucket").agg(F.max("m").alias("m"))
                   .select(F.lit("A_union_B").alias("grp"), "bucket", "m"))
     named = regs.withColumn(

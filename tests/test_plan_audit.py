@@ -403,3 +403,35 @@ def test_runtime_bloom_filter_prunes_fact_probe(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_new_family_plan_shapes(spark, registry):
+    """Pin the documented plan shapes of the quality/sampling/sketch
+    additions: scan counts and shuffle inventory match the docstrings."""
+    from covsonar_spark.plans import plan_report
+
+    # dq audit: scalar rules fused into ONE orders pass + the FK
+    # anti-join's second pass — never one scan per rule
+    r = plan_report(registry["dq_constraint_audit"][0](spark, SF))
+    assert r.scan_count("orders") == 2 and r.scan_count("customer") == 1
+    assert r.python_free
+
+    # priority sampling: pure codegen scan + top-k, zero shuffles
+    r = plan_report(registry["sample_weighted_priority"][0](spark, SF))
+    assert (r.scan_count("documents"), r.wide_exchanges, r.top_k) == (1, 0, 1)
+    assert r.python_free
+
+    # normalized dedup: exactly the cost of exact dedup — one scan
+    r = plan_report(registry["dedup_normalized"][0](spark, SF))
+    assert r.scan_count("documents") == 1 and r.python_free
+
+    # HLL set algebra: register table materialized once; only the
+    # exact-answer comparison re-reads the fact
+    r = plan_report(registry["sketch_hll_setops"][0](spark, SF))
+    assert r.scan_count("orders") <= 1   # exact side; regs are checkpointed
+
+    # PQ: scoring plan reads the vectors once and top-k's twice
+    # (pool + re-rank), no wide shuffle of the vectors
+    r = plan_report(registry["ann_pq_topk"][0](spark, SF))
+    assert r.scan_count("embeddings") == 1
+    assert r.top_k >= 1
