@@ -122,6 +122,7 @@ HEADLINE = [
     "sample_split_leakage_safe",
     "sample_weighted_priority",
     "sketch_histogram_quantile",
+    "stream_histogram_quantile",
 ]
 
 

@@ -453,6 +453,46 @@ def histogram_quantile(df, group_col: str, val_col: str,
             .agg(F.round(F.min(est), 4).alias("hist_quantile")))
 
 
+
+def hist_cells(df, group_col: str, val_col: str,
+               lo: float, hi: float, bins: int = HQ_BINS):
+    """(grp, b, cnt) histogram cells with FIXED bounds — the mergeable
+    form (cells SUM-merge across partitions/batches/streams).  The
+    data-driven-bounds query above is the one-shot convenience; a
+    stream must fix its bounds up front, which is what makes the
+    per-batch state a pure additive sketch."""
+    width = F.lit((hi - lo) / float(bins))
+    return (df.select(F.col(group_col).alias("grp"),
+                      F.col(val_col).alias("x"))
+            .withColumn("b", F.least(
+                F.floor((F.col("x") - F.lit(lo)) / width).cast("long"),
+                F.lit(bins - 1)))
+            .groupBy("grp", "b")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def hist_quantile_from_cells(cells, lo: float, hi: float,
+                             p: float = 0.5, bins: int = HQ_BINS):
+    """(grp, hist_quantile) from fixed-bound cells — identical
+    interpolation arithmetic to histogram_quantile."""
+    from pyspark.sql import Window
+
+    width = F.lit((hi - lo) / float(bins))
+    wg = Window.partitionBy("grp")
+    wc = Window.partitionBy("grp").orderBy("b")
+    cum = (cells
+           .withColumn("cum", F.sum("cnt").over(wc))
+           .withColumn("n", F.sum("cnt").over(wg)))
+    target = F.col("n") * F.lit(p)
+    est = (F.lit(lo) + width * F.col("b")
+           + (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt") * width)
+    est = F.when(F.lit(hi) == F.lit(lo), F.lit(lo)).otherwise(est)
+    return (cum.where((F.col("cum") >= target)
+                      & ((F.col("cum") - F.col("cnt")) < target))
+            .groupBy("grp")
+            .agg(F.round(F.min(est), 4).alias("hist_quantile")))
+
+
 def sketch_histogram_quantile(spark, sf_dir):
     """Histogram-sketch median of order totalprice per priority, next
     to the exact percentile (rounded 4, the agg_percentiles idiom) —

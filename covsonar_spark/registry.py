@@ -2429,6 +2429,33 @@ FROM top CROSS JOIN stats ORDER BY rank
 """
 
 
+def _stream_histq(spark, sf_dir):
+    """Chunked replay of orders through StreamingHistogram (fixed
+    bounds = the table's min/max, the same bounds the one-shot query
+    derives); SUM-merged cells make the streamed median equal the
+    one-shot sketch_histogram_quantile, so they share an oracle."""
+    import tempfile
+
+    from covsonar_spark.streaming.sketches import StreamingHistogram
+
+    o = _t(spark, sf_dir, "orders")
+    lo, hi = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    h = StreamingHistogram(spark, tempfile.mkdtemp(prefix="stream_hq_"),
+                           group_col="o_orderpriority",
+                           val_col="o_totalprice",
+                           lo=float(lo), hi=float(hi), compact_every=2)
+    for i in range(3):
+        h.process_batch(o.where(F.col("o_orderkey") % 3 == i))
+    exact = (o.groupBy("o_orderpriority")
+             .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 4)
+                  .alias("exact_p50")))
+    return (h.estimates(p=0.5).withColumnRenamed("grp", "o_orderpriority")
+            .join(exact, "o_orderpriority")
+            .select("o_orderpriority",
+                    F.col("hist_quantile").alias("hist_p50"), "exact_p50")
+            .orderBy("o_orderpriority"))
+
+
 def _stream_countmin(spark, sf_dir):
     """Chunked replay of events through StreamingCountMin
     (streaming/sketches.py); counter SUM-merge makes the streamed
@@ -2607,6 +2634,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stream_hll_distinct": (
         lambda spark, sf_dir: _stream_hll(spark, sf_dir),
         sketches.STREAM_HLL_SQL,
+    ),
+    # streaming histogram quantile: per-batch fixed-bound cells merge
+    # by SUM, so the streamed estimate equals the one-shot sketch and
+    # shares its oracle.
+    "stream_histogram_quantile": (
+        lambda spark, sf_dir: _stream_histq(spark, sf_dir),
+        sketches.SKETCH_HISTQ_SQL,
     ),
     # streaming Count-Min: per-batch counter cells merge by SUM, so the
     # chunked replay equals the one-shot batch sketch (same oracle).

@@ -133,3 +133,32 @@ class StreamingHll(_LogStructuredSketch):
     def estimates(self) -> DataFrame:
         """(grp, hll_est) over everything streamed so far."""
         return hll_estimate(self._merged())
+
+
+class StreamingHistogram(_LogStructuredSketch):
+    """Incremental histogram-quantile sketch: per-batch (grp, b, cnt)
+    cells with FIXED bounds append to the log; cells merge by SUM
+    (commutative/associative), so the streamed state equals the
+    one-shot batch histogram regardless of how the stream was chopped
+    — the quantile member of the streaming sketch family, same store
+    as StreamingHll/StreamingCountMin."""
+
+    def __init__(self, spark: SparkSession, state_dir: str, *,
+                 group_col: str, val_col: str, lo: float, hi: float,
+                 bins: int = 64, compact_every: int = 4) -> None:
+        super().__init__(spark, state_dir, compact_every)
+        self._group_col, self._val_col = group_col, val_col
+        self._lo, self._hi, self._bins = lo, hi, bins
+
+    def _sketch_of(self, df: DataFrame) -> DataFrame:
+        from covsonar_spark.operators.sketches import hist_cells
+        return hist_cells(df, self._group_col, self._val_col,
+                          self._lo, self._hi, self._bins)
+
+    def _merge(self, log: DataFrame) -> DataFrame:
+        return log.groupBy("grp", "b").agg(F.sum("cnt").alias("cnt"))
+
+    def estimates(self, p: float = 0.5) -> DataFrame:
+        from covsonar_spark.operators.sketches import hist_quantile_from_cells
+        return hist_quantile_from_cells(self._merged(), self._lo, self._hi,
+                                        p, self._bins)

@@ -73,3 +73,27 @@ def test_countmin_chunked_replay_equals_one_shot(spark, tmp_path):
     want = {(r["key"], r["cm_est"])
             for r in cm_estimate(cm_cells(ev, "event_type"), keys).collect()}
     assert got == want and len(got) > 0
+
+
+def test_histogram_chunked_replay_equals_one_shot(spark, tmp_path):
+    """SUM-merged fixed-bound histogram cells across 5 micro-batches
+    (with a mid-stream compaction) must reproduce the one-shot
+    histogram median exactly."""
+    from covsonar_spark.operators.sketches import (hist_cells,
+                                                   hist_quantile_from_cells)
+    from covsonar_spark.streaming.sketches import StreamingHistogram
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    h = StreamingHistogram(spark, str(tmp_path / "state"),
+                           group_col="event_type", val_col="value",
+                           lo=float(lo), hi=float(hi), compact_every=2)
+    for i in range(5):
+        h.process_batch(ev.where(F.col("event_id") % 5 == i))
+    got = {(r["grp"], r["hist_quantile"])
+           for r in h.estimates(p=0.5).collect()}
+    one_shot = hist_quantile_from_cells(
+        hist_cells(ev, "event_type", "value", float(lo), float(hi)),
+        float(lo), float(hi), p=0.5)
+    assert got == {(r["grp"], r["hist_quantile"])
+                   for r in one_shot.collect()} and len(got) == 5
