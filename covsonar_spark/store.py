@@ -462,6 +462,31 @@ class SonarStore:
         return MatchEngine(self.essence(query.dates or None),
                            self.sublineage_map).run(query)
 
+    def register_views(self, prefix: str = "") -> list[str]:
+        """Expose the store as SQL: temp views for the four base tables
+        plus the denormalized ``essence`` (the reference's query target,
+        lib/db.sqlite:95-123) — so everything the Python API answers is
+        also one ``spark.sql()`` away, e.g.
+
+            SELECT accession, lineage FROM essence
+            WHERE array_contains(dna_profile, 'C241T')
+              AND lineage IN ('B.1.1.7')
+
+        Temp views are metadata only (the DataFrame plan is the view):
+        filters over them still push to the parquet scans, so the SQL
+        surface costs nothing at 100 TB."""
+        names = []
+        for t in ("genomes", "sequences", "profiles", "dna_variants",
+                  "prot_variants"):
+            try:
+                self.table(t).createOrReplaceTempView(prefix + t)
+                names.append(prefix + t)
+            except Exception:  # noqa: BLE001 — table not materialized yet
+                continue
+        self.essence().createOrReplaceTempView(prefix + "essence")
+        names.append(prefix + "essence")
+        return names
+
 
 def _migrate_to_2(spark: SparkSession, root: str) -> None:
     """v1 → v2: conform ``genomes`` to the canonical schema and rewrite

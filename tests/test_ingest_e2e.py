@@ -323,3 +323,20 @@ def test_remove_with_orphan_gc(store):
                 store.table(t).select("seqhash").distinct().collect()}
         assert not (hash_before & left), t
     assert _count(store, labs=["l3"], sources=["sentinel"]) == 0
+
+
+def test_sql_views_answer_match_queries(spark, store):
+    """register_views exposes the store to spark.sql: the essence view
+    answers the reference's flagship profile+lineage match with plain
+    SQL and agrees with the Python MatchQuery path."""
+    names = store.register_views()
+    assert "essence" in names and "genomes" in names
+    sql_rows = sorted(r["accession"] for r in spark.sql("""
+        SELECT accession FROM essence
+        WHERE array_contains(dna_profile, 'C241T')
+    """).collect())
+    api_rows = sorted(
+        r["accession"] for r in
+        store.match(MatchQuery(profiles=[["C241T"]]))
+        .select("accession").collect())
+    assert sql_rows == api_rows and len(sql_rows) > 0
