@@ -120,6 +120,22 @@ def cmd_match(spark, args):
         rows_to_csv(res, sys.stdout, sep)
 
 
+def cmd_sql(spark, args):
+    """Run arbitrary SQL over the store's registered views (genomes /
+    sequences / profiles / dna_variants / prot_variants / essence) —
+    the functional version of the reference's dead `view` subcommand
+    (sonar.py:868-870, 1190-1191: handler with no registered parser)."""
+    st = _store(spark, args)
+    st.register_views()
+    res = spark.sql(args.query)
+    sep = "\t" if args.tsv else ","
+    if args.out:
+        with open(args.out, "w") as fh:
+            rows_to_csv(res, fh, sep)
+    else:
+        rows_to_csv(res, sys.stdout, sep)
+
+
 def cmd_restore(spark, args):
     from covsonar_spark.operators.restore import restore_genomes, to_fasta_lines
 
@@ -318,6 +334,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-f", "--file", dest="acc_file",
                     help="file with one accession per line")
     sp.set_defaults(fn=cmd_remove)
+
+    sp = sub.add_parser("sql")
+    common(sp)
+    sp.add_argument("query", help="SQL over genomes/profiles/…/essence views")
+    sp.add_argument("--tsv", action="store_true")
+    sp.add_argument("-o", "--out")
+    sp.set_defaults(fn=cmd_sql)
 
     sp = sub.add_parser("info")
     common(sp)

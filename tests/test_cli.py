@@ -116,3 +116,19 @@ def test_info_reports_db_size(spark, db, capsys):
 def test_assets_persisted(db):
     assert os.path.exists(os.path.join(db, "assets", "ref.fna"))
     assert os.path.exists(os.path.join(db, "assets", "ref.gff3"))
+
+
+def test_sql_subcommand_queries_essence(spark, db, capsys):
+    """`sql` (the reference's dead `view` handler made functional) runs
+    arbitrary SQL over the registered views and agrees with `match`."""
+    main(["sql", "--db", db,
+          "SELECT accession FROM essence "
+          "WHERE array_contains(dna_profile, 'C241T') ORDER BY accession"],
+         spark=spark)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "accession"
+    sql_accs = out[1:]
+    # must agree with the Python match path on the same predicate
+    api = _match_csv(spark, db, "-i", "C241T")
+    api_accs = sorted(r["accession"] for r in api)
+    assert sql_accs == api_accs and len(sql_accs) > 0
