@@ -435,3 +435,26 @@ def test_new_family_plan_shapes(spark, registry):
     r = plan_report(registry["ann_pq_topk"][0](spark, SF))
     assert r.scan_count("embeddings") == 1
     assert r.top_k >= 1
+
+
+def test_dynamic_partition_pruning_on_month_layout(spark, tmp_path):
+    """The store's partition-by-month layout must benefit from Spark's
+    dynamic partition pruning: joining the month-partitioned fact to a
+    filtered dim injects a runtime dynamicpruning subquery into the
+    fact's PartitionFilters — only the dim's surviving months are
+    scanned, the join-driven analogue of the static month pruning
+    store.essence() does for date predicates."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path)
+    o = (spark.read.parquet(f"{SF}/orders.parquet")
+         .withColumn("month", F.date_format("o_orderdate", "yyyy-MM")))
+    o.write.partitionBy("month").mode("overwrite").parquet(d + "/fact")
+    (o.select("month", "o_orderpriority").distinct()
+     .withColumnRenamed("o_orderpriority", "dim_priority")
+     .write.mode("overwrite").parquet(d + "/dim"))
+    fact = spark.read.parquet(d + "/fact")
+    dim = (spark.read.parquet(d + "/dim")
+           .where(F.col("dim_priority") == "1-URGENT"))
+    plan = _plan(fact.join(dim, "month").groupBy("dim_priority").count())
+    assert "dynamicpruningexpression" in plan
