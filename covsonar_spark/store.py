@@ -462,6 +462,47 @@ class SonarStore:
         return MatchEngine(self.essence(query.dates or None),
                            self.sublineage_map).run(query)
 
+    def variant_trends(self, field: str = "dna_profile") -> DataFrame:
+        """Per-month variant-token frequencies over the store — the
+        monitoring query covsonar deployments run downstream (RKI
+        lineage/mutation surveillance, reference README's use case):
+        share of genomes per month carrying each profile token.
+
+        One scan: explode the token array next to month(date), count
+        per (month, token), divide by the month's genome total (window
+        over the already-aggregated frame — no second pass)."""
+        from pyspark.sql import Window
+
+        ess = self.essence()
+        month = F.date_format("date", "yyyy-MM").alias("month")
+        tok = (ess.where(F.col("date").isNotNull())
+               .select(month, F.explode_outer(field).alias("token"),
+                       "accession"))
+        counts = (tok.groupBy("month", "token")
+                  .agg(F.countDistinct("accession").alias("n")))
+        totals = (tok.groupBy("month")
+                  .agg(F.countDistinct("accession").alias("n_total")))
+        return (counts.where(F.col("token").isNotNull())
+                .join(totals, "month")
+                .withColumn("share", F.round(F.col("n") / F.col("n_total"), 4))
+                .orderBy("month", F.col("n").desc(), "token"))
+
+    def lineage_frequencies(self) -> DataFrame:
+        """Per-month lineage shares (the reference ecosystem's headline
+        plot): one scan of genomes, month+lineage rollup, share via a
+        window over the aggregate."""
+        from pyspark.sql import Window
+
+        g = (self.table("genomes")
+             .where(F.col("date").isNotNull() & F.col("lineage").isNotNull()))
+        counts = (g.groupBy(F.date_format("date", "yyyy-MM").alias("month"),
+                            "lineage")
+                  .agg(F.count(F.lit(1)).alias("n")))
+        w = Window.partitionBy("month")
+        return (counts
+                .withColumn("share", F.round(F.col("n") / F.sum("n").over(w), 4))
+                .orderBy("month", F.col("n").desc(), "lineage"))
+
     def register_views(self, prefix: str = "") -> list[str]:
         """Expose the store as SQL: temp views for the four base tables
         plus the denormalized ``essence`` (the reference's query target,

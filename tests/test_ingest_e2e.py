@@ -340,3 +340,24 @@ def test_sql_views_answer_match_queries(spark, store):
         store.match(MatchQuery(profiles=[["C241T"]]))
         .select("accession").collect())
     assert sql_rows == api_rows and len(sql_rows) > 0
+
+
+def test_variant_trends_and_lineage_frequencies(store):
+    """Surveillance analytics over the ingested reference corpus:
+    token shares and lineage shares per month sum to sensible totals."""
+    trends = store.variant_trends().collect()
+    assert trends, "corpus has dated genomes with variants"
+    for r in trends:
+        assert 0 < r["share"] <= 1 and r["n"] <= r["n_total"]
+    # C241T is carried by exactly the three test genomes (expected.csv)
+    c241t = [r for r in trends if r["token"] == "C241T"]
+    assert sum(r["n"] for r in c241t) == 3
+
+    lf = store.lineage_frequencies().collect()
+    by_month = {}
+    for r in lf:
+        by_month.setdefault(r["month"], 0)
+        by_month[r["month"]] += r["n"]
+    # shares within a month sum to 1 (4 decimals)
+    for m in by_month:
+        assert abs(sum(r["share"] for r in lf if r["month"] == m) - 1.0) < 1e-3
