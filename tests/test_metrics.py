@@ -39,3 +39,23 @@ def test_headline_queries_do_not_spill(spark):
                  "match_profile_and", "dedup_exact"):
         m = exec_metrics(REGISTRY[name][0](spark, SF))
         assert m.spill_bytes == 0, name
+
+
+def test_hll_shuffle_is_bounded_by_sketch_size(spark):
+    """The sketch's reason to exist, shown in runtime numbers: the HLL
+    register aggregation's shuffle carries at most groups x 256
+    register rows (map-side combine collapses input before the wire),
+    far below the input row count."""
+    from pyspark.sql import functions as F
+
+    from covsonar_spark.operators.sketches import HLL_M, hll_registers
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    n_rows = o.count()
+    n_groups = o.select("o_orderpriority").distinct().count()
+    m = exec_metrics(hll_registers(o, "o_orderpriority", "o_custkey"))
+    # per shuffle map task the partial agg emits ≤ groups*256 rows;
+    # 8 test partitions upper-bounds the total at 8x that, still ~100x
+    # below the input rows
+    assert 0 < m.shuffle_records_written <= 8 * n_groups * HLL_M
+    assert m.shuffle_records_written < n_rows / 2
