@@ -1,0 +1,77 @@
+"""Ingest throughput benchmark: the reference's heavy path (per-genome
+EMBOSS alignment, sonar.py:643-663) as the engine runs it — mutated
+-corpus FASTA → align/diff/profile pandas UDF → five-table write →
+paranoid restore-and-compare on every genome.
+
+Corpus: N copies of NC_045512.2 each mutated with ~25 SNPs, 3 indels
+and an N run (seeded per genome — the hard multi-indel case for the
+aligner's anchored divide-and-conquer).
+
+Usage: python tools/bench_ingest.py [n_genomes]   (default 1024)
+Reference points (local[32], otherwise idle): ~48 genomes/s at 1024,
+~146 genomes/s at 4096 as fixed per-job costs amortize.  The
+reference's own pipeline runs one EMBOSS Stretcher subprocess per
+genome (~1-2 genomes/s/core).
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from covsonar_spark.functions.genetics import (harmonize, parse_gff3,  # noqa: E402
+                                               read_fasta_one)
+from covsonar_spark.session import get_spark  # noqa: E402
+from covsonar_spark.store import SonarStore  # noqa: E402
+
+REF_DIR = "/root/reference"
+
+
+def mutate(ref: str, rng: random.Random) -> str:
+    s = list(ref)
+    for _ in range(25):                      # SNPs
+        i = rng.randrange(100, len(s) - 100)
+        s[i] = rng.choice("ACGT".replace(s[i], "A" if s[i] != "A" else "C"))
+    seq = "".join(s)
+    for _ in range(3):                       # indels
+        i = rng.randrange(200, len(seq) - 200)
+        if rng.random() < 0.5:
+            seq = seq[:i] + seq[i + rng.randint(1, 9):]
+        else:
+            seq = seq[:i] + "".join(rng.choice("ACGT") for _ in range(rng.randint(1, 9))) + seq[i:]
+    i = rng.randrange(300, len(seq) - 300)   # an N run (ambiguity)
+    seq = seq[:i] + "N" * rng.randint(5, 30) + seq[i + rng.randint(5, 30):]
+    return seq
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    spark = get_spark("bench-ingest")
+    _, _, ref = read_fasta_one(f"{REF_DIR}/lib/ref.fna")
+    ref = harmonize(ref)
+    cds = parse_gff3(f"{REF_DIR}/lib/ref.gff3", ref)
+
+    rows = []
+    for i in range(n):
+        rng = random.Random(1_000_003 * i + 7)
+        rows.append((f"bench{i:05d}", f"bench genome {i}", mutate(ref, rng)))
+    records = spark.createDataFrame(
+        rows, "accession string, description string, sequence string")
+
+    st = SonarStore(spark, tempfile.mkdtemp(prefix="bench_ingest_"), ref, cds)
+    t0 = time.perf_counter()
+    report = st.add_fasta_df(records)
+    dt = time.perf_counter() - t0
+    assert report["errors"] == {}, report["errors"]
+    assert report["paranoid_mismatches"] == [], report["paranoid_mismatches"]
+    assert report["added_accessions"] == n
+    print(f"{n} genomes in {dt:.1f}s -> {n / dt:.1f} genomes/s "
+          f"(align+diff+profile+write+paranoid)")
+
+
+if __name__ == "__main__":
+    main()
