@@ -123,6 +123,8 @@ HEADLINE = [
     "sample_weighted_priority",
     "sketch_histogram_quantile",
     "stream_histogram_quantile",
+    "events_markov_transitions",
+    "orders_rfm_segmentation",
 ]
 
 

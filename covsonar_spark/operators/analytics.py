@@ -185,10 +185,74 @@ FROM monthly GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+def rfm_segmentation(orders: DataFrame) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic warehouse scoring query: one aggregate pass collapses
+    orders to a per-customer triple, then three ntile(5) windows over
+    the 1000x-smaller customer frame assign quintile scores.
+
+    Determinism across engines: the monetary sum goes through
+    DECIMAL(18,2) (exact, order-independent — a double sum's last ulp
+    could flip an ntile boundary), and every window's ORDER BY carries
+    the custkey tie-break so equal metrics rank identically.
+    """
+    from pyspark.sql import Window
+
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary_d"),
+    )
+    r_w = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    m_w = Window.orderBy(F.col("monetary_d").desc(), F.col("o_custkey"))
+    return (per_cust
+            .withColumn("r", F.ntile(5).over(r_w))
+            .withColumn("f", F.ntile(5).over(f_w))
+            .withColumn("m", F.ntile(5).over(m_w))
+            .select(
+                "o_custkey",
+                F.col("last_order").cast("string").alias("last_order"),
+                "frequency",
+                F.col("monetary_d").cast("double").alias("monetary"),
+                "r", "f", "m",
+                F.concat_ws("", "r", "f", "m").alias("segment"))
+            .orderBy("o_custkey"))
+
+
+RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_order,
+         count(*) AS frequency,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_d
+  FROM orders GROUP BY 1)
+SELECT o_custkey,
+       CAST(last_order AS VARCHAR) AS last_order,
+       frequency,
+       CAST(monetary_d AS DOUBLE) AS monetary,
+       r, f, m, r || '' || f || '' || m AS segment
+FROM (SELECT *,
+             ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+             ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+             ntile(5) OVER (ORDER BY monetary_d DESC, o_custkey) AS m
+      FROM per_cust)
+ORDER BY o_custkey
+"""
+
+
 QUERIES = {
     "basket_association_rules": (basket_association_rules, BASKET_RULES_SQL),
     "forecast_linear_trend": (forecast_linear_trend, FORECAST_TREND_SQL),
     # reads only (event_type, user_id, value) — column pruning keeps the
     # scan clear of the nanos-typed ts column, so no _events shim needed
     "stats_ab_test": (stats_ab_test, STATS_AB_SQL),
+    "orders_rfm_segmentation": (
+        lambda spark, sf_dir: rfm_segmentation(_t(spark, sf_dir, "orders")),
+        RFM_SQL),
 }

@@ -2429,6 +2429,42 @@ FROM top CROSS JOIN stats ORDER BY rank
 """
 
 
+def events_markov_transitions(spark, sf_dir):
+    """User-journey Markov chain: P(next event type | current) from
+    per-user lead() over the event stream — one user_id shuffle for
+    the window, then a 25-cell transition aggregate; probabilities are
+    row-normalized over the aggregate (window over 25 rows, free).
+    Tie-break (ts, event_id) pins concurrent events identically in
+    both engines."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (ev.withColumn("next_type", F.lead("event_type").over(w))
+             .where(F.col("next_type").isNotNull())
+             .groupBy("event_type", "next_type")
+             .agg(F.count(F.lit(1)).alias("n")))
+    wt = Window.partitionBy("event_type")
+    return (pairs
+            .withColumn("p", F.round(F.col("n") / F.sum("n").over(wt), 4))
+            .orderBy("event_type", "next_type"))
+
+
+EVENTS_MARKOV_SQL = """
+WITH pairs AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events),
+counts AS (
+  SELECT event_type, next_type, count(*) AS n FROM pairs
+  WHERE next_type IS NOT NULL GROUP BY 1, 2)
+SELECT event_type, next_type, n,
+       round(n / sum(n) OVER (PARTITION BY event_type), 4) AS p
+FROM counts ORDER BY event_type, next_type
+"""
+
+
 def _stream_histq(spark, sf_dir):
     """Chunked replay of orders through StreamingHistogram (fixed
     bounds = the table's min/max, the same bounds the one-shot query
@@ -2533,6 +2569,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_concurrent_sessions": (events_concurrent_sessions, EVENTS_CONCURRENT_SQL),
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
+    "events_markov_transitions": (events_markov_transitions, EVENTS_MARKOV_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_normalized": (dedup_normalized, DEDUP_NORMALIZED_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
