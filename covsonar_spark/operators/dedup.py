@@ -407,7 +407,10 @@ def substring_containment_pairs(df: DataFrame, text_col: str = "text",
                 fps.extend(sel.astype(np.int64))
             yield pandas.DataFrame({id_col: ids, "len": lens, "fp": fps})
 
-    fps = df.select(id_col, text_col).mapInPandas(winnow, out_schema)
+    # persist: the fingerprint table feeds the size aggregate AND both
+    # sides of the self-join — without it the winnow UDF sweeps the
+    # corpus three times
+    fps = df.select(id_col, text_col).mapInPandas(winnow, out_schema).persist()
     # containment implies FULL fingerprint-set inclusion, not just one
     # shared fingerprint: every w-window of the inner's hash array is a
     # verbatim window of the outer's, so each of the inner's selected
