@@ -200,6 +200,12 @@ def rfm_segmentation(orders: DataFrame) -> DataFrame:
     DECIMAL(18,2) (exact, order-independent — a double sum's last ulp
     could flip an ntile boundary), and every window's ORDER BY carries
     the custkey tie-break so equal metrics rank identically.
+
+    Scale note: the unpartitioned ntile windows sort the CUSTOMER
+    frame (3 orders smaller than the fact) in one task — fine to
+    ~10^7 customers.  Past that, swap ntile for bucket assignment
+    against approx_percentile(metric, [0.2,0.4,0.6,0.8]) boundaries
+    (broadcast 4 scalars, pure map) — same quintiles, no global sort.
     """
     from pyspark.sql import Window
 
