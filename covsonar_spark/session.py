@@ -36,6 +36,48 @@ def get_spark(app_name: str = "sparksonar", shuffle_partitions: int | None = Non
     return spark
 
 
+CLUSTER_PROFILE = {
+    # A concrete starting point for the 1000-executor / 100 TB
+    # deployment this engine is designed for (local[N] testing keeps
+    # the same logical plans; these knobs only resize the physical
+    # execution).  Rationale per knob:
+    #   shuffle.partitions ~ 2-3x total cores so every core gets a few
+    #     waves and AQE can coalesce down; with 1000 executors x 4
+    #     cores -> 12000.  AQE's advisoryPartitionSizeInBytes then
+    #     targets ~128-256 MB per post-shuffle partition, the sweet
+    #     spot between task overhead and spill risk.
+    #   files.maxPartitionBytes 256m: scan tasks sized so a row-group
+    #     plus decode headroom fits executor memory alongside shuffle
+    #     buffers.
+    #   autoBroadcastJoinThreshold 64m: dims (nation/supplier/taxonomy/
+    #     codebooks) broadcast; fact-fact joins shuffle.  Runtime bloom
+    #     filters (on by default) prune selective-dim SMJ probes.
+    #   skewJoin thresholds: AQE splits partitions >256 MB and >5x
+    #     median — the salting operators cover the aggregate cases AQE
+    #     does not.
+    "spark.sql.shuffle.partitions": "12000",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "192m",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256m",
+    "spark.sql.files.maxPartitionBytes": "256m",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+}
+
+
+def cluster_conf() -> dict:
+    """The documented cluster deployment profile (see CLUSTER_PROFILE);
+    apply via ``SparkSession.builder.config(map=cluster_conf())`` on a
+    real cluster submit — kept out of get_spark() so local tests stay
+    sized for local[N]."""
+    return dict(CLUSTER_PROFILE)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> dict:
     """Load the driver's parquet tables as DataFrames keyed by name."""
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
