@@ -139,3 +139,36 @@ def test_priority_sample_reproducible_and_weight_biased(spark):
                     .agg(F.avg("n_chars")).first()[0])
     corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
     assert sampled_mean > corpus_mean  # weight-proportional inclusion
+
+
+def test_snapshot_diff_algebra(spark):
+    """Laws that hold for ANY pair of snapshots: self-diff is empty;
+    swapping snapshots swaps added/removed and keeps changed; the
+    class counts reconcile the two snapshot sizes."""
+    import random
+
+    rng = random.Random(99)
+    rows_old, rows_new = [], []
+    for k in range(200):
+        in_old, in_new = rng.random() < 0.8, rng.random() < 0.8
+        v_old = rng.choice("abc")
+        v_new = v_old if rng.random() < 0.7 else rng.choice("xyz")
+        if in_old:
+            rows_old.append((k, v_old))
+        if in_new:
+            rows_new.append((k, v_new))
+    old = spark.createDataFrame(rows_old, "k long, s string")
+    new = spark.createDataFrame(rows_new, "k long, s string")
+
+    assert snapshot_diff(old, old, "k", ("s",)).count() == 0
+
+    fwd = {r["k"]: r["change_type"]
+           for r in snapshot_diff(old, new, "k", ("s",)).collect()}
+    bwd = {r["k"]: r["change_type"]
+           for r in snapshot_diff(new, old, "k", ("s",)).collect()}
+    flip = {"added": "removed", "removed": "added", "changed": "changed"}
+    assert bwd == {k: flip[v] for k, v in fwd.items()}
+
+    n_added = sum(1 for v in fwd.values() if v == "added")
+    n_removed = sum(1 for v in fwd.values() if v == "removed")
+    assert len(rows_new) == len(rows_old) - n_removed + n_added
