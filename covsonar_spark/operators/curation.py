@@ -286,5 +286,9 @@ def priority_sample(df: DataFrame, weight_col: str, k: int = 50,
     prio = F.col(weight_col).cast("double") / u
     return (df.select(F.col(id_col), F.col(weight_col).alias("weight"),
                       prio.alias("priority"))
+            # null/non-positive weights cannot be sampled — and engines
+            # disagree on NULL placement under DESC, so they must not
+            # reach the ordering
+            .where(F.col("weight").isNotNull() & (F.col("weight") > 0))
             .orderBy(F.col("priority").desc(), id_col)
             .limit(k))

@@ -525,8 +525,9 @@ def pq_topk(df: DataFrame, query_id: int = 0, k_top: int = 10,
     import pandas as pd
 
     init_rows = _centroids(df, PQ_K, vec_col, id_col)
+    k_eff = len(init_rows)            # corpora smaller than PQ_K shrink the codebook
     init = [[[float(x) for x in vec[s * PQ_SUB:(s + 1) * PQ_SUB]]
-             for _, vec in init_rows] for s in range(PQ_M)]   # m x k x sub
+             for _, vec in init_rows] for s in range(PQ_M)]   # m x k_eff x sub
 
     def _sub_d2(As: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
         d2 = np.zeros((len(As), len(C)))
@@ -559,7 +560,7 @@ def pq_topk(df: DataFrame, query_id: int = 0, k_top: int = 10,
           for i in range(PQ_SUB)])
     upd = {(r["s"], r["cid"]): [r[f"m{i}"] for i in range(PQ_SUB)]
            for r in stats.collect()}
-    books = [[upd.get((s, c), init[s][c]) for c in range(PQ_K)]
+    books = [[upd.get((s, c), init[s][c]) for c in range(k_eff)]
              for s in range(PQ_M)]
 
     qvec = [float(x) for x in
@@ -570,7 +571,7 @@ def pq_topk(df: DataFrame, query_id: int = 0, k_top: int = 10,
     for s in range(PQ_M):
         qs = qvec[s * PQ_SUB:(s + 1) * PQ_SUB]
         row = []
-        for c in range(PQ_K):
+        for c in range(len(books[s])):
             acc = 0.0
             for i in range(PQ_SUB):
                 d = qs[i] - books[s][c][i]

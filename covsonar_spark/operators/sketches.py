@@ -430,6 +430,7 @@ def histogram_quantile(df, group_col: str, val_col: str,
     width = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
     cells = (
         df.select(F.col(group_col).alias("grp"), F.col(val_col).alias("x"))
+        .where(F.col("x").isNotNull())   # nulls are not order statistics
         .crossJoin(F.broadcast(bounds))
         .withColumn("b", F.least(
             F.floor((F.col("x") - F.col("lo")) / width).cast("long"),
@@ -464,6 +465,7 @@ def hist_cells(df, group_col: str, val_col: str,
     width = F.lit((hi - lo) / float(bins))
     return (df.select(F.col(group_col).alias("grp"),
                       F.col(val_col).alias("x"))
+            .where(F.col("x").isNotNull())
             .withColumn("b", F.least(
                 F.floor((F.col("x") - F.lit(lo)) / width).cast("long"),
                 F.lit(bins - 1)))

@@ -172,3 +172,39 @@ def test_snapshot_diff_algebra(spark):
     n_added = sum(1 for v in fwd.values() if v == "added")
     n_removed = sum(1 for v in fwd.values() if v == "removed")
     assert len(rows_new) == len(rows_old) - n_removed + n_added
+
+
+def test_pq_topk_tiny_corpus(spark):
+    """Corpora smaller than the codebook size shrink the codebook
+    instead of crashing."""
+    from pyspark.sql import functions as F
+
+    from covsonar_spark.operators.similarity import pq_topk
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .where(F.col("vec_id") < 7))
+    rows = pq_topk(emb, query_id=0, k_top=10).collect()
+    assert len(rows) == 6  # everything except the query
+
+
+def test_priority_sample_drops_null_and_nonpositive_weights(spark):
+    from covsonar_spark.operators.curation import priority_sample
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 0), (4, -5), (5, 3)],
+        "doc_id long, w int")
+    got = {r["doc_id"] for r in priority_sample(docs, "w", k=10).collect()}
+    assert got == {1, 5}
+
+
+def test_histogram_quantile_ignores_null_values(spark):
+    from covsonar_spark.operators.sketches import (hist_cells,
+                                                   hist_quantile_from_cells)
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("a", None)],
+        "g string, v double")
+    cells = hist_cells(df, "g", "v", 1.0, 3.0, bins=4)
+    out = hist_quantile_from_cells(cells, 1.0, 3.0, p=0.5, bins=4).collect()
+    # n counts only the 2 non-null values; median interpolates between them
+    assert len(out) == 1 and 1.0 <= out[0]["hist_quantile"] <= 3.0
