@@ -1,5 +1,6 @@
 """Query registry: every implemented operator from SURVEY.md §2 exposed as
-a (spark_fn, oracle_sql) pair over the driver's synthetic tables
+a (spark_fn, oracle_sql) pair (124 queries, 123 with full oracles)
+over the driver's synthetic tables
 (/root/testdata/sf*/ — region nation customer supplier part orders
 lineitem events documents embeddings).
 
