@@ -136,6 +136,18 @@ def cmd_sql(spark, args):
         rows_to_csv(res, sys.stdout, sep)
 
 
+def cmd_dq(spark, args):
+    """Constraint audit over the store (quality.store_dq_audit):
+    engine-side stand-in for sqlite's DDL-enforced PK/FK constraints."""
+    from covsonar_spark.operators.quality import store_dq_audit
+
+    st = _store(spark, args)
+    res = store_dq_audit(st)
+    rows_to_csv(res, sys.stdout, "\t" if getattr(args, "tsv", False) else ",")
+    if any(not r["ok"] for r in res.collect()):
+        sys.exit(1)
+
+
 def cmd_restore(spark, args):
     from covsonar_spark.operators.restore import restore_genomes, to_fasta_lines
 
@@ -334,6 +346,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-f", "--file", dest="acc_file",
                     help="file with one accession per line")
     sp.set_defaults(fn=cmd_remove)
+
+    sp = sub.add_parser("dq")
+    common(sp)
+    sp.add_argument("--tsv", action="store_true")
+    sp.set_defaults(fn=cmd_dq)
 
     sp = sub.add_parser("sql")
     common(sp)

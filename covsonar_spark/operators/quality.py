@@ -215,3 +215,50 @@ QUERIES = {
     "dq_constraint_audit": (dq_audit_query, DQ_AUDIT_SQL),
     "cdc_snapshot_diff": (cdc_snapshot_diff, CDC_SNAPSHOT_SQL),
 }
+
+
+def store_dq_audit(store) -> DataFrame:
+    """The constraint audit applied to the genome store itself — the
+    engine-side replacement for the reference's sqlite DDL constraints
+    (PK/UNIQUE/FK, /root/reference/lib/db.sqlite:6-93), runnable at
+    any time over the parquet tables:
+
+      * pk_unique_accession     genomes.accession is unique
+      * fk_genomes_sequences    every genomes.seqhash exists in sequences
+      * fk_profiles_sequences   every profiles.seqhash exists in sequences
+      * not_null_seqhash        no genome row lost its content hash
+      * range_ct_positive       ct, when present, is > 0
+
+    Same plan shape as dq_audit: scalar rules fuse into one genomes
+    pass; each FK is one anti-join counted to a row.
+    """
+    genomes = store.table("genomes")
+    sequences = store.table("sequences").select("seqhash")
+    profiles = store.table("profiles").select("seqhash")
+    scalar = genomes.agg(
+        F.count(F.lit(1)).alias("rows_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("accession")).alias("pk_dups"),
+        F.count(F.when(F.col("seqhash").isNull(), 1)).alias("null_seqhash"),
+        F.count(F.when(F.col("ct").isNotNull() & ~(F.col("ct") > 0), 1))
+         .alias("bad_ct"),
+    )
+    fk_g = (genomes.select("seqhash").where(F.col("seqhash").isNotNull())
+            .join(F.broadcast(sequences), "seqhash", "left_anti")
+            .agg(F.count(F.lit(1)).alias("fk_genomes")))
+    fk_p = (profiles.join(F.broadcast(sequences), "seqhash", "left_anti")
+            .agg(F.count(F.lit(1)).alias("fk_profiles")))
+    wide = scalar.crossJoin(fk_g).crossJoin(fk_p)
+    rules = wide.selectExpr(
+        "rows_checked",
+        "stack(5, "
+        "'pk_unique_accession', pk_dups, "
+        "'fk_genomes_sequences', fk_genomes, "
+        "'fk_profiles_sequences', fk_profiles, "
+        "'not_null_seqhash', null_seqhash, "
+        "'range_ct_positive', bad_ct"
+        ") AS (rule, violations)",
+    )
+    return (rules.select(
+        "rule", F.col("violations").cast("long").alias("violations"),
+        F.col("rows_checked").cast("long").alias("rows_checked"),
+        (F.col("violations") == 0).alias("ok")).orderBy("rule"))

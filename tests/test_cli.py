@@ -132,3 +132,14 @@ def test_sql_subcommand_queries_essence(spark, db, capsys):
     api = _match_csv(spark, db, "-i", "C241T")
     api_accs = sorted(r["accession"] for r in api)
     assert sql_accs == api_accs and len(sql_accs) > 0
+
+
+def test_dq_subcommand_reports_clean_store(spark, db, capsys):
+    """`dq` audits the store's PK/FK/null/range constraints; the CI
+    corpus must be violation-free (exit 0, all rules ok)."""
+    main(["dq", "--db", db], spark=spark)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split(",")[0] == "rule"
+    rules = [l.split(",") for l in out[1:]]
+    assert len(rules) == 5
+    assert all(r[1] == "0" and r[3] == "True" for r in rules)
