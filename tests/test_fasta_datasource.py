@@ -1,0 +1,60 @@
+"""FASTA Python Data Source (spark.read.format("fasta")): record
+parity with the primary reader, and split-ownership correctness —
+byte-range partitions must neither lose nor duplicate records."""
+
+from __future__ import annotations
+
+import pytest
+
+from covsonar_spark.sources.fasta import read_fasta
+from covsonar_spark.sources.fasta_datasource import register
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+def test_matches_primary_reader(spark):
+    df = spark.read.format("fasta").load(f"{REF}/test/test.fasta")
+    got = {r["accession"]: (r["description"], r["sequence"])
+           for r in df.collect()}
+    want = {r["accession"]: (r["description"], r["sequence"])
+            for r in read_fasta(spark, [f"{REF}/test/test.fasta"]).collect()}
+    assert got == want and len(got) == 3
+
+
+def test_split_ranges_partition_records_exactly(spark, tmp_path):
+    """A concatenated multi-record file read with tiny split ranges
+    yields every record exactly once, and genuinely fans out."""
+    src = open(f"{REF}/test/test.fasta").read()
+    big = tmp_path / "big.fasta"
+    with open(big, "w") as fh:
+        for i in range(40):
+            for block in src.strip().split("\n>"):
+                block = block.lstrip(">")
+                header, rest = block.split("\n", 1)
+                acc = header.split(" ", 1)[0]
+                fh.write(f">{acc}_copy{i} {header}\n{rest}\n")
+    df = (spark.read.format("fasta").option("split_mb", "0.2")
+          .load(str(big)))
+    n_parts = df.rdd.getNumPartitions()
+    rows = df.collect()
+    accs = [r["accession"] for r in rows]
+    assert n_parts > 4, "tiny split size must fan the file out"
+    assert len(accs) == 120 and len(set(accs)) == 120
+    assert all(len(r["sequence"]) == 29903 for r in rows)
+
+
+def test_gz_single_partition_round_trip(spark, tmp_path):
+    import gzip
+    import shutil
+
+    gz = tmp_path / "t.fasta.gz"
+    with open(f"{REF}/test/test.fasta", "rb") as fi, gzip.open(gz, "wb") as fo:
+        shutil.copyfileobj(fi, fo)
+    df = spark.read.format("fasta").load(str(gz))
+    assert {r["accession"] for r in df.collect()} == {
+        "NC_045512.2", "test1", "test2"}
