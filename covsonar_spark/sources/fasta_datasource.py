@@ -27,7 +27,9 @@ from __future__ import annotations
 import glob as _glob
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceWriter, InputPartition,
+                                    WriterCommitMessage)
 
 _SCHEMA = "accession string, description string, sequence string"
 _TEXT_EXT = (".fasta", ".fa", ".fna")
@@ -51,6 +53,9 @@ class FastaDataSource(DataSource):
 
     def reader(self, schema) -> "FastaReader":
         return FastaReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "FastaWriter":
+        return FastaWriter(self.options, overwrite)
 
 
 class FastaReader(DataSourceReader):
@@ -141,6 +146,44 @@ class FastaReader(DataSourceReader):
     def _record(header: str, seq: list[str]):
         acc = header.split(" ", 1)[0]
         return (acc, header, "".join(seq))
+
+
+class FastaWriter(DataSourceWriter):
+    """``df.write.format("fasta").save(dir)`` — the restore sink (S7)
+    as a real output format: each task writes one ``part-*.fasta``
+    shard of ``>accession description\nsequence`` records (wrapped at
+    ``line_width``, default 70 like Biopython's FastaIO), so a restore
+    of N genomes lands as a sharded FASTA directory with no driver
+    collect."""
+
+    def __init__(self, options, overwrite: bool):
+        self._dir = options.get("path")
+        self._width = int(options.get("line_width", "70"))
+        self._overwrite = overwrite
+        import os
+        import shutil
+        if overwrite and os.path.isdir(self._dir):
+            shutil.rmtree(self._dir)
+        os.makedirs(self._dir, exist_ok=True)
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import os
+        import uuid
+        w = self._width
+        tmp = os.path.join(self._dir, f".part-{uuid.uuid4().hex}.fasta.tmp")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                d = row.asDict()
+                header = d.get("description") or d.get("accession")
+                seq = d["sequence"]
+                fh.write(f">{header}\n")
+                for i in range(0, len(seq), w):
+                    fh.write(seq[i:i + w] + "\n")
+                n += 1
+        final = tmp[: -len(".tmp")].replace("/.part-", "/part-")
+        os.rename(tmp, final)
+        return WriterCommitMessage()
 
 
 def register(spark) -> None:

@@ -58,3 +58,17 @@ def test_gz_single_partition_round_trip(spark, tmp_path):
     df = spark.read.format("fasta").load(str(gz))
     assert {r["accession"] for r in df.collect()} == {
         "NC_045512.2", "test1", "test2"}
+
+
+def test_write_format_round_trips(spark, tmp_path):
+    """df.write.format('fasta') shards records and the reader round
+    -trips them byte-for-byte (S7 as a real output format)."""
+    src = spark.read.format("fasta").load(f"{REF}/test/test.fasta")
+    out = str(tmp_path / "restored")
+    src.write.format("fasta").mode("overwrite").save(out)
+    back = spark.read.format("fasta").load(out + "/*.fasta")
+    a = {r["accession"]: (r["description"], r["sequence"])
+         for r in src.collect()}
+    b = {r["accession"]: (r["description"], r["sequence"])
+         for r in back.collect()}
+    assert a == b
