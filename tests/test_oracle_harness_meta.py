@@ -1,0 +1,42 @@
+"""Meta-tests for the correctness gate itself: the canonical-form
+comparison must detect the mismatch classes it claims to (value flip,
+row order independence, float formatting) — a gate that can't fail is
+no gate."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from oracle_harness import canon
+
+
+def test_canon_is_row_order_insensitive():
+    a = canon([(1, "x"), (2, "y")], ["id", "v"])
+    b = canon([(2, "y"), (1, "x")], ["id", "v"])
+    assert a == b
+
+
+def test_canon_is_column_order_insensitive():
+    a = canon([(1, "x")], ["id", "v"])
+    b = canon([("x", 1)], ["v", "id"])
+    assert a == b
+
+
+def test_canon_detects_value_flip():
+    a = canon([(1, "x")], ["id", "v"])
+    b = canon([(1, "X")], ["id", "v"])
+    assert a != b
+
+
+def test_canon_float_repr_distinguishes_ulp():
+    """Floats compare by repr — a last-ulp difference MUST fail, which
+    is why every float column in the registry is rounded identically
+    in both engines before comparison."""
+    x = 0.1 + 0.2
+    a = canon([(x,)], ["v"])
+    b = canon([(0.3,)], ["v"])
+    assert a != b
+    assert canon([(round(x, 6),)], ["v"]) == canon([(round(0.3, 6),)], ["v"])
