@@ -142,9 +142,12 @@ def cmd_dq(spark, args):
     from covsonar_spark.operators.quality import store_dq_audit
 
     st = _store(spark, args)
-    res = store_dq_audit(st)
-    rows_to_csv(res, sys.stdout, "\t" if getattr(args, "tsv", False) else ",")
-    if any(not r["ok"] for r in res.collect()):
+    rows = store_dq_audit(st).collect()   # one execution serves both outputs
+    sep = "\t" if getattr(args, "tsv", False) else ","
+    print(sep.join(rows[0].asDict().keys()))
+    for r in rows:
+        print(sep.join(str(v) for v in r))
+    if any(not r["ok"] for r in rows):
         sys.exit(1)
 
 

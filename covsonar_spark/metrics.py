@@ -44,8 +44,11 @@ def _children(node):
     for i in range(ch.size()):
         out.append(ch.apply(i))
     # adaptive wrappers / query stages expose their executed subtree
-    # through accessors rather than children()
-    for attr in ("finalPhysicalPlan", "executedPlan", "inputPlan", "plan"):
+    # through accessors rather than children().  inputPlan is
+    # deliberately NOT traversed: it is the pre-AQE plan whose
+    # re-instantiated operators carry fresh plan ids, so walking it
+    # double-counts by_node entries for replanned stages.
+    for attr in ("finalPhysicalPlan", "executedPlan", "plan"):
         try:
             out.append(getattr(node, attr)())
         except Exception:  # noqa: BLE001 — accessor absent on this node type

@@ -231,7 +231,6 @@ def temperature_mix(df: DataFrame, alpha: float = 0.5, budget: int = 250,
 
 def leakage_safe_split(docs: DataFrame, clusters: DataFrame,
                        test_mille: int = 100, val_mille: int = 200,
-                       text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Train/val/test split with NO near-duplicate leakage: the split
     key is the document's duplicate-CLUSTER id (near-dup cluster

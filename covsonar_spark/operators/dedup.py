@@ -518,7 +518,9 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
         .distinct()
         .persist()
     )
-    e.unpersist()
+    sym.count()       # materialize FROM the cached e before dropping it —
+    e.unpersist()     # persist is lazy; unpersisting first would recompute
+                      # the upstream pair-join for both union branches
     lbl = (
         sym.select(F.col("u").alias("node")).distinct()
         .select("node", F.col("node").alias("comp"))

@@ -432,9 +432,10 @@ def histogram_quantile(df, group_col: str, val_col: str,
         df.select(F.col(group_col).alias("grp"), F.col(val_col).alias("x"))
         .where(F.col("x").isNotNull())   # nulls are not order statistics
         .crossJoin(F.broadcast(bounds))
-        .withColumn("b", F.least(
-            F.floor((F.col("x") - F.col("lo")) / width).cast("long"),
-            F.lit(bins - 1)))
+        .withColumn("b", F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(F.least(
+                F.floor((F.col("x") - F.col("lo")) / width).cast("long"),
+                F.lit(bins - 1))))
         .groupBy("grp", "b")
         .agg(F.count(F.lit(1)).alias("cnt"),
              F.first("lo").alias("lo"), F.first("hi").alias("hi"))
@@ -466,7 +467,7 @@ def hist_cells(df, group_col: str, val_col: str,
     return (df.select(F.col(group_col).alias("grp"),
                       F.col(val_col).alias("x"))
             .where(F.col("x").isNotNull())
-            .withColumn("b", F.least(
+            .withColumn("b", F.lit(0) if hi == lo else F.least(
                 F.floor((F.col("x") - F.lit(lo)) / width).cast("long"),
                 F.lit(bins - 1)))
             .groupBy("grp", "b")

@@ -1376,6 +1376,7 @@ SELECT doc_id, n_chars AS weight,
        / ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
           / """ + repr(2.0 ** 60) + """) AS priority
 FROM documents
+WHERE n_chars IS NOT NULL AND n_chars > 0
 ORDER BY priority DESC, doc_id LIMIT 50
 """
 

@@ -120,9 +120,18 @@ class FastaReader(DataSourceReader):
         # ownership rule: a task parses every record whose '>' byte
         # offset o satisfies start <= o < end (offset 0 belongs to the
         # first range); it reads PAST end to finish its last record.
-        fh.seek(start)
+        # Positioning: seek to start-1 and consume one line — if byte
+        # start-1 is the previous line's newline this consumes exactly
+        # that newline and leaves us AT start (so a record whose header
+        # begins exactly on the boundary is owned, not skipped); if
+        # start lands mid-line it consumes the partial line.  Plain
+        # fh.seek(start); fh.readline() would drop boundary-aligned
+        # records: this task skips them, the previous one refuses them.
         if start > 0:
-            fh.readline()                      # skip partial line
+            fh.seek(start - 1)
+            fh.readline()
+        else:
+            fh.seek(0)
         header, seq = None, []
         while True:
             off = fh.tell()
@@ -148,6 +157,11 @@ class FastaReader(DataSourceReader):
         return (acc, header, "".join(seq))
 
 
+class FastaCommit(WriterCommitMessage):
+    def __init__(self, path: str):
+        self.path = path
+
+
 class FastaWriter(DataSourceWriter):
     """``df.write.format("fasta").save(dir)`` — the restore sink (S7)
     as a real output format: each task writes one ``part-*.fasta``
@@ -166,12 +180,16 @@ class FastaWriter(DataSourceWriter):
             shutil.rmtree(self._dir)
         os.makedirs(self._dir, exist_ok=True)
 
-    def write(self, iterator) -> WriterCommitMessage:
+    def write(self, iterator) -> "FastaCommit":
         import os
         import uuid
         w = self._width
+        # shards stay dot-invisible until COMMIT: a failed/retried/
+        # speculative task must not leave a visible duplicate, so the
+        # task only writes its tmp file and reports the path; the
+        # driver-side commit() renames the winning attempts, abort()
+        # removes the losers (the DataSourceWriter two-phase contract).
         tmp = os.path.join(self._dir, f".part-{uuid.uuid4().hex}.fasta.tmp")
-        n = 0
         with open(tmp, "w") as fh:
             for row in iterator:
                 d = row.asDict()
@@ -180,10 +198,21 @@ class FastaWriter(DataSourceWriter):
                 fh.write(f">{header}\n")
                 for i in range(0, len(seq), w):
                     fh.write(seq[i:i + w] + "\n")
-                n += 1
-        final = tmp[: -len(".tmp")].replace("/.part-", "/part-")
-        os.rename(tmp, final)
-        return WriterCommitMessage()
+        return FastaCommit(tmp)
+
+    def commit(self, messages) -> None:
+        import os
+        for m in messages:
+            final = m.path[: -len(".tmp")].replace("/.part-", "/part-")
+            os.rename(m.path, final)
+
+    def abort(self, messages) -> None:
+        import os
+        for m in messages:
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass
 
 
 def register(spark) -> None:

@@ -72,3 +72,19 @@ def test_write_format_round_trips(spark, tmp_path):
     b = {r["accession"]: (r["description"], r["sequence"])
          for r in back.collect()}
     assert a == b
+
+
+def test_boundary_aligned_header_not_lost(spark, tmp_path):
+    """Regression: a record whose '>' begins exactly at a split
+    boundary must be owned by the task that starts there (plain
+    seek+readline positioning silently dropped it)."""
+    src = open(f"{REF}/test/test.fasta", "rb").read()
+    p = tmp_path / "b.fasta"
+    p.write_bytes(src)
+    second = src.index(b">", 1)          # byte offset of record 2's header
+    df = (spark.read.format("fasta")
+          .option("split_mb", second / 2 ** 20)   # boundary exactly there
+          .load(str(p)))
+    assert df.rdd.getNumPartitions() >= 2
+    assert sorted(r["accession"] for r in df.collect()) == [
+        "NC_045512.2", "test1", "test2"]
