@@ -74,11 +74,17 @@ def read_fasta_splittable(spark: SparkSession,
     body = F.when(F.instr("rec", "\n") > 0,
                   F.expr("substring(rec, instr(rec, '\n') + 1)")) \
             .otherwise(F.lit(""))
-    return rec.select(
+    out = rec.select(
         F.substring_index(header, " ", 1).alias("accession"),
         header.alias("description"),
         F.translate(body, "\n\r ", "").alias("sequence"),
     )
+    # legacy ';'/'#' comment preambles before the first '>' become a
+    # pseudo-record under the lineSep split (the Python iter path just
+    # ignores them); dropping comment-marked accessions keeps the two
+    # paths agreeing. Preamble that mimics sequence data is not
+    # detectable post-split — FASTA files should start with '>'.
+    return out.where(~F.col("accession").rlike("^[;#]"))
 
 
 def read_fasta(spark: SparkSession, paths: list[str] | str,
@@ -102,6 +108,8 @@ def read_fasta(spark: SparkSession, paths: list[str] | str,
     xz = [p for p in paths if p.endswith(".xz")]
     rest = [p for p in paths if not p.endswith(".xz")]
     parts = []
+    if not rest and not xz:
+        return spark.createDataFrame([], FASTA_SCHEMA)
     if rest:
         parts.append(read_fasta_splittable(spark, rest))
     if xz:

@@ -243,7 +243,7 @@ class SonarStore:
         5. paranoid round-trip: restore every new genome from stored
            variants, byte-compare with the input (T15)
         """
-        rec = records.select(
+        pre = records.select(
             F.col("accession"),
             F.col("description"),
             ING.harmonized(F.col("sequence")).alias("sequence"),
@@ -252,7 +252,11 @@ class SonarStore:
         # one accession with two different sequences is a hard error —
         # a distributed read has no "last record wins" order to honor
         # (reference iterates the FASTA sequentially, sonar.py:572-641)
-        rec = rec.dropDuplicates(["accession", "seqhash"]).cache()
+        pre = pre.dropDuplicates(["accession", "seqhash"]).cache()
+        # header-only / empty-sequence records are SKIPPED like the
+        # reference (sonar.py:579-580) — ingesting them would align as
+        # a whole-genome deletion and pollute the store with junk
+        rec = pre.where(F.length("sequence") > 0)
         batch_dup = rec.groupBy("accession").count().where(F.col("count") > 1)
         dups = [r["accession"] for r in batch_dup.limit(5).collect()]
         if dups:
@@ -260,16 +264,22 @@ class SonarStore:
                 f"input batch contains conflicting sequences for the same "
                 f"accession(s): {dups}")
 
-        existing = self.table("genomes").select("accession", "seqhash") \
-                       .withColumnRenamed("seqhash", "old_seqhash")
-        conflicts = rec.join(existing, "accession") \
-                       .where(F.col("seqhash") != F.col("old_seqhash"))
+        existing = self.table("genomes").select(
+            "accession",
+            F.col("seqhash").alias("old_seqhash"),
+            F.col("description").alias("old_description"))
+        # a changed DESCRIPTION is a conflict too (reference
+        # sonar.py:595-600 errors without --force and updates with it)
+        same_row = ((F.col("seqhash") == F.col("old_seqhash"))
+                    & F.col("description").eqNullSafe(F.col("old_description")))
+        conflicts = rec.join(existing, "accession").where(~same_row)
         n_conflicts = conflicts.count()
         if n_conflicts and not force:
             sample = [r["accession"] for r in conflicts.select("accession").limit(5).collect()]
             raise ValueError(
                 f"{n_conflicts} accession(s) already stored with a different "
-                f"sequence (use force=True to replace), e.g. {sample}")
+                f"sequence or description (use force=True to replace), "
+                f"e.g. {sample}")
 
         known_seqs = self.table("sequences").select("seqhash")
         new_seqs = (
@@ -299,12 +309,13 @@ class SonarStore:
         self._append("prot_variants", ING.explode_prot_variants(ok))
 
         bad_hashes = {r["seqhash"] for r in errors}
-        meta = metadata_defaults or {}
+        from covsonar_spark.sources.metadata import UPPERCASED
+        meta = {k: (v.upper() if k in UPPERCASED and isinstance(v, str) else v)
+                for k, v in (metadata_defaults or {}).items()}
         gen_cols = [f.name for f in schemas.GENOMES.fields]
         # skip accessions already stored with the same sequence — re-add
         # must not clobber their metadata (reference P1, sonar.py:572-641)
-        unchanged = rec.join(existing, "accession") \
-                       .where(F.col("seqhash") == F.col("old_seqhash")) \
+        unchanged = rec.join(existing, "accession").where(same_row) \
                        .select("accession")
         new_genomes = rec.drop("sequence").join(unchanged, "accession", "left_anti")
         if bad_hashes:
@@ -328,9 +339,13 @@ class SonarStore:
                               "left_anti") \
                         .unionByName(new_genomes.select(*gen_cols))
             self._overwrite("genomes", merged)
+            # replaced accessions may have orphaned their old seqhash
+            # rows (reference delete-then-add GCs, lib/sonardb.py:1470)
+            self._gc_orphans()
 
         report = {"errors": {r["seqhash"]: r["error"] for r in errors},
-                  "added_accessions": rec.count(), "new_sequences": ok.count()}
+                  "added_accessions": rec.count(), "new_sequences": ok.count(),
+                  "skipped_empty": pre.count() - rec.count()}
 
         if paranoid:
             from covsonar_spark.operators.restore import paranoid_check
@@ -342,7 +357,7 @@ class SonarStore:
             report["paranoid_mismatches"] = mism
             if mism:
                 raise AssertionError(f"paranoid round-trip failed for {mism}")
-        rec.unpersist()
+        pre.unpersist()
         return report
 
     # -- metadata update / delete / info (P4, P5, A2-A8) -------------------
@@ -358,10 +373,18 @@ class SonarStore:
         unknown = set(meta_cols) - {f.name for f in schemas.GENOMES.fields}
         if unknown:
             raise ValueError(f"unknown metadata columns: {sorted(unknown)}")
+        dups = [r["accession"] for r in updates.groupBy("accession").count()
+                .where(F.col("count") > 1).limit(5).collect()]
+        if dups:
+            raise ValueError(
+                f"updates contain duplicate accessions: {dups} — a "
+                f"distributed upsert has no last-row-wins order to honor")
         upd = updates.select(
             "accession", *[F.col(c).alias(f"_u_{c}") for c in meta_cols])
         n = upd.join(gen.select("accession"), "accession", "left_semi").count()
-        merged = gen.join(F.broadcast(upd), "accession", "left")
+        # no broadcast hint: the updates side is unbounded (a full
+        # re-annotation batch); Catalyst/AQE picks broadcast when small
+        merged = gen.join(upd, "accession", "left")
         for c in meta_cols:
             merged = merged.withColumn(
                 c, F.coalesce(F.col(f"_u_{c}").cast(
@@ -379,16 +402,26 @@ class SonarStore:
         keep = gen.where(~F.col("accession").isin(accessions))
         removed = gen.count() - keep.count()
         self._overwrite("genomes", keep)
+        orphans = self._gc_orphans()
+        return {"removed_accessions": removed, "gc_seqhashes": orphans}
+
+    def _gc_orphans(self) -> int:
+        """Drop sequence/profile/variant rows whose seqhash no genome
+        references anymore (shared by remove() and the force-replace
+        ingest path).  The live set joins WITHOUT a broadcast hint —
+        at scale it is every distinct sequence, far past broadcast
+        size; the seqhash-clustered layout makes the semi-join
+        co-located and AQE still broadcasts small stores."""
         live = self.table("genomes").select("seqhash").distinct()
         orphans = 0
         for t in ("sequences", "profiles", "dna_variants", "prot_variants"):
             df = self.table(t)
-            kept = df.join(F.broadcast(live), "seqhash", "left_semi")
+            kept = df.join(live, "seqhash", "left_semi")
             if t == "sequences":
                 orphans = df.select("seqhash").distinct().count() - \
                     kept.select("seqhash").distinct().count()
             self._overwrite(t, kept)
-        return {"removed_accessions": removed, "gc_seqhashes": orphans}
+        return orphans
 
     def info(self) -> dict:
         """A2-A8 — the `info` subcommand aggregates
@@ -459,10 +492,14 @@ class SonarStore:
             months = self._months_of(date_specs)
             raw = self.table("genomes")
             if months is not None:
-                raw = self.spark.read.parquet(path)
-                if "date_month" in raw.columns:
-                    raw = raw.where(F.col("date_month").isin(months))
-                raw = raw.select(*[f.name for f in schemas.GENOMES.fields])
+                try:  # an emptied table dir (only _SUCCESS) has no schema
+                    pruned = self.spark.read.parquet(path)
+                except Exception:  # noqa: BLE001
+                    pruned = None
+                if pruned is not None:
+                    if "date_month" in pruned.columns:
+                        pruned = pruned.where(F.col("date_month").isin(months))
+                    raw = pruned.select(*[f.name for f in schemas.GENOMES.fields])
             genomes = raw
         else:
             genomes = self.table("genomes")
@@ -481,16 +518,16 @@ class SonarStore:
         One scan: explode the token array next to month(date), count
         per (month, token), divide by the month's genome total (window
         over the already-aggregated frame — no second pass)."""
-        from pyspark.sql import Window
-
         ess = self.essence()
         month = F.date_format("date", "yyyy-MM").alias("month")
-        tok = (ess.where(F.col("date").isNotNull())
-               .select(month, F.explode_outer(field).alias("token"),
-                       "accession"))
+        dated = ess.where(F.col("date").isNotNull())
+        tok = dated.select(month, F.explode_outer(field).alias("token"),
+                           "accession")
         counts = (tok.groupBy("month", "token")
                   .agg(F.countDistinct("accession").alias("n")))
-        totals = (tok.groupBy("month")
+        # month totals come from the narrow UNEXPLODED frame — the
+        # exploded token fan-out never feeds a second aggregate
+        totals = (dated.select(month, "accession").groupBy("month")
                   .agg(F.countDistinct("accession").alias("n_total")))
         return (counts.where(F.col("token").isNotNull())
                 .join(totals, "month")

@@ -367,3 +367,86 @@ def test_variant_trends_and_lineage_frequencies(store):
     # shares within a month sum to 1 (4 decimals)
     for m in by_month:
         assert abs(sum(r["share"] for r in lf if r["month"] == m) - 1.0) < 1e-3
+
+
+def test_empty_sequence_records_are_skipped(spark, tmp_path_factory):
+    """Header-only records must be skipped like the reference
+    (sonar.py:579-580), not ingested as whole-genome deletions."""
+    from covsonar_spark.store import SonarStore
+
+    _, _, ref = read_fasta_one(f"{REF_DIR}/lib/ref.fna")
+    ref = harmonize(ref)
+    cds = parse_gff3(f"{REF_DIR}/lib/ref.gff3", ref)
+    st = SonarStore(spark, str(tmp_path_factory.mktemp("empty_seq")), ref, cds)
+    recs = spark.createDataFrame(
+        [("good1", "good1", ref), ("stub1", "stub1", "")],
+        "accession string, description string, sequence string")
+    rep = st.add_fasta_df(recs)
+    assert rep["skipped_empty"] == 1 and rep["added_accessions"] == 1
+    assert {r["accession"] for r in st.table("genomes").collect()} == {"good1"}
+
+
+def test_description_change_conflicts_and_force_updates(spark, tmp_path_factory):
+    """Same sequence + new description: error without force
+    (reference sonar.py:595-600), description updated with force."""
+    from covsonar_spark.store import SonarStore
+
+    _, _, ref = read_fasta_one(f"{REF_DIR}/lib/ref.fna")
+    ref = harmonize(ref)
+    cds = parse_gff3(f"{REF_DIR}/lib/ref.gff3", ref)
+    st = SonarStore(spark, str(tmp_path_factory.mktemp("desc")), ref, cds)
+    mk = lambda desc: spark.createDataFrame(  # noqa: E731
+        [("a1", desc, ref)],
+        "accession string, description string, sequence string")
+    st.add_fasta_df(mk("a1 v1"))
+    with pytest.raises(ValueError, match="different"):
+        st.add_fasta_df(mk("a1 CORRECTED"))
+    st.add_fasta_df(mk("a1 CORRECTED"), force=True)
+    rows = st.table("genomes").collect()
+    assert len(rows) == 1 and rows[0]["description"] == "a1 CORRECTED"
+
+
+def test_force_replace_garbage_collects_old_seqhash(spark, tmp_path_factory):
+    from covsonar_spark.store import SonarStore
+
+    _, _, ref = read_fasta_one(f"{REF_DIR}/lib/ref.fna")
+    ref = harmonize(ref)
+    cds = parse_gff3(f"{REF_DIR}/lib/ref.gff3", ref)
+    st = SonarStore(spark, str(tmp_path_factory.mktemp("gc")), ref, cds)
+    v1 = ref[:-30]
+    v2 = ref[:-60]
+    mk = lambda seq: spark.createDataFrame(  # noqa: E731
+        [("a1", "a1", seq)],
+        "accession string, description string, sequence string")
+    st.add_fasta_df(mk(v1))
+    assert st.table("sequences").count() == 1
+    st.add_fasta_df(mk(v2), force=True)
+    # the replaced sequence's rows were orphaned and collected
+    assert st.table("sequences").count() == 1
+    assert st.table("profiles").count() == 1
+
+
+def test_update_metadata_rejects_duplicate_accessions(spark, store):
+    from pyspark.sql import functions as F
+
+    upd = spark.createDataFrame(
+        [("test1", "L9"), ("test1", "L8")], "accession string, lab string")
+    with pytest.raises(ValueError, match="duplicate"):
+        store.update_metadata(upd)
+
+
+def test_match_with_dates_survives_emptied_store(spark, tmp_path_factory):
+    """Date-pruned match on a store whose genomes were all removed must
+    return empty, not crash on the schemaless parquet dir."""
+    from covsonar_spark.store import SonarStore
+
+    _, _, ref = read_fasta_one(f"{REF_DIR}/lib/ref.fna")
+    ref = harmonize(ref)
+    cds = parse_gff3(f"{REF_DIR}/lib/ref.gff3", ref)
+    st = SonarStore(spark, str(tmp_path_factory.mktemp("emptied")), ref, cds)
+    st.add_fasta_df(spark.createDataFrame(
+        [("a1", "a1", ref)],
+        "accession string, description string, sequence string"))
+    st.remove(["a1"])
+    res = st.match(MatchQuery(dates=["2021-01-01:2021-12-31"]))
+    assert res.count() == 0
