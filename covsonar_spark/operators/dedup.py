@@ -70,7 +70,8 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         return pandas.Series([
             list(dict.fromkeys(
                 " ".join(toks[i:i + k]) for i in range(max(len(toks) - k + 1, 0))))
-            for toks in (t.split(" ") for t in texts)
+            for toks in ((t.split(" ") if isinstance(t, str) else [])
+                         for t in texts)
         ])
 
     return df.select(F.col(id_col), shingle_udf(text_col).alias("shingles"))
@@ -388,8 +389,10 @@ def substring_containment_pairs(df: DataFrame, text_col: str = "text",
         for pdf in batches:
             ids, lens, fps = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
                 n = len(b)
+                if n == 0:        # empty doc: no fingerprints (and the
+                    continue      # brute branch excludes empties too)
                 if n < k:
                     hashes = np.array([int((b.astype(np.uint64) * powers[-n:]).sum())],
                                       dtype=np.uint64)
@@ -446,7 +449,8 @@ def substring_containment_pairs(df: DataFrame, text_col: str = "text",
     # them against every doc (broadcast — they are short and few); the
     # winnowed branch already covers every guaranteed inner, so this
     # union restores unconditional exactness without a full cross join
-    shorts = df.where(F.length(text_col) < w + k - 1).select(
+    shorts = df.where((F.length(text_col) > 0)
+                      & (F.length(text_col) < w + k - 1)).select(
         F.col(id_col).alias("inner_id"),
         F.length(text_col).alias("len_a"),
         F.col(text_col).alias("t_in"))

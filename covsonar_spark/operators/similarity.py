@@ -244,7 +244,8 @@ def _deterministic_hyperplanes(n_planes: int, dim: int, table: int = 0) -> list[
 
 
 def rp_lsh_buckets(df: DataFrame, n_planes: int = 8, n_tables: int = 1,
-                   vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   dim: int = 64) -> DataFrame:
     """Random-hyperplane LSH: one bucket id per (vector, table); bit p of
     a bucket = sign(v·h_pt).
 
@@ -256,7 +257,10 @@ def rp_lsh_buckets(df: DataFrame, n_planes: int = 8, n_tables: int = 1,
     """
     tables = []
     for t in range(n_tables):
-        planes = _deterministic_hyperplanes(n_planes, dim=64, table=t)
+        planes = _deterministic_hyperplanes(n_planes, dim=dim, table=t)
+        # dim MUST match the embedding width: zip_with pads a shorter
+        # side with nulls, which nulls the dot product and collapses
+        # every vector into bucket 0 with no error
         bucket = F.lit(0).cast("long")
         for p, plane in enumerate(planes):
             h = F.array(*[F.lit(x) for x in plane])
@@ -312,8 +316,11 @@ def lsh_knn_join(df: DataFrame, k: int = 5, n_planes: int = 8, n_tables: int = 1
                                 "table": np.concatenate(out_t),
                                 "bucket": np.concatenate(out_b)})
 
+    # persist: the bucket table feeds BOTH sides of the candidate
+    # self-join — without it the Python bucket stage sweeps the corpus
+    # twice (the same fix as the winnow-fingerprint persist in dedup.py)
     b = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        buckets, schema=f"{id_col} long, table int, bucket long")
+        buckets, schema=f"{id_col} long, table int, bucket long").persist()
     pairs = (
         b.select(F.col(id_col).alias("id_a"), "table", "bucket")
         .join(b.select(F.col(id_col).alias("id_b"), "table", "bucket"),
@@ -382,6 +389,7 @@ def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
     its previous centroid."""
     init = _centroids(df, k, vec_col, id_col)
     cents = [list(map(float, c)) for _, c in init]
+    k = min(k, len(cents))    # tables smaller than k shrink the model
     dim = len(cents[0])
     for _ in range(iters):
         assigned = _kmeans_assign_pass(df, cents, vec_col, id_col)

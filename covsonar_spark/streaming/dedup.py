@@ -62,13 +62,17 @@ class StreamingLshDedup:
         self.threshold = threshold
         self._bands_path = os.path.join(state_dir, "bands")
         self._pairs_path = os.path.join(state_dir, "pairs")
+        self._seq = 0                      # direct-call batch ids
 
     # -- state ------------------------------------------------------------
     def _read_or_none(self, path: str) -> DataFrame | None:
-        try:
-            return self.spark.read.parquet(path)
-        except Exception:
+        # only genuinely-absent state maps to None; transient read
+        # errors must surface rather than silently emptying the corpus
+        # history (which would drop every future cross-batch pair)
+        if not os.path.isdir(path) or not any(
+                e.startswith("batch=") for e in os.listdir(path)):
             return None
+        return self.spark.read.parquet(path).drop("batch")
 
     def _bands_of(self, docs: DataFrame) -> DataFrame:
         """(doc_id, band_idx, band_key, sig) — signature carried on every
@@ -93,9 +97,19 @@ class StreamingLshDedup:
         ).select("doc_id", "band.band_idx", "band.band_key", "sig")
 
     # -- per-batch algorithm ----------------------------------------------
-    def process_batch(self, docs: DataFrame) -> DataFrame:
+    def process_batch(self, docs: DataFrame,
+                      batch_id: int | None = None) -> DataFrame:
         """Flag near-dups of ``docs`` against everything seen so far plus
-        ``docs`` itself, persist state, and return this batch's pairs."""
+        ``docs`` itself, persist state, and return this batch's pairs.
+
+        IDEMPOTENT under foreachBatch's at-least-once replay: both the
+        pair output and the band-state append land in per-``batch=<id>``
+        subdirectories with overwrite semantics, so a redelivered batch
+        replaces its previous write — no duplicate pairs, no doubled
+        band store.  (A replayed batch sees its own prior bands in the
+        probe state; the emitted pair set is unchanged because those
+        rows are identical to the batch's own, and the within-batch
+        dropDuplicates collapses them.)"""
         new_bands = self._bands_of(docs).persist()
         state = self._read_or_none(self._bands_path)
         probe_side = new_bands if state is None else state.unionByName(new_bands)
@@ -119,10 +133,15 @@ class StreamingLshDedup:
             .where(F.col("est_jaccard") >= self.threshold)
             .dropDuplicates(["id_a", "id_b"])
         )
-        pairs.write.mode("append").parquet(self._pairs_path)
-        new_bands.write.mode("append").partitionBy("band_idx").parquet(self._bands_path)
+        if batch_id is None:
+            batch_id = self._seq
+            self._seq += 1
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(self._pairs_path, f"batch={batch_id}"))
+        (new_bands.write.mode("overwrite").partitionBy("band_idx")
+         .parquet(os.path.join(self._bands_path, f"batch={batch_id}")))
         new_bands.unpersist()
-        return self.spark.read.parquet(self._pairs_path)
+        return self.pairs()
 
     # -- streaming wiring --------------------------------------------------
     def attach(self, stream_df: DataFrame, checkpoint_dir: str | None = None):
@@ -130,7 +149,7 @@ class StreamingLshDedup:
         flows through process_batch. availableNow-triggered for drain
         tests; leave running for a landing-zone deployment."""
         w = (stream_df.writeStream
-             .foreachBatch(lambda bdf, _bid: self.process_batch(bdf) and None)
+             .foreachBatch(lambda bdf, bid: self.process_batch(bdf, bid) and None)
              .trigger(availableNow=True))
         if checkpoint_dir:
             w = w.option("checkpointLocation", checkpoint_dir)

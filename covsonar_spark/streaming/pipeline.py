@@ -70,9 +70,12 @@ def session_counts_native(events: DataFrame, gap: str = "30 minutes",
 
 def attribution_join_stream(events: DataFrame, lookback: str = "30 minutes",
                             watermark: str = "2 hours") -> DataFrame:
-    """Stream-stream time-bounded join: every purchase joined to the
-    same user's clicks within the lookback window — last-touch
-    attribution as a LIVE join of two event streams.
+    """Stream-stream time-bounded join: every purchase joined to ALL
+    of the same user's clicks within the lookback window — the live
+    multi-touch attribution feed.  (A last-touch reduction — one max
+    click per purchase — is a downstream batch/foreachBatch aggregate
+    over this feed; a streaming query cannot express the per-purchase
+    max in the same plan.)
 
     This is the Structured Streaming capability the batch as-of /
     interval joins can't give: both sides arrive continuously, and the

@@ -54,6 +54,7 @@ class _LogStructuredSketch:
         self._path = os.path.join(state_dir, "sketch")
         self._compact_every = compact_every
         self._batches_since_compact = 0
+        self._seq = 0                      # direct-call batch ids
 
     def _merge(self, log: DataFrame) -> DataFrame:  # pragma: no cover
         raise NotImplementedError
@@ -62,20 +63,48 @@ class _LogStructuredSketch:
         raise NotImplementedError
 
     def _read_or_none(self) -> DataFrame | None:
-        try:
-            return self.spark.read.parquet(self._path)
-        except Exception:  # noqa: BLE001 — first batch: no state yet
+        # only the genuinely-absent case maps to "no state yet";
+        # transient read errors must SURFACE, not silently reset the
+        # sketch to empty
+        if not os.path.isdir(self._path) or not any(
+                e.startswith("batch=") for e in os.listdir(self._path)):
             return None
+        return self.spark.read.parquet(self._path).drop("batch")
 
-    def process_batch(self, df: DataFrame) -> None:
-        self._sketch_of(df).write.mode("append").parquet(self._path)
+    def process_batch(self, df: DataFrame, batch_id: int | None = None) -> None:
+        """IDEMPOTENT under foreachBatch's at-least-once replay: each
+        batch writes (mode=overwrite) into its own ``batch=<id>``
+        subdirectory, so a redelivered batch replaces its previous
+        write instead of double-counting — which is what keeps the
+        SUM-merged sketches (Count-Min, histogram) equal to the
+        one-shot batch sketch.  Direct callers without a stream batch
+        id get a local monotone sequence."""
+        if batch_id is None:
+            batch_id = self._seq
+            self._seq += 1
+        (self._sketch_of(df).write.mode("overwrite")
+         .parquet(os.path.join(self._path, f"batch={batch_id}")))
         self._batches_since_compact += 1
         if self._batches_since_compact >= self._compact_every:
-            merged = self._merged().cache()
-            merged.count()  # materialize before overwriting the source
-            merged.write.mode("overwrite").parquet(self._path)
-            merged.unpersist()
+            self._compact()
             self._batches_since_compact = 0
+
+    def _compact(self) -> None:
+        """Atomic: the merged state lands in a TMP directory first and
+        swaps in via rename — a crash mid-compaction leaves the old log
+        intact (plain overwrite deletes the source before the new write
+        commits, destroying the accumulated state on failure)."""
+        import shutil
+        import uuid
+
+        tmp = self._path + ".compact.tmp"
+        (self._merged().write.mode("overwrite")
+         .parquet(os.path.join(tmp, f"batch=c{uuid.uuid4().hex[:8]}")))
+        old = self._path + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self._path, old)
+        os.rename(tmp, self._path)
+        shutil.rmtree(old, ignore_errors=True)
 
     def _merged(self) -> DataFrame:
         log = self._read_or_none()
@@ -83,9 +112,11 @@ class _LogStructuredSketch:
         return self._merge(log)
 
     def attach(self, stream_df: DataFrame, checkpoint_dir: str):
-        """foreachBatch sink; availableNow-triggered for drain tests."""
+        """foreachBatch sink; availableNow-triggered for drain tests.
+        The stream's batch_id flows into the idempotent per-batch
+        write."""
         return (stream_df.writeStream
-                .foreachBatch(lambda bdf, _bid: self.process_batch(bdf))
+                .foreachBatch(lambda bdf, bid: self.process_batch(bdf, bid))
                 .option("checkpointLocation", checkpoint_dir)
                 .trigger(availableNow=True)
                 .start())

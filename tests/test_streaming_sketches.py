@@ -97,3 +97,19 @@ def test_histogram_chunked_replay_equals_one_shot(spark, tmp_path):
         float(lo), float(hi), p=0.5)
     assert got == {(r["grp"], r["hist_quantile"])
                    for r in one_shot.collect()} and len(got) == 5
+
+
+def test_replayed_batch_does_not_double_count(spark, tmp_path):
+    """foreachBatch is at-least-once: redelivering a batch with the
+    same batch_id must overwrite its previous write, not SUM twice."""
+    from covsonar_spark.streaming.sketches import StreamingCountMin
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    cm = StreamingCountMin(spark, str(tmp_path / "state"),
+                           key_col="event_type", compact_every=100)
+    cm.process_batch(ev, batch_id=0)
+    keys = ev.select(F.col("event_type").alias("key")).distinct()
+    before = {(r["key"], r["cm_est"]) for r in cm.estimates(keys).collect()}
+    cm.process_batch(ev, batch_id=0)          # replay of the SAME batch
+    after = {(r["key"], r["cm_est"]) for r in cm.estimates(keys).collect()}
+    assert before == after
