@@ -48,12 +48,6 @@ class Aliasor:
         return self.realias_dict.get(alias, alias) + "." + ending
 
 
-def _sort_key(name: str) -> str:
-    """Zero-padded numeric sort key (`lts`, Lineages_UPDATER.py:79-84)."""
-    return "".join(p.rjust(6, "0") if p.isdigit() else p
-                   for p in name.split("."))
-
-
 def build_sublineage_table(spark: SparkSession, lineages: list[str],
                            alias_map: dict[str, str] | None = None) -> DataFrame:
     """T18 as a self-join: one row per lineage with its full descendant

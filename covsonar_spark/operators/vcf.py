@@ -69,11 +69,14 @@ def dna_view(genomes: DataFrame, dna_variants: DataFrame) -> DataFrame:
 
 
 def calls_from_dna_view(view: DataFrame, accessions: list[str] | None = None,
-                        dates: list[str] | None = None, ref_len: int = 29903,
-                        keep_deletions: bool = False) -> DataFrame:
+                        dates: list[str] | None = None,
+                        ref_len: int = 29903) -> DataFrame:
     """Filter + 1-base the view into the long ``calls`` relation
-    (lib/sonartoVCF_v2.py:386-439). ``keep_deletions=False`` mirrors the
-    reference v2, which drops empty-ALT rows before matrix build."""
+    (lib/sonartoVCF_v2.py:386-439).  Deletion rows (empty ALT) are
+    dropped unconditionally like the reference v2 — emitting them
+    would need anchored re-encoding (REF=anchor+deleted, ALT=anchor)
+    to stay valid VCF, which requires the reference base before each
+    site; out of scope for the v2-parity exporter."""
     df = view
     if accessions:
         df = df.where(F.col("accession").isin(accessions))
@@ -81,8 +84,7 @@ def calls_from_dna_view(view: DataFrame, accessions: list[str] | None = None,
         df = df.where(P.date_ranges(F.col("date"), dates))
     df = df.withColumn("pos", F.col("start") + 1) \
            .where((F.col("pos") >= 1) & (F.col("pos") <= ref_len))
-    if not keep_deletions:
-        df = df.where(F.col("alt") != "")
+    df = df.where(F.col("alt") != "")
     return df.select("accession", "pos", "ref", "alt")
 
 
@@ -160,8 +162,11 @@ def genotype_matrix(calls: DataFrame, max_samples: int = 2000) -> DataFrame:
     mat = gts.groupBy("pos", "vcf_type").pivot("accession", sorted(samples)) \
              .agg(F.first("gt"))
     for s in sorted(samples):
+        # backticks: accessions routinely contain '.' (NC_045512.2) and a
+        # bare F.col would parse it as struct-field access
+        c = F.col(f"`{s}`")
         mat = mat.withColumn(
-            s, F.when(F.col(s).isNull(), ".").otherwise(F.col(s).cast("string")))
+            s, F.when(c.isNull(), ".").otherwise(c.cast("string")))
     return mat
 
 
@@ -216,13 +221,15 @@ def write_sample_vcfs(calls: DataFrame, out_dir: str,
     n = 0
     for d in glob.glob(os.path.join(out_dir, "accession=*")):
         parts = sorted(glob.glob(os.path.join(d, "part-*")))
-        body = "".join(open(p).read() for p in parts)
         acc = os.path.basename(d).split("=", 1)[1]
         with open(os.path.join(d, f"{acc}.vcf"), "w") as fh:
             fh.write(header)
             fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
                      + acc + "\n")
-            fh.write(body)
+            import shutil
+            for p in parts:          # stream, never buffer a whole body
+                with open(p) as src_fh:
+                    shutil.copyfileobj(src_fh, fh)
         for p in parts:
             os.remove(p)
         n += 1
@@ -234,7 +241,11 @@ def export_vcf(store, path: str, accessions: list[str] | None = None,
     """End-to-end `var2vcf`: store → filtered calls → site table + text
     file; returns the site table for inspection."""
     view = dna_view(store.table("genomes"), store.table("dna_variants"))
-    calls = calls_from_dna_view(view, accessions, dates)
+    # persist: the filtered calls subtree feeds the sample census, the
+    # genotype pivot, the site aggregation, and the final merge join —
+    # four actions that would otherwise re-run the genomes⋈variants scan
+    calls = calls_from_dna_view(view, accessions, dates).persist()
     sites = site_table(calls, chrom=chrom)
     write_vcf(sites, calls, path, chrom=chrom)
+    calls.unpersist()
     return sites

@@ -12,7 +12,8 @@ from pyspark.sql import functions as F
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour",
-                    ts_col: str = "ts", key_col: str = "event_type") -> DataFrame:
+                    ts_col: str = "ts", key_col: str = "event_type",
+                    val_col: str = "value") -> DataFrame:
     """Tumbling event-time window aggregation: count + value sum per
     (window, key).  Uses the native ``window`` function so the same
     expression works under Structured Streaming with a watermark."""
@@ -52,7 +53,10 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
                       if c not in set(key_cols) | {right_ts}]
     payload = F.struct(F.col(right_ts).alias("__rts"),
                        *[F.col(c) for c in right_cols])
-    r = right.select(
+    # a NULL right timestamp would sort before every real row (ASC is
+    # NULLS FIRST) and leak its payload into unmatched left rows —
+    # pandas merge_asof drops NaT rows; so do we
+    r = right.where(F.col(right_ts).isNotNull()).select(
         *key_cols,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
@@ -83,9 +87,15 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
             F.when(F.col("__match").isNotNull()
                    & (F.col("__ts") - F.col("__match.__rts") <= F.lit(tolerance)),
                    F.col("__match")))
+    # a payload column that collides with a left column (or a left
+    # column named matched_ts) would be silently OVERWRITTEN — suffix
+    # collisions like pandas merge_asof's _y instead
+    left_names = set(left.columns)
     for c in right_cols:
-        out = out.withColumn(c, F.col(f"__match.{c}"))
-    out = out.withColumn("matched_ts", F.col("__match.__rts"))
+        dst = f"{c}_right" if c in left_names else c
+        out = out.withColumn(dst, F.col(f"__match.{c}"))
+    ts_dst = "matched_ts_right" if "matched_ts" in left_names else "matched_ts"
+    out = out.withColumn(ts_dst, F.col("__match.__rts"))
     return out.drop("__ts", "__side", "__payload", "__match")
 
 
@@ -137,11 +147,17 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
 
 
 def sessionize(events: DataFrame, gap_minutes: int = 30,
-               ts_col: str = "ts", user_col: str = "user_id") -> DataFrame:
+               ts_col: str = "ts", user_col: str = "user_id",
+               tiebreak_col: str | None = "event_id") -> DataFrame:
     """Gap-based sessionization: a new session starts when the user's
     inter-event gap exceeds ``gap_minutes``.  Classic two-window plan:
-    lag → boundary flag → running sum = session id (one shuffle on user)."""
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    lag → boundary flag → running sum = session id (one shuffle on user).
+    ``tiebreak_col`` pins ordering of same-timestamp events (pass None
+    for inputs without one)."""
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(user_col).orderBy(*order)
     gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
     boundary = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     with_sess = events.withColumn("session_seq", F.sum(boundary).over(w))

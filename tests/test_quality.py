@@ -208,3 +208,44 @@ def test_histogram_quantile_ignores_null_values(spark):
     out = hist_quantile_from_cells(cells, 1.0, 3.0, p=0.5, bins=4).collect()
     # n counts only the 2 non-null values; median interpolates between them
     assert len(out) == 1 and 1.0 <= out[0]["hist_quantile"] <= 3.0
+
+
+def test_genotype_matrix_handles_dotted_accessions(spark):
+    """RefSeq-style accessions contain '.'; the pivot's null-fill must
+    backtick-escape them (a bare F.col parses the dot as field access)."""
+    from covsonar_spark.operators.vcf import genotype_matrix
+
+    calls = spark.createDataFrame(
+        [("MN908947.3", 11, "A", "T"), ("S2", 11, "A", "G"),
+         ("MN908947.3", 25, "C", "T")],
+        "accession string, pos long, ref string, alt string")
+    mat = genotype_matrix(calls)
+    assert "MN908947.3" in mat.columns
+    rows = {r["pos"]: r for r in mat.collect()}
+    assert rows[25]["S2"] == "."           # null-filled via escaped column
+
+
+def test_asof_join_ignores_null_right_timestamps(spark):
+    from covsonar_spark.operators.windows import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, None, 999.0), (1, 50, 1.5)],
+        "k long, rt long, price double")
+    out = asof_join(left, right, ["k"], "t", "rt").collect()
+    assert len(out) == 1 and out[0]["price"] == 1.5
+    # left row EARLIER than every real right row: no match, not the
+    # null-ts payload
+    left2 = spark.createDataFrame([(1, 10)], "k long, t long")
+    out2 = asof_join(left2, right, ["k"], "t", "rt").collect()
+    assert out2[0]["price"] is None
+
+
+def test_asof_join_suffixes_colliding_columns(spark):
+    from covsonar_spark.operators.windows import asof_join
+
+    left = spark.createDataFrame([(1, 100, 7.0)], "k long, t long, price double")
+    right = spark.createDataFrame([(1, 50, 1.5)], "k long, rt long, price double")
+    out = asof_join(left, right, ["k"], "t", "rt").collect()[0]
+    assert out["price"] == 7.0             # left column untouched
+    assert out["price_right"] == 1.5       # matched payload suffixed
