@@ -179,11 +179,16 @@ class CDS:
         return self.coding_positions[3 * x]
 
     def is_exon(self, x: int, y: int | None = None) -> bool:
+        # closed-interval test on end-exclusive coords — the reference's
+        # exact overlap quirk (lib/sonardb.py:346-384: `y >= start and
+        # end >= x`), kept bug-for-bug so boundary-adjacent variants
+        # classify identically
         if y is None:
             y = x + 1
         return any(y >= s and e >= x for s, e in self.coords)
 
     def is_cds(self, x: int, y: int | None = None) -> bool:
+        # same reference-parity closed-interval quirk as is_exon
         if y is None:
             y = x + 1
         return y >= self.start and self.end >= x
@@ -220,10 +225,27 @@ def parse_gff3(gff_path: str, ref_seq: str, translation_table: int = 1) -> list[
             fields = line.rstrip("\r\n").split("\t")
             if len(fields) < 7 or fields[2] != "CDS":
                 continue
-            attrs = fields[-1]
-            fid = id_re.search(attrs).group(1)
-            symbol = symbol_re.search(attrs).group(1)
-            locus = locus_re.search(attrs).group(1)
+            if len(fields) < 9:
+                raise ValueError(
+                    f"gff3 error: CDS row with {len(fields)} columns "
+                    f"(9 required): {line.rstrip()[:120]!r}")
+            attrs = fields[8]
+
+            def _attr(rx, fallback=None):
+                m = rx.search(attrs)
+                if m:
+                    return m.group(1)
+                if fallback is not None:
+                    return fallback
+                raise ValueError(
+                    f"gff3 error: CDS row missing ID=/gene=/locus_tag= "
+                    f"attributes: {attrs[:120]!r}")
+
+            fid = _attr(id_re)
+            # real-world GFF3 rows often omit gene= or locus_tag=;
+            # fall back through the identifiers that do exist
+            symbol = _attr(symbol_re, fallback=_attr(locus_re, fallback=fid))
+            locus = _attr(locus_re, fallback=fid)
             s, e = int(fields[3]) - 1, int(fields[4])
             entry = feats.setdefault(
                 fid, {"locus": locus, "symbol": symbol, "strand": fields[6], "coords": []}
@@ -234,10 +256,10 @@ def parse_gff3(gff_path: str, ref_seq: str, translation_table: int = 1) -> list[
 
     out = []
     for data in feats.values():
-        seqs = [
-            ref_seq[s:e] if data["strand"] == "+" else revcomp(ref_seq[s:e])
-            for s, e in data["coords"]
-        ]
+        # FORWARD-strand slices always: CDS.nuc applies the single
+        # reverse-complement for '-' strands — complementing here too
+        # would cancel it out and join exons in the wrong order
+        seqs = [ref_seq[s:e] for s, e in data["coords"]]
         out.append(CDS(data["locus"], data["symbol"], data["coords"], seqs,
                        data["strand"], translation_table))
     return sorted(out, key=lambda c: c.start)

@@ -24,7 +24,12 @@ STOPWORDS = {
 
 
 def tokens(col: str | Column, sep: str = " ") -> Column:
-    """Whitespace tokenization → array<string>."""
+    """Single-space tokenization → array<string> — the corpus contract
+    (and every DuckDB oracle twin) splits on the literal separator, so
+    the two engines always agree token-for-token.  Pass ``sep=r"\s+"``
+    for true whitespace splitting on corpora with tabs/newlines (note
+    that leading/repeated separators then still yield '' tokens; trim
+    first)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.split(c, sep)
 
@@ -44,8 +49,12 @@ def word_shingles(tokens_col: Column, k: int = 3) -> Column:
     Returns an empty array for docs shorter than k tokens.
     """
     n = F.size(tokens_col)
-    seq = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
-    return F.transform(seq, lambda i: F.concat_ws(" ", F.slice(tokens_col, i, k)))
+    seq = F.sequence(F.lit(1), n - F.lit(k - 1))
+    # short docs: sequence(1, n-k+1<=0) would DESCEND ([1,0,...]) and
+    # slice(toks, 0, k) throws — gate the whole expression instead
+    return F.when(n >= k,
+                  F.transform(seq, lambda i: F.concat_ws(" ", F.slice(tokens_col, i, k)))
+                  ).otherwise(F.array().cast("array<string>"))
 
 
 def stopword_hits(tokens_col: Column, lang: str) -> Column:

@@ -22,7 +22,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # CASE-guarded so a zero vector yields NULL under ANSI mode too
+    # (bare division would hard-fail the job there); consumers treat
+    # NULL as "no similarity", same as the SQL oracles' behavior
+    denom = norm(a) * norm(b)
+    return F.when(denom != 0, dot(a, b) / denom)
 
 
 def cosine_rounded(a: Column, b: Column, digits: int = 4) -> Column:

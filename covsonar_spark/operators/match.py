@@ -31,10 +31,6 @@ from covsonar_spark.schemas import ESSENCE_COLUMNS
 
 # metadata dimensions filtered with IN/NOT IN semantics (reference
 # sonarDBManager.match call sites, lib/sonardb.py:1726-1924)
-IN_LIST_FIELDS = (
-    "accession", "lineage", "lab", "source", "collection", "technology",
-    "platform", "chemistry", "material", "seqhash", "gisaid", "ena",
-)
 # dimensions upper-cased by the CLI before matching (sonar.py:1068-1087)
 UPPERCASED_FIELDS = frozenset(
     {"lineage", "lab", "source", "collection", "technology", "platform",
@@ -373,7 +369,12 @@ class MatchEngine:
 
         if not q.ambig:
             keep = [t for g in inc_prof for exps in g.values() for exp in exps for t in exp]
-            sym = "(?:" + "|".join(self.grammar.symbols) + ")"
+            import re as _re
+
+            # escape symbols like TokenGrammar.__post_init__ does — a
+            # custom grammar with regex metacharacters in a symbol name
+            # must not corrupt (or crash) the rlike pattern
+            sym = "(?:" + "|".join(_re.escape(s) for s in self.grammar.symbols) + ")"
             del_pat = rf"^(?:{sym}:)?del:[0-9]+:[0-9]+$"
             df = df.withColumn(
                 "dna_profile", _ambig_output_filter("dna_profile", TK.AMBIG_NT, keep, del_pat)

@@ -68,9 +68,19 @@ def date_ranges(col: str | Column, specs: Sequence[str], negate: bool = False) -
     Each spec is ``YYYY-MM-DD`` (point) or ``a:b`` (inclusive range).
     Includes OR-join; excludes negate each and AND-join.
     """
+    import re as _re
+
     c = F.col(col) if isinstance(col, str) else col
+    _d = r"\d{4}-\d{2}-\d{2}"
     preds = []
     for spec in specs:
+        # validate eagerly (same regex discipline as the reference CLI,
+        # sonar.py:1048-1060): a malformed spec would cast to NULL and
+        # silently match nothing instead of erroring
+        if not _re.fullmatch(rf"{_d}(:{_d})?", spec):
+            raise ValueError(
+                f"invalid date spec {spec!r}: use YYYY-MM-DD or "
+                f"YYYY-MM-DD:YYYY-MM-DD")
         if ":" in spec:
             a, b = spec.split(":", 1)
             p = c.between(F.lit(a).cast("date"), F.lit(b).cast("date"))

@@ -184,3 +184,23 @@ def test_asof_and_interval_joins_match_brute_force_random(spark):
                   for bk, bs, be, bid in intervals_b
                   if ak == bk and as_ <= be and bs <= ae}
     assert got_pairs == want_pairs
+
+
+def test_word_shingles_short_doc_yields_empty(spark):
+    """Docs shorter than k tokens must produce an empty shingle array,
+    not a descending-sequence slice error (both shingle paths agree)."""
+    from pyspark.sql import functions as F
+
+    from covsonar_spark.functions.text import tokens, word_shingles
+    from covsonar_spark.operators.dedup import shingle_sets
+
+    docs = spark.createDataFrame(
+        [(1, "hi there"), (2, "one two three four")],
+        "doc_id long, text string")
+    hof = docs.select("doc_id",
+                      word_shingles(tokens("text"), 3).alias("sh")).collect()
+    got = {r["doc_id"]: list(r["sh"]) for r in hof}
+    assert got[1] == [] and got[2] == ["one two three", "two three four"]
+    arrow = {r["doc_id"]: list(r["shingles"])
+             for r in shingle_sets(docs).collect()}
+    assert arrow == got
