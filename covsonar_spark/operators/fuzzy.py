@@ -115,7 +115,6 @@ def text_chunk_dedup(spark, sf_dir):
     text, so the oracle checks the actual surviving bytes."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
-    n_chunks = F.ceil(F.size("t") / F.lit(CHUNK)).cast("int")
     chunks = (
         toks.select(
             "doc_id",
@@ -176,8 +175,9 @@ def text_pmi_collocations(spark, sf_dir):
     uni = (toks.select(F.explode("t").alias("w"))
            .groupBy("w").agg(F.count(F.lit(1)).alias("cw")))
     bi = (toks.select(F.explode(F.expr(
+            "CASE WHEN size(t) < 2 THEN array() ELSE "
             "transform(sequence(1, size(t) - 1),"
-            " i -> struct(element_at(t, i) AS a, element_at(t, i+1) AS b))"))
+            " i -> struct(element_at(t, i) AS a, element_at(t, i+1) AS b)) END"))
           .alias("p"))
           .select("p.a", "p.b")
           .groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab")))

@@ -79,11 +79,17 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, damp: float = DAMP) -> Dat
     transition weight = edge weight / node out-weight; dangling nodes
     simply emit no mass (simplified standard).  Each iteration rounds
     rank to 6 decimals — the cross-engine fixpoint pin."""
+    # cache: the edge aggregation pipeline feeds the node census, the
+    # transition build, AND every iteration's join — without it the
+    # upstream fact scan re-runs per action (triangle census caches
+    # its edge list for the same reason)
+    edges = edges.cache()
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst"))).distinct()
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("ow"))
     trans = (edges.join(out_w, "src")
-             .select("src", "dst", (F.col("weight") / F.col("ow")).alias("p")))
+             .select("src", "dst", (F.col("weight") / F.col("ow")).alias("p"))
+             .cache())
     n_nodes = nodes.count()
     ranks = nodes.select("node", F.round(F.lit(1.0 / n_nodes), 6).alias("rank"))
     for _ in range(iters):

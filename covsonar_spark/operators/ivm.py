@@ -67,7 +67,11 @@ def merge_states(base: DataFrame | None, delta: DataFrame,
 
 
 def finalize(state: DataFrame, group_cols: list[str]) -> DataFrame:
-    """Finishing functions over the state — the readable view."""
+    """Finishing functions over the state — the readable view.
+    A group whose count was retracted to zero IS a deleted row: it is
+    filtered out rather than divided by (Spark 4's ANSI default turns
+    sum/0 into a job-killing DIVIDE_BY_ZERO)."""
+    state = state.where(F.col("cnt") != 0)
     return state.select(
         *group_cols,
         F.col("cnt").alias("n"),

@@ -93,8 +93,12 @@ def with_zorder(df: DataFrame, c1: str, c2: str,
     from pyspark.sql import functions as F
 
     def grid(c, lo, hi):
-        scaled = (F.col(c).cast("double") - F.lit(float(lo))) \
-            / F.lit(float(hi) - float(lo))
+        if float(hi) == float(lo):      # zero spread: one cell, no 0-div
+            return F.lit(0).cast("long")
+        scaled = (F.coalesce(F.col(c).cast("double"), F.lit(float(lo)))
+                  - F.lit(float(lo))) / F.lit(float(hi) - float(lo))
+        # NULLs map to the MIN corner explicitly (least/greatest would
+        # silently clamp them to the max cell and pollute its stats)
         cell = F.floor(scaled * (1 << bits)).cast("long")
         return F.greatest(F.least(cell, F.lit((1 << bits) - 1)), F.lit(0))
 
@@ -124,9 +128,16 @@ def write_zordered(df: DataFrame, path: str, c1: str, c2: str,
     the classic trade against sampled range boundaries."""
     from pyspark.sql import functions as F
 
+    # cells are curve-contiguous top-bit ranges, so the actual cell
+    # count rounds UP to the next power of two (2^n_bits) — folding
+    # the excess back with pmod would glue spatially distant curve
+    # segments into one file and break min/max pruning
     n_bits = max(1, (n_cells - 1).bit_length())
-    lo1, hi1, lo2, hi2 = df.agg(
-        F.min(c1), F.max(c1), F.min(c2), F.max(c2)).first()
+    bounds = df.agg(F.min(c1), F.max(c1), F.min(c2), F.max(c2)).first()
+    if bounds[0] is None:               # empty input: nothing to write
+        df.write.mode("overwrite").parquet(path)
+        return
+    lo1, hi1, lo2, hi2 = bounds
     z = with_zorder(df, c1, c2, lo1, hi1, lo2, hi2)
     cell = F.expr(f"shiftright(_z, {2 * Z_BITS - n_bits})")
     (z.withColumn("_zcell", cell)

@@ -224,9 +224,10 @@ def agg_histogram(spark, sf_dir):
     w = (F.col("hi") - F.col("lo")) / F.lit(N_BINS)
     return (
         o.crossJoin(F.broadcast(bounds))
-        .withColumn("bin", F.least(
-            F.floor((F.col("o_totalprice") - F.col("lo")) / w).cast("int"),
-            F.lit(N_BINS - 1)))
+        .withColumn("bin", F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(F.least(
+                F.floor((F.col("o_totalprice") - F.col("lo")) / w).cast("int"),
+                F.lit(N_BINS - 1))))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"),
              F.round(F.min("o_totalprice"), 2).alias("bin_min"),
@@ -250,14 +251,17 @@ GROUP BY 1 ORDER BY 1
 # window navigation
 # ---------------------------------------------------------------------------
 
-def window_navigation(spark, sf_dir, events_fn=None):
+def window_navigation(spark, sf_dir, events_fn):
     """Full navigation-function sweep in ONE window pass per spec:
     ntile(4) + lag inter-event gap + cume_dist over each user's
     timeline, re-aggregated to (cohort, quartile) so the result stays
     small.  Ordering is (ts_us, event_id) — a total order, which is
     what makes ntile/cume_dist deterministic across engines.  One
     shuffle on user_id serves every window function."""
-    ev = events_fn(spark, sf_dir) if events_fn else _t(spark, sf_dir, "events")
+    # events_fn is REQUIRED: the raw events parquet ships nanos-typed
+    # ts; only the registry's _events shim normalizes it to ts_us, and
+    # a fallback raw read could never resolve that column
+    ev = events_fn(spark, sf_dir)
     wspec = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     per_row = (
         ev.select("user_id", "event_id", "ts_us", "value")

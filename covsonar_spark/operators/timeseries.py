@@ -229,7 +229,8 @@ def ts_anomaly_zscore(ev: DataFrame) -> DataFrame:
     correct alternative to a global window."""
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd"))
-    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    # sd == 0 (constant series) -> no anomalies, not ANSI DIVIDE_BY_ZERO
+    z = F.when(F.col("sd") != 0, (F.col("value") - F.col("mu")) / F.col("sd"))
     return (
         ev.join(F.broadcast(stats), "event_type")
         .withColumn("z", z)
@@ -301,15 +302,21 @@ FROM islands GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# the CASE guard mirrors the Spark side: a constant series (sd = 0)
+# yields NULL z-scores in both engines (DuckDB would otherwise produce
+# inf and count every row as an anomaly)
 TS_ANOMALY_SQL = f"""
 WITH stats AS (
   SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
   FROM events GROUP BY event_type
+), z AS (
+  SELECT e.event_type, CASE WHEN sd = 0 THEN NULL
+                            ELSE (value - mu) / sd END AS zv
+  FROM events e JOIN stats USING (event_type)
 )
-SELECT e.event_type, count(*) AS n,
-       sum(CAST(abs((value - mu) / sd) > {Z_CUT} AS INT)) AS n_anomalies,
-       round(max((value - mu) / sd), 4) AS max_z,
-       round(min((value - mu) / sd), 4) AS min_z
-FROM events e JOIN stats USING (event_type)
-GROUP BY e.event_type ORDER BY e.event_type
+SELECT event_type, count(*) AS n,
+       sum(CAST(abs(zv) > {Z_CUT} AS INT)) AS n_anomalies,
+       round(max(zv), 4) AS max_z,
+       round(min(zv), 4) AS min_z
+FROM z GROUP BY event_type ORDER BY event_type
 """

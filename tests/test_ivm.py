@@ -48,3 +48,16 @@ def test_retraction_delta_undoes_count_and_sum(spark):
     want = {tuple(r) for r in
             base.select(*KEYS, "cnt", "sum_dec").collect()}
     assert got == want
+
+
+def test_retraction_to_zero_deletes_the_group(spark):
+    """A group whose rows were all retracted must disappear from the
+    finalized view, not crash the avg division (ANSI DIVIDE_BY_ZERO)."""
+    from covsonar_spark.operators.ivm import agg_state, finalize, merge_states
+
+    rows = spark.createDataFrame(
+        [("A", 2.0), ("A", 4.0), ("B", 1.0)], "g string, v double")
+    base = agg_state(rows, ["g"], "v")
+    retract_a = agg_state(rows.where("g = 'A'"), ["g"], "v", negate=True)
+    view = finalize(merge_states(base, retract_a, ["g"]), ["g"]).collect()
+    assert [r["g"] for r in view] == ["B"]
