@@ -36,7 +36,7 @@ RULES_TOP_K = 20
 
 def basket_association_rules(spark, sf_dir):
     """Directed association rules a→b over order baskets:
-    support(ab) ≥ 5, ranked by lift.  Pair supports come from the
+    support(ab) ≥ MIN_SUPPORT (3), ranked by lift.  Pair supports come from the
     same one-shuffle collect_set pair build as the co-purchase graph
     (operators/graph.py) but KEEP per-order multiplicity = #orders
     containing both; item supports broadcast onto the pairs.
@@ -103,9 +103,11 @@ ORDER BY lift DESC, a, b LIMIT {RULES_TOP_K}
 def stats_ab_test(spark, sf_dir, events_fn=None):
     """Welch's two-sample z per event type between user arms (A =
     even user_id, B = odd): one-pass partial-mergeable moments per
-    (type, arm), pivoted to a z-statistic.  The deterministic hash-arm
-    assignment is the same md5/modulo idiom the sampling operators
-    use — arms are reproducible, never random()."""
+    (type, arm), pivoted to a z-statistic.  Arm assignment is a plain
+    parity split on the raw user id — deterministic and reproducible,
+    never random(); fine for the synthetic corpus, though a real
+    experiment should hash the id first (sequential ids alternate
+    arms perfectly)."""
     ev = events_fn(spark, sf_dir) if events_fn else _t(spark, sf_dir, "events")
     arm = F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
     moments = (ev.withColumn("arm", arm)

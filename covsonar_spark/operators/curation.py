@@ -98,7 +98,11 @@ def decontaminate(df: DataFrame, k: int = 3, eval_mod: int = 10,
     is_eval = (F.col(id_col) % eval_mod) == 0
     train = shingled.where(~is_eval)
     eval_vocab = shingled.where(is_eval).select("shingle").distinct()
-    return (train.join(F.broadcast(eval_vocab), "shingle")
+    # NO broadcast hint: a real eval set is tiny and AQE will broadcast
+    # it on its own; the default eval_mod split makes the vocabulary a
+    # fixed FRACTION of the corpus, where a mandatory broadcast would
+    # blow past the driver at scale
+    return (train.join(eval_vocab, "shingle")
             .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits")))
 
 

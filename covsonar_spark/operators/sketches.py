@@ -467,9 +467,11 @@ def hist_cells(df, group_col: str, val_col: str,
     return (df.select(F.col(group_col).alias("grp"),
                       F.col(val_col).alias("x"))
             .where(F.col("x").isNotNull())
-            .withColumn("b", F.lit(0) if hi == lo else F.least(
-                F.floor((F.col("x") - F.lit(lo)) / width).cast("long"),
-                F.lit(bins - 1)))
+            .withColumn("b", F.lit(0) if hi == lo else F.greatest(
+                F.least(
+                    F.floor((F.col("x") - F.lit(lo)) / width).cast("long"),
+                    F.lit(bins - 1)),
+                F.lit(0)))
             .groupBy("grp", "b")
             .agg(F.count(F.lit(1)).alias("cnt")))
 
@@ -516,8 +518,9 @@ SKETCH_HISTQ_SQL = f"""
 WITH bounds AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
 cells AS (
   SELECT o_orderpriority AS grp,
-         least(CAST(floor((o_totalprice - lo) / ((hi - lo) / {float(HQ_BINS)})) AS BIGINT),
-               {HQ_BINS - 1}) AS b,
+         CASE WHEN hi = lo THEN 0 ELSE
+           least(CAST(floor((o_totalprice - lo) / ((hi - lo) / {float(HQ_BINS)})) AS BIGINT),
+                 {HQ_BINS - 1}) END AS b,
          count(*) AS cnt, min(lo) AS lo, min(hi) AS hi
   FROM orders CROSS JOIN bounds GROUP BY 1, 2),
 cum AS (

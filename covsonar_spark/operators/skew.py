@@ -34,7 +34,14 @@ def salted_join(fact: DataFrame, dim: DataFrame, key: str, n_salt: int = 8,
     the plain join. ``salt_source`` columns (default: all non-key fact
     columns) must vary within a hot key for the salt to spread it."""
     src = salt_source or [c for c in fact.columns if c != key]
-    f = fact.withColumn("_salt", _salt(src, n_salt))
+    if src:
+        salt_col = _salt(src, n_salt)
+    else:
+        # key-only fact frame: no payload to hash — spread same-key
+        # rows by their physical row id instead (salting only changes
+        # DISTRIBUTION, never the join result, so any spreader works)
+        salt_col = F.pmod(F.monotonically_increasing_id(), F.lit(n_salt))
+    f = fact.withColumn("_salt", salt_col)
     salts = fact.sparkSession.range(n_salt).select(F.col("id").cast("long").alias("_salt"))
     d = dim.crossJoin(F.broadcast(salts))
     return f.join(d, [key, "_salt"]).drop("_salt")

@@ -59,14 +59,19 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, text_col: str = "text",
     from pyspark.sql import Window
 
     toks = df.select(F.col(id_col), F.explode(Tx.tokens(text_col)).alias("term"))
-    n_docs = df.count()
+    # N arrives as a broadcast one-row cross join, NOT a driver-side
+    # count(): an eager count would run a full corpus scan at plan
+    # CONSTRUCTION time (the bm25/quality_gate pattern, kept lazy)
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = toks.select(id_col, "term").distinct() \
                 .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "term").select(
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(n_docs))
+              .select(
         F.col(id_col), F.col("term"),
-        F.round(F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6)
-         .alias("tfidf"))
+        F.round(F.col("tf") * F.log((F.col("_n") + 1.0) / (F.col("df") + 1.0)), 6)
+         .alias("tfidf")))
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return scored.withColumn("rnk", F.row_number().over(w)) \
                  .where(F.col("rnk") <= k).drop("rnk")

@@ -44,11 +44,17 @@ def corrupt_line_count(df: DataFrame) -> int:
     against the fully-parsed cached frame is the documented pattern."""
     if "_corrupt_record" not in df.columns:
         return 0
-    df = df.cache()
+    # respect a cache the CALLER established: only add (and later drop)
+    # our own if the frame is not already persisted
+    own_cache = df.storageLevel.useMemory is False and \
+        df.storageLevel.useDisk is False
+    if own_cache:
+        df = df.cache()
     try:
         return df.where(F.col("_corrupt_record").isNotNull()).count()
     finally:
-        df.unpersist()
+        if own_cache:
+            df.unpersist()
 
 
 def write_jsonl(df: DataFrame, path: str, *, shards: int | None = None,

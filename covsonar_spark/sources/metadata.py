@@ -44,18 +44,31 @@ def read_metadata_csv(spark: SparkSession, path: str, fields: dict[str, str],
             c = c.try_cast("date")
         cols.append(c.alias(target))
     df = raw.select(*cols).where(F.col("accession").isNotNull())
-    # reference keeps the FIRST occurrence per accession (sonar.py:808-810)
-    return df.dropDuplicates(["accession"])
+    return _dedup_accessions(df)
+
+
+def _dedup_accessions(df: DataFrame) -> DataFrame:
+    """One row per accession, DETERMINISTICALLY: the reference keeps
+    the FIRST file-order occurrence (sonar.py:808-810), but a
+    distributed read has no row order and dropDuplicates keeps an
+    arbitrary one — so ties resolve by the lexicographically smallest
+    row instead (documented divergence; any fixed rule beats a
+    nondeterministic one)."""
+    others = [c for c in df.columns if c != "accession"]
+    packed = df.groupBy("accession").agg(
+        F.min(F.struct(*[F.col(c) for c in others])).alias("_row"))
+    return packed.select("accession",
+                         *[F.col(f"_row.{c}").alias(c) for c in others])
 
 
 def read_pangolin_csv(spark: SparkSession, path: str) -> DataFrame:
     """Pangolin output: key = first word of `Sequence name`, value =
     `Lineage` (sonar.py:795-802)."""
     raw = spark.read.csv(path, header=True, sep=",")
-    return raw.select(
+    return _dedup_accessions(raw.select(
         F.split(F.col("Sequence name"), " ")[0].alias("accession"),
         F.col("Lineage").alias("lineage"),
-    ).where(F.col("accession").isNotNull()).dropDuplicates(["accession"])
+    ).where(F.col("accession").isNotNull()))
 
 
 def validate_ct(spark: SparkSession, path: str, fields: dict[str, str],
@@ -64,6 +77,9 @@ def validate_ct(spark: SparkSession, path: str, fields: dict[str, str],
     return the offending accessions so the caller decides."""
     if "ct" not in fields:
         return []
+    if "accession" not in fields:
+        raise ValueError("validate_ct needs an accession column mapping "
+                         "to report offenders (fields['accession'])")
     raw = spark.read.csv(path, header=True, sep=sep)
     bad = raw.select(F.col(fields["accession"]).alias("accession"),
                      F.col(fields["ct"]).alias("ct_raw")) \
