@@ -57,13 +57,20 @@ def _children(node):
 
 
 def exec_metrics(df: DataFrame) -> ExecMetrics:
-    """Execute ``df`` (count) and aggregate its runtime SQLMetrics.
+    """Execute ``df`` and aggregate its runtime SQLMetrics.
+
+    The action MUST run ``df``'s own QueryExecution: ``df.count()``
+    would execute a SIBLING plan (Dataset.count builds a separate
+    groupBy().count() execution) and leave every metric on the
+    inspected plan at zero — so this collects through the DataFrame
+    itself (audit-sized results only; don't point this at a query
+    returning the corpus).
 
     Nodes are deduplicated by plan id — AQE exposes the same stage
     through both the adaptive wrapper and the result stage, and
     double-counting a shuffle would defeat the point.
     """
-    df.count()
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan()
     m = ExecMetrics()
     seen: set[int] = set()
@@ -80,12 +87,12 @@ def exec_metrics(df: DataFrame) -> ExecMetrics:
         name = node.nodeName()
         m.by_node[name] = m.by_node.get(name, 0) + 1
         mets = _metrics_of(node)
-        if "shuffleBytesWritten" in mets:
+        if "shuffleBytesWritten" in mets and "Exchange" in name:
             # several operators carry shuffle-write metric slots (e.g.
-            # TakeOrderedAndProject's local top-k); only Exchange nodes
-            # are real repartitionings
-            if "Exchange" in name:
-                m.exchanges += 1
+            # TakeOrderedAndProject's local top-k) — only Exchange
+            # nodes are real repartitionings, and only their bytes
+            # count against the zero-shuffle contract
+            m.exchanges += 1
             m.shuffle_bytes_written += mets["shuffleBytesWritten"]
             m.shuffle_records_written += mets.get("shuffleRecordsWritten", 0)
         m.spill_bytes += mets.get("spillSize", 0)

@@ -139,16 +139,18 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
     filtered out before anything downstream sees them.  Returns the
     per-key delta stream (key, change_type).
     """
-    o = old.select(key, *tracked).alias("o")
-    n = new.select(key, *tracked).alias("n")
-    joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
-    same = None
+    # literal presence markers, NOT key nullness: a row whose key is
+    # genuinely NULL would otherwise be classified onto the wrong side
+    o = old.select(key, *tracked, F.lit(1).alias("_in_old")).alias("o")
+    n = new.select(key, *tracked, F.lit(1).alias("_in_new")).alias("n")
+    joined = o.join(n, F.col(f"o.{key}").eqNullSafe(F.col(f"n.{key}")),
+                    "full_outer")
+    same = F.lit(True)
     for c in tracked:
-        eq = F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
-        same = eq if same is None else (same & eq)
+        same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
     change = (
-        F.when(F.col(f"o.{key}").isNull(), F.lit("added"))
-        .when(F.col(f"n.{key}").isNull(), F.lit("removed"))
+        F.when(F.col("o._in_old").isNull(), F.lit("added"))
+        .when(F.col("n._in_new").isNull(), F.lit("removed"))
         .when(~same, F.lit("changed"))
     )
     return (

@@ -30,6 +30,18 @@ from covsonar_spark.operators import (analytics, closure, curation, dedup,
                                       textstats, timeseries, tpch, windows)
 
 
+def _scratch(prefix: str) -> str:
+    """Streaming-state scratch dir, removed at interpreter exit —
+    repeated bench/correctness runs must not accumulate state dirs."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -809,14 +821,14 @@ EVENTS_CONCURRENT_SQL = """
 WITH base AS (
   SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
 ), flagged AS (
-  SELECT user_id, ts_us,
+  SELECT user_id, event_id, ts_us,
          CASE WHEN lag(ts_us) OVER w IS NULL
                    OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS boundary
   FROM base
   WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
 ), sess_id AS (
   SELECT user_id, ts_us,
-         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts_us ASC
+         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM flagged
 ), sess AS (
@@ -1228,7 +1240,7 @@ def stream_dedup_lsh(spark, sf_dir):
     from covsonar_spark.streaming.dedup import StreamingLshDedup
 
     docs = _t(spark, sf_dir, "documents")
-    state = tempfile.mkdtemp(prefix="stream_lsh_")
+    state = _scratch("stream_lsh_")
     ded = StreamingLshDedup(spark, state, k=3, num_hashes=8, band_rows=2,
                             threshold=0.4)
     for i in range(3):
@@ -1335,7 +1347,7 @@ def dedup_clusters(spark, sf_dir):
     return dedup.duplicate_clusters(docs, threshold=0.5).orderBy("doc_id")
 
 
-DEDUP_CLUSTERS_SQL = """
+_CLUSTER_CTES = """
 WITH RECURSIVE sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 0)),
              i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1], string_split(text,' ')[i+2])))) AS shingle
@@ -1356,8 +1368,13 @@ edges AS (
 reach(u, v) AS (
   SELECT DISTINCT u, u FROM edges
   UNION
-  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v)
-SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+"""
+
+
+DEDUP_CLUSTERS_SQL = _CLUSTER_CTES + """
+SELECT doc_id, cluster_id FROM cl ORDER BY doc_id
 """
 
 
@@ -1391,31 +1408,6 @@ def sample_split_leakage_safe(spark, sf_dir):
     clusters = dedup.duplicate_clusters(docs, threshold=0.5)
     return curation.leakage_safe_split(docs, clusters).orderBy("doc_id")
 
-
-_CLUSTER_CTES = """
-WITH RECURSIVE sh AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 0)),
-             i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1], string_split(text,' ')[i+2])))) AS shingle
-  FROM documents),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-shared AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM sh a JOIN sh b USING (shingle)
-  WHERE a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-pairs AS (
-  SELECT id_a, id_b
-  FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
-edges AS (
-  SELECT id_a AS u, id_b AS v FROM pairs
-  UNION SELECT id_b, id_a FROM pairs),
-reach(u, v) AS (
-  SELECT DISTINCT u, u FROM edges
-  UNION
-  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
-cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
-"""
 
 SAMPLE_SPLIT_SQL = _CLUSTER_CTES + """
 , asg AS (
@@ -2337,32 +2329,10 @@ round((least((len(text) - (len(string_split(text,' ')) - 1))::DOUBLE / len(strin
        + len(list_distinct(string_split(text,' ')))::DOUBLE / len(string_split(text,' '))) / 3.0, 6)
 """
 
-DEDUP_CANONICAL_SQL = f"""
-WITH RECURSIVE sh AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 0)),
-             i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1], string_split(text,' ')[i+2])))) AS shingle
-  FROM documents),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-shared AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM sh a JOIN sh b USING (shingle)
-  WHERE a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-pairs AS (
-  SELECT id_a, id_b
-  FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
-edges AS (
-  SELECT id_a AS u, id_b AS v FROM pairs
-  UNION SELECT id_b, id_a FROM pairs),
-reach(u, v) AS (
-  SELECT DISTINCT u, u FROM edges
-  UNION
-  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
-clusters AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
-member_q AS (
+DEDUP_CANONICAL_SQL = _CLUSTER_CTES + f"""
+, member_q AS (
   SELECT cluster_id, c.doc_id, {_QUALITY_EXPR} AS quality
-  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id),
+  FROM cl c JOIN documents d ON c.doc_id = d.doc_id),
 ranked AS (
   SELECT cluster_id, doc_id, quality,
          row_number() OVER (PARTITION BY cluster_id
@@ -2472,13 +2442,11 @@ def _stream_histq(spark, sf_dir):
     bounds = the table's min/max, the same bounds the one-shot query
     derives); SUM-merged cells make the streamed median equal the
     one-shot sketch_histogram_quantile, so they share an oracle."""
-    import tempfile
-
     from covsonar_spark.streaming.sketches import StreamingHistogram
 
     o = _t(spark, sf_dir, "orders")
     lo, hi = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
-    h = StreamingHistogram(spark, tempfile.mkdtemp(prefix="stream_hq_"),
+    h = StreamingHistogram(spark, _scratch("stream_hq_"),
                            group_col="o_orderpriority",
                            val_col="o_totalprice",
                            lo=float(lo), hi=float(hi), compact_every=2)
@@ -2498,12 +2466,10 @@ def _stream_countmin(spark, sf_dir):
     """Chunked replay of events through StreamingCountMin
     (streaming/sketches.py); counter SUM-merge makes the streamed
     estimates equal the one-shot sketch_countmin exactly."""
-    import tempfile
-
     from covsonar_spark.streaming.sketches import StreamingCountMin
 
-    ev = _t(spark, sf_dir, "events")
-    cm = StreamingCountMin(spark, tempfile.mkdtemp(prefix="stream_cm_"),
+    ev = _events(spark, sf_dir)   # ts-normalizing shim (nanos-safe)
+    cm = StreamingCountMin(spark, _scratch("stream_cm_"),
                            key_col="event_type", compact_every=2)
     for i in range(3):
         cm.process_batch(ev.where(F.col("event_id") % 3 == i))
@@ -2518,12 +2484,10 @@ def _stream_countmin(spark, sf_dir):
 def _stream_hll(spark, sf_dir):
     """Chunked replay of the events table through StreamingHll
     (streaming/sketches.py), estimates joined with exact counts."""
-    import tempfile
-
     from covsonar_spark.streaming.sketches import StreamingHll
 
-    ev = _t(spark, sf_dir, "events")
-    hll = StreamingHll(spark, tempfile.mkdtemp(prefix="stream_hll_"),
+    ev = _events(spark, sf_dir)   # ts-normalizing shim (nanos-safe)
+    hll = StreamingHll(spark, _scratch("stream_hll_"),
                        group_col="event_type", key_col="user_id",
                        compact_every=2)
     for i in range(3):

@@ -105,7 +105,7 @@ class FastaReader(DataSourceReader):
     def _parse_stream(lines):
         header, seq = None, []
         for line in lines:
-            line = line.rstrip("\n")
+            line = line.rstrip("\r\n")
             if line.startswith(">"):
                 if header is not None:
                     yield FastaReader._record(header, seq)
@@ -144,7 +144,7 @@ class FastaReader(DataSourceReader):
                     header = None
                 if off >= end:                 # next range owns this record
                     break
-                header = line[1:].rstrip(b"\n").decode()
+                header = line[1:].rstrip(b"\r\n").decode()
                 seq = []
             elif header is not None:
                 seq.append(line.strip().decode())
@@ -193,7 +193,16 @@ class FastaWriter(DataSourceWriter):
         with open(tmp, "w") as fh:
             for row in iterator:
                 d = row.asDict()
-                header = d.get("description") or d.get("accession")
+                acc, desc = d.get("accession"), d.get("description")
+                # never drop the key column: a description that does not
+                # lead with the accession gets it prepended, so a write/
+                # read round trip always preserves accession
+                if not desc:
+                    header = acc
+                elif desc.split(" ", 1)[0] == acc:
+                    header = desc
+                else:
+                    header = f"{acc} {desc}"
                 seq = d["sequence"]
                 fh.write(f">{header}\n")
                 for i in range(0, len(seq), w):
