@@ -150,7 +150,7 @@ chunks AS (
          row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, pos) = 1 AS kept
   FROM chunks
 )
-SELECT doc_id, count(*) AS n_chunks, sum(CAST(kept AS INT)) AS n_kept,
+SELECT doc_id, count(*) AS n_chunks, CAST(sum(CAST(kept AS INT)) AS BIGINT) AS n_kept,
        md5(coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (kept), '')) AS dedup_md5
 FROM marked GROUP BY doc_id ORDER BY doc_id
 """

@@ -290,7 +290,7 @@ WITH per_row AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
 )
 SELECT user_id % 10 AS cohort, quartile, count(*) AS n,
-       sum(gap_us) AS sum_gap_us, round(sum(cd), 4) AS sum_cume_dist
+       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us, round(sum(cd), 4) AS sum_cume_dist
 FROM per_row GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -335,7 +335,7 @@ WITH per_order AS (
                RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
 )
 SELECT o_custkey % 10 AS cohort, count(*) AS n_orders,
-       sum(trail_n) AS sum_trail_n,
+       CAST(sum(trail_n) AS BIGINT) AS sum_trail_n,
        round(CAST(sum(trail_spend) AS DOUBLE), 2) AS sum_trail_spend
 FROM per_order GROUP BY 1 ORDER BY 1
 """

@@ -97,7 +97,7 @@ WITH per_day AS (
   FROM grid g LEFT JOIN per_day p USING (user_id, day)
 )
 SELECT user_id % 10 AS cohort, count(*) AS n_days,
-       sum(CAST(is_gap AS INT)) AS n_gap_days,
+       CAST(sum(CAST(is_gap AS INT)) AS BIGINT) AS n_gap_days,
        round(sum(filled_value), 2) AS sum_filled
 FROM filled GROUP BY 1 ORDER BY 1
 """
@@ -149,7 +149,7 @@ WITH per_user AS (
   FROM events GROUP BY user_id
 )
 SELECT user_id % 10 AS cohort, count(*) AS n_users,
-       sum(n_events) AS n_events, round(sum(ewma_value), 4) AS sum_ewma
+       CAST(sum(n_events) AS BIGINT) AS n_events, round(sum(ewma_value), 4) AS sum_ewma
 FROM per_user GROUP BY 1 ORDER BY 1
 """
 
@@ -208,7 +208,7 @@ WITH ranked AS (
          count(*) AS volume
   FROM ranked GROUP BY user_id, day
 )
-SELECT user_id % 10 AS cohort, count(*) AS n_bars, sum(volume) AS volume,
+SELECT user_id % 10 AS cohort, count(*) AS n_bars, CAST(sum(volume) AS BIGINT) AS volume,
        round(sum(open), 4) AS sum_open, round(sum(high), 4) AS sum_high,
        round(sum(low), 4) AS sum_low, round(sum(close), 4) AS sum_close
 FROM bars GROUP BY 1 ORDER BY 1
@@ -297,7 +297,7 @@ WITH flagged AS (
   FROM runs GROUP BY 1, 2, 3
 )
 SELECT user_id % 10 AS cohort, event_type, count(*) AS n_islands,
-       sum(n_rows) AS n_events, sum(valid_to - valid_from) AS dwell_us
+       CAST(sum(n_rows) AS BIGINT) AS n_events, CAST(sum(valid_to - valid_from) AS BIGINT) AS dwell_us
 FROM islands GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -315,7 +315,7 @@ WITH stats AS (
   FROM events e JOIN stats USING (event_type)
 )
 SELECT event_type, count(*) AS n,
-       sum(CAST(abs(zv) > {Z_CUT} AS INT)) AS n_anomalies,
+       CAST(sum(CAST(abs(zv) > {Z_CUT} AS INT)) AS BIGINT) AS n_anomalies,
        round(max(zv), 4) AS max_z,
        round(min(zv), 4) AS min_z
 FROM z GROUP BY event_type ORDER BY event_type
