@@ -164,13 +164,25 @@ def main() -> None:
         print(f"# {name}: {times[name]}s rows={n}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
+    # Per-query map goes to a sidecar file: the full 100+-entry map made
+    # the stdout JSON line ~4 KB, which round 1's capture truncated
+    # ("parsed": null).  The machine-read stdout line stays compact —
+    # total, unit, sf, query count, and the 5 slowest for a glance.
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_QUERIES.json")
+    with open(sidecar, "w") as f:
+        json.dump({"sf": sf, "total_sec": total, "queries": times}, f,
+                  indent=1, sort_keys=True)
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:5])
     print(json.dumps({
         "metric": "headline_query_wall_seconds",
         "value": total,
         "unit": "sec",
-        "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+        "n_queries": len(times),
+        "slowest": slowest,
+        "queries_file": "BENCH_QUERIES.json",
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

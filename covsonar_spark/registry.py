@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from covsonar_spark.functions import text as Tx
+from covsonar_spark.session import ensure_nanos_readable
 from covsonar_spark.operators import (analytics, closure, curation, dedup,
                                       fuzzy, graph, olap, predicates as P,
                                       quality, similarity, sketches,
@@ -53,7 +54,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding to `ts_us` (epoch micros, integer) — timezone-free (session
     tz is UTC, so NTZ wall-clock == UTC instant) and exactly reproducible
     in DuckDB via ``epoch_us(CAST(ts AS TIMESTAMP))``."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_nanos_readable(spark, f"{sf_dir}/events.parquet")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(ev.dtypes)["ts"]
     if ts_type == "bigint":

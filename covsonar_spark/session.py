@@ -28,6 +28,10 @@ def get_spark(app_name: str = "sparksonar", shuffle_partitions: int | None = Non
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # parquet TIMESTAMP(NANOS) columns (events.ts in some testdata
+        # generations) are rejected by the reader unless read as long;
+        # set once at session birth so no query mutates shared state
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARKSONAR_DRIVER_MEM", "16g"))
     )
@@ -81,3 +85,23 @@ def cluster_conf() -> dict:
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> dict:
     """Load the driver's parquet tables as DataFrames keyed by name."""
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+
+
+def ensure_nanos_readable(spark: SparkSession, parquet_path: str) -> None:
+    """Sessions built by :func:`get_spark` set
+    ``spark.sql.legacy.parquet.nanosAsLong`` at birth; externally-owned
+    sessions (the correctness driver brings its own) may not.  The flag
+    has no per-read option, so if — and only if — the file actually
+    carries a TIMESTAMP(NANOS) column that the reader would reject, set
+    it before the read.  On micros/NTZ data this never touches conf."""
+    try:
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true":
+            return
+        import glob as _glob
+        import pyarrow.parquet as _pq
+        paths = sorted(_glob.glob(parquet_path)) or [parquet_path]
+        schema = _pq.read_schema(paths[0])
+        if any(str(t).startswith("timestamp[ns") for t in schema.types):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 — footer peek is best-effort
+        pass

@@ -21,13 +21,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from covsonar_spark.session import ensure_nanos_readable
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet. The table has shipped with ts
     as TIMESTAMP(NANOS) (read nanos-as-long) and TIMESTAMP(MICROS)
     (TIMESTAMP_NTZ in Spark 4); peek at the batch schema and normalize
     either to integer ``ts_us`` + proper timestamp ``event_time``."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_nanos_readable(spark, f"{sf_dir}/events.parquet")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.schema(schema)
