@@ -436,6 +436,11 @@ def substring_containment_pairs(df: DataFrame, text_col: str = "text",
         .where(F.col("n_shared") == F.col("n_fp_a"))
         .select("inner_id", "outer_id")
     )
+    # materialize the (small, id-only) candidate set and release the
+    # fingerprint cache — long-lived sessions must not accumulate
+    # persisted partitions across repeated calls
+    cand = cand.localCheckpoint(eager=True)
+    fps.unpersist()
     texts = df.select(F.col(id_col), F.col(text_col))
     verified = (
         cand.join(texts.select(F.col(id_col).alias("inner_id"),

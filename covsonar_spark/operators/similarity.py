@@ -51,8 +51,12 @@ def cosine_self_topk(df: DataFrame, target_id: int, k: int = 10,
     )
 
 
+GRID_ROW_THRESHOLD = 500_000
+
+
 def cosine_pairs_exact(df: DataFrame, threshold: float,
-                       vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       mode: str = "auto", n_blocks: int = 16) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ t).
 
     Block-wise vectorized scoring: the right side is broadcast as one
@@ -63,13 +67,31 @@ def cosine_pairs_exact(df: DataFrame, threshold: float,
     DuckDB oracle: products and sums accumulate left-to-right per pair
     in float64, same as ``list_sum``/``aggregate`` fold order.
 
-    One side must fit in executor memory (same contract as any
-    broadcast join). The all-big-sides path is ``lsh_knn_join``; a
-    100 TB variant of THIS operator is the same mapInPandas over a
-    block-partitioned pair grid.
+    Mode selection (``mode``):
+      * ``"broadcast"`` — one side collected + broadcast; right only
+        when the corpus fits in executor memory (the fast local path).
+      * ``"grid"`` — block-partitioned pair grid: every vector is
+        hashed to one of ``n_blocks`` blocks and replicated to the
+        triangle of block-pair cells; each cell scores its bipartite
+        block pair independently.  No driver collect, no broadcast —
+        per-task memory is O((n/n_blocks)·dim), so this is the
+        100 TB-safe exact path (compute is the inherent O(n²/2) dot
+        products, spread over n_blocks·(n_blocks+1)/2 tasks).
+      * ``"auto"`` (default) — broadcast below ``GRID_ROW_THRESHOLD``
+        rows, grid above.
+    Both modes use the identical block-vectorized float64 kernel with
+    sequential per-dimension accumulation, so results are bit-identical
+    to each other and to the DuckDB ``list_sum`` oracle.
     """
     import numpy as np
     import pandas as pd
+
+    if mode not in ("auto", "broadcast", "grid"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "auto":
+        mode = "grid" if df.count() > GRID_ROW_THRESHOLD else "broadcast"
+    if mode == "grid":
+        return _cosine_pairs_grid(df, threshold, vec_col, id_col, n_blocks)
 
     spark = df.sparkSession
     side = df.select(F.col(id_col), F.col(vec_col)).collect()
@@ -101,6 +123,77 @@ def cosine_pairs_exact(df: DataFrame, threshold: float,
 
     return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
         score, schema="id_a long, id_b long, cosine double")
+
+
+def _cosine_pairs_grid(df: DataFrame, threshold: float,
+                       vec_col: str, id_col: str, n_blocks: int) -> DataFrame:
+    """All-big exact cosine pairs via a triangular block grid.
+
+    Each vector hashes to block b = pmod(xxhash64(id), B) and is
+    replicated JVM-side (sequence + explode, no Python in the fan-out)
+    to the grid cells it participates in: as the A side of cells
+    (b, j≥b) and the B side of cells (i<b, b).  groupBy(ci, cj) then
+    shuffles each cell's two block slices to one task; applyInPandas
+    scores the bipartite pair block with the same sequential-fold
+    float64 kernel as the broadcast path (diagonal cells use the
+    id_a < id_b triangle).  Replication factor is (B+1)/2 on average —
+    the price of exactness without a broadcast; per-task memory is
+    O((n/B)·dim) per side, tunable via n_blocks to the cluster's
+    executor size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    b = F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(n_blocks)).cast("int")
+    base = df.select(F.col(id_col).cast("long").alias("_id"),
+                     F.col(vec_col).alias("_v"), b.alias("_blk"))
+    # A side: cells (blk, j) for j in [blk, B); B side: cells (i, blk)
+    # for i in [0, blk).  The diagonal cell gets the block once, as A.
+    side_a = base.select(
+        "_id", "_v", F.col("_blk").alias("ci"),
+        F.explode(F.sequence(F.col("_blk"), F.lit(n_blocks - 1))).alias("cj"),
+        F.lit(0).alias("role"))
+    side_b = base.where(F.col("_blk") > 0).select(
+        "_id", "_v",
+        F.explode(F.sequence(F.lit(0), F.col("_blk") - 1)).alias("ci"),
+        F.col("_blk").alias("cj"), F.lit(1).alias("role"))
+
+    def score_cell(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ci, cj = key
+        a = pdf[pdf["role"] == 0]
+        bb = a if ci == cj else pdf[pdf["role"] == 1]
+        if not len(a) or not len(bb):
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        A = np.array([list(v) for v in a["_v"]], dtype=np.float64)
+        B = np.array([list(v) for v in bb["_v"]], dtype=np.float64)
+        a_ids = a["_id"].to_numpy(dtype=np.int64)
+        b_ids = bb["_id"].to_numpy(dtype=np.int64)
+        dot = np.zeros((len(A), len(B)))
+        na2 = np.zeros(len(A))
+        nb2 = np.zeros(len(B))
+        for i in range(A.shape[1]):             # sequential: l-to-r fold
+            dot += A[:, i:i + 1] * B[:, i]
+            na2 += A[:, i] * A[:, i]
+            nb2 += B[:, i] * B[:, i]
+        cos = np.round(dot / (np.sqrt(na2)[:, None] * np.sqrt(nb2)[None, :]), 4)
+        if ci == cj:
+            # within-block: keep the id_a < id_b triangle
+            ii, jj = np.nonzero((cos >= threshold)
+                                & (a_ids[:, None] < b_ids[None, :]))
+            lo, hi = a_ids[ii], b_ids[jj]
+        else:
+            # cross-block: each unordered pair lives in exactly this
+            # cell — keep every hit, normalized to (min, max)
+            ii, jj = np.nonzero(cos >= threshold)
+            lo = np.minimum(a_ids[ii], b_ids[jj])
+            hi = np.maximum(a_ids[ii], b_ids[jj])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[ii, jj]})
+
+    cells = side_a.unionByName(side_b)
+    return cells.groupBy("ci", "cj").applyInPandas(
+        score_cell, schema="id_a long, id_b long, cosine double")
 
 
 def ivf_assign(df: DataFrame, n_centroids: int = 16,
@@ -285,15 +378,14 @@ def lsh_knn_join(df: DataFrame, k: int = 5, n_planes: int = 8, n_tables: int = 1
     embedding through the join; at 100 TB the vector payload IS the
     shuffle). Bucket signs and the exact-cosine rerank are
     block-vectorized mapInPandas (interpreted HOF dots measured ~1
-    ms/row); the rerank looks vectors up in a broadcast matrix — the
-    same one-side-fits contract as ``cosine_pairs_exact``, with the
-    block-partitioned pair grid as the all-big fallback.
+    ms/row); the rerank equi-joins the candidate pairs back to the
+    vector table twice on id — no driver collect anywhere, so the
+    whole path survives corpora that fit on no single machine.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
 
-    spark = df.sparkSession
     planes = [np.array(_deterministic_hyperplanes(n_planes, 64, t),
                        dtype=np.float64) for t in range(n_tables)]
 
@@ -329,33 +421,41 @@ def lsh_knn_join(df: DataFrame, k: int = 5, n_planes: int = 8, n_tables: int = 1
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # materialize the (small, id-only) candidate set so the bucket
+    # table's cached partitions can be released immediately — repeated
+    # calls in a long-lived session must not accumulate cache entries
+    pairs = pairs.localCheckpoint(eager=True)
+    b.unpersist()
 
-    side = df.select(F.col(id_col), F.col(vec_col)).collect()
-    ids_all = np.array([r[0] for r in side], dtype=np.int64)
-    M = np.array([r[1] for r in side], dtype=np.float64)
-    order = np.argsort(ids_all)
-    bc = spark.sparkContext.broadcast((ids_all[order], M[order]))
+    # Exact-cosine rerank with NO driver collect: equi-join the 16-byte
+    # candidate pairs back to the vector table twice (Catalyst picks
+    # broadcast vs shuffle join by size — at 100 TB both sides shuffle
+    # on id, which is the correct plan), then score each joined batch
+    # with the same sequential-fold float64 kernel.  An earlier version
+    # collected the whole corpus to the driver for a broadcast lookup —
+    # a guaranteed driver OOM at scale.
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    cand = pairs.join(va, "id_a").join(vb, "id_b")
 
     def rerank(batches):
-        ids_s, Ms = bc.value
-        n2 = np.zeros(len(ids_s))
-        for i in range(Ms.shape[1]):                           # sequential dims
-            n2 += Ms[:, i] * Ms[:, i]
-        norms = np.sqrt(n2)
         for pdf in batches:
             if not len(pdf):
                 continue
-            ia = np.searchsorted(ids_s, pdf["id_a"].to_numpy())
-            ib = np.searchsorted(ids_s, pdf["id_b"].to_numpy())
-            A, B = Ms[ia], Ms[ib]
+            A = np.array([list(v) for v in pdf["_va"]], dtype=np.float64)
+            B = np.array([list(v) for v in pdf["_vb"]], dtype=np.float64)
             dot = np.zeros(len(A))
-            for i in range(Ms.shape[1]):                       # sequential dims
+            na2 = np.zeros(len(A))
+            nb2 = np.zeros(len(A))
+            for i in range(A.shape[1]):                        # sequential dims
                 dot += A[:, i] * B[:, i]
+                na2 += A[:, i] * A[:, i]
+                nb2 += B[:, i] * B[:, i]
             yield pd.DataFrame({
                 "id_a": pdf["id_a"], "id_b": pdf["id_b"],
-                "cosine": np.round(dot / (norms[ia] * norms[ib]), 4)})
+                "cosine": np.round(dot / (np.sqrt(na2) * np.sqrt(nb2)), 4)})
 
-    scored = pairs.mapInPandas(rerank, schema="id_a long, id_b long, cosine double")
+    scored = cand.mapInPandas(rerank, schema="id_a long, id_b long, cosine double")
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
