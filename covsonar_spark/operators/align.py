@@ -26,14 +26,40 @@ NEG = -(10 ** 9)
 _H_M, _H_E, _H_F = 0, 1, 2
 
 
+class AlignmentBudgetError(RuntimeError):
+    """Raised when one alignment exceeds its DP cell budget.
+
+    Parity with the reference's per-sequence SIGALRM timeout
+    (/root/reference/lib/sonardb.py:36-81, sonar.py:87-94, 648-663):
+    the reference skips and reports sequences whose Stretcher run
+    exceeds 600 s; here the budget is deterministic DP cells instead of
+    wall time, so the same input is accepted/rejected identically on
+    every executor and every run.  The ingest UDF catches this and
+    emits the per-row ``error`` channel (ingest.py derive_profiles),
+    exactly like the non-IUPAC path — one pathological record can
+    never stall an executor task.
+    """
+
+
 class BandedGotoh:
     """Global pairwise DNA alignment, maximizing
     Σ EDNAFULL(tᵢ,qⱼ) − Σ_gaps (open + extend·len)."""
 
-    def __init__(self, gapopen: int = 16, gapextend: int = 4):
+    # Default per-alignment DP budget: ~2 full unbanded passes of a
+    # 30 kb coronavirus genome (30k × 30k ≈ 9·10⁸ cells) — legitimate
+    # hard inputs that escalate to a wide band finish far below this,
+    # while adversarial low-complexity input that keeps quadrupling the
+    # band is cut off in bounded time (~minutes, vs the reference's
+    # 600 s wall cap).
+    CELL_BUDGET = 2_000_000_000
+
+    def __init__(self, gapopen: int = 16, gapextend: int = 4,
+                 cell_budget: int | None = None):
         self.open = gapopen
         self.ext = gapextend
         self.matrix = ednafull_byte_matrix().astype(np.int32)
+        self.cell_budget = self.CELL_BUDGET if cell_budget is None else cell_budget
+        self._cells_used = 0
 
     # anchored divide-and-conquer tuning
     MARGIN = 32          # matched bases kept around each DP window
@@ -59,6 +85,7 @@ class BandedGotoh:
         Gap runs are normalized afterwards by ``left_align_gaps`` on the
         full stitched pair, so seam placement is canonical.
         """
+        self._cells_used = 0      # budget is per align() call
         fast = self._align_gapfree(query, target)
         if fast is not None:
             return fast
@@ -71,6 +98,14 @@ class BandedGotoh:
         if n == 0:
             return query, "-" * m
         while True:
+            # charge the band's cell count BEFORE running it, so the
+            # budget check precedes the allocation/compute it bounds
+            w = abs(m - n) + 2 * extra + 1       # == W in _align_banded
+            self._cells_used += (n + 1) * w
+            if self._cells_used > self.cell_budget:
+                raise AlignmentBudgetError(
+                    f"DP cell budget exceeded ({self._cells_used:,} > "
+                    f"{self.cell_budget:,} cells; window {n}x{m}, band {w})")
             res = self._align_banded(query, target, extra)
             if res is not None:
                 return res

@@ -58,7 +58,8 @@ def seguid_col(col):
 
 
 def derive_profiles(sequences: DataFrame, ref_seq: str, cds_list: list[CDS],
-                    band_extra: int = 200) -> DataFrame:
+                    band_extra: int = 200,
+                    cell_budget: int | None = None) -> DataFrame:
     """The P2 stage: (seqhash, sequence) → profiles + variant lists.
 
     mapInPandas so one python worker handles an Arrow batch of sequences
@@ -73,7 +74,7 @@ def derive_profiles(sequences: DataFrame, ref_seq: str, cds_list: list[CDS],
         from covsonar_spark.operators.align import BandedGotoh
         from covsonar_spark.operators.variants import process_sequence
 
-        aligner = BandedGotoh()
+        aligner = BandedGotoh(cell_budget=cell_budget)
         for pdf in batches:
             out = []
             for seqhash, seq in zip(pdf["seqhash"], pdf["sequence"]):

@@ -1,12 +1,16 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
-The decode kernels are STUBBED — this container has no image/audio
-libraries — behind ``_HAVE_PIL``-style gates with a deterministic
-md5-derived fake, so every Spark-side contract (schema, batch
-iteration, partition preservation, fan-out shape) is real and tested
-while the kernel body is swappable for PIL/librosa/ffmpeg on a real
-cluster.
+Decode status:
+  * PNG images and RIFF/WAV audio decode FOR REAL via the stdlib-only
+    codec in :mod:`covsonar_spark.functions.png` (zlib scanline
+    inflate + filter reconstruction; ``wave`` for PCM) — genuine pixel
+    / sample statistics flow into the feature vectors.
+  * other formats (JPEG, MP4, …) have no stdlib decoder; those
+    payloads fall back to a deterministic md5-derived stand-in, gated
+    behind ``_HAVE_PIL`` for a real-library swap-in on a cluster that
+    has PIL/librosa/ffmpeg.  The Spark-side contract (schema, batch
+    iteration, fan-out shape) is identical on both paths.
 
 Scale notes (100 TB of media):
   * binary payloads ride along in parquet; the feature stages are pure
@@ -77,8 +81,8 @@ def media_from_documents(docs: DataFrame, id_col: str = "doc_id",
 
 def _fake_features(payload: bytes, dim: int = _FEAT_DIM) -> list[float]:
     """Deterministic stand-in for a decoded feature vector: ``dim``
-    floats in [0,1) derived from md5(payload). Replace with a real
-    model/decoder on a cluster with the media libs installed."""
+    floats in [0,1) derived from md5(payload). Used only for formats
+    with no stdlib decoder (see module docstring)."""
     out = []
     for i in range(dim):
         h = hashlib.md5(payload + i.to_bytes(4, "big")).digest()
@@ -86,9 +90,32 @@ def _fake_features(payload: bytes, dim: int = _FEAT_DIM) -> list[float]:
     return out
 
 
+def _pixel_features(payload: bytes, dim: int = _FEAT_DIM) -> list[float] | None:
+    """REAL image features from a decoded PNG: [mean, std, min, max]
+    of the luminance plane plus a (dim-4)-bin normalized histogram —
+    all in [0,1].  Returns None for non-PNG payloads (caller falls
+    back to the deterministic stand-in)."""
+    import numpy as np
+
+    from covsonar_spark.functions.png import decode_png, is_png
+
+    if not is_png(payload):
+        return None
+    w, h, ch, raw = decode_png(payload)
+    px = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+    if ch == 3:  # Rec.601 luma
+        px = px.reshape(-1, 3) @ np.array([0.299, 0.587, 0.114])
+    px /= 255.0
+    hist, _ = np.histogram(px, bins=dim - 4, range=(0.0, 1.0))
+    return ([float(px.mean()), float(px.std()), float(px.min()),
+             float(px.max())] + (hist / max(len(px), 1)).tolist())
+
+
 def image_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     """image bytes → feature vector. mapInPandas: one Arrow batch in,
-    one feature row out per image; raw bytes never leave the stage."""
+    one feature row out per image; raw bytes never leave the stage.
+    PNG payloads decode for real (stdlib zlib codec); other formats
+    use the md5 stand-in until a real library is swapped in."""
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -97,7 +124,11 @@ def image_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
                 raise NotImplementedError(
                     "real decode path: Image.open(BytesIO(b)) → resize → "
                     "normalize; enable when PIL is present")
-            feats = [_fake_features(bytes(b)) for b in pdf["content"]]
+            feats = []
+            for b in pdf["content"]:
+                payload = bytes(b)
+                f = _pixel_features(payload)
+                feats.append(f if f is not None else _fake_features(payload))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "width": [m["width"] if m else None for m in pdf["meta"]],
@@ -135,9 +166,47 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         run, schema="media_id long, frame_idx int, t_ms int, frame binary")
 
 
+def _pcm_window_features(payload: bytes, n_windows: int,
+                         dim: int = _FEAT_DIM) -> list[list[float]] | None:
+    """REAL audio features from a RIFF/WAV payload: per window,
+    [rms, zero-crossing rate, peak, mean] plus (dim-4) coarse
+    energy-band values from a rectangular DFT — stdlib ``wave`` +
+    numpy, no external audio lib.  None for non-WAV payloads."""
+    import numpy as np
+
+    from covsonar_spark.functions.png import decode_wav
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    nch, rate, width, frames = decode_wav(payload)
+    dt = {1: np.int8, 2: np.int16, 4: np.int32}.get(width)
+    if dt is None or not frames:
+        return None
+    x = np.frombuffer(frames, dtype=dt).astype(np.float64)
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    x /= float(2 ** (8 * width - 1))          # normalize to [-1, 1]
+    step = max(len(x) // n_windows, 1)
+    out = []
+    for w in range(n_windows):
+        seg = x[w * step:(w + 1) * step]
+        if not len(seg):
+            out.append([0.0] * dim)
+            continue
+        rms = float(np.sqrt((seg * seg).mean()))
+        zcr = float((np.diff(np.signbit(seg)) != 0).mean()) if len(seg) > 1 else 0.0
+        spec = np.abs(np.fft.rfft(seg))
+        bands = np.array_split(spec, dim - 4)
+        denom = spec.sum() or 1.0
+        out.append([rms, zcr, float(np.abs(seg).max()), float(seg.mean())]
+                   + [float(b.sum() / denom) for b in bands])
+    return out
+
+
 def audio_features(df: DataFrame, n_windows: int = 4) -> DataFrame:
-    """audio → fixed number of windowed feature vectors per clip
-    (mel-spectrogram stand-in; window boundaries from duration_ms)."""
+    """audio → fixed number of windowed feature vectors per clip.
+    RIFF/WAV payloads decode for real (stdlib ``wave`` → RMS/ZCR/band
+    energies); other formats use the md5 stand-in."""
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -145,11 +214,13 @@ def audio_features(df: DataFrame, n_windows: int = 4) -> DataFrame:
             ids, widx, feats = [], [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 payload = bytes(content)
+                real = _pcm_window_features(payload, n_windows)
                 step = max(len(payload) // n_windows, 1)
                 for w in range(n_windows):
                     ids.append(mid)
                     widx.append(w)
-                    feats.append(_fake_features(payload[w * step:(w + 1) * step]))
+                    feats.append(real[w] if real is not None else
+                                 _fake_features(payload[w * step:(w + 1) * step]))
             yield pd.DataFrame({"media_id": ids, "window_idx": widx,
                                 "features": feats})
 

@@ -101,3 +101,115 @@ def test_media_from_documents_contract(spark):
         else:
             assert r["meta"]["duration_ms"] == ((mid % 7) + 1) * 1500
             assert r["meta"]["width"] is None
+
+
+# ---------------------------------------------------------------------------
+# REAL decode paths (stdlib PNG codec + wave) — no PIL in this container
+# ---------------------------------------------------------------------------
+
+def test_png_codec_roundtrip_gray_and_rgb():
+    from covsonar_spark.functions.png import decode_png, encode_png
+
+    gray = bytes((x * 7 + y * 13) % 256 for y in range(9) for x in range(5))
+    data = encode_png(gray, 5, 9, channels=1)
+    w, h, ch, raw = decode_png(data)
+    assert (w, h, ch) == (5, 9, 1) and raw == gray
+
+    rgb = bytes((x * i + y) % 256 for y in range(4) for x in range(6)
+                for i in (1, 2, 3))
+    data = encode_png(rgb, 6, 4, channels=3)
+    w, h, ch, raw = decode_png(data)
+    assert (w, h, ch) == (6, 4, 3) and raw == rgb
+
+
+def test_png_decoder_handles_all_filters():
+    """Hand-build IDAT scanlines using filters 1-4 (our encoder only
+    emits 0) and check reconstruction against the known pixel plane."""
+    import struct
+    import zlib
+
+    from covsonar_spark.functions.png import _chunk, _SIG, decode_png
+
+    width, height = 4, 5
+    pixels = bytes((x * 37 + y * 11) % 256 for y in range(height)
+                   for x in range(width))
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    rows = [pixels[y * width:(y + 1) * width] for y in range(height)]
+    filtered = bytearray()
+    prev = bytes(width)
+    for y, (ftype, row) in enumerate(zip([0, 1, 2, 3, 4], rows)):
+        filtered.append(ftype)
+        for i, v in enumerate(row):
+            left = row[i - 1] if i else 0
+            up = prev[i]
+            ul = prev[i - 1] if i else 0
+            if ftype == 0:
+                f = v
+            elif ftype == 1:
+                f = (v - left) & 0xFF
+            elif ftype == 2:
+                f = (v - up) & 0xFF
+            elif ftype == 3:
+                f = (v - ((left + up) >> 1)) & 0xFF
+            else:
+                f = (v - paeth(left, up, ul)) & 0xFF
+            filtered.append(f)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    data = (_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(filtered)))
+            + _chunk(b"IEND", b""))
+    w, h, ch, raw = decode_png(data)
+    assert raw == pixels
+
+
+def test_image_features_real_png_pixels(spark):
+    """A genuine PNG payload produces genuine pixel statistics — a flat
+    mid-gray image must report mean 0.5 ± quantization, std 0."""
+    from covsonar_spark.functions.png import encode_png
+    from covsonar_spark.operators.multimodal import image_features
+
+    flat = encode_png(bytes([128] * (16 * 16)), 16, 16)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(flat), {"mime": "image/png", "width": 16,
+                                        "height": 16, "duration_ms": None})],
+        "media_id long, kind string, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>")
+    (row,) = image_features(df).collect()
+    feats = row["features"]
+    assert abs(feats[0] - 128 / 255) < 1e-9      # mean
+    assert feats[1] == 0.0                       # std of a flat image
+    assert feats[2] == feats[3] == 128 / 255     # min == max
+
+
+def test_audio_features_real_wav(spark):
+    """A genuine WAV sine payload produces real RMS/ZCR — a pure tone's
+    RMS is 1/sqrt(2) of its amplitude."""
+    import math
+
+    from covsonar_spark.functions.png import encode_wav
+    from covsonar_spark.operators.multimodal import audio_features
+
+    amp = 0.5
+    pcm = b"".join(
+        int(amp * 32767 * math.sin(2 * math.pi * 440 * t / 8000))
+        .to_bytes(2, "little", signed=True) for t in range(8000))
+    wav = encode_wav(pcm)
+    df = spark.createDataFrame(
+        [(2, "audio", bytearray(wav), {"mime": "audio/wav", "width": None,
+                                       "height": None, "duration_ms": 1000})],
+        "media_id long, kind string, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>")
+    rows = audio_features(df, n_windows=4).collect()
+    assert len(rows) == 4
+    for r in rows:
+        rms = r["features"][0]
+        assert abs(rms - amp / math.sqrt(2)) < 0.01
+        assert 0.05 < r["features"][1] < 0.25    # ZCR of 440 Hz @ 8 kHz
