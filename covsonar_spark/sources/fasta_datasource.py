@@ -67,7 +67,15 @@ class FastaReader(DataSourceReader):
         paths = []
         for p in str(self._paths).split(","):
             p = p.strip()
-            hits = sorted(_glob.glob(p)) if any(c in p for c in "*?[") else [p]
+            if any(c in p for c in "*?["):
+                hits = sorted(_glob.glob(p))
+                if not hits:
+                    # parity with the explicit-path branch (which fails
+                    # in os.path.getsize): a typo'd glob must error, not
+                    # silently yield an empty DataFrame
+                    raise FileNotFoundError(f"glob matched no files: {p!r}")
+            else:
+                hits = [p]
             paths.extend(hits)
         parts = []
         for p in paths:

@@ -62,10 +62,49 @@ class _LogStructuredSketch:
     def _sketch_of(self, df: DataFrame) -> DataFrame:  # pragma: no cover
         raise NotImplementedError
 
+    def _recover(self) -> None:
+        """Heal the two crash windows of ``_compact``'s rename pair.
+
+        A crash after ``rename(path → old)`` but before
+        ``rename(tmp → path)`` leaves the state path absent while a
+        COMPLETE compacted copy sits in ``.compact.tmp`` (it was fully
+        written before the first rename) — restore it.  If somehow only
+        ``.old`` survives, restore that instead.  Without this, the
+        next read would treat the state as 'no batches yet' and
+        silently restart the sketch empty."""
+        import shutil
+
+        tmp, old = self._path + ".compact.tmp", self._path + ".old"
+        if not os.path.isdir(self._path):
+            if os.path.isdir(tmp) and any(
+                    e.startswith("batch=") for e in os.listdir(tmp)):
+                os.rename(tmp, self._path)
+            elif os.path.isdir(old):
+                os.rename(old, self._path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def _watermark(self) -> int:
+        """Highest batch id folded into a compacted segment (encoded in
+        the segment name ``batch=c_<maxid>``), or -1 if never
+        compacted.  Replayed batch ids at or below this are already
+        inside the compacted state and must be skipped — re-appending
+        them would double-count every SUM-merged sketch."""
+        if not os.path.isdir(self._path):
+            return -1
+        wm = -1
+        for e in os.listdir(self._path):
+            if e.startswith("batch=c_"):
+                try:
+                    wm = max(wm, int(e[len("batch=c_"):]))
+                except ValueError:
+                    pass
+        return wm
+
     def _read_or_none(self) -> DataFrame | None:
         # only the genuinely-absent case maps to "no state yet";
         # transient read errors must SURFACE, not silently reset the
         # sketch to empty
+        self._recover()
         if not os.path.isdir(self._path) or not any(
                 e.startswith("batch=") for e in os.listdir(self._path)):
             return None
@@ -77,11 +116,19 @@ class _LogStructuredSketch:
         subdirectory, so a redelivered batch replaces its previous
         write instead of double-counting — which is what keeps the
         SUM-merged sketches (Count-Min, histogram) equal to the
-        one-shot batch sketch.  Direct callers without a stream batch
-        id get a local monotone sequence."""
+        one-shot batch sketch.  A replayed batch id at or below the
+        compaction watermark is already folded into the compacted
+        segment and is skipped outright.  Direct callers without a
+        stream batch id get a local monotone sequence starting above
+        the watermark."""
+        self._recover()
+        wm = self._watermark()
         if batch_id is None:
+            self._seq = max(self._seq, wm + 1)
             batch_id = self._seq
             self._seq += 1
+        elif batch_id <= wm:
+            return          # at-least-once replay of a compacted batch
         (self._sketch_of(df).write.mode("overwrite")
          .parquet(os.path.join(self._path, f"batch={batch_id}")))
         self._batches_since_compact += 1
@@ -93,13 +140,26 @@ class _LogStructuredSketch:
         """Atomic: the merged state lands in a TMP directory first and
         swaps in via rename — a crash mid-compaction leaves the old log
         intact (plain overwrite deletes the source before the new write
-        commits, destroying the accumulated state on failure)."""
+        commits, destroying the accumulated state on failure).  The
+        compacted segment is named ``batch=c_<maxid>`` after the
+        highest batch id it folds, which doubles as the replay
+        watermark."""
         import shutil
-        import uuid
 
+        # a stale tmp from a crashed compaction (crash BEFORE the first
+        # rename: state path still intact) must not leak its segment
+        # into this run's tmp — that would double-count on swap-in
         tmp = self._path + ".compact.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        max_id = self._watermark()
+        for e in os.listdir(self._path):
+            if e.startswith("batch=") and not e.startswith("batch=c_"):
+                try:
+                    max_id = max(max_id, int(e[len("batch="):]))
+                except ValueError:
+                    pass
         (self._merged().write.mode("overwrite")
-         .parquet(os.path.join(tmp, f"batch=c{uuid.uuid4().hex[:8]}")))
+         .parquet(os.path.join(tmp, f"batch=c_{max_id}")))
         old = self._path + ".old"
         shutil.rmtree(old, ignore_errors=True)
         os.rename(self._path, old)

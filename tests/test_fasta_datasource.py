@@ -88,3 +88,14 @@ def test_boundary_aligned_header_not_lost(spark, tmp_path):
     assert df.rdd.getNumPartitions() >= 2
     assert sorted(r["accession"] for r in df.collect()) == [
         "NC_045512.2", "test1", "test2"]
+
+
+def test_empty_glob_raises_not_empty_df(spark):
+    """A glob matching no files must error like the explicit-path
+    branch does — not silently return an empty DataFrame."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException) as e:
+        spark.read.format("fasta").load("/nonexistent/dir/*.fasta").count()
+    assert "glob matched no files" in str(e.value)

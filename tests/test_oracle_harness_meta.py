@@ -40,3 +40,20 @@ def test_canon_float_repr_distinguishes_ulp():
     b = canon([(0.3,)], ["v"])
     assert a != b
     assert canon([(round(x, 6),)], ["v"]) == canon([(round(0.3, 6),)], ["v"])
+
+
+def test_doc_counts_match_registry():
+    """The query counts quoted in the docs must match len(REGISTRY) —
+    guards against the count drift flagged in round 1's advice."""
+    import re
+
+    from covsonar_spark.registry import REGISTRY
+
+    n = len(REGISTRY)
+    n_oracle = sum(1 for _, s in REGISTRY.values() if s)
+    docstring = open("covsonar_spark/registry.py").read(2000)
+    m = re.search(r"\((\d+) queries, (\d+) with full oracles\)", docstring)
+    assert m and (int(m.group(1)), int(m.group(2))) == (n, n_oracle)
+    arch = open("ARCHITECTURE.md").read()
+    m = re.search(r"registry\.py\s+(\d+) registry queries \((\d+) oracle", arch)
+    assert m and (int(m.group(1)), int(m.group(2))) == (n, n_oracle)

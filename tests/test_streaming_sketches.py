@@ -113,3 +113,72 @@ def test_replayed_batch_does_not_double_count(spark, tmp_path):
     cm.process_batch(ev, batch_id=0)          # replay of the SAME batch
     after = {(r["key"], r["cm_est"]) for r in cm.estimates(keys).collect()}
     assert before == after
+
+
+def test_replay_across_compaction_boundary(spark, tmp_path):
+    """At-least-once replay of a batch_id that has already been FOLDED
+    into a compacted segment (crash after the compaction-triggering
+    process_batch, before checkpoint commit) must be skipped via the
+    watermark — not re-appended and SUM-merged twice."""
+    from covsonar_spark.streaming.sketches import StreamingCountMin
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    cm = StreamingCountMin(spark, str(tmp_path / "state"),
+                           key_col="event_type", compact_every=2)
+    cm.process_batch(ev.where(F.col("event_id") % 2 == 0), batch_id=0)
+    cm.process_batch(ev.where(F.col("event_id") % 2 == 1), batch_id=1)
+    # compaction fired at batch 1; both ids are now inside batch=c_1
+    keys = ev.select(F.col("event_type").alias("key")).distinct()
+    before = {(r["key"], r["cm_est"]) for r in cm.estimates(keys).collect()}
+    cm.process_batch(ev.where(F.col("event_id") % 2 == 1), batch_id=1)  # replay
+    after = {(r["key"], r["cm_est"]) for r in cm.estimates(keys).collect()}
+    assert before == after
+    # a fresh object on the same state dir (process restart) also skips
+    cm2 = StreamingCountMin(spark, str(tmp_path / "state"),
+                            key_col="event_type", compact_every=100)
+    cm2.process_batch(ev.where(F.col("event_id") % 2 == 0), batch_id=0)
+    again = {(r["key"], r["cm_est"]) for r in cm2.estimates(keys).collect()}
+    assert again == before
+
+
+def test_crash_between_compaction_renames_recovers(spark, tmp_path):
+    """Simulate a crash after rename(path -> old) but before
+    rename(tmp -> path): the state path is absent, the complete
+    compacted copy sits in .compact.tmp — the next read must restore
+    it instead of restarting the sketch empty."""
+    import shutil
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    hll = StreamingHll(spark, str(tmp_path / "state"),
+                       group_col="event_type", key_col="user_id",
+                       compact_every=100)
+    for i in range(3):
+        hll.process_batch(ev.where(F.col("event_id") % 3 == i))
+    expect = {(r["grp"], r["hll_est"]) for r in hll.estimates().collect()}
+    # manufacture the crash window: state moved aside, tmp holds a copy
+    path = hll._path
+    shutil.copytree(path, path + ".compact.tmp")
+    os.rename(path, path + ".old")
+    got = {(r["grp"], r["hll_est"]) for r in hll.estimates().collect()}
+    assert got == expect
+    assert os.path.isdir(path) and not os.path.isdir(path + ".old")
+
+
+def test_stale_tmp_does_not_leak_into_next_compaction(spark, tmp_path):
+    """A crashed compaction that left .compact.tmp behind (state path
+    still intact) must not contribute its stale segment when the next
+    compaction runs."""
+    import shutil
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from covsonar_spark.streaming.sketches import StreamingCountMin
+    cm = StreamingCountMin(spark, str(tmp_path / "state"),
+                           key_col="event_type", compact_every=100)
+    cm.process_batch(ev, batch_id=0)
+    keys = ev.select(F.col("event_type").alias("key")).distinct()
+    expect = {(r["key"], r["cm_est"]) for r in cm.estimates(keys).collect()}
+    # stale tmp from a hypothetical earlier crashed compaction
+    shutil.copytree(cm._path, cm._path + ".compact.tmp")
+    cm._compact()
+    got = {(r["key"], r["cm_est"]) for r in cm.estimates(keys).collect()}
+    assert got == expect
