@@ -458,3 +458,34 @@ def test_dynamic_partition_pruning_on_month_layout(spark, tmp_path):
            .where(F.col("dim_priority") == "1-URGENT"))
     plan = _plan(fact.join(dim, "month").groupBy("dim_priority").count())
     assert "dynamicpruningexpression" in plan
+
+
+def test_lsh_knn_pair_generation_single_shuffle_no_cache(spark):
+    """Candidate pairs come from ONE hash-aggregate shuffle over the
+    24-byte bucket rows (collect_list) + JVM-side explodes — no
+    self-join of the Python bucket stage, no InMemoryRelation."""
+    from covsonar_spark.operators.similarity import lsh_knn_join
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(lsh_knn_join(emb, k=2, n_planes=4, rerank="join"))
+    assert "InMemoryTableScan" not in plan
+    assert plan.count("Generate") >= 2          # the two pair explodes
+    # the rerank joins pairs back to the vector table twice on id
+    assert plan.count("Scan parquet") >= 3      # buckets + va + vb
+
+
+def test_cosine_grid_no_broadcast_no_cartesian(spark):
+    """The grid path must contain no broadcast of the corpus, no
+    cartesian product, and exactly one wide shuffle into the cell
+    aggregation (plus AQE reads)."""
+    from covsonar_spark.operators.similarity import cosine_pairs_exact
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import re
+
+    plan = _plan(cosine_pairs_exact(emb, 0.3, mode="grid", n_blocks=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" not in plan
+    assert "FlatMapGroupsInPandas" in plan      # per-cell scoring
+    # exactly one shuffle, on (ci, cj) — count the detail headers
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
