@@ -75,6 +75,7 @@ HEADLINE = [
     "text_bigram_lm",
     "text_chunk_windows",
     "text_repetition",
+    "text_boilerplate",
     "decontaminate",
     "pii_scrub",
     "sample_stratified",

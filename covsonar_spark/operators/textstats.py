@@ -201,3 +201,70 @@ def quality_gate(df: DataFrame, pct: float = 0.25, text_col: str = "text",
             .crossJoin(F.broadcast(thr))
             .where(F.col("quality") >= F.col("q_thr"))
             .select(id_col, "quality", "q_thr"))
+
+
+def boilerplate_ngrams(df: DataFrame, k: int = 3, min_df_frac: float = 0.5,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       source_col: str = "source") -> DataFrame:
+    """Per-source boilerplate n-gram table: word-k-grams that appear in
+    at least ``min_df_frac`` of a source's documents — the site-chrome
+    (header/footer/nav) detector of a web-scale curation pipeline,
+    keyed per source because boilerplate is a property of the
+    EMITTER, not the corpus.
+
+    Output: (source, shingle, sdf, n_docs, df_frac) for flagged
+    shingles.
+
+    Plan shape (100 TB): distinct shingles per doc (the shared
+    Arrow-batched shingle kernel), explode, then ONE groupBy
+    (source, shingle) counting document frequency — partial aggs
+    combine map-side; the tiny per-source doc counts broadcast back.
+    No joins over raw text.
+    """
+    from covsonar_spark.operators.dedup import shingle_sets
+
+    sh = shingle_sets(df.select(F.col(id_col), F.col(source_col),
+                                F.col(text_col)), text_col, id_col, k)
+    per_doc = (df.select(F.col(id_col), F.col(source_col))
+               .join(sh, id_col)
+               .select(source_col, id_col, F.explode("shingles").alias("shingle")))
+    n_docs = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    sdf = (per_doc.groupBy(source_col, "shingle")
+           .agg(F.count(F.lit(1)).alias("sdf")))
+    frac = F.col("sdf").cast("double") / F.col("n_docs")
+    return (sdf.join(F.broadcast(n_docs), source_col)
+            .select(source_col, "shingle", "sdf", "n_docs",
+                    F.round(frac, 4).alias("df_frac"))
+            .where(F.round(frac, 4) >= min_df_frac))
+
+
+def boilerplate_ratio(df: DataFrame, k: int = 3, min_df_frac: float = 0.5,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      source_col: str = "source") -> DataFrame:
+    """Per-document boilerplate exposure: the fraction of a doc's
+    distinct k-gram shingles that are source-level boilerplate
+    (``boilerplate_ngrams``).  The downstream curation signal — docs
+    that are mostly chrome get gated, the rest get their spans
+    stripped before tokenization.
+
+    Output: (doc_id, source, n_sh, n_boiler, boiler_ratio).
+    """
+    from covsonar_spark.operators.dedup import shingle_sets
+
+    flagged = boilerplate_ngrams(df, k, min_df_frac, text_col, id_col,
+                                 source_col).select(source_col, "shingle")
+    sh = shingle_sets(df.select(F.col(id_col), F.col(source_col),
+                                F.col(text_col)), text_col, id_col, k)
+    per_doc = (df.select(F.col(id_col), F.col(source_col))
+               .join(sh, id_col)
+               .select(F.col(id_col), F.col(source_col),
+                       F.explode("shingles").alias("shingle")))
+    hits = (per_doc.join(flagged, [source_col, "shingle"], "left_semi")
+            .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_boiler")))
+    n_sh = per_doc.groupBy(id_col, source_col).agg(
+        F.count(F.lit(1)).alias("n_sh"))
+    return (n_sh.join(hits, id_col, "left")
+            .select(id_col, source_col, "n_sh",
+                    F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+                    F.round(F.coalesce("n_boiler", F.lit(0)).cast("double")
+                            / F.col("n_sh"), 4).alias("boiler_ratio")))

@@ -1,5 +1,5 @@
 """Query registry: every implemented operator from SURVEY.md §2 exposed as
-a (spark_fn, oracle_sql) pair (124 queries, 123 with full oracles)
+a (spark_fn, oracle_sql) pair (125 queries, 125 with full oracles)
 over the driver's synthetic tables
 (/root/testdata/sf*/ — region nation customer supplier part orders
 lineitem events documents embeddings).
@@ -1044,6 +1044,42 @@ ORDER BY id_a, id_b
 """
 
 
+def text_boilerplate(spark, sf_dir):
+    """Per-source boilerplate detection + per-doc exposure: word-3-grams
+    appearing in >= 8% of a source's documents are chrome (the
+    emitter-keyed boilerplate rule of web curation pipelines); each doc
+    reports how much of its distinct-shingle mass is chrome.  One
+    groupBy(source, shingle) document-frequency aggregate + a semi-join
+    of the per-doc shingles against the flagged set — no text joins."""
+    from covsonar_spark.operators.textstats import boilerplate_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return boilerplate_ratio(docs, k=3, min_df_frac=0.08).orderBy("doc_id")
+
+
+TEXT_BOILERPLATE_SQL = """
+WITH sh AS (
+  SELECT doc_id, source, unnest(list_distinct(list_transform(generate_series(1, greatest(len(string_split(text,' '))-2,0)),
+      i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1], string_split(text,' ')[i+2])))) AS shingle
+  FROM documents),
+nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+sdf AS (SELECT source, shingle, count(*) AS sdf FROM sh GROUP BY source, shingle),
+boiler AS (
+  SELECT s.source, s.shingle
+  FROM sdf s JOIN nd USING (source)
+  WHERE round(s.sdf::DOUBLE / nd.n_docs, 4) >= 0.08),
+per AS (SELECT doc_id, source, count(*) AS n_sh FROM sh GROUP BY doc_id, source),
+hits AS (
+  SELECT sh.doc_id, count(*) AS n_boiler
+  FROM sh JOIN boiler USING (source, shingle) GROUP BY sh.doc_id)
+SELECT p.doc_id, p.source, p.n_sh,
+       CAST(COALESCE(h.n_boiler, 0) AS BIGINT) AS n_boiler,
+       round(CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / p.n_sh, 4) AS boiler_ratio
+FROM per p LEFT JOIN hits h ON p.doc_id = h.doc_id
+ORDER BY p.doc_id
+"""
+
+
 def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k vs a literal query vector — per-partition
     top-k + k-row merge, no full sort (baseline ANN; LSH path in
@@ -2073,9 +2109,13 @@ _STREAM_SEQ = {"n": 0}
 def stream_sessionize(spark, sf_dir):
     """Structured Streaming sessionization (applyInPandasWithState) —
     drains the events stream with availableNow into memory and returns
-    the closed sessions. Non-SQL-expressible (stateful streaming), so
-    no oracle twin; its batch twin events_sessionize IS oracle-checked
-    and the streaming tests assert equality with it."""
+    the CLOSED sessions.  The stateful operator itself is
+    non-SQL-expressible, but its drained OUTPUT is exactly the batch
+    sessionization minus each user's open tail session (a session only
+    closes when a later event exceeds the gap), and that set is
+    invariant to how the stream is chunked — so the DuckDB twin is a
+    full value oracle: batch gaps-and-islands QUALIFY'd to drop each
+    user's last session."""
     from covsonar_spark.streaming.pipeline import (run_to_memory,
                                                    sessionize_stateful,
                                                    stream_events)
@@ -2085,6 +2125,32 @@ def stream_sessionize(spark, sf_dir):
     st = sessionize_stateful(stream_events(spark, sf_dir))
     run_to_memory(st, name, output_mode="append")
     return spark.table(name).orderBy("user_id", "session_start_us")
+
+
+STREAM_SESSIONIZE_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS boundary
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+), sess AS (
+  SELECT user_id, ts_us,
+         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+), agg AS (
+  SELECT user_id, session_seq,
+         min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+         count(*) AS n_events
+  FROM sess GROUP BY user_id, session_seq)
+SELECT user_id, session_start_us, session_end_us, n_events
+FROM agg
+QUALIFY session_seq < max(session_seq) OVER (PARTITION BY user_id)
+ORDER BY user_id, session_start_us
+"""
 
 
 def sample_temperature_mix(spark, sf_dir):
@@ -2555,11 +2621,12 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "text_lang_id": (text_lang_id, TEXT_LANG_ID_SQL),
     "text_token_stats": (text_token_stats, TEXT_TOKEN_STATS_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "text_boilerplate": (text_boilerplate, TEXT_BOILERPLATE_SQL),
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
     "text_bigram_lm": (text_bigram_lm, TEXT_BIGRAM_LM_SQL),
     "text_chunk_windows": (text_chunk_windows, TEXT_CHUNK_SQL),
     "vcf_site_stats": (vcf_site_stats, VCF_SITE_STATS_SQL),
-    "stream_sessionize": (stream_sessionize, None),
+    "stream_sessionize": (stream_sessionize, STREAM_SESSIONIZE_SQL),
     "text_tfidf_topk": (text_tfidf_topk, TEXT_TFIDF_SQL),
     "multimodal_frames": (multimodal_frames, MULTIMODAL_FRAMES_SQL),
     "multimodal_meta_stats": (multimodal_meta_stats, MULTIMODAL_META_SQL),

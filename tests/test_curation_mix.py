@@ -136,3 +136,32 @@ def test_quality_gate_keeps_top_three_quarters(spark, docs):
     kept_ids = {r["doc_id"] for r in kept.collect()}
     for doc, q in scores.items():
         assert (q >= thr) == (doc in kept_ids)
+
+
+def test_boilerplate_detects_planted_chrome(spark):
+    """A footer 3-gram planted in 80% of one source's docs is flagged
+    for that source only; docs carrying it report a nonzero ratio."""
+    from covsonar_spark.operators.textstats import (boilerplate_ngrams,
+                                                    boilerplate_ratio)
+
+    rows = []
+    for i in range(10):
+        footer = " copyright acme corp" if i < 8 else ""
+        rows.append((i, "siteA", f"unique words number {i} here{footer}"))
+    words = ["alpha beta gamma", "delta epsilon zeta", "eta theta iota",
+             "kappa lam mu", "nu xi omicron", "pi rho sigma",
+             "tau upsilon phi", "chi psi omega", "one two three",
+             "four five six"]
+    for i in range(10, 20):
+        rows.append((i, "siteB", f"{words[i - 10]} text{i}"))
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+    flagged = boilerplate_ngrams(df, k=3, min_df_frac=0.5).collect()
+    assert flagged and all(r["source"] == "siteA" for r in flagged)
+    assert any(r["shingle"] == "copyright acme corp"
+               and r["df_frac"] == 0.8 for r in flagged)
+
+    ratios = {r["doc_id"]: r["boiler_ratio"]
+              for r in boilerplate_ratio(df, k=3, min_df_frac=0.5).collect()}
+    assert all(ratios[i] > 0 for i in range(8))          # carriers
+    assert all(ratios[i] == 0.0 for i in range(10, 20))  # clean source
