@@ -51,7 +51,20 @@ def cosine_self_topk(df: DataFrame, target_id: int, k: int = 10,
     )
 
 
-GRID_ROW_THRESHOLD = 500_000
+# Measured crossover (tools/stress_vectors.py, local[32], 64-dim):
+#   n=10k  broadcast 3.1 s  vs grid 4.4 s
+#   n=50k  broadcast 323 s  vs grid 27 s   (identical pair sets)
+# The broadcast kernel scores the full n² square against a per-task
+# n×dim matrix (memory-bound above ~10k rows); the grid scores the
+# triangle in bounded blocks.  So the exact-pairs auto mode switches to
+# the grid early — it is both the scale-safe AND the faster path well
+# before memory becomes the binding constraint.
+GRID_ROW_THRESHOLD = 10_000
+
+# The knn rerank's broadcast side is only a lookup table (no quadratic
+# kernel): the binding constraint is broadcast size, not compute —
+# 500k × 64 floats ≈ 128 MB, the edge of comfortable executor memory.
+KNN_BCAST_THRESHOLD = 500_000
 
 
 def cosine_pairs_exact(df: DataFrame, threshold: float,
@@ -395,8 +408,8 @@ def lsh_knn_join(df: DataFrame, k: int = 5, n_planes: int = 8, n_tables: int = 1
         path, ~3× slower at small scale because the vector payload
         rides the shuffle twice.
       * ``"auto"`` (default) — broadcast at or below
-        ``GRID_ROW_THRESHOLD`` rows, join above, mirroring
-        ``cosine_pairs_exact``'s mode selection.
+        ``KNN_BCAST_THRESHOLD`` rows (the lookup table is memory-bound,
+        not compute-bound), join above.
     Both produce bit-identical cosines (same sequential per-dimension
     float64 folds).
     """
@@ -407,7 +420,7 @@ def lsh_knn_join(df: DataFrame, k: int = 5, n_planes: int = 8, n_tables: int = 1
     if rerank not in ("auto", "broadcast", "join"):
         raise ValueError(f"unknown rerank mode {rerank!r}")
     if rerank == "auto":
-        rerank = "join" if df.count() > GRID_ROW_THRESHOLD else "broadcast"
+        rerank = "join" if df.count() > KNN_BCAST_THRESHOLD else "broadcast"
 
     spark = df.sparkSession
     planes = [np.array(_deterministic_hyperplanes(n_planes, 64, t),
