@@ -57,3 +57,31 @@ def test_doc_counts_match_registry():
     arch = open("ARCHITECTURE.md").read()
     m = re.search(r"registry\.py\s+(\d+) registry queries \((\d+) oracle", arch)
     assert m and (int(m.group(1)), int(m.group(2))) == (n, n_oracle)
+
+
+def test_no_oracle_twin_produces_int128():
+    """DuckDB types sum(int) as HUGEINT (int128), which the external
+    harness's width-sensitive value hasher rejects against Spark's
+    BIGINT.  Guard: no twin's result schema may contain HUGEINT — cast
+    integer sums to BIGINT in the SQL (round 1 failed 4 queries this
+    way)."""
+    import duckdb
+
+    from covsonar_spark.registry import REGISTRY
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    offenders = {}
+    for name, (_fn, sql) in REGISTRY.items():
+        if sql is None:
+            continue
+        rel = con.sql(sql)
+        bad = [f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
+               if "HUGEINT" in str(t).upper()]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
