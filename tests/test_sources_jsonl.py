@@ -49,3 +49,39 @@ def test_corrupt_lines_are_counted_not_dropped(spark, tmp_path):
     assert corrupt_line_count(back) == 1
     # 10 docs + 1 good injected line + 1 corrupt line, none dropped
     assert back.count() == 12
+
+
+def test_events_nanos_encoding_on_plain_session(spark, tmp_path):
+    """Past testdata generations shipped events.ts as TIMESTAMP(NANOS),
+    which Spark's reader rejects unless nanosAsLong is set. The
+    registry's _events must normalize that encoding to the same ts_us
+    the MICROS encoding yields — including on an externally-owned
+    session where the flag wasn't set at birth (ensure_nanos_readable
+    peeks the footer and sets it only then)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from covsonar_spark.registry import _events
+
+    micros = [1_600_000_000_000_000 + i * 1_000_000 for i in range(5)]
+    tbl = pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "user_id": pa.array([1] * 5, pa.int64()),
+        "event_type": pa.array(["view"] * 5),
+        "ts": pa.array([m * 1000 for m in micros], pa.timestamp("ns")),
+        "value": pa.array([float(i) for i in range(5)]),
+        "props": pa.array(["{}"] * 5),
+    })
+    d = tmp_path / "nanos"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    # simulate an externally-owned session without the flag: the footer
+    # peek must detect TIMESTAMP(NANOS) and set it before the read
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    try:
+        ev = _events(spark, str(d))
+        got = sorted(r["ts_us"] for r in ev.select("ts_us").collect())
+        assert got == micros
+        assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
