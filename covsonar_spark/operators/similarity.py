@@ -102,7 +102,15 @@ def cosine_pairs_exact(df: DataFrame, threshold: float,
     if mode not in ("auto", "broadcast", "grid"):
         raise ValueError(f"unknown mode {mode!r}")
     if mode == "auto":
-        mode = "grid" if df.count() > GRID_ROW_THRESHOLD else "broadcast"
+        n = df.count()
+        mode = "grid" if n > GRID_ROW_THRESHOLD else "broadcast"
+        if mode == "grid":
+            # scale the grid with the corpus: target ~8k-row blocks so
+            # a cell's bipartite kernel stays ~8k x 8k (bounded memory
+            # AND bounded per-task compute); replication cost grows as
+            # B/2 per row — the inherent price of exact all-pairs
+            import math
+            n_blocks = max(n_blocks, math.ceil(n / 8192))
     if mode == "grid":
         return _cosine_pairs_grid(df, threshold, vec_col, id_col, n_blocks)
 
@@ -381,7 +389,7 @@ def rp_lsh_buckets(df: DataFrame, n_planes: int = 8, n_tables: int = 1,
 
 def lsh_knn_join(df: DataFrame, k: int = 5, n_planes: int = 8, n_tables: int = 1,
                  vec_col: str = "embedding", id_col: str = "vec_id",
-                 rerank: str = "auto") -> DataFrame:
+                 rerank: str = "auto", max_bucket: int | None = None) -> DataFrame:
     """Approximate all-pairs knn: candidates share an LSH bucket in any
     table; rank by exact cosine per id_a.
 
@@ -451,9 +459,16 @@ def lsh_knn_join(df: DataFrame, k: int = 5, n_planes: int = 8, n_tables: int = 1
     # (a, b != a), deduped across tables.  This replaces a persist +
     # self-join: single consumption of the Python stage, one fewer
     # shuffle, and no cache entry left behind in a long-lived session.
+    lists = b.groupBy("table", "bucket").agg(F.collect_list(id_col).alias("ids"))
+    if max_bucket is not None:
+        # skew cap (the LSH analogue of the inverted index's
+        # max_shingle_df): a degenerate bucket with f members emits f^2
+        # pairs — drop buckets above the cap and lose only candidates
+        # whose ONLY collision is a stop-bucket (tune n_planes instead
+        # of raising the cap when this fires often)
+        lists = lists.where(F.size("ids") <= max_bucket)
     pairs = (
-        b.groupBy("table", "bucket")
-        .agg(F.collect_list(id_col).alias("ids"))
+        lists
         .select(F.explode("ids").alias("id_a"), "ids")
         .select("id_a", F.explode("ids").alias("id_b"))
         .where(F.col("id_a") != F.col("id_b"))

@@ -149,3 +149,36 @@ def test_lsh_knn_join_mode_matches_broadcast(spark, emb):
          lsh_knn_join(emb, k=3, n_planes=5, n_tables=2,
                       rerank="join").collect()}
     assert a and a == b
+
+
+def test_lsh_knn_max_bucket_cap(spark, emb):
+    """A max_bucket cap drops degenerate buckets: with cap=1 every
+    bucket is skipped, so no pairs; with a huge cap the result equals
+    the uncapped run."""
+    assert lsh_knn_join(emb, k=2, n_planes=4, max_bucket=1).count() == 0
+    a = {tuple(r) for r in
+         lsh_knn_join(emb, k=2, n_planes=4, max_bucket=10**6).collect()}
+    b = {tuple(r) for r in lsh_knn_join(emb, k=2, n_planes=4).collect()}
+    assert a == b
+
+
+def test_grid_auto_blocks_scale_with_corpus(spark):
+    """auto-mode grid on a corpus above the threshold still matches the
+    forced broadcast result (n_blocks auto-derived)."""
+    from covsonar_spark.operators import similarity as S
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    big = emb
+    for i in range(2):  # 500 -> 2000 rows via shifted ids
+        big = big.unionByName(
+            emb.select((F.col("vec_id") + 10**6 * (i + 1)).alias("vec_id"),
+                       "embedding", "label"))
+    old = S.GRID_ROW_THRESHOLD
+    S.GRID_ROW_THRESHOLD = 100
+    try:
+        auto = {(r["id_a"], r["id_b"]) for r in
+                S.cosine_pairs_exact(big, 0.5).collect()}
+    finally:
+        S.GRID_ROW_THRESHOLD = old
+    bc = {(r["id_a"], r["id_b"]) for r in
+          S.cosine_pairs_exact(big, 0.5, mode="broadcast").collect()}
+    assert auto == bc and auto
