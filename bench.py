@@ -115,6 +115,7 @@ HEADLINE = [
     "forecast_linear_trend",
     "skew_diagnose",
     "ivm_orders_rollup",
+    "ivm_join_view",
     "dedup_normalized",
     "sketch_hll_setops",
     "dq_constraint_audit",

@@ -30,6 +30,21 @@ from covsonar_spark.functions import text as Tx
 _GEN_CACHE: dict[str, DataFrame] = {}
 
 
+def clear_scratch_cache() -> None:
+    """Unpersist every generation-cached scratch table.  Call after
+    REWRITING a parquet path a previous call read from: ``sameResult``
+    compares canonicalized plans (root paths), not file snapshots, so
+    an overwrite-in-place could otherwise serve stale cached partitions
+    — the same caveat as Spark's own ``REFRESH TABLE``."""
+    for key in list(_GEN_CACHE):
+        prev = _GEN_CACHE.pop(key, None)
+        if prev is not None:
+            try:
+                prev.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+
+
 def _persist_scoped(key: str, df: DataFrame) -> DataFrame:
     """persist() with generation cleanup AND same-input memoization.
 

@@ -79,3 +79,41 @@ def finalize(state: DataFrame, group_cols: list[str]) -> DataFrame:
         F.round((F.col("sum_dec") / F.col("cnt")).cast("double"), 4).alias("avg_val"),
         F.round("mn", 2).alias("min_val"),
         F.round("mx", 2).alias("max_val"))
+
+
+def join_delta(a_old: DataFrame | None, delta_a: DataFrame | None,
+               b_old: DataFrame | None, delta_b: DataFrame | None,
+               on: list[str]) -> DataFrame:
+    """Delta of an inner equi-join view V = A ⋈ B under inserts.
+
+    The classic differential rule:
+
+        ΔV = ΔA ⋈ (B_old ∪ ΔB)  ∪  A_old ⋈ ΔB
+
+    (ΔA meets the NEW B so ΔA⋈ΔB appears exactly once.)  Appending ΔV
+    to the stored view maintains it without ever re-joining the full
+    bases: each step's work is delta-sized on one side — the property
+    the registry oracle value-checks by replaying chunked inserts into
+    both sides against a one-shot join.
+
+    Scale notes: both terms are ordinary equi-joins, so Catalyst
+    broadcasts a small delta against the big base (the common case:
+    today's inserts vs years of history) and AQE handles the skew; the
+    big⋈big one-shot join never happens after bootstrap.  DELETEs
+    extend the same algebra with retraction rows (multiplicity ±1) —
+    count-annotated views subtract; not needed for append-only facts.
+    """
+    terms = []
+    if delta_a is not None:
+        b_new = (b_old.unionByName(delta_b) if b_old is not None and delta_b is not None
+                 else (delta_b if b_old is None else b_old))
+        if b_new is not None:
+            terms.append(delta_a.join(b_new, on))
+    if delta_b is not None and a_old is not None:
+        terms.append(a_old.join(delta_b, on))
+    if not terms:
+        raise ValueError("no delta provided")
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.unionByName(t)
+    return out

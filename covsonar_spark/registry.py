@@ -1,5 +1,5 @@
 """Query registry: every implemented operator from SURVEY.md §2 exposed as
-a (spark_fn, oracle_sql) pair (125 queries, 125 with full oracles)
+a (spark_fn, oracle_sql) pair (126 queries, 126 with full oracles)
 over the driver's synthetic tables
 (/root/testdata/sf*/ — region nation customer supplier part orders
 lineitem events documents embeddings).
@@ -2440,6 +2440,44 @@ FROM orders GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _ivm_join_view(spark, sf_dir):
+    """Incrementally maintained JOIN view (orders ⋈ customer) built by
+    replaying chunked inserts into BOTH sides through the differential
+    rule ΔV = ΔA⋈B_new ∪ A_old⋈ΔB (operators/ivm.join_delta) — the
+    union of the bootstrap and every delta MUST equal the one-shot
+    join, which is exactly what the oracle runs."""
+    from covsonar_spark.operators import ivm
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"), "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey")
+    a0 = o.where(F.col("o_orderkey") % 3 == 0)
+    da1 = o.where(F.col("o_orderkey") % 3 == 1)
+    da2 = o.where(F.col("o_orderkey") % 3 == 2)
+    b0 = c.where(F.col("c_custkey") % 2 == 0)
+    db = c.where(F.col("c_custkey") % 2 == 1)
+
+    view = a0.join(b0, ["c_custkey"])                       # bootstrap
+    view = view.unionByName(ivm.join_delta(a0, da1, b0, None, ["c_custkey"]))
+    view = view.unionByName(
+        ivm.join_delta(a0.unionByName(da1), None, b0, db, ["c_custkey"]))
+    view = view.unionByName(
+        ivm.join_delta(None, da2, b0.unionByName(db), None, ["c_custkey"]))
+    return (view.select("o_orderkey", "c_custkey", "c_name",
+                        F.round(_dec("o_totalprice", 18, 2).cast("double"), 2)
+                        .alias("price"))
+            .orderBy("o_orderkey"))
+
+
+IVM_JOIN_SQL = """
+SELECT o_orderkey, o_custkey AS c_custkey, c_name,
+       round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS price
+FROM orders JOIN customer ON o_custkey = c_custkey
+ORDER BY o_orderkey
+"""
+
+
 def _skew_diagnose(spark, sf_dir):
     """Key-distribution report for lineitem.l_suppkey (a prospective
     join key): top-5 heaviest suppliers + global skew stats."""
@@ -2736,6 +2774,12 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ivm_orders_rollup": (
         lambda spark, sf_dir: _ivm_orders_rollup(spark, sf_dir),
         IVM_ORDERS_SQL,
+    ),
+    # differential join-view maintenance: chunked inserts into both
+    # sides replayed through join_delta == the one-shot join.
+    "ivm_join_view": (
+        lambda spark, sf_dir: _ivm_join_view(spark, sf_dir),
+        IVM_JOIN_SQL,
     ),
 }
 

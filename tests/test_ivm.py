@@ -61,3 +61,36 @@ def test_retraction_to_zero_deletes_the_group(spark):
     retract_a = agg_state(rows.where("g = 'A'"), ["g"], "v", negate=True)
     view = finalize(merge_states(base, retract_a, ["g"]), ["g"]).collect()
     assert [r["g"] for r in view] == ["B"]
+
+
+def test_join_delta_equals_one_shot(spark):
+    """Replayed chunked inserts into both sides of an equi-join view
+    reproduce the one-shot join exactly, each row exactly once."""
+    from covsonar_spark.operators import ivm
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"))
+    c = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey", "c_name")
+    a0, da = (o.where(F.col("o_orderkey") % 2 == 0),
+              o.where(F.col("o_orderkey") % 2 == 1))
+    b0, db = (c.where(F.col("c_custkey") % 2 == 0),
+              c.where(F.col("c_custkey") % 2 == 1))
+    view = a0.join(b0, ["c_custkey"])
+    view = view.unionByName(ivm.join_delta(a0, da, b0, None, ["c_custkey"]))
+    view = view.unionByName(
+        ivm.join_delta(a0.unionByName(da), None, b0, db, ["c_custkey"]))
+    got = sorted(tuple(r) for r in view.collect())
+    want = sorted(tuple(r) for r in o.join(c, ["c_custkey"]).select(
+        view.columns).collect())
+    assert got == want and len(got) == len(set(got))
+
+
+def test_join_delta_requires_a_delta(spark):
+    import pytest
+
+    from covsonar_spark.operators import ivm
+    df = spark.range(1).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        ivm.join_delta(df, None, df, None, ["k"])
