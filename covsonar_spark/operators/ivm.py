@@ -117,3 +117,58 @@ def join_delta(a_old: DataFrame | None, delta_a: DataFrame | None,
     for t in terms[1:]:
         out = out.unionByName(t)
     return out
+
+
+def join_delta_counted(a_old: DataFrame | None, delta_a: DataFrame | None,
+                       b_old: DataFrame | None, delta_b: DataFrame | None,
+                       on: list[str], m_col: str = "m") -> DataFrame:
+    """Multiplicity-annotated join-view delta — the retractable form.
+
+    Every relation carries an ``m`` multiplicity column (+1 insert,
+    -1 delete).  The differential rule is the same as
+    :func:`join_delta` but multiplicities MULTIPLY across the join
+    (bag semantics), so a deleted left row retracts every joined
+    output it ever produced:
+
+        ΔV = ΔA ⋈ B_new  ∪  A_old ⋈ ΔB,   m_v = m_a · m_b
+
+    Consolidate with :func:`consolidate` (sum m per row-value, drop
+    zeros) to read the net view.  This is the kernel every
+    DBSP/differential-dataflow-style maintainer is built on, expressed
+    as two ordinary Catalyst equi-joins.
+    """
+    ma = f"_{m_col}_a"
+    mb = f"_{m_col}_b"
+
+    def _mul(left: DataFrame, right: DataFrame) -> DataFrame:
+        l2 = left.withColumnRenamed(m_col, ma)
+        r2 = right.withColumnRenamed(m_col, mb)
+        return (l2.join(r2, on)
+                .withColumn(m_col, F.col(ma) * F.col(mb))
+                .drop(ma, mb))
+
+    terms = []
+    if delta_a is not None:
+        parts = [p for p in (b_old, delta_b) if p is not None]
+        if parts:
+            b_new = parts[0]
+            for p in parts[1:]:
+                b_new = b_new.unionByName(p)
+            terms.append(_mul(delta_a, b_new))
+    if delta_b is not None and a_old is not None:
+        terms.append(_mul(a_old, delta_b))
+    if not terms:
+        raise ValueError("no delta provided")
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+def consolidate(view: DataFrame, m_col: str = "m") -> DataFrame:
+    """Net multiplicity per distinct row value; rows retracted to zero
+    disappear.  One shuffle on the full row value — run periodically
+    (compaction), not per delta."""
+    cols = [c for c in view.columns if c != m_col]
+    return (view.groupBy(*cols).agg(F.sum(m_col).alias(m_col))
+            .where(F.col(m_col) != 0))

@@ -94,3 +94,46 @@ def test_join_delta_requires_a_delta(spark):
     df = spark.range(1).select(F.col("id").alias("k"))
     with pytest.raises(ValueError):
         ivm.join_delta(df, None, df, None, ["k"])
+
+
+def test_counted_join_view_with_deletes(spark):
+    """Insert chunked rows into both sides, then DELETE some left rows
+    via -1 multiplicities: the consolidated view equals the one-shot
+    join of the final base tables."""
+    from covsonar_spark.operators import ivm
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey")) \
+        .withColumn("m", F.lit(1))
+    c = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey", "c_name").withColumn("m", F.lit(1))
+    a0 = o.where(F.col("o_orderkey") % 2 == 0)
+    da = o.where(F.col("o_orderkey") % 2 == 1)
+    b0 = c.where(F.col("c_custkey") % 2 == 0)
+    db = c.where(F.col("c_custkey") % 2 == 1)
+
+    view = a0.join(b0.withColumnRenamed("m", "_mb"), ["c_custkey"]) \
+             .withColumn("m", F.col("m") * F.col("_mb")).drop("_mb")
+    view = view.unionByName(
+        ivm.join_delta_counted(a0, da, b0, None, ["c_custkey"]))
+    view = view.unionByName(
+        ivm.join_delta_counted(a0.unionByName(da), None, b0, db,
+                               ["c_custkey"]))
+    # DELETE every order divisible by 10: retraction delta m=-1
+    dele = o.where(F.col("o_orderkey") % 10 == 0) \
+            .withColumn("m", F.lit(-1))
+    view = view.unionByName(
+        ivm.join_delta_counted(None, dele, b0.unionByName(db), None,
+                               ["c_custkey"]))
+    net = ivm.consolidate(view)
+
+    want_base = o.where(F.col("o_orderkey") % 10 != 0).drop("m")
+    want = sorted(tuple(r) for r in
+                  want_base.join(c.drop("m"), ["c_custkey"]).collect())
+    got_rows = net.collect()
+    assert all(r["m"] == 1 for r in got_rows)
+    got = sorted((r["c_custkey"], r["o_orderkey"], r["c_name"])
+                 for r in got_rows)
+    want = sorted((a, b, n) for a, b, n in want)
+    assert got == want
