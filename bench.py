@@ -116,6 +116,7 @@ HEADLINE = [
     "skew_diagnose",
     "ivm_orders_rollup",
     "ivm_join_view",
+    "stream_ivm_join",
     "dedup_normalized",
     "sketch_hll_setops",
     "dq_constraint_audit",

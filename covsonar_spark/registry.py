@@ -1,5 +1,5 @@
 """Query registry: every implemented operator from SURVEY.md §2 exposed as
-a (spark_fn, oracle_sql) pair (126 queries, 126 with full oracles)
+a (spark_fn, oracle_sql) pair (127 queries, 127 with full oracles)
 over the driver's synthetic tables
 (/root/testdata/sf*/ — region nation customer supplier part orders
 lineitem events documents embeddings).
@@ -2586,6 +2586,29 @@ def _stream_countmin(spark, sf_dir):
             .orderBy("event_type"))
 
 
+def _stream_ivm_join(spark, sf_dir):
+    """Streaming join-view maintenance (streaming/ivm.py): orders
+    replayed as three micro-batches against the customer dimension,
+    plus one late dimension-insert wave — the maintained view MUST
+    equal the one-shot join, which is what the oracle runs."""
+    from covsonar_spark.streaming.ivm import StreamingJoinView
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"), "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    b0 = c.where(F.col("c_custkey") % 2 == 0)
+    db = c.where(F.col("c_custkey") % 2 == 1)
+    sjv = StreamingJoinView(spark, _scratch("stream_ivm_"), b0, ["c_custkey"])
+    for i in range(3):
+        sjv.process_batch(o.where(F.col("o_orderkey") % 3 == i), batch_id=i)
+    sjv.update_dim(db, "late")
+    return (sjv.view()
+            .select("o_orderkey", "c_custkey", "c_name",
+                    F.round(_dec("o_totalprice", 18, 2).cast("double"), 2)
+                    .alias("price"))
+            .orderBy("o_orderkey"))
+
+
 def _stream_hll(spark, sf_dir):
     """Chunked replay of the events table through StreamingHll
     (streaming/sketches.py), estimates joined with exact counts."""
@@ -2779,6 +2802,12 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # sides replayed through join_delta == the one-shot join.
     "ivm_join_view": (
         lambda spark, sf_dir: _ivm_join_view(spark, sf_dir),
+        IVM_JOIN_SQL,
+    ),
+    # streaming face of the same differential rule: micro-batched fact
+    # replay + a late dimension wave == the one-shot join (same oracle).
+    "stream_ivm_join": (
+        lambda spark, sf_dir: _stream_ivm_join(spark, sf_dir),
         IVM_JOIN_SQL,
     ),
 }

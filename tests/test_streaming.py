@@ -163,3 +163,37 @@ def test_stream_stream_attribution_matches_batch(spark, batch_events):
         & (F.col("click_ts_us") >= F.col("ts_us") - 1800 * 1_000_000)
         & (F.col("click_ts_us") <= F.col("ts_us"))).collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_join_view_real_stream(spark, tmp_path):
+    """Drive StreamingJoinView through a REAL rate-limited stream
+    (maxFilesPerTrigger): the maintained view equals the one-shot
+    join, and a replayed batch id does not duplicate rows."""
+    from pyspark.sql import functions as F
+
+    from covsonar_spark.streaming.ivm import StreamingJoinView
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"))
+    c = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey", "c_name")
+    # three fact files for maxFilesPerTrigger=1
+    src = tmp_path / "facts"
+    for i in range(3):
+        o.where(F.col("o_orderkey") % 3 == i).write.mode("overwrite") \
+         .parquet(str(src / f"chunk{i}"))
+    stream = (spark.readStream.schema(o.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src / "chunk*")))
+    sjv = StreamingJoinView(spark, str(tmp_path / "state"), c, ["c_custkey"])
+    q = sjv.attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in sjv.view().collect())
+    want = sorted(tuple(r) for r in o.join(c, ["c_custkey"])
+                  .select(sjv.view().columns).collect())
+    assert got == want
+    # replay one batch id: overwrite semantics keep the view identical
+    sjv.process_batch(o.where(F.col("o_orderkey") % 3 == 0), batch_id=0)
+    again = sorted(tuple(r) for r in sjv.view().collect())
+    assert again == got
