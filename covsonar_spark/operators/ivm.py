@@ -103,16 +103,27 @@ def join_delta(a_old: DataFrame | None, delta_a: DataFrame | None,
     extend the same algebra with retraction rows (multiplicity ±1) —
     count-annotated views subtract; not needed for append-only facts.
     """
+    if delta_a is None and delta_b is None:
+        raise ValueError("no delta provided (delta_a and delta_b both None)")
     terms = []
     if delta_a is not None:
         b_new = (b_old.unionByName(delta_b) if b_old is not None and delta_b is not None
                  else (delta_b if b_old is None else b_old))
-        if b_new is not None:
-            terms.append(delta_a.join(b_new, on))
-    if delta_b is not None and a_old is not None:
-        terms.append(a_old.join(delta_b, on))
-    if not terms:
-        raise ValueError("no delta provided")
+        if b_new is None:
+            raise ValueError(
+                "delta_a given but no B relation to join (pass an EMPTY "
+                "DataFrame for an empty-but-known relation; None means "
+                "'no relation', which makes the join schema underivable)")
+        terms.append(delta_a.join(b_new, on))
+    if delta_b is not None:
+        if a_old is not None:
+            terms.append(a_old.join(delta_b, on))
+        elif delta_a is None:
+            raise ValueError(
+                "delta_b given but no A relation to join (pass an EMPTY "
+                "DataFrame for an empty-but-known relation)")
+        # a_old None with delta_a present: A_old is empty by contract,
+        # so the A_old ⋈ ΔB term is correctly absent
     out = terms[0]
     for t in terms[1:]:
         out = out.unionByName(t)
@@ -147,18 +158,26 @@ def join_delta_counted(a_old: DataFrame | None, delta_a: DataFrame | None,
                 .withColumn(m_col, F.col(ma) * F.col(mb))
                 .drop(ma, mb))
 
+    if delta_a is None and delta_b is None:
+        raise ValueError("no delta provided (delta_a and delta_b both None)")
     terms = []
     if delta_a is not None:
         parts = [p for p in (b_old, delta_b) if p is not None]
-        if parts:
-            b_new = parts[0]
-            for p in parts[1:]:
-                b_new = b_new.unionByName(p)
-            terms.append(_mul(delta_a, b_new))
-    if delta_b is not None and a_old is not None:
-        terms.append(_mul(a_old, delta_b))
-    if not terms:
-        raise ValueError("no delta provided")
+        if not parts:
+            raise ValueError(
+                "delta_a given but no B relation to join (pass an EMPTY "
+                "DataFrame for an empty-but-known relation)")
+        b_new = parts[0]
+        for p in parts[1:]:
+            b_new = b_new.unionByName(p)
+        terms.append(_mul(delta_a, b_new))
+    if delta_b is not None:
+        if a_old is not None:
+            terms.append(_mul(a_old, delta_b))
+        elif delta_a is None:
+            raise ValueError(
+                "delta_b given but no A relation to join (pass an EMPTY "
+                "DataFrame for an empty-but-known relation)")
     out = terms[0]
     for t in terms[1:]:
         out = out.unionByName(t)

@@ -101,7 +101,12 @@ def _pixel_features(payload: bytes, dim: int = _FEAT_DIM) -> list[float] | None:
 
     if not is_png(payload):
         return None
-    w, h, ch, raw = decode_png(payload)
+    try:
+        w, h, ch, raw = decode_png(payload)
+    except Exception:  # noqa: BLE001 — corrupt PNG: fall back
+        return None
+    if not raw:                               # zero-area image: no pixels
+        return None
     px = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
     if ch == 3:  # Rec.601 luma
         px = px.reshape(-1, 3) @ np.array([0.299, 0.587, 0.114])
@@ -178,11 +183,16 @@ def _pcm_window_features(payload: bytes, n_windows: int,
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
-    nch, rate, width, frames = decode_wav(payload)
-    dt = {1: np.int8, 2: np.int16, 4: np.int32}.get(width)
+    try:
+        nch, rate, width, frames = decode_wav(payload)
+    except Exception:  # noqa: BLE001 — corrupt RIFF: fall back
+        return None
+    dt = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
     if dt is None or not frames:
         return None
     x = np.frombuffer(frames, dtype=dt).astype(np.float64)
+    if width == 1:
+        x -= 128.0                            # 8-bit WAV PCM is UNSIGNED
     if nch > 1:
         x = x.reshape(-1, nch).mean(axis=1)
     x /= float(2 ** (8 * width - 1))          # normalize to [-1, 1]

@@ -203,9 +203,27 @@ def quality_gate(df: DataFrame, pct: float = 0.25, text_col: str = "text",
             .select(id_col, "quality", "q_thr"))
 
 
+def _per_doc_shingles(df: DataFrame, k: int, text_col: str, id_col: str,
+                      source_col: str) -> DataFrame:
+    """(source, doc_id, shingle) — one row per DISTINCT shingle per doc
+    (the shared Arrow-batched shingle kernel, exploded).  Generation-
+    cached: ``boilerplate_ratio`` consumes this subtree three times in
+    one plan, and the shingle UDF is the dominant cost."""
+    from covsonar_spark.operators.dedup import _persist_scoped, shingle_sets
+
+    sh = shingle_sets(df.select(F.col(id_col), F.col(source_col),
+                                F.col(text_col)), text_col, id_col, k)
+    per_doc = (df.select(F.col(id_col), F.col(source_col))
+               .join(sh, id_col)
+               .select(F.col(source_col), F.col(id_col),
+                       F.explode("shingles").alias("shingle")))
+    return _persist_scoped("boilerplate_per_doc", per_doc)
+
+
 def boilerplate_ngrams(df: DataFrame, k: int = 3, min_df_frac: float = 0.5,
                        text_col: str = "text", id_col: str = "doc_id",
-                       source_col: str = "source") -> DataFrame:
+                       source_col: str = "source",
+                       _per_doc: DataFrame | None = None) -> DataFrame:
     """Per-source boilerplate n-gram table: word-k-grams that appear in
     at least ``min_df_frac`` of a source's documents — the site-chrome
     (header/footer/nav) detector of a web-scale curation pipeline,
@@ -221,13 +239,8 @@ def boilerplate_ngrams(df: DataFrame, k: int = 3, min_df_frac: float = 0.5,
     combine map-side; the tiny per-source doc counts broadcast back.
     No joins over raw text.
     """
-    from covsonar_spark.operators.dedup import shingle_sets
-
-    sh = shingle_sets(df.select(F.col(id_col), F.col(source_col),
-                                F.col(text_col)), text_col, id_col, k)
-    per_doc = (df.select(F.col(id_col), F.col(source_col))
-               .join(sh, id_col)
-               .select(source_col, id_col, F.explode("shingles").alias("shingle")))
+    per_doc = (_per_doc if _per_doc is not None
+               else _per_doc_shingles(df, k, text_col, id_col, source_col))
     n_docs = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
     sdf = (per_doc.groupBy(source_col, "shingle")
            .agg(F.count(F.lit(1)).alias("sdf")))
@@ -248,17 +261,15 @@ def boilerplate_ratio(df: DataFrame, k: int = 3, min_df_frac: float = 0.5,
     stripped before tokenization.
 
     Output: (doc_id, source, n_sh, n_boiler, boiler_ratio).
-    """
-    from covsonar_spark.operators.dedup import shingle_sets
 
+    The per-doc shingle table is computed ONCE (generation-cached) and
+    shared by the flagging aggregate, the hit semi-join, and the
+    per-doc sizes — the shingle kernel never sweeps the corpus twice.
+    """
+    per_doc = _per_doc_shingles(df, k, text_col, id_col, source_col)
     flagged = boilerplate_ngrams(df, k, min_df_frac, text_col, id_col,
-                                 source_col).select(source_col, "shingle")
-    sh = shingle_sets(df.select(F.col(id_col), F.col(source_col),
-                                F.col(text_col)), text_col, id_col, k)
-    per_doc = (df.select(F.col(id_col), F.col(source_col))
-               .join(sh, id_col)
-               .select(F.col(id_col), F.col(source_col),
-                       F.explode("shingles").alias("shingle")))
+                                 source_col,
+                                 _per_doc=per_doc).select(source_col, "shingle")
     hits = (per_doc.join(flagged, [source_col, "shingle"], "left_semi")
             .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_boiler")))
     n_sh = per_doc.groupBy(id_col, source_col).agg(

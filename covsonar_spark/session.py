@@ -97,11 +97,40 @@ def ensure_nanos_readable(spark: SparkSession, parquet_path: str) -> None:
     try:
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true":
             return
-        import glob as _glob
-        import pyarrow.parquet as _pq
-        paths = sorted(_glob.glob(parquet_path)) or [parquet_path]
-        schema = _pq.read_schema(paths[0])
-        if any(str(t).startswith("timestamp[ns") for t in schema.types):
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # noqa: BLE001 — footer peek is best-effort
+    except Exception:  # noqa: BLE001 — unreadable conf: fall through
         pass
+    try:
+        import glob as _glob
+        import os as _os
+        import pyarrow.parquet as _pq
+
+        paths = sorted(_glob.glob(parquet_path)) or [parquet_path]
+        # a Spark-written "file" is a DIRECTORY of part files — peek
+        # inside (recursively, skipping _SUCCESS etc.)
+        files = []
+        for p in paths:
+            if _os.path.isdir(p):
+                files.extend(sorted(_glob.glob(
+                    _os.path.join(p, "**", "*.parquet"), recursive=True)))
+            else:
+                files.append(p)
+        nanos = False
+        # bounded probe: footers are KB-sized but a 100 TB dir can hold
+        # 100k part files — probe the first 64 (one writer job is
+        # schema-uniform; a mixed-generation dir beyond the probe
+        # surfaces as a LOUD reader error, not silent data loss)
+        for f in files[:64]:
+            schema = _pq.read_schema(f)
+            if any(str(t).startswith("timestamp[ns") for t in schema.types):
+                nanos = True
+                break
+        if nanos:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 — footer peek failed: fail CLOSED
+        # we cannot prove the file is nanos-free, and the flag's only
+        # effect is on nanos columns — set it so the read cannot crash
+        # (the behavior of the unconditional set this helper replaced)
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:  # noqa: BLE001
+            pass

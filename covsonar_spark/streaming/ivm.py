@@ -4,7 +4,7 @@ dimension B — the streaming face of ``operators/ivm.join_delta``.
 
 State layout mirrors the log-structured sketch store
 (streaming/sketches.py): each micro-batch APPENDS its delta rows into
-a ``batch=<id>`` subdirectory with overwrite semantics, so
+a ``batch=<id>_g<gen>`` subdirectory with overwrite semantics, so
 foreachBatch's at-least-once replay rewrites rather than duplicates a
 batch.  The stored view is the union of the parquet log — no merge
 function needed because an inner-join view under inserts is purely
@@ -12,14 +12,21 @@ additive (ΔV = ΔA ⋈ B; use the retraction-counted form in
 operators/ivm.py when deletes matter).
 
 Dimension updates use the other half of the differential rule: a ΔB
-batch joins the FULL replayed fact log (A_old ⋈ ΔB) — delta-sized on
-the dimension side, and the fact log never re-joins itself.
+wave joins the FULL replayed fact log (A_old ⋈ ΔB) — delta-sized on
+the dimension side, and the fact log never re-joins itself.  Every
+dimension generation persists under ``dim/gen=<g>`` and each fact
+batch records WHICH generation it joined in its directory name, so a
+replayed fact batch re-joins the exact dimension it saw the first
+time — without that pinning, a replay arriving after a dim wave would
+re-emit the ΔA ⋈ ΔB rows the wave already wrote (double count).
 
 Scale notes: per micro-batch work is |ΔA| ⋈ B — Catalyst broadcasts a
 small delta or shuffles on the key, never touching the accumulated
 view; reading the view is a parquet scan of delta-sized files, exactly
 the layout a compaction job (store.optimize pattern) periodically
-rewrites into right-sized files.
+rewrites into right-sized files.  The dimension is assumed
+dimension-sized (persisting each generation copies only deltas, plus
+the bootstrap once).
 
 Reference note: the reference has no streaming surface; this is
 beyond-reference capability (SURVEY §2.8) composing its ingest-append
@@ -29,6 +36,7 @@ pattern with the IVM algebra.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -41,36 +49,91 @@ class StreamingJoinView:
         self.spark = spark
         self._view_path = os.path.join(state_dir, "view")
         self._fact_path = os.path.join(state_dir, "fact")
-        self.dim = dim
+        self._dim_path = os.path.join(state_dir, "dim")
         self.on = on
         self._seq = 0
+        # bootstrap generation 0 (idempotent: overwrite)
+        if not os.path.isdir(os.path.join(self._dim_path, "gen=0")):
+            dim.write.mode("overwrite").parquet(
+                os.path.join(self._dim_path, "gen=0"))
+
+    # -- dimension generations -------------------------------------------
+
+    def _current_gen(self) -> int:
+        gens = [int(e.split("=", 1)[1]) for e in os.listdir(self._dim_path)
+                if e.startswith("gen=")]
+        return max(gens)
+
+    def _dim_as_of(self, gen: int) -> DataFrame:
+        paths = [os.path.join(self._dim_path, f"gen={g}")
+                 for g in range(gen + 1)
+                 if os.path.isdir(os.path.join(self._dim_path, f"gen={g}"))]
+        return self.spark.read.parquet(*paths)
+
+    def _batch_gen(self, batch_id: int) -> int | None:
+        """The dim generation a previously-written fact batch joined
+        (encoded in its directory name), or None if never written."""
+        if not os.path.isdir(self._view_path):
+            return None
+        pat = re.compile(rf"^batch={batch_id}_g(\d+)$")
+        for e in os.listdir(self._view_path):
+            m = pat.match(e)
+            if m:
+                return int(m.group(1))
+        return None
+
+    # -- maintenance ------------------------------------------------------
 
     def process_batch(self, delta_fact: DataFrame,
                       batch_id: int | None = None) -> None:
-        """ΔV = ΔA ⋈ B appended under ``batch=<id>`` (idempotent under
-        replay); the raw ΔA is logged too so later dimension updates
-        can join the accumulated fact."""
+        """ΔV = ΔA ⋈ B_asof appended under ``batch=<id>_g<gen>``.
+        A replayed batch id re-joins the SAME dimension generation it
+        joined originally (pinned via the directory name), keeping the
+        view identical under at-least-once delivery even when dim
+        waves interleave with replays.  The raw ΔA is logged too so
+        later dimension updates can join the accumulated fact."""
         if batch_id is None:
             batch_id = self._seq
             self._seq += 1
-        (delta_fact.join(self.dim, self.on)
+        gen = self._batch_gen(batch_id)
+        if gen is None:
+            gen = self._current_gen()
+        (delta_fact.join(self._dim_as_of(gen), self.on)
          .write.mode("overwrite")
-         .parquet(os.path.join(self._view_path, f"batch={batch_id}")))
+         .parquet(os.path.join(self._view_path, f"batch={batch_id}_g{gen}")))
         (delta_fact.write.mode("overwrite")
          .parquet(os.path.join(self._fact_path, f"batch={batch_id}")))
 
+    def _gen_of_tag(self, tag: str) -> int | None:
+        for e in os.listdir(self._dim_path):
+            if e.startswith("gen=") and os.path.exists(
+                    os.path.join(self._dim_path, e, f"_tag_{tag}")):
+                return int(e.split("=", 1)[1])
+        return None
+
     def update_dim(self, delta_dim: DataFrame, tag: str) -> None:
-        """Dimension insert: ΔV = A_old ⋈ ΔB (delta-sized on the dim
-        side).  The new dim rows also extend ``self.dim`` for later
-        fact batches."""
-        fact = self.spark.read.parquet(self._fact_path).drop("batch")
-        (fact.join(delta_dim, self.on)
-         .write.mode("overwrite")
-         .parquet(os.path.join(self._view_path, f"batch=dim_{tag}")))
-        self.dim = self.dim.unionByName(delta_dim)
+        """Dimension insert wave: ΔV = A_old ⋈ ΔB (delta-sized on the
+        dim side), and the delta becomes generation ``g+1`` for later
+        fact batches.  Safe before any fact batch exists (ΔV empty);
+        idempotent under replay — a tag that already has a generation
+        rewrites it instead of minting a new one (the underscore
+        marker file is invisible to parquet readers)."""
+        new_gen = self._gen_of_tag(tag)
+        if new_gen is None:
+            new_gen = self._current_gen() + 1
+        gen_dir = os.path.join(self._dim_path, f"gen={new_gen}")
+        delta_dim.write.mode("overwrite").parquet(gen_dir)
+        open(os.path.join(gen_dir, f"_tag_{tag}"), "w").close()
+        if os.path.isdir(self._fact_path) and any(
+                e.startswith("batch=") for e in os.listdir(self._fact_path)):
+            fact = self.spark.read.parquet(self._fact_path).drop("batch")
+            (fact.join(delta_dim, self.on)
+             .write.mode("overwrite")
+             .parquet(os.path.join(self._view_path, f"batch=dim_{tag}")))
 
     def view(self) -> DataFrame:
-        """The maintained join view (union of the delta log)."""
+        """The maintained join view (union of the delta log); empty
+        view reads fail only if NOTHING was ever processed."""
         return self.spark.read.parquet(self._view_path).drop("batch")
 
     def attach(self, stream_df: DataFrame, checkpoint_dir: str):

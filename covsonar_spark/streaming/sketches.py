@@ -100,6 +100,22 @@ class _LogStructuredSketch:
                     pass
         return wm
 
+    def _max_batch_id(self) -> int:
+        """Highest batch id present in the log — raw ``batch=<n>`` dirs
+        AND the compaction watermark — so a restarted direct caller
+        (batch_id=None) never overwrites existing batches even before
+        the first compaction."""
+        wm = self._watermark()
+        if not os.path.isdir(self._path):
+            return wm
+        for e in os.listdir(self._path):
+            if e.startswith("batch=") and not e.startswith("batch=c_"):
+                try:
+                    wm = max(wm, int(e[len("batch="):]))
+                except ValueError:
+                    pass
+        return wm
+
     def _read_or_none(self) -> DataFrame | None:
         # only the genuinely-absent case maps to "no state yet";
         # transient read errors must SURFACE, not silently reset the
@@ -124,7 +140,7 @@ class _LogStructuredSketch:
         self._recover()
         wm = self._watermark()
         if batch_id is None:
-            self._seq = max(self._seq, wm + 1)
+            self._seq = max(self._seq, self._max_batch_id() + 1)
             batch_id = self._seq
             self._seq += 1
         elif batch_id <= wm:

@@ -213,3 +213,36 @@ def test_audio_features_real_wav(spark):
         rms = r["features"][0]
         assert abs(rms - amp / math.sqrt(2)) < 0.01
         assert 0.05 < r["features"][1] < 0.25    # ZCR of 440 Hz @ 8 kHz
+
+
+def test_audio_features_8bit_wav_unsigned(spark):
+    """8-bit WAV PCM is unsigned per the RIFF spec: a silent 8-bit clip
+    (all 0x80) must report RMS ~0, not 1.0."""
+    from covsonar_spark.functions.png import encode_wav
+    from covsonar_spark.operators.multimodal import _pcm_window_features
+
+    wav = encode_wav(bytes([128] * 4000), sample_width=1)
+    feats = _pcm_window_features(wav, 4)
+    assert feats is not None
+    for f in feats:
+        assert abs(f[0]) < 1e-9           # rms
+        assert abs(f[3]) < 1e-9           # mean
+
+
+def test_corrupt_and_zero_area_payloads_fall_back(spark):
+    """Corrupt PNG/WAV payloads and zero-area PNGs fall back to the
+    deterministic stand-in instead of emitting NaN or crashing."""
+    import struct
+    import zlib
+
+    from covsonar_spark.functions.png import _SIG, _chunk
+    from covsonar_spark.operators.multimodal import (_pcm_window_features,
+                                                     _pixel_features)
+
+    truncated_png = _SIG + b"\x00\x00\x00\x0dIHDRgarbage"
+    assert _pixel_features(truncated_png) is None
+    zero_area = (_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 5, 8, 0, 0, 0, 0))
+                 + _chunk(b"IDAT", zlib.compress(b"")) + _chunk(b"IEND", b""))
+    assert _pixel_features(zero_area) is None
+    bad_wav = b"RIFF" + b"\x00" * 4 + b"WAVEgarbage"
+    assert _pcm_window_features(bad_wav, 4) is None

@@ -197,3 +197,59 @@ def test_streaming_join_view_real_stream(spark, tmp_path):
     sjv.process_batch(o.where(F.col("o_orderkey") % 3 == 0), batch_id=0)
     again = sorted(tuple(r) for r in sjv.view().collect())
     assert again == got
+
+
+def test_streaming_join_view_replay_after_dim_wave(spark, tmp_path):
+    """The double-count trap: a fact batch replayed AFTER a dimension
+    wave must re-join the dimension generation it saw originally —
+    otherwise the replayed batch re-emits the dA x dB rows the wave
+    already wrote."""
+    from pyspark.sql import functions as F
+
+    from covsonar_spark.streaming.ivm import StreamingJoinView
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"))
+    c = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey", "c_name")
+    b0 = c.where(F.col("c_custkey") % 2 == 0)
+    db = c.where(F.col("c_custkey") % 2 == 1)
+    d0 = o.where(F.col("o_orderkey") % 2 == 0)
+    d1 = o.where(F.col("o_orderkey") % 2 == 1)
+
+    sjv = StreamingJoinView(spark, str(tmp_path / "state"), b0, ["c_custkey"])
+    sjv.process_batch(d0, batch_id=0)
+    sjv.update_dim(db, "late")
+    sjv.process_batch(d0, batch_id=0)          # at-least-once replay
+    sjv.update_dim(db, "late")                 # replayed dim wave too
+    sjv.process_batch(d1, batch_id=1)          # new batch sees gen 1
+
+    got = sorted(tuple(r) for r in sjv.view().collect())
+    want = sorted(tuple(r) for r in o.join(c, ["c_custkey"])
+                  .select(sjv.view().columns).collect())
+    assert got == want and len(got) == len(set(got))
+
+
+def test_streaming_join_view_dim_wave_before_any_fact(spark, tmp_path):
+    """A dimension wave arriving before the first fact batch must not
+    crash and must still count for later fact batches."""
+    from pyspark.sql import functions as F
+
+    from covsonar_spark.streaming.ivm import StreamingJoinView
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"))
+    c = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey", "c_name")
+    b0 = c.where(F.col("c_custkey") % 2 == 0)
+    db = c.where(F.col("c_custkey") % 2 == 1)
+
+    sjv = StreamingJoinView(spark, str(tmp_path / "state"), b0, ["c_custkey"])
+    sjv.update_dim(db, "early")                # no fact yet: no crash
+    sjv.process_batch(o, batch_id=0)
+    got = sorted(tuple(r) for r in sjv.view().collect())
+    want = sorted(tuple(r) for r in o.join(c, ["c_custkey"])
+                  .select(sjv.view().columns).collect())
+    assert got == want

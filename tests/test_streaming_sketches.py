@@ -182,3 +182,25 @@ def test_stale_tmp_does_not_leak_into_next_compaction(spark, tmp_path):
     cm._compact()
     got = {(r["key"], r["cm_est"]) for r in cm.estimates(keys).collect()}
     assert got == expect
+
+
+def test_restart_before_first_compaction_does_not_overwrite(spark, tmp_path):
+    """A restarted direct caller (batch_id=None) must seed its sequence
+    above the existing raw batch dirs, not overwrite batch=0."""
+    from covsonar_spark.streaming.sketches import StreamingCountMin
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    keys = ev.select(F.col("event_type").alias("key")).distinct()
+    cm = StreamingCountMin(spark, str(tmp_path / "state"),
+                           key_col="event_type", compact_every=100)
+    cm.process_batch(ev.where(F.col("event_id") % 2 == 0))   # batch=0
+    # process restart: fresh object, same state dir, NO compaction yet
+    cm2 = StreamingCountMin(spark, str(tmp_path / "state"),
+                            key_col="event_type", compact_every=100)
+    cm2.process_batch(ev.where(F.col("event_id") % 2 == 1))  # must be batch=1
+    got = {(r["key"], r["cm_est"]) for r in cm2.estimates(keys).collect()}
+    one_shot = StreamingCountMin(spark, str(tmp_path / "oneshot"),
+                                 key_col="event_type", compact_every=100)
+    one_shot.process_batch(ev)
+    want = {(r["key"], r["cm_est"]) for r in one_shot.estimates(keys).collect()}
+    assert got == want
