@@ -24,6 +24,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,6 +37,65 @@ from covsonar_spark.operators import predicates as P
 from covsonar_spark.operators.match import MatchEngine, MatchQuery, build_essence
 
 TABLES = ("genomes", "sequences", "profiles", "dna_variants", "prot_variants")
+
+
+@contextlib.contextmanager
+def mutation_lock(root: str, timeout: float = 600.0,
+                  lease_timeout: float = 3600.0):
+    """Single-writer mutation lease for a store root.
+
+    The reference inherited writer exclusion from SQLite's file lock
+    (lib/sonardb.py connection handling); a parquet-directory store
+    must provide its own.  Atomic ``os.mkdir`` is the lease — portable
+    to any POSIX filesystem, NFS included.  A crashed writer's stale
+    lease is broken after ``lease_timeout`` seconds; waiting writers
+    poll until ``timeout`` then raise.
+
+    Readers never take the lock: mutations are copy-on-write rename
+    swaps (``_overwrite``), so a concurrent reader sees either the old
+    or the new table, never a half-written one.
+    """
+    import time
+
+    lock = os.path.join(root, ".lock")
+    deadline = time.time() + timeout
+    while True:
+        try:
+            os.mkdir(lock)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:
+                continue                      # released between checks
+            if age > lease_timeout:
+                import shutil
+                shutil.rmtree(lock, ignore_errors=True)
+                continue
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"another writer holds the store lock {lock} "
+                    f"(held {age:.0f}s; waited {timeout:.0f}s)")
+            time.sleep(0.2)
+    try:
+        with open(os.path.join(lock, "owner"), "w") as fh:
+            fh.write(f"pid={os.getpid()} at={time.time():.0f}\n")
+        yield
+    finally:
+        import shutil
+        shutil.rmtree(lock, ignore_errors=True)
+
+
+def _locked(fn):
+    """Decorator: run a mutating SonarStore method under the store's
+    single-writer lease."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with mutation_lock(self.root):
+            return fn(self, *args, **kwargs)
+    return wrapper
 
 # Store format history (marker file root/VERSION; see SonarStore.upgrade):
 #   1 — pre-versioning: genomes written unpartitioned; dates possibly
@@ -131,6 +191,11 @@ class SonarStore:
         Returns (version_before, version_after); refuses stores written
         by a newer engine."""
         os.makedirs(root, exist_ok=True)
+        with mutation_lock(root):
+            return cls._upgrade_locked(spark, root)
+
+    @classmethod
+    def _upgrade_locked(cls, spark: SparkSession, root: str) -> tuple[int, int]:
         before = cls.version(root)
         if before > SCHEMA_VERSION:
             raise ValueError(
@@ -150,6 +215,7 @@ class SonarStore:
             fh.write(f"{v}\n")
         os.replace(tmp, os.path.join(root, "VERSION"))
 
+    @_locked
     def optimize(self) -> dict:
         """P6 — compaction (reference VACUUM, lib/sonardb.py:2090-2093):
         rewrite each table into size-appropriate files. Genomes are
@@ -182,6 +248,8 @@ class SonarStore:
     def table(self, name: str) -> DataFrame:
         path = self._path(name)
         if not os.path.exists(path):
+            self._heal(name)
+        if not os.path.exists(path):
             return self.spark.createDataFrame([], _SCHEMAS[name])
         try:
             df = self.spark.read.parquet(path)
@@ -204,21 +272,44 @@ class SonarStore:
             return df, ["date_month"]
         return df.repartition(max(1, df.rdd.getNumPartitions() // 4 or 1), "seqhash"), []
 
-    def _overwrite(self, name: str, df: DataFrame) -> None:
-        """Copy-on-write table replace (write tmp → swap) so a failed job
-        never truncates the table."""
+    def _heal(self, name: str) -> None:
+        """Repair a crash between ``_overwrite``'s rename pair: if the
+        table path is absent but a COMPLETE ``.tmp`` (fully written
+        before any rename) or the ``.old`` copy survives, restore it —
+        never treat a mid-swap table as empty."""
         import shutil
 
-        tmp = self._path(name) + ".tmp"
+        final = self._path(name)
+        tmp, old = final + ".tmp", final + ".old"
+        if not os.path.exists(final):
+            if os.path.isdir(tmp) and os.path.exists(
+                    os.path.join(tmp, "_SUCCESS")):
+                os.rename(tmp, final)
+            elif os.path.isdir(old):
+                os.rename(old, final)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def _overwrite(self, name: str, df: DataFrame) -> None:
+        """Copy-on-write table replace (write tmp → rename pair) so a
+        failed job never truncates the table: the old data is moved
+        aside, not deleted, until the new copy is in place (the crash
+        window between the renames heals via ``_heal`` on next read —
+        the same pattern as the streaming sketch store's compaction)."""
+        import shutil
+
+        final = self._path(name)
+        tmp, old = final + ".tmp", final + ".old"
+        shutil.rmtree(tmp, ignore_errors=True)
         out, parts = self._layout(name, df)
         w = out.write.mode("overwrite")
         if parts:
             w = w.partitionBy(*parts)
         w.parquet(tmp)
-        final = self._path(name)
+        shutil.rmtree(old, ignore_errors=True)
         if os.path.exists(final):
-            shutil.rmtree(final)
+            os.rename(final, old)
         os.rename(tmp, final)
+        shutil.rmtree(old, ignore_errors=True)
 
     def _append(self, name: str, df: DataFrame) -> None:
         out, parts = self._layout(name, df)
@@ -229,6 +320,7 @@ class SonarStore:
 
     # -- ingest (add) -----------------------------------------------------
 
+    @_locked
     def add_fasta_df(self, records: DataFrame, force: bool = False,
                      band_extra: int = 200, paranoid: bool = True,
                      metadata_defaults: dict | None = None) -> dict:
@@ -362,6 +454,7 @@ class SonarStore:
 
     # -- metadata update / delete / info (P4, P5, A2-A8) -------------------
 
+    @_locked
     def update_metadata(self, updates: DataFrame) -> int:
         """P4 — join-based metadata upsert (reference update_genome,
         lib/sonardb.py:2010-2087, applied per accession in a driver
@@ -394,6 +487,7 @@ class SonarStore:
             *[f.name for f in schemas.GENOMES.fields]))
         return n
 
+    @_locked
     def remove(self, accessions: list[str]) -> dict:
         """P5 — delete genomes + orphan GC (reference delete_genome,
         lib/sonardb.py:1470-1504): a seqhash whose last accession is

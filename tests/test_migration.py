@@ -70,3 +70,51 @@ def test_newer_store_is_refused(spark, tmp_path):
         fh.write(str(SCHEMA_VERSION + 1))
     with pytest.raises(ValueError, match="newer than this engine"):
         SonarStore.upgrade(spark, root)
+
+
+def test_mutation_lock_excludes_second_writer(tmp_path):
+    """A held lease makes a second writer time out; release frees it;
+    a stale lease is broken."""
+    import os
+    import time
+
+    import pytest
+
+    from covsonar_spark.store import mutation_lock
+
+    root = str(tmp_path)
+    with mutation_lock(root):
+        assert os.path.isdir(os.path.join(root, ".lock"))
+        with pytest.raises(TimeoutError):
+            with mutation_lock(root, timeout=0.5):
+                pass
+    # released
+    with mutation_lock(root, timeout=0.5):
+        pass
+    # stale lease: backdate the lock dir and break it
+    os.mkdir(os.path.join(root, ".lock"))
+    old = time.time() - 10_000
+    os.utime(os.path.join(root, ".lock"), (old, old))
+    with mutation_lock(root, timeout=5, lease_timeout=3600):
+        pass
+
+
+def test_overwrite_crash_window_heals(spark, tmp_path):
+    """Simulate a crash between _overwrite's renames: table path absent,
+    .old present -> table() restores it instead of reporting empty."""
+    import os
+
+    from covsonar_spark.store import SonarStore
+
+    root = str(tmp_path / "store")
+    store = SonarStore.open(spark, root)
+    schema = SonarStore(spark, root).table("genomes").schema
+    row = tuple("v" if not f.nullable else None for f in schema.fields)
+    df = spark.createDataFrame([row], schema)
+    store._overwrite("genomes", df)
+    assert store.table("genomes").count() == 1
+    # crash window: final moved aside, new copy not yet swapped in
+    os.rename(store._path("genomes"), store._path("genomes") + ".old")
+    assert store.table("genomes").count() == 1      # healed from .old
+    assert os.path.exists(store._path("genomes"))
+    assert not os.path.exists(store._path("genomes") + ".old")
