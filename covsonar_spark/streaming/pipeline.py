@@ -207,13 +207,29 @@ def stream_add_genomes(store, watch_dir: str,
     return w.start()
 
 
+_MEMORY_SINKS: dict[str, list[str]] = {}
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drain a stream into an in-memory table with availableNow (one
     micro-batch sweep over all currently-available files) and return the
-    query handle; caller reads ``spark.table(name)``."""
+    query handle; caller reads ``spark.table(name)``.
+
+    Memory sinks hold their rows in the session until dropped; repeated
+    callers (bench best-of-N, the registry) must not accumulate them —
+    each call drops the PREVIOUS sink registered under the same logical
+    prefix (the part before the trailing ``_<n>`` sequence number)."""
+    spark = stream_df.sparkSession
+    prefix = name.rsplit("_", 1)[0]
+    for old in _MEMORY_SINKS.pop(prefix, []):
+        try:
+            spark.catalog.dropTempView(old)
+        except Exception:  # noqa: BLE001 — already gone
+            pass
     q = (
         stream_df.writeStream.format("memory").queryName(name)
         .outputMode(output_mode).trigger(availableNow=True).start()
     )
     q.awaitTermination()
+    _MEMORY_SINKS[prefix] = [name]
     return q
