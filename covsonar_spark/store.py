@@ -57,6 +57,7 @@ def mutation_lock(root: str, timeout: float = 600.0,
     """
     import time
 
+    os.makedirs(root, exist_ok=True)   # lazy stores create root on demand
     lock = os.path.join(root, ".lock")
     deadline = time.time() + timeout
     while True:
