@@ -179,7 +179,7 @@ def _cosine_pairs_grid(df: DataFrame, threshold: float,
         F.explode(F.sequence(F.lit(0), F.col("_blk") - 1)).alias("ci"),
         F.col("_blk").alias("cj"), F.lit(1).alias("role"))
 
-    def score_cell(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def score_cell(key, pdf):
         ci, cj = key
         a = pdf[pdf["role"] == 0]
         bb = a if ci == cj else pdf[pdf["role"] == 1]
