@@ -38,6 +38,11 @@ from covsonar_spark.operators.match import MatchEngine, MatchQuery, build_essenc
 
 TABLES = ("genomes", "sequences", "profiles", "dna_variants", "prot_variants")
 
+# roots whose mutation lease THIS process currently holds (reentrancy:
+# a lease-holding mutation that reads a table must heal directly
+# instead of skipping because "someone" — itself — holds the lock)
+_HELD_LOCKS: set[str] = set()
+
 
 @contextlib.contextmanager
 def mutation_lock(root: str, timeout: float = 600.0,
@@ -47,15 +52,29 @@ def mutation_lock(root: str, timeout: float = 600.0,
     The reference inherited writer exclusion from SQLite's file lock
     (lib/sonardb.py connection handling); a parquet-directory store
     must provide its own.  Atomic ``os.mkdir`` is the lease — portable
-    to any POSIX filesystem, NFS included.  A crashed writer's stale
-    lease is broken after ``lease_timeout`` seconds; waiting writers
-    poll until ``timeout`` then raise.
+    to any POSIX filesystem, NFS included.
 
-    Readers never take the lock: mutations are copy-on-write rename
-    swaps (``_overwrite``), so a concurrent reader sees either the old
-    or the new table, never a half-written one.
+    Liveness protocol:
+      * a HEARTBEAT thread refreshes the lock dir's mtime every
+        ``lease_timeout/4`` seconds while the holder works, so a lease
+        is stale only when its holder is genuinely gone — long
+        mutations (an hours-long compaction) keep their lease;
+      * breaking a stale lease is ATOMIC: the breaker renames the
+        stale dir aside (exactly one concurrent breaker wins the
+        rename) and deletes the renamed copy — delete-then-create
+        would let two waiters both "acquire";
+      * waiters poll until ``timeout`` then raise; transient stat
+        errors still honor the deadline and back off.
+
+    Readers never take the lock for QUERYING: mutations are
+    copy-on-write rename swaps (``_overwrite``), so a concurrent
+    reader sees either the old or the new table, never a half-written
+    one.  (``_heal`` — crash repair — does a non-blocking acquire and
+    skips when a live writer holds the lease.)
     """
+    import threading
     import time
+    import uuid
 
     os.makedirs(root, exist_ok=True)   # lazy stores create root on demand
     lock = os.path.join(root, ".lock")
@@ -68,23 +87,55 @@ def mutation_lock(root: str, timeout: float = 600.0,
             try:
                 age = time.time() - os.path.getmtime(lock)
             except OSError:
-                continue                      # released between checks
+                age = 0.0                     # released between checks
             if age > lease_timeout:
                 import shutil
-                shutil.rmtree(lock, ignore_errors=True)
+                stale = f"{lock}.stale-{uuid.uuid4().hex[:8]}"
+                try:
+                    os.rename(lock, stale)    # atomic: one breaker wins
+                except OSError:
+                    pass                      # someone else broke/released it
+                else:
+                    shutil.rmtree(stale, ignore_errors=True)
                 continue
             if time.time() > deadline:
                 raise TimeoutError(
                     f"another writer holds the store lock {lock} "
                     f"(held {age:.0f}s; waited {timeout:.0f}s)")
             time.sleep(0.2)
+
+    stop = threading.Event()
+    _HELD_LOCKS.add(os.path.abspath(root))
+
+    def _heartbeat():
+        while not stop.wait(max(lease_timeout / 4.0, 0.5)):
+            try:
+                os.utime(lock)
+            except OSError:
+                return                        # lock gone: holder exiting
+    hb = threading.Thread(target=_heartbeat, daemon=True)
+    hb.start()
     try:
         with open(os.path.join(lock, "owner"), "w") as fh:
             fh.write(f"pid={os.getpid()} at={time.time():.0f}\n")
         yield
     finally:
         import shutil
+        stop.set()
+        _HELD_LOCKS.discard(os.path.abspath(root))
         shutil.rmtree(lock, ignore_errors=True)
+
+
+@contextlib.contextmanager
+def try_mutation_lock(root: str):
+    """Non-blocking acquire: yields True holding the lease, or False
+    (without it) when a live writer currently holds it — used by crash
+    repair, which must never fight an in-progress mutation."""
+    try:
+        with mutation_lock(root, timeout=0.0):
+            yield True
+    except TimeoutError:
+        yield False
 
 
 def _locked(fn):
@@ -192,11 +243,23 @@ class SonarStore:
         Returns (version_before, version_after); refuses stores written
         by a newer engine."""
         os.makedirs(root, exist_ok=True)
+        # lock-free fast path: a current store with its marker present
+        # needs no migration and no marker write — read-only flows
+        # (match/restore/info) must not block behind a writer's lease
+        if (cls.version(root) == SCHEMA_VERSION
+                and os.path.exists(os.path.join(root, "VERSION"))):
+            return SCHEMA_VERSION, SCHEMA_VERSION
         with mutation_lock(root):
             return cls._upgrade_locked(spark, root)
 
     @classmethod
     def _upgrade_locked(cls, spark: SparkSession, root: str) -> tuple[int, int]:
+        # heal any crashed table swap FIRST: migrations probe raw table
+        # paths, and a mid-swap crash must not make them conclude a
+        # table is absent (skipping the migration while VERSION bumps)
+        healer = cls(spark, root)
+        for t in TABLES:
+            healer._heal_locked(t)
         before = cls.version(root)
         if before > SCHEMA_VERSION:
             raise ValueError(
@@ -277,17 +340,42 @@ class SonarStore:
         """Repair a crash between ``_overwrite``'s rename pair: if the
         table path is absent but a COMPLETE ``.tmp`` (fully written
         before any rename) or the ``.old`` copy survives, restore it —
-        never treat a mid-swap table as empty."""
+        never treat a mid-swap table as empty.
+
+        Runs under a NON-BLOCKING lease acquire: when a live writer
+        holds the lock, the "crash window" is actually an in-progress
+        swap that the writer itself will complete — healing then would
+        steal its tmp dir out from under its rename.  Rename races
+        between two healing readers are likewise excluded because only
+        the lease holder heals; residual rename errors (a release
+        racing the acquire) are tolerated, not fatal for a read."""
+        final = self._path(name)
+        tmp, old = final + ".tmp", final + ".old"
+        if os.path.exists(final) or not (os.path.isdir(tmp) or os.path.isdir(old)):
+            return
+        if os.path.abspath(self.root) in _HELD_LOCKS:
+            self._heal_locked(name)       # we ARE the writer: reentrant
+            return
+        with try_mutation_lock(self.root) as held:
+            if not held:
+                return                    # live writer mid-swap: leave it
+            self._heal_locked(name)
+
+    def _heal_locked(self, name: str) -> None:
+        """The repair itself; caller must hold the mutation lease."""
         import shutil
 
         final = self._path(name)
         tmp, old = final + ".tmp", final + ".old"
-        if not os.path.exists(final):
-            if os.path.isdir(tmp) and os.path.exists(
-                    os.path.join(tmp, "_SUCCESS")):
-                os.rename(tmp, final)
-            elif os.path.isdir(old):
-                os.rename(old, final)
+        try:
+            if not os.path.exists(final):
+                if os.path.isdir(tmp) and os.path.exists(
+                        os.path.join(tmp, "_SUCCESS")):
+                    os.rename(tmp, final)
+                elif os.path.isdir(old):
+                    os.rename(old, final)
+        except OSError:
+            pass                          # raced a release: re-read below
         shutil.rmtree(old, ignore_errors=True)
 
     def _overwrite(self, name: str, df: DataFrame) -> None:

@@ -207,7 +207,7 @@ def stream_add_genomes(store, watch_dir: str,
     return w.start()
 
 
-_MEMORY_SINKS: dict[str, list[str]] = {}
+_MEMORY_SINKS: dict[tuple[int, str], str] = {}
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
@@ -218,10 +218,17 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     Memory sinks hold their rows in the session until dropped; repeated
     callers (bench best-of-N, the registry) must not accumulate them —
     each call drops the PREVIOUS sink registered under the same logical
-    prefix (the part before the trailing ``_<n>`` sequence number)."""
+    prefix, where the prefix strips only a trailing NUMERIC sequence
+    segment (``reg_stream_sessions_7`` → ``reg_stream_sessions``;
+    ``sess_native`` keeps its full name, so unrelated sinks sharing a
+    word prefix never evict each other).  Bookkeeping is keyed by
+    session so multi-session processes drop only their own views."""
     spark = stream_df.sparkSession
-    prefix = name.rsplit("_", 1)[0]
-    for old in _MEMORY_SINKS.pop(prefix, []):
+    head, _, tail = name.rpartition("_")
+    prefix = head if head and tail.isdigit() else name
+    key = (id(spark), prefix)
+    old = _MEMORY_SINKS.pop(key, None)
+    if old is not None and old != name:
         try:
             spark.catalog.dropTempView(old)
         except Exception:  # noqa: BLE001 — already gone
@@ -231,5 +238,5 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
         .outputMode(output_mode).trigger(availableNow=True).start()
     )
     q.awaitTermination()
-    _MEMORY_SINKS[prefix] = [name]
+    _MEMORY_SINKS[key] = name
     return q
