@@ -2850,8 +2850,8 @@ _PRIORITY_WINDOW = [
     "stream_dedup_lsh", "stream_hll_distinct",
     # ANN / embeddings
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_knn", "embed_near_dup",
-    # text / curation
-    "text_lang_id", "curate_corpus", "sample_split_leakage_safe",
+    # text / curation / incremental view maintenance
+    "text_lang_id", "curate_corpus", "ivm_join_view",
     # one row per remaining family
     "agg_cube_revenue", "ts_gap_fill", "graph_pagerank",
     "sketch_hll_distinct", "dq_constraint_audit",
@@ -2860,7 +2860,21 @@ assert len(_PRIORITY_WINDOW) == 50, len(_PRIORITY_WINDOW)
 assert all(k in _ALL for k in _PRIORITY_WINDOW), [
     k for k in _PRIORITY_WINDOW if k not in _ALL]
 
+_SECOND_WINDOW = [
+    # rows 51+: ordered by marginal signal in case the harness checks
+    # beyond its round-1 budget of 50
+    "sample_split_leakage_safe", "stream_ivm_join", "text_boilerplate",
+    "stream_sessionize", "q9_product_profit", "agg_histogram",
+    "sketch_kmv_distinct", "graph_triangles", "multimodal_meta_stats",
+    "cdc_snapshot_diff", "basket_association_rules",
+    "join_fuzzy_levenshtein", "ivm_orders_rollup", "ann_pq_topk",
+    "hybrid_search_rrf", "stream_countmin", "stream_histogram_quantile",
+    "events_funnel", "dedup_canonical", "dedup_ngram_prefix",
+]
+assert all(k in _ALL and k not in _PRIORITY_WINDOW for k in _SECOND_WINDOW)
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     k: _ALL[k] for k in _PRIORITY_WINDOW
 }
+REGISTRY.update((k, _ALL[k]) for k in _SECOND_WINDOW)
 REGISTRY.update((k, v) for k, v in _ALL.items() if k not in REGISTRY)
