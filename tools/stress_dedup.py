@@ -44,7 +44,7 @@ def unique_corpus(spark, n: int):
             lambda j: F.substring(F.md5(F.concat(
                 F.col("id").cast("string"), F.lit(":"),
                 j.cast("string"))), 1, 6))).alias("text"))
-    ).repartition(32).persist())
+    ).repartition(32).persist()
 
 
 def replicated_corpus(spark, n: int, r: int = 40):
