@@ -2871,7 +2871,9 @@ _SECOND_WINDOW = [
     "hybrid_search_rrf", "stream_countmin", "stream_histogram_quantile",
     "events_funnel", "dedup_canonical", "dedup_ngram_prefix",
 ]
-assert all(k in _ALL and k not in _PRIORITY_WINDOW for k in _SECOND_WINDOW)
+assert len(_SECOND_WINDOW) == len(set(_SECOND_WINDOW)), "duplicate in _SECOND_WINDOW"
+assert all(k in _ALL and k not in _PRIORITY_WINDOW for k in _SECOND_WINDOW), [
+    k for k in _SECOND_WINDOW if k not in _ALL or k in _PRIORITY_WINDOW]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     k: _ALL[k] for k in _PRIORITY_WINDOW

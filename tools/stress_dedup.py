@@ -18,9 +18,9 @@ dependency):
               (ngram_jaccard_prefix_pairs).
 
 Usage:  python tools/stress_dedup.py [n_docs]
-Measured on local[32] (2026-08): unique 200k docs → minhash 5 s,
-jaccard inverted index 2 s; replicated 200k (R=40) → 4.3M verified
-pairs in ~140-170 s, time ∝ pairs.
+Measured on local[32] (2026-08, round 2): unique 200k docs → minhash
+~10 s, jaccard inverted index ~3 s; replicated 200k (R=40) →
+5,000·C(40,2) = 3.9M verified pairs in ~19 s / ~11 s, time ∝ pairs.
 """
 
 from __future__ import annotations
