@@ -24,7 +24,7 @@ STOPWORDS = {
 
 
 def tokens(col: str | Column, sep: str = " ") -> Column:
-    """Single-space tokenization → array<string> — the corpus contract
+    r"""Single-space tokenization → array<string> — the corpus contract
     (and every DuckDB oracle twin) splits on the literal separator, so
     the two engines always agree token-for-token.  Pass ``sep=r"\s+"``
     for true whitespace splitting on corpora with tabs/newlines (note

@@ -32,9 +32,43 @@ def canon(rows, cols):
     return sorted(out)
 
 
-def main():
+def make_duckdb(sf_dir: str):
+    """DuckDB connection with the testdata tables registered as views."""
     import duckdb
 
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def compare_query(spark, con, fn, sql, sf_dir):
+    """Run one registry query on Spark and its twin on DuckDB.
+
+    Returns (ok: bool, detail: str).  A query without an oracle twin
+    (sql is None) passes with a rows-only note, mirroring the external
+    driver's weaker check for non-SQL-expressible operators.
+    """
+    sdf = fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+    if sql is None:
+        return True, f"rows={len(srows)} (no oracle; rows-only check)"
+    res = con.execute(sql)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    if sorted(scols) != sorted(ocols):
+        return False, f"cols spark={sorted(scols)} oracle={sorted(ocols)}"
+    if len(srows) != len(orows):
+        return False, f"rows spark={len(srows)} oracle={len(orows)}"
+    cs, co = canon(srows, scols), canon(orows, ocols)
+    if cs != co:
+        diff = [(a, b) for a, b in zip(cs, co) if a != b][:3]
+        return False, f"value mismatch, first diffs: {diff}"
+    return True, f"rows={len(srows)}"
+
+
+def main():
     from covsonar_spark.registry import REGISTRY
     from covsonar_spark.session import get_spark
 
@@ -42,49 +76,18 @@ def main():
     only = set(sys.argv[2:])
 
     spark = get_spark("oracle-harness")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    con = make_duckdb(sf_dir)
 
     failures = []
     for name, (fn, sql) in REGISTRY.items():
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = sdf.columns
+            ok, detail = compare_query(spark, con, fn, sql, sf_dir)
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: spark error {e}")
-            failures.append(name)
-            continue
-        if sql is None:
-            print(f"ok?  {name}: rows={len(srows)} (no oracle)")
-            continue
-        try:
-            res = con.execute(sql)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error {e}")
-            failures.append(name)
-            continue
-        ok = True
-        if sorted(scols) != sorted(ocols):
-            print(f"FAIL {name}: cols spark={sorted(scols)} oracle={sorted(ocols)}")
-            ok = False
-        elif len(srows) != len(orows):
-            print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
-            ok = False
-        else:
-            cs, co = canon(srows, scols), canon(orows, ocols)
-            if cs != co:
-                diff = [(a, b) for a, b in zip(cs, co) if a != b][:3]
-                print(f"FAIL {name}: value mismatch, first diffs: {diff}")
-                ok = False
-        if ok:
-            print(f"OK   {name}: rows={len(srows)}")
-        else:
+            ok, detail = False, f"error {e}"
+        print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")
+        if not ok:
             failures.append(name)
     print()
     if failures:
