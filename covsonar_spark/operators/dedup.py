@@ -157,10 +157,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     materialized, and any pair with J ≥ t > 0 shares a shingle → exact.
 
     Skew note (100 TB): a stop-phrase shingle with document frequency f
-    contributes f² join rows.  ``max_shingle_df`` caps this by dropping
-    shingles with df > cap from the index (a standard prefix-filter
-    relaxation — may lose pairs whose overlap is exclusively stop-phrase
-    shingles; leave None for exact semantics).
+    contributes f² join rows from ONE task's key.  ``max_shingle_df``
+    bounds this WITHOUT losing pairs or changing any Jaccard value: a
+    hot shingle's posting list splits into s = ceil(f / cap) salted
+    sub-blocks, and each posting replicates to the triangular grid of
+    sub-block cells (the ``_cosine_pairs_grid`` scheme), so every
+    co-occurring pair still meets exactly once per shared shingle but
+    per-task state stays ~cap postings.  Cold shingles (s = 1) pay
+    nothing beyond the plan change; the pre-round-2 policy of dropping
+    hot shingles (which silently underestimated J) is gone.
     """
     sh = shingle_sets(df, text_col, id_col, k)
     inv = (
@@ -168,16 +173,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
                   F.explode("shingles").alias("s"))
         .select(F.col(id_col), F.col("n_sh"), F.xxhash64("s").alias("shingle"))
     )
-    if max_shingle_df is not None:
-        df_counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
-        inv = inv.join(F.broadcast(df_counts.where(F.col("sdf") <= max_shingle_df)
-                                   .select("shingle")), "shingle")
     inv = _persist_scoped("jaccard_inv", inv)
-    a = inv.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
-    b = inv.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
+    if max_shingle_df is None:
+        a = inv.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
+        b = inv.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
+        per_shingle = a.join(b, "shingle").where(F.col("id_a") < F.col("id_b"))
+    else:
+        per_shingle = _split_posting_pair_rows(inv, id_col, max_shingle_df)
     shared = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
+        per_shingle
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"),
              F.first("n_a").alias("n_a"), F.first("n_b").alias("n_b"))
@@ -187,6 +191,56 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         shared.select("id_a", "id_b", F.round(j, 4).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def _split_posting_pair_rows(inv: DataFrame, id_col: str,
+                             cap: int) -> DataFrame:
+    """One row per (unordered pair, shared shingle) with the pair's set
+    sizes attached — the skew-bounded equivalent of the inverted-index
+    self-join.  A shingle with f postings splits into
+    s = ceil(f / cap) salted sub-blocks; every posting fans out to the
+    triangular grid of sub-block cells, so each co-occurring pair meets
+    in EXACTLY one cell of that shingle (diagonal cells keep the
+    id_a < id_b triangle; a cross cell holds each unordered pair once
+    by construction).  Exactness is what distinguishes this from LSH
+    candidate generation: the downstream count(*) per pair IS |A∩B|,
+    so multiplicity must be one-per-shared-shingle, not deduped."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shingle")
+    s = F.greatest(
+        F.lit(1), F.ceil(F.count(F.lit(1)).over(w) / F.lit(cap))).cast("int")
+    base = (inv.select("shingle", F.col(id_col).alias("_id"), "n_sh")
+            .withColumn("_s", s)
+            .withColumn("_blk", F.pmod(
+                F.xxhash64(F.lit("posting-salt"), F.col("_id")),
+                F.col("_s")).cast("int")))
+    side_a = base.select(
+        "shingle", "_id", "n_sh", F.col("_blk").alias("ci"),
+        F.explode(F.sequence(F.col("_blk"), F.col("_s") - 1)).alias("cj"),
+        F.lit(0).alias("role"))
+    side_b = base.where(F.col("_blk") > 0).select(
+        "shingle", "_id", "n_sh",
+        F.explode(F.sequence(F.lit(0), F.col("_blk") - 1)).alias("ci"),
+        F.col("_blk").alias("cj"), F.lit(1).alias("role"))
+    post = F.struct(F.col("_id").alias("pid"), F.col("n_sh").alias("pn"))
+    grouped = (side_a.unionByName(side_b)
+               .groupBy("shingle", "ci", "cj")
+               .agg(F.collect_list(F.when(F.col("role") == 0, post)).alias("pa"),
+                    F.collect_list(F.when(F.col("role") == 1, post)).alias("pb")))
+    diag = (grouped.where(F.col("ci") == F.col("cj"))
+            .select(F.explode("pa").alias("x"), "pa")
+            .select("x", F.explode("pa").alias("y"))
+            .where(F.col("x.pid") < F.col("y.pid")))
+    offd = (grouped.where(F.col("ci") != F.col("cj"))
+            .select(F.explode("pa").alias("x"), "pb")
+            .select("x", F.explode("pb").alias("y")))
+    lo_first = F.col("x.pid") < F.col("y.pid")
+    return diag.unionByName(offd).select(
+        F.when(lo_first, F.col("x.pid")).otherwise(F.col("y.pid")).alias("id_a"),
+        F.when(lo_first, F.col("y.pid")).otherwise(F.col("x.pid")).alias("id_b"),
+        F.when(lo_first, F.col("x.pn")).otherwise(F.col("y.pn")).alias("n_a"),
+        F.when(lo_first, F.col("y.pn")).otherwise(F.col("x.pn")).alias("n_b"))
 
 
 # affine-mixing constants for the minhash family: h_i = (a_i·h + b_i) mod P

@@ -62,14 +62,24 @@ def cosine_self_topk(df: DataFrame, target_id: int, k: int = 10,
 GRID_ROW_THRESHOLD = 10_000
 
 # The knn rerank's broadcast side is only a lookup table (no quadratic
-# kernel): the binding constraint is broadcast size, not compute —
-# 500k × 64 floats ≈ 128 MB, the edge of comfortable executor memory.
-KNN_BCAST_THRESHOLD = 500_000
+# kernel): the binding constraint is broadcast size, not compute.  The
+# rerank materializes the matrix as float64 (8 bytes/dim, not the 4 of
+# the stored float32), so the threshold is derived from bytes — a
+# 500k-row flat cap understated the real footprint 2×.
+KNN_BCAST_MAX_BYTES = 128 << 20   # comfortable executor-memory ceiling
+
+
+def knn_bcast_row_threshold(dim: int) -> int:
+    """Max rows whose broadcast lookup table (float64 matrix + int64
+    ids, the types ``score_bcast`` actually materializes) stays under
+    ``KNN_BCAST_MAX_BYTES``."""
+    return KNN_BCAST_MAX_BYTES // (dim * 8 + 8)
 
 
 def cosine_pairs_exact(df: DataFrame, threshold: float,
                        vec_col: str = "embedding", id_col: str = "vec_id",
-                       mode: str = "auto", n_blocks: int = 16) -> DataFrame:
+                       mode: str = "auto", n_blocks: int = 16,
+                       n_rows: int | None = None) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ t).
 
     Block-wise vectorized scoring: the right side is broadcast as one
@@ -91,7 +101,12 @@ def cosine_pairs_exact(df: DataFrame, threshold: float,
         100 TB-safe exact path (compute is the inherent O(n²/2) dot
         products, spread over n_blocks·(n_blocks+1)/2 tasks).
       * ``"auto"`` (default) — broadcast below ``GRID_ROW_THRESHOLD``
-        rows, grid above.
+        rows, grid above.  Pass ``n_rows`` when the caller knows the
+        cardinality (parquet footer, catalog stats, prior count):
+        without it auto mode must run a ``count()`` action, i.e. one
+        full (column-pruned) pass over the upstream plan before any
+        useful work — wasteful at scale and potentially inconsistent
+        for nondeterministic upstream sources.
     Both modes use the identical block-vectorized float64 kernel with
     sequential per-dimension accumulation, so results are bit-identical
     to each other and to the DuckDB ``list_sum`` oracle.
@@ -102,7 +117,7 @@ def cosine_pairs_exact(df: DataFrame, threshold: float,
     if mode not in ("auto", "broadcast", "grid"):
         raise ValueError(f"unknown mode {mode!r}")
     if mode == "auto":
-        n = df.count()
+        n = n_rows if n_rows is not None else df.count()
         mode = "grid" if n > GRID_ROW_THRESHOLD else "broadcast"
         if mode == "grid":
             # scale the grid with the corpus: target ~8k-row blocks so
@@ -389,7 +404,8 @@ def rp_lsh_buckets(df: DataFrame, n_planes: int = 8, n_tables: int = 1,
 
 def lsh_knn_join(df: DataFrame, k: int = 5, n_planes: int = 8, n_tables: int = 1,
                  vec_col: str = "embedding", id_col: str = "vec_id",
-                 rerank: str = "auto", max_bucket: int | None = None) -> DataFrame:
+                 rerank: str = "auto", max_bucket: int | None = None,
+                 n_rows: int | None = None, dim: int = 64) -> DataFrame:
     """Approximate all-pairs knn: candidates share an LSH bucket in any
     table; rank by exact cosine per id_a.
 
@@ -415,9 +431,12 @@ def lsh_knn_join(df: DataFrame, k: int = 5, n_planes: int = 8, n_tables: int = 1
         per pair.  No driver materialization anywhere — the 100 TB
         path, ~3× slower at small scale because the vector payload
         rides the shuffle twice.
-      * ``"auto"`` (default) — broadcast at or below
-        ``KNN_BCAST_THRESHOLD`` rows (the lookup table is memory-bound,
-        not compute-bound), join above.
+      * ``"auto"`` (default) — broadcast while the float64 lookup
+        table fits ``KNN_BCAST_MAX_BYTES`` (the table is memory-bound,
+        not compute-bound), join above.  Pass ``n_rows`` when the
+        caller knows the cardinality; without the hint auto mode runs
+        a ``count()`` action — a full extra pass over the upstream
+        plan.
     Both produce bit-identical cosines (same sequential per-dimension
     float64 folds).
     """
@@ -428,10 +447,11 @@ def lsh_knn_join(df: DataFrame, k: int = 5, n_planes: int = 8, n_tables: int = 1
     if rerank not in ("auto", "broadcast", "join"):
         raise ValueError(f"unknown rerank mode {rerank!r}")
     if rerank == "auto":
-        rerank = "join" if df.count() > KNN_BCAST_THRESHOLD else "broadcast"
+        n = n_rows if n_rows is not None else df.count()
+        rerank = "join" if n > knn_bcast_row_threshold(dim) else "broadcast"
 
     spark = df.sparkSession
-    planes = [np.array(_deterministic_hyperplanes(n_planes, 64, t),
+    planes = [np.array(_deterministic_hyperplanes(n_planes, dim, t),
                        dtype=np.float64) for t in range(n_tables)]
 
     def buckets(batches):
@@ -459,21 +479,18 @@ def lsh_knn_join(df: DataFrame, k: int = 5, n_planes: int = 8, n_tables: int = 1
     # (a, b != a), deduped across tables.  This replaces a persist +
     # self-join: single consumption of the Python stage, one fewer
     # shuffle, and no cache entry left behind in a long-lived session.
-    lists = b.groupBy("table", "bucket").agg(F.collect_list(id_col).alias("ids"))
-    if max_bucket is not None:
-        # skew cap (the LSH analogue of the inverted index's
-        # max_shingle_df): a degenerate bucket with f members emits f^2
-        # pairs — drop buckets above the cap and lose only candidates
-        # whose ONLY collision is a stop-bucket (tune n_planes instead
-        # of raising the cap when this fires often)
-        lists = lists.where(F.size("ids") <= max_bucket)
-    pairs = (
-        lists
-        .select(F.explode("ids").alias("id_a"), "ids")
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .where(F.col("id_a") != F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    if max_bucket is None:
+        lists = b.groupBy("table", "bucket").agg(
+            F.collect_list(id_col).alias("ids"))
+        pairs = (
+            lists
+            .select(F.explode("ids").alias("id_a"), "ids")
+            .select("id_a", F.explode("ids").alias("id_b"))
+            .where(F.col("id_a") != F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        pairs = _split_bucket_pairs(b, id_col, max_bucket)
 
     if rerank == "broadcast":
         side = df.select(F.col(id_col), F.col(vec_col)).collect()
@@ -533,6 +550,64 @@ def lsh_knn_join(df: DataFrame, k: int = 5, n_planes: int = 8, n_tables: int = 1
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def _split_bucket_pairs(b: DataFrame, id_col: str, max_bucket: int,
+                        key_cols: tuple[str, ...] = ("table", "bucket")) -> DataFrame:
+    """Candidate pairs from bucket membership with bounded per-task
+    state: a bucket with f members splits into s = ceil(f / max_bucket)
+    salted sub-blocks (secondary hash of id, independent of the bucket
+    hash) and each member replicates to the triangular grid of
+    sub-block cells — the same scheme as ``_cosine_pairs_grid`` — so
+    EVERY within-bucket pair still meets in exactly one cell while
+    per-cell membership stays ~max_bucket.  This is the
+    recall-preserving replacement for dropping hot buckets: a
+    degenerate bucket degrades into more (bounded) tasks, never into
+    lost candidates.  Cost: one extra shuffle (the per-bucket window
+    count) plus replication factor (s+1)/2 on hot-bucket rows only —
+    cold buckets have s = 1 and behave exactly like the uncapped path.
+
+    Emits DIRECTED pairs (id_a, id_b), id_a != id_b, deduped across
+    buckets and cells.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in key_cols])
+    s = F.greatest(
+        F.lit(1),
+        F.ceil(F.count(F.lit(1)).over(w) / F.lit(max_bucket))).cast("int")
+    base = (b.select(*key_cols, F.col(id_col).alias("_id"))
+            .withColumn("_s", s)
+            .withColumn("_blk", F.pmod(
+                F.xxhash64(F.lit("subbucket-salt"), F.col("_id")),
+                F.col("_s")).cast("int")))
+    # A side of cells (blk, j >= blk); B side of cells (i < blk, blk) —
+    # diagonal cells carry the sub-block once, as A.
+    side_a = base.select(
+        *key_cols, "_id", F.col("_blk").alias("ci"),
+        F.explode(F.sequence(F.col("_blk"), F.col("_s") - 1)).alias("cj"),
+        F.lit(0).alias("role"))
+    side_b = base.where(F.col("_blk") > 0).select(
+        *key_cols, "_id",
+        F.explode(F.sequence(F.lit(0), F.col("_blk") - 1)).alias("ci"),
+        F.col("_blk").alias("cj"), F.lit(1).alias("role"))
+    grouped = (side_a.unionByName(side_b)
+               .groupBy(*key_cols, "ci", "cj")
+               .agg(F.collect_list(F.when(F.col("role") == 0, F.col("_id")))
+                    .alias("ids_a"),
+                    F.collect_list(F.when(F.col("role") == 1, F.col("_id")))
+                    .alias("ids_b")))
+    diag = (grouped.where(F.col("ci") == F.col("cj"))
+            .select(F.explode("ids_a").alias("id_a"), "ids_a")
+            .select("id_a", F.explode("ids_a").alias("id_b"))
+            .where(F.col("id_a") != F.col("id_b")))
+    offd = grouped.where(F.col("ci") != F.col("cj"))
+    ab = (offd.select(F.explode("ids_a").alias("id_a"), "ids_b")
+          .select("id_a", F.explode("ids_b").alias("id_b")))
+    ba = (offd.select(F.explode("ids_b").alias("id_a"), "ids_a")
+          .select("id_a", F.explode("ids_a").alias("id_b")))
+    return (diag.unionByName(ab).unionByName(ba)
+            .dropDuplicates(["id_a", "id_b"]))
 
 
 def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,

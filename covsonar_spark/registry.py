@@ -47,6 +47,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_NROWS_CACHE: dict[str, int] = {}
+
+
+def _nrows(sf_dir: str, name: str) -> int | None:
+    """Row-count hint from the parquet footer (no Spark job) for the
+    similarity auto modes — saves those operators a full count() pass
+    over the corpus before any useful work.  None when the footer
+    isn't locally readable (remote FS, non-parquet): the operators
+    then fall back to counting."""
+    path = f"{sf_dir}/{name}.parquet"
+    if path not in _NROWS_CACHE:
+        try:
+            import pyarrow.parquet as pq
+
+            _NROWS_CACHE[path] = pq.ParquetFile(path).metadata.num_rows
+        except Exception:  # noqa: BLE001 — directory datasets, remote FS
+            try:
+                import pyarrow.dataset as ds
+
+                _NROWS_CACHE[path] = ds.dataset(path, format="parquet") \
+                    .count_rows()
+            except Exception:  # noqa: BLE001
+                _NROWS_CACHE[path] = None
+    return _NROWS_CACHE[path]
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet has shipped ts as TIMESTAMP(NANOS) (rejected by the
     vectorized reader → read nanos-as-long) and as TIMESTAMP(MICROS)
@@ -1465,7 +1491,8 @@ def embed_near_dup(spark, sf_dir):
     (broadcast nested-loop; the LSH-bucketed lsh_knn_join is the
     100 TB path, verified against this in tests)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs_exact(emb, threshold=0.4) \
+    return similarity.cosine_pairs_exact(
+        emb, threshold=0.4, n_rows=_nrows(sf_dir, "embeddings")) \
         .orderBy("id_a", "id_b")
 
 
@@ -1837,7 +1864,8 @@ def ann_lsh_knn(spark, sf_dir):
     bucketing, candidate set, and rerank — a value-check of the whole
     probabilistic structure, not a recall smoke test."""
     emb = _t(spark, sf_dir, "embeddings")
-    return (similarity.lsh_knn_join(emb, k=5, n_planes=6, n_tables=2)
+    return (similarity.lsh_knn_join(emb, k=5, n_planes=6, n_tables=2,
+                                    n_rows=_nrows(sf_dir, "embeddings"))
             .orderBy("id_a", "rank"))
 
 

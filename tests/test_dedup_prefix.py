@@ -28,6 +28,21 @@ def test_prefix_equals_exact(spark, docs, t):
     assert pref == exact
 
 
+@pytest.mark.parametrize("cap", [1, 3, 10**6])
+def test_shingle_df_cap_is_lossless(spark, docs, cap):
+    """max_shingle_df splits hot posting lists into salted sub-block
+    grid cells instead of dropping them: pairs AND Jaccard values are
+    identical to the uncapped exact join for any cap — even cap=1,
+    where every multi-posting shingle is split."""
+    sub = docs.limit(150)
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(sub, threshold=0.3).collect()}
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in ngram_jaccard_pairs(
+                  sub, threshold=0.3, max_shingle_df=cap).collect()}
+    assert exact and capped == exact
+
+
 def test_prefix_index_is_smaller(spark, docs):
     full = shingle_sets(docs).select(F.explode("shingles")).count()
     # rebuild the prefix relation size the operator would index at t=0.7

@@ -151,15 +151,51 @@ def test_lsh_knn_join_mode_matches_broadcast(spark, emb):
     assert a and a == b
 
 
-def test_lsh_knn_max_bucket_cap(spark, emb):
-    """A max_bucket cap drops degenerate buckets: with cap=1 every
-    bucket is skipped, so no pairs; with a huge cap the result equals
-    the uncapped run."""
-    assert lsh_knn_join(emb, k=2, n_planes=4, max_bucket=1).count() == 0
-    a = {tuple(r) for r in
-         lsh_knn_join(emb, k=2, n_planes=4, max_bucket=10**6).collect()}
-    b = {tuple(r) for r in lsh_knn_join(emb, k=2, n_planes=4).collect()}
-    assert a == b
+def test_lsh_knn_max_bucket_preserves_recall(spark, emb):
+    """The max_bucket cap splits hot buckets into salted sub-block
+    grid cells instead of dropping them: results with ANY cap equal
+    the uncapped run — a pair whose only collision is a degenerate
+    bucket is still found."""
+    uncapped = {tuple(r) for r in
+                lsh_knn_join(emb, k=2, n_planes=4).collect()}
+    assert uncapped
+    for cap in (1, 7, 10**6):
+        capped = {tuple(r) for r in
+                  lsh_knn_join(emb, k=2, n_planes=4,
+                               max_bucket=cap).collect()}
+        assert capped == uncapped, f"cap={cap} changed the result"
+
+
+def test_lsh_knn_max_bucket_planted_pair_in_hot_bucket(spark):
+    """Adversarial: EVERY vector collides in one degenerate bucket
+    (n_planes=1 and all vectors on the same side of the hyperplane via
+    duplicated embeddings); with a cap far below the bucket size the
+    planted exact duplicate must still surface as its copy's rank-1
+    neighbour."""
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(64)
+    copy = base.limit(1).select(
+        (F.col("vec_id") + 10**6).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.1)).alias("embedding"),
+        F.col("label"))
+    planted = base.unionByName(copy)
+    rows = (lsh_knn_join(planted, k=1, n_planes=1, n_tables=1, max_bucket=4)
+            .where(F.col("id_a") == 10**6).collect())
+    assert len(rows) == 1 and rows[0]["cosine"] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_knn_bcast_threshold_sizing():
+    """The broadcast-rerank row threshold is derived from the float64
+    bytes the rerank actually materializes (8 B/dim matrix + 8 B id):
+    threshold rows must fill but never exceed KNN_BCAST_MAX_BYTES."""
+    from covsonar_spark.operators.similarity import (KNN_BCAST_MAX_BYTES,
+                                                     knn_bcast_row_threshold)
+    for dim in (16, 64, 768):
+        rows = knn_bcast_row_threshold(dim)
+        per_row = dim * 8 + 8
+        assert rows * per_row <= KNN_BCAST_MAX_BYTES < (rows + 1) * per_row
+    # the 64-dim default lands near 256k rows — half the old 500k flat
+    # cap whose comment assumed float32
+    assert 250_000 < knn_bcast_row_threshold(64) < 265_000
 
 
 def test_grid_auto_blocks_scale_with_corpus(spark):
