@@ -22,7 +22,14 @@ DELETEs need retractions (negative-count deltas) — supported here for
 count/sum (pass delta with negate=True); min/max are NOT
 retractable from state alone (a deleted extremum forces a rescan of
 its group), which is why warehouse IVM engines keep min/max views
-partition-segmented: the rescan touches one partition, not the table.
+partition-segmented: the segmented API below
+(:func:`agg_state_segmented` / :func:`retract_segmented` /
+:func:`finalize_segmented`) implements exactly that — state is kept
+per (group, segment), a delete retracts count/sum algebraically and
+re-scans min/max only for the touched (group, segment) cells, and the
+readable view rolls segments up at read time.  With the segment
+column chosen as the fact table's partition column the rescan prunes
+to the deleted rows' partitions, never the table.
 
 Scale notes: the view is |groups| rows; each delta merge shuffles
 only (delta states ∪ view) on the group key — independent of the
@@ -79,6 +86,68 @@ def finalize(state: DataFrame, group_cols: list[str]) -> DataFrame:
         F.round((F.col("sum_dec") / F.col("cnt")).cast("double"), 4).alias("avg_val"),
         F.round("mn", 2).alias("min_val"),
         F.round("mx", 2).alias("max_val"))
+
+
+def agg_state_segmented(df: DataFrame, group_cols: list[str], value_col: str,
+                        segment_col: str) -> DataFrame:
+    """Mergeable aggregate state kept per (group, segment) — the
+    granularity that makes min/max RETRACTABLE: a deleted extremum
+    only invalidates its own segment's mn/mx, so the repair rescan is
+    segment-sized, not group-sized.  Choose ``segment_col`` to mirror
+    the fact table's physical partitioning (date bucket, file id) so
+    the rescan becomes a pruned partition read at scale.  Inserts
+    merge with :func:`merge_states` over group_cols + [segment_col]."""
+    return agg_state(df, [*group_cols, segment_col], value_col)
+
+
+def retract_segmented(state: DataFrame, deletes: DataFrame,
+                      fact_remaining: DataFrame, group_cols: list[str],
+                      value_col: str, segment_col: str) -> DataFrame:
+    """Apply a DELETE delta to segmented state.
+
+    count/sum retract algebraically (the negative delta merges in);
+    mn/mx of exactly the TOUCHED (group, segment) cells are recomputed
+    from ``fact_remaining`` restricted to those cells — the
+    partition-segmented rescan warehouse IVM engines use.  Work is
+    |delete delta| for the algebra plus a scan of only the touched
+    segments (a broadcast semi-restriction that partition-prunes when
+    ``segment_col`` is the fact's partition column); untouched
+    segments are never read.  A segment retracted to zero rows
+    disappears from the state (its cnt hits 0).
+    """
+    keys = [*group_cols, segment_col]
+    neg = deletes.groupBy(*keys).agg(
+        (-F.count(value_col)).alias("d_cnt"),
+        (-F.sum(F.col(value_col).cast("decimal(18,2)"))).alias("d_sum"))
+    touched = deletes.select(*keys).distinct().withColumn("_touched", F.lit(True))
+    rescan = (fact_remaining
+              .join(F.broadcast(touched.select(*keys)), keys)
+              .groupBy(*keys)
+              .agg(F.min(value_col).alias("r_mn"), F.max(value_col).alias("r_mx")))
+    return (state
+            .join(F.broadcast(neg), keys, "left")
+            .join(F.broadcast(touched), keys, "left")
+            .join(F.broadcast(rescan), keys, "left")
+            .select(*keys,
+                    (F.col("cnt") + F.coalesce(F.col("d_cnt"), F.lit(0))).alias("cnt"),
+                    (F.col("sum_dec") + F.coalesce(
+                        F.col("d_sum"), F.lit(0).cast("decimal(18,2)"))).alias("sum_dec"),
+                    F.when(F.col("_touched"), F.col("r_mn"))
+                     .otherwise(F.col("mn")).alias("mn"),
+                    F.when(F.col("_touched"), F.col("r_mx"))
+                     .otherwise(F.col("mx")).alias("mx"))
+            .where(F.col("cnt") > 0))
+
+
+def finalize_segmented(state: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Roll per-(group, segment) states up to groups (cnt+cnt, sum+sum,
+    min(mn), max(mx) — the same merge algebra), then finish."""
+    rolled = state.groupBy(*group_cols).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_dec").alias("sum_dec"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"))
+    return finalize(rolled, group_cols)
 
 
 def join_delta(a_old: DataFrame | None, delta_a: DataFrame | None,

@@ -2468,6 +2468,41 @@ FROM orders GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _ivm_retract_minmax(spark, sf_dir):
+    """DELETE-capable min/max view via partition-segmented IVM state
+    (operators/ivm.py agg_state_segmented/retract_segmented): inserts
+    build per-(group, segment) states, a delete wave retracts
+    count/sum algebraically and re-scans mn/mx only for the touched
+    segments, and the read rolls segments up — the result MUST equal a
+    one-shot GROUP BY over the surviving rows, which is what the
+    oracle runs."""
+    from covsonar_spark.operators import ivm
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "seg", F.pmod(F.col("o_orderkey"), F.lit(8)).cast("int"))
+    keys = ["o_orderpriority"]
+    state = None
+    for i in range(2):   # two insert waves
+        delta = ivm.agg_state_segmented(
+            o.where(F.col("o_orderkey") % 2 == i), keys, "o_totalprice", "seg")
+        state = ivm.merge_states(state, delta, [*keys, "seg"])
+    deletes = o.where(F.col("o_orderkey") % 10 == 3)
+    remaining = o.where(F.col("o_orderkey") % 10 != 3)
+    state = ivm.retract_segmented(state, deletes, remaining,
+                                  keys, "o_totalprice", "seg")
+    return ivm.finalize_segmented(state, keys).orderBy(*keys)
+
+
+IVM_RETRACT_SQL = """
+SELECT o_orderpriority, count(o_totalprice) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) / count(o_totalprice) AS DOUBLE), 4) AS avg_val,
+       round(min(o_totalprice), 2) AS min_val,
+       round(max(o_totalprice), 2) AS max_val
+FROM orders WHERE o_orderkey % 10 <> 3 GROUP BY 1 ORDER BY 1
+"""
+
+
 def _ivm_join_view(spark, sf_dir):
     """Incrementally maintained JOIN view (orders ⋈ customer) built by
     replaying chunked inserts into BOTH sides through the differential
@@ -2837,6 +2872,12 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "stream_ivm_join": (
         lambda spark, sf_dir: _stream_ivm_join(spark, sf_dir),
         IVM_JOIN_SQL,
+    ),
+    # DELETE support for the non-retractable aggregates: segmented
+    # min/max state + touched-segment rescan == GROUP BY of survivors.
+    "ivm_retract_minmax": (
+        lambda spark, sf_dir: _ivm_retract_minmax(spark, sf_dir),
+        IVM_RETRACT_SQL,
     ),
 }
 

@@ -137,3 +137,52 @@ def test_counted_join_view_with_deletes(spark):
                  for r in got_rows)
     want = sorted((a, b, n) for a, b, n in want)
     assert got == want
+
+
+def test_segmented_retraction_repairs_deleted_extrema(spark):
+    """Delete exactly the rows carrying each group's max (and one
+    group's min): the segmented rescan must repair mn/mx to the
+    survivors' true extrema — the case plain state algebra cannot
+    handle."""
+    o = _orders(spark).withColumn(
+        "seg", F.pmod(F.col("o_orderkey"), F.lit(4)).cast("int"))
+    keys = ["o_orderpriority"]
+    state = ivm.agg_state_segmented(o, keys, "o_totalprice", "seg")
+    # per-group max rows — deleting them forces every group's mx repair
+    from pyspark.sql import Window
+    w = Window.partitionBy(*keys).orderBy(F.col("o_totalprice").desc(),
+                                          F.col("o_orderkey").asc())
+    deletes = (o.withColumn("rn", F.row_number().over(w))
+               .where(F.col("rn") <= 3).drop("rn"))
+    del_keys = deletes.select("o_orderkey").distinct()
+    remaining = o.join(del_keys, "o_orderkey", "left_anti")
+    state = ivm.retract_segmented(state, deletes, remaining,
+                                  keys, "o_totalprice", "seg")
+    got = {tuple(r) for r in ivm.finalize_segmented(state, keys).collect()}
+    want = {tuple(r) for r in ivm.finalize(
+        ivm.agg_state(remaining, keys, "o_totalprice"), keys).collect()}
+    assert got == want and len(got) > 0
+    # the repair actually moved the max (the deleted rows WERE extrema)
+    before = {r["o_orderpriority"]: r["max_val"] for r in ivm.finalize(
+        ivm.agg_state(o, keys, "o_totalprice"), keys).collect()}
+    after = {r["o_orderpriority"]: r["max_val"]
+             for r in ivm.finalize_segmented(state, keys).collect()}
+    assert any(after[k] < before[k] for k in after)
+
+
+def test_segmented_retraction_drops_emptied_segments(spark):
+    """A (group, segment) cell whose rows are all deleted vanishes from
+    the state, and the rolled-up view matches the survivors."""
+    o = _orders(spark).withColumn(
+        "seg", F.pmod(F.col("o_orderkey"), F.lit(2)).cast("int"))
+    keys = ["o_orderstatus"]
+    state = ivm.agg_state_segmented(o, keys, "o_totalprice", "seg")
+    deletes = o.where(F.col("seg") == 0)     # empty every seg-0 cell
+    remaining = o.where(F.col("seg") == 1)
+    state = ivm.retract_segmented(state, deletes, remaining,
+                                  keys, "o_totalprice", "seg")
+    assert state.where(F.col("seg") == 0).count() == 0
+    got = {tuple(r) for r in ivm.finalize_segmented(state, keys).collect()}
+    want = {tuple(r) for r in ivm.finalize(
+        ivm.agg_state(remaining, keys, "o_totalprice"), keys).collect()}
+    assert got == want
