@@ -19,6 +19,12 @@ import zlib
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 
+# decode ceiling for a single image's raw pixels: protects the Python
+# worker from decompression bombs (a kilobyte IDAT can legally declare
+# and inflate to gigabytes) — generous for the thumbnail/fixture
+# profile this codec serves
+MAX_PIXEL_BYTES = 64 << 20
+
 
 def is_png(data: bytes) -> bool:
     return data[:8] == _SIG
@@ -81,6 +87,14 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                     f"unsupported PNG profile (depth={depth}, color={ctype}, "
                     f"interlace={ilace}); supported: 8-bit gray/RGB")
             channels = 1 if ctype == 0 else 3
+            # decompression-bomb guard: the declared dimensions bound
+            # every later allocation, so reject absurd ones up front —
+            # a tiny adversarial IDAT can otherwise inflate to GBs and
+            # OOM the Python worker before any size check runs
+            if width * height * channels > MAX_PIXEL_BYTES:
+                raise ValueError(
+                    f"PNG dimensions {width}x{height}x{channels} exceed "
+                    f"the {MAX_PIXEL_BYTES >> 20} MiB decode ceiling")
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
@@ -88,9 +102,15 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + length
     if width is None or not idat:
         raise ValueError("missing IHDR/IDAT")
-    raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    expect = (stride + 1) * height
+    # bounded inflate: cap the output at the size IHDR promises so an
+    # oversized stream raises instead of allocating unboundedly
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expect)
+    if d.unconsumed_tail:
+        raise ValueError("IDAT inflates past the declared image size")
+    if len(raw) != expect:
         raise ValueError("decompressed size mismatch")
     out = bytearray(stride * height)
     prev = bytearray(stride)

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import contextlib
 import os
+import threading
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,10 +40,19 @@ from covsonar_spark.operators.match import MatchEngine, MatchQuery, build_essenc
 
 TABLES = ("genomes", "sequences", "profiles", "dna_variants", "prot_variants")
 
-# roots whose mutation lease THIS process currently holds (reentrancy:
-# a lease-holding mutation that reads a table must heal directly
-# instead of skipping because "someone" — itself — holds the lock)
-_HELD_LOCKS: set[str] = set()
+# (thread id, root) pairs whose mutation lease THIS thread currently
+# holds (reentrancy: a lease-holding mutation that reads a table must
+# heal directly instead of skipping because "someone" — itself — holds
+# the lock).  Keyed per-thread, not per-process: a reader thread in the
+# same process as a mid-mutation writer thread (e.g. a foreachBatch
+# sink) must NOT pass the we-are-the-writer check and race the writer's
+# rename pair — it takes the non-blocking-acquire path like any foreign
+# reader.
+_HELD_LOCKS: set[tuple[int, str]] = set()
+
+
+def _lock_key(root: str) -> tuple[int, str]:
+    return (threading.get_ident(), os.path.abspath(root))
 
 
 @contextlib.contextmanager
@@ -72,8 +83,6 @@ def mutation_lock(root: str, timeout: float = 600.0,
     one.  (``_heal`` — crash repair — does a non-blocking acquire and
     skips when a live writer holds the lease.)
     """
-    import threading
-    import time
     import uuid
 
     os.makedirs(root, exist_ok=True)   # lazy stores create root on demand
@@ -105,7 +114,7 @@ def mutation_lock(root: str, timeout: float = 600.0,
             time.sleep(0.2)
 
     stop = threading.Event()
-    _HELD_LOCKS.add(os.path.abspath(root))
+    _HELD_LOCKS.add(_lock_key(root))
 
     def _heartbeat():
         while not stop.wait(max(lease_timeout / 4.0, 0.5)):
@@ -122,7 +131,7 @@ def mutation_lock(root: str, timeout: float = 600.0,
     finally:
         import shutil
         stop.set()
-        _HELD_LOCKS.discard(os.path.abspath(root))
+        _HELD_LOCKS.discard(_lock_key(root))
         shutil.rmtree(lock, ignore_errors=True)
 
 
@@ -314,14 +323,57 @@ class SonarStore:
         if not os.path.exists(path):
             self._heal(name)
         if not os.path.exists(path):
-            return self.spark.createDataFrame([], _SCHEMAS[name])
+            return self._read_mid_swap(name)
         try:
             df = self.spark.read.parquet(path)
         except Exception:  # dir exists but holds no data files (emptied table)
             return self.spark.createDataFrame([], _SCHEMAS[name])
+        return self._project(name, df)
+
+    def _project(self, name: str, df: DataFrame) -> DataFrame:
         if "date_month" in df.columns:  # physical partition column only
             df = df.drop("date_month")
         return df.select(*[f.name for f in _SCHEMAS[name].fields])
+
+    def _read_mid_swap(self, name: str) -> DataFrame:
+        """The table path is absent and ``_heal`` declined (a live
+        writer holds the lease mid-swap).  The module contract says a
+        concurrent reader sees the OLD or the NEW table, never a
+        half-written or empty one — so serve the ``.old`` directory
+        (the pre-swap snapshot the writer moved aside) and only report
+        an empty table when there is no swap evidence at all (a table
+        that genuinely never existed).  A brief retry covers the
+        instant the writer's final rename lands and ``.old`` vanishes.
+        Caveat of a plain-filesystem store: the returned snapshot
+        plan reads ``.old`` lazily, so actions on it must run before
+        the writer's cleanup — the same transient-snapshot semantics
+        any non-MVCC file store has."""
+        path = self._path(name)
+        old, tmp = path + ".old", path + ".tmp"
+        deadline = time.time() + 5.0
+        while not os.path.exists(path):
+            if os.path.isdir(old):
+                try:
+                    return self._project(name, self.spark.read.parquet(old))
+                except Exception:  # noqa: BLE001 — swap completed under us
+                    pass
+            elif not os.path.isdir(tmp):
+                # no final, no old, no tmp: the table never existed
+                break
+            if not os.path.exists(os.path.join(self.root, ".lock")):
+                # no live writer: nothing will complete this swap —
+                # heal (now unblocked) instead of waiting out the clock
+                self._heal(name)
+                break
+            if time.time() > deadline:
+                break
+            time.sleep(0.05)
+        if os.path.exists(path):
+            try:
+                return self._project(name, self.spark.read.parquet(path))
+            except Exception:  # noqa: BLE001
+                pass
+        return self.spark.createDataFrame([], _SCHEMAS[name])
 
     def _layout(self, name: str, df: DataFrame):
         """Physical layout per table (the scale story made real):
@@ -353,7 +405,7 @@ class SonarStore:
         tmp, old = final + ".tmp", final + ".old"
         if os.path.exists(final) or not (os.path.isdir(tmp) or os.path.isdir(old)):
             return
-        if os.path.abspath(self.root) in _HELD_LOCKS:
+        if _lock_key(self.root) in _HELD_LOCKS:
             self._heal_locked(name)       # we ARE the writer: reentrant
             return
         with try_mutation_lock(self.root) as held:

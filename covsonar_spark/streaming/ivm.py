@@ -111,25 +111,56 @@ class StreamingJoinView:
                 return int(e.split("=", 1)[1])
         return None
 
+    def _pinned_gens(self) -> dict[str, int]:
+        """batch id -> the dim generation that fact batch joined,
+        parsed from the view directory names."""
+        out: dict[str, int] = {}
+        if os.path.isdir(self._view_path):
+            pat = re.compile(r"^batch=(.+)_g(\d+)$")
+            for e in os.listdir(self._view_path):
+                m = pat.match(e)
+                if m:
+                    out[m.group(1)] = int(m.group(2))
+        return out
+
     def update_dim(self, delta_dim: DataFrame, tag: str) -> None:
         """Dimension insert wave: ΔV = A_old ⋈ ΔB (delta-sized on the
         dim side), and the delta becomes generation ``g+1`` for later
         fact batches.  Safe before any fact batch exists (ΔV empty);
         idempotent under replay — a tag that already has a generation
-        rewrites it instead of minting a new one (the underscore
-        marker file is invisible to parquet readers)."""
+        rewrites it instead of minting a new one, and the A_old ⋈ ΔB
+        term joins ONLY fact batches pinned to an older generation:
+        batches processed after the original wave already joined this
+        delta (their pinned gen includes it), so re-joining them here
+        would double-count ΔA ⋈ ΔB.  The generation directory is
+        staged in a tmp dir containing its tag marker and renamed into
+        place, so a crash can never leave a marker-less generation
+        that a retry would duplicate."""
+        import shutil
+
         new_gen = self._gen_of_tag(tag)
         if new_gen is None:
             new_gen = self._current_gen() + 1
         gen_dir = os.path.join(self._dim_path, f"gen={new_gen}")
-        delta_dim.write.mode("overwrite").parquet(gen_dir)
-        open(os.path.join(gen_dir, f"_tag_{tag}"), "w").close()
-        if os.path.isdir(self._fact_path) and any(
-                e.startswith("batch=") for e in os.listdir(self._fact_path)):
-            fact = self.spark.read.parquet(self._fact_path).drop("batch")
-            (fact.join(delta_dim, self.on)
-             .write.mode("overwrite")
-             .parquet(os.path.join(self._view_path, f"batch=dim_{tag}")))
+        tmp_dir = os.path.join(self._dim_path, f"_tmp_{tag}")
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        delta_dim.write.mode("overwrite").parquet(tmp_dir)
+        open(os.path.join(tmp_dir, f"_tag_{tag}"), "w").close()
+        shutil.rmtree(gen_dir, ignore_errors=True)
+        os.rename(tmp_dir, gen_dir)
+        if os.path.isdir(self._fact_path):
+            pinned = self._pinned_gens()
+            old_batches = [
+                e.split("=", 1)[1] for e in os.listdir(self._fact_path)
+                if e.startswith("batch=")
+                and pinned.get(e.split("=", 1)[1], -1) < new_gen]
+            if old_batches:
+                fact = self.spark.read.parquet(
+                    *[os.path.join(self._fact_path, f"batch={b}")
+                      for b in old_batches])
+                (fact.join(delta_dim, self.on)
+                 .write.mode("overwrite")
+                 .parquet(os.path.join(self._view_path, f"batch=dim_{tag}")))
 
     def view(self) -> DataFrame:
         """The maintained join view (union of the delta log); empty

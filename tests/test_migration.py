@@ -120,13 +120,15 @@ def test_overwrite_crash_window_heals(spark, tmp_path):
     assert not os.path.exists(store._path("genomes") + ".old")
 
 
-def test_heal_skipped_while_writer_holds_lease(spark, tmp_path):
-    """A reader must not steal a live writer's in-progress swap: with
-    the lease held by 'another writer', table() on a mid-swap layout
-    reports empty (old moved aside) rather than renaming dirs."""
+def test_reader_sees_old_snapshot_while_writer_holds_lease(spark, tmp_path):
+    """A reader must not steal a live writer's in-progress swap AND
+    must not see an empty table: with the lease held by 'another
+    writer' and the table mid-swap (final moved to .old), table()
+    serves the .old pre-swap snapshot — the module contract is old or
+    new, never half-written or empty."""
     import os
 
-    from covsonar_spark.store import SonarStore, mutation_lock
+    from covsonar_spark.store import SonarStore, _lock_key, mutation_lock
 
     root = str(tmp_path / "store")
     store = SonarStore.open(spark, root)
@@ -136,17 +138,49 @@ def test_heal_skipped_while_writer_holds_lease(spark, tmp_path):
     os.rename(store._path("genomes"), store._path("genomes") + ".old")
     with mutation_lock(root):
         # simulate: some OTHER process holds the lease (we do, but the
-        # reader path can't tell) — use a second store object whose
-        # reads go through _heal; _HELD_LOCKS makes it reentrant-heal,
-        # so emulate a foreign holder by patching the ownership set
+        # reader path can't tell) — emulate a foreign holder by
+        # removing our ownership key
         from covsonar_spark import store as store_mod
-        store_mod._HELD_LOCKS.discard(os.path.abspath(root))
+        store_mod._HELD_LOCKS.discard(_lock_key(root))
         try:
-            assert store.table("genomes").count() == 0    # no steal
+            # pre-swap snapshot served, swap not stolen
+            assert store.table("genomes").count() == 1
             assert os.path.isdir(store._path("genomes") + ".old")
+            assert not os.path.isdir(store._path("genomes"))
         finally:
-            store_mod._HELD_LOCKS.add(os.path.abspath(root))
-    # lease released: next read heals
+            store_mod._HELD_LOCKS.add(_lock_key(root))
+    # lease released: next read heals the crashed swap for real
+    assert store.table("genomes").count() == 1
+    assert os.path.isdir(store._path("genomes"))
+
+
+def test_held_locks_are_thread_scoped(spark, tmp_path):
+    """A reader in a DIFFERENT thread of the writer's process must not
+    pass the we-are-the-writer reentrancy check: it takes the foreign
+    -reader path (serves the .old snapshot, never renames) while the
+    writer thread holds the lease."""
+    import os
+    import threading
+
+    from covsonar_spark.store import SonarStore, mutation_lock
+
+    root = str(tmp_path / "store")
+    store = SonarStore.open(spark, root)
+    schema = store.table("genomes").schema
+    row = tuple("v" if not f.nullable else None for f in schema.fields)
+    store._overwrite("genomes", spark.createDataFrame([row], schema))
+    os.rename(store._path("genomes"), store._path("genomes") + ".old")
+    result: dict = {}
+    with mutation_lock(root):          # this thread is the writer
+        def reader():
+            result["n"] = store.table("genomes").count()
+            result["stole"] = os.path.isdir(store._path("genomes"))
+        t = threading.Thread(target=reader)
+        t.start()
+        t.join(timeout=60)
+    assert result["n"] == 1            # old snapshot, not empty
+    assert not result["stole"]         # and no rename happened
+    # after release the swap heals
     assert store.table("genomes").count() == 1
 
 

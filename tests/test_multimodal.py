@@ -246,3 +246,32 @@ def test_corrupt_and_zero_area_payloads_fall_back(spark):
     assert _pixel_features(zero_area) is None
     bad_wav = b"RIFF" + b"\x00" * 4 + b"WAVEgarbage"
     assert _pcm_window_features(bad_wav, 4) is None
+
+
+def test_png_decompression_bomb_rejected():
+    """A kilobyte IDAT declaring gigabyte dimensions must raise before
+    any inflate, and a stream inflating past the declared size must
+    raise from the bounded decompressor — the worker never allocates
+    beyond the IHDR-derived budget."""
+    import struct
+    import zlib
+
+    from covsonar_spark.functions import png
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 50_000, 50_000, 8, 2, 0, 0, 0)
+    bomb = (png._SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 1000))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="decode ceiling"):
+        png.decode_png(bomb)
+
+    ihdr2 = struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0)
+    over = (png._SIG + chunk(b"IHDR", ihdr2)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * (10 * (3 * 3 + 1) * 2)))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="inflates past"):
+        png.decode_png(over)

@@ -231,6 +231,36 @@ def test_streaming_join_view_replay_after_dim_wave(spark, tmp_path):
     assert got == want and len(got) == len(set(got))
 
 
+def test_streaming_join_view_dim_replay_after_new_fact(spark, tmp_path):
+    """The OTHER double-count trap (round-2 advice): a dim wave
+    replayed after newer fact batches were processed must not re-join
+    those batches — they were pinned to the post-wave generation and
+    already carry the ΔA ⋈ ΔB rows."""
+    from pyspark.sql import functions as F
+
+    from covsonar_spark.streaming.ivm import StreamingJoinView
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"))
+    c = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey", "c_name")
+    b0 = c.where(F.col("c_custkey") % 2 == 0)
+    db = c.where(F.col("c_custkey") % 2 == 1)
+    d0 = o.where(F.col("o_orderkey") % 2 == 0)
+    d1 = o.where(F.col("o_orderkey") % 2 == 1)
+
+    sjv = StreamingJoinView(spark, str(tmp_path / "state"), b0, ["c_custkey"])
+    sjv.process_batch(d0, batch_id=0)          # pinned gen 0
+    sjv.update_dim(db, "late")                 # wave -> gen 1
+    sjv.process_batch(d1, batch_id=1)          # pinned gen 1 (joins db)
+    sjv.update_dim(db, "late")                 # REPLAYED wave after batch 1
+    got = sorted(tuple(r) for r in sjv.view().collect())
+    want = sorted(tuple(r) for r in o.join(c, ["c_custkey"])
+                  .select(sjv.view().columns).collect())
+    assert got == want and len(got) == len(set(got))
+
+
 def test_streaming_join_view_dim_wave_before_any_fact(spark, tmp_path):
     """A dimension wave arriving before the first fact batch must not
     crash and must still count for later fact batches."""
