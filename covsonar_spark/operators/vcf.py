@@ -171,10 +171,27 @@ def genotype_matrix(calls: DataFrame, max_samples: int = 2000) -> DataFrame:
 
 
 def write_vcf(sites: DataFrame, calls: DataFrame, path: str,
-              chrom: str = "NC_045512.2", max_samples: int = 2000) -> None:
+              chrom: str = "NC_045512.2", max_samples: int = 2000,
+              mode: str = "auto") -> None:
     """Merged multi-sample VCF text file (replaces the bcftools
-    merge pipeline, lib/sonartoVCF.py:226-303). Driver-side only for
-    the final small header+matrix assembly."""
+    merge pipeline, lib/sonartoVCF.py:226-303).
+
+    ``mode="driver"`` pivots and collects on the driver — the
+    small-cohort parity path.  ``mode="distributed"`` builds every
+    line executor-side and stream-concatenates ordered text parts
+    (:func:`write_vcf_merged_distributed`) — no pivot, no
+    sites × samples driver materialization.  ``"auto"`` (default)
+    picks driver at or below ``max_samples`` samples, distributed
+    above — large cohorts now write instead of hitting the
+    ``genotype_matrix`` cap error."""
+    if mode not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "auto":
+        n = calls.select("accession").distinct().limit(max_samples + 1).count()
+        mode = "driver" if n <= max_samples else "distributed"
+    if mode == "distributed":
+        write_vcf_merged_distributed(sites, calls, path, chrom=chrom)
+        return
     mat = genotype_matrix(calls, max_samples=max_samples)
     samples = sorted(c for c in mat.columns if c not in ("pos", "vcf_type"))
     merged = sites.join(mat, ["pos", "vcf_type"]).orderBy("pos", "vcf_type")
@@ -188,6 +205,77 @@ def write_vcf(sites: DataFrame, calls: DataFrame, path: str,
                 [r["chrom"], str(r["pos"]), r["vcf_id"], r["ref"], r["alt"],
                  r["qual"], r["filter"], r["info"], "GT"]
                 + [r[s] for s in samples]) + "\n")
+
+
+def write_vcf_merged_distributed(sites: DataFrame, calls: DataFrame,
+                                 path: str, chrom: str = "NC_045512.2",
+                                 n_partitions: int = 32) -> int:
+    """Merged multi-sample VCF with no driver-side pivot or row collect
+    — the large-cohort path ``write_vcf`` dispatches to above its cap.
+
+    Plan shape: ``sample_genotypes`` long format → per-sample column
+    index (one ``row_number`` over the sorted SAMPLE dimension —
+    n_samples rows, never sites × samples) → one
+    ``groupBy(pos, vcf_type)`` folds each site's sparse s_idx→gt map →
+    the dense tab-separated genotype block expands JVM-side
+    (``transform`` over 0..n-1 with a map lookup, missing samples
+    print '.') → lines ``repartitionByRange(pos)`` + sorted within
+    partitions, written as text parts whose range order makes
+    lexicographic file order the global POS order → parts
+    stream-concatenated behind the header.  Driver memory is
+    O(n_samples) (the #CHROM header line must name every sample —
+    the format's own cost), never O(sites × samples).
+
+    Reference parity: lib/sonartoVCF.py:226-303 merges per-worker VCFs
+    with external bcftools; this emits the same merged shape (sample
+    columns in lexicographic accession order, '.' for absent calls)
+    with no external tools.  Returns the number of samples."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    gts = sample_genotypes(calls)
+    samples = (calls.select("accession").distinct()
+               .select("accession",
+                       (F.row_number().over(Window.orderBy("accession")) - 1)
+                       .alias("s_idx")))
+    n_samples = samples.count()
+    per_site = (gts.join(samples, "accession")
+                .groupBy("pos", "vcf_type")
+                .agg(F.map_from_entries(F.collect_list(
+                    F.struct(F.col("s_idx"),
+                             F.col("gt").cast("string")))).alias("m")))
+    block = F.array_join(
+        F.transform(F.sequence(F.lit(0), F.lit(n_samples - 1)),
+                    lambda i: F.coalesce(F.element_at(F.col("m"), i),
+                                         F.lit("."))), "\t")
+    lines = (sites.join(per_site, ["pos", "vcf_type"])
+             .select("pos", "vcf_type",
+                     F.concat_ws("\t", "chrom", F.col("pos").cast("string"),
+                                 "vcf_id", "ref", "alt", "qual", "filter",
+                                 "info", F.lit("GT"), block).alias("value")))
+    parts_dir = path + ".parts"
+    (lines.repartitionByRange(n_partitions, "pos", "vcf_type")
+     .sortWithinPartitions("pos", "vcf_type")
+     .select("value")
+     .write.mode("overwrite").text(parts_dir))
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(VCF_HEADER.format(chrom=chrom))
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t")
+        first = True
+        for r in samples.orderBy("s_idx").toLocalIterator():
+            fh.write(("" if first else "\t") + r["accession"])
+            first = False
+        fh.write("\n")
+        for p in sorted(glob.glob(os.path.join(parts_dir, "part-*"))):
+            with open(p) as src:
+                shutil.copyfileobj(src, fh)
+    os.replace(tmp, path)
+    shutil.rmtree(parts_dir, ignore_errors=True)
+    return n_samples
 
 
 def write_sample_vcfs(calls: DataFrame, out_dir: str,
