@@ -417,8 +417,11 @@ def lsh_knn_join(df: DataFrame, k: int = 5, n_planes: int = 8, n_tables: int = 1
     explode JVM-side from the per-bucket id arrays — no self-join, so
     the bucket table is consumed once and nothing needs caching.
     Per-bucket state is the bucket's id list, bounded by the LSH
-    parameters (n_planes controls expected bucket size; hot buckets
-    are the standard LSH tuning concern, not a plan defect).
+    parameters (n_planes controls expected bucket size); pass
+    ``max_bucket`` to additionally bound per-task state on degenerate
+    corpora — hot buckets then split into salted sub-block grid cells
+    (``_split_bucket_pairs``) with NO candidate loss, rather than
+    being dropped.
 
     The exact-cosine rerank is adaptive (``rerank``):
       * ``"broadcast"`` — the (id-sorted) vector matrix is collected
