@@ -117,6 +117,7 @@ HEADLINE = [
     "ivm_orders_rollup",
     "ivm_join_view",
     "stream_ivm_join",
+    "ivm_retract_minmax",
     "dedup_normalized",
     "sketch_hll_setops",
     "dq_constraint_audit",
