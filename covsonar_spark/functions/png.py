@@ -90,8 +90,14 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             # decompression-bomb guard: the declared dimensions bound
             # every later allocation, so reject absurd ones up front —
             # a tiny adversarial IDAT can otherwise inflate to GBs and
-            # OOM the Python worker before any size check runs
-            if width * height * channels > MAX_PIXEL_BYTES:
+            # OOM the Python worker before any size check runs.  Zero
+            # dimensions are rejected too: width*height==0 would pass
+            # the ceiling while making the inflate bound degenerate
+            # (zlib treats max_length=0 as UNBOUNDED) or hugely over-
+            # provisioned ((0*ch+1)*height bytes for width=0).
+            if width == 0 or height == 0:
+                raise ValueError("PNG declares a zero dimension")
+            if (width * channels + 1) * height > MAX_PIXEL_BYTES:
                 raise ValueError(
                     f"PNG dimensions {width}x{height}x{channels} exceed "
                     f"the {MAX_PIXEL_BYTES >> 20} MiB decode ceiling")
@@ -110,6 +116,12 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     raw = d.decompress(bytes(idat), expect)
     if d.unconsumed_tail:
         raise ValueError("IDAT inflates past the declared image size")
+    if not d.eof:
+        # the plain zlib.decompress this replaced enforced stream
+        # termination + the adler32 trailer; keep both properties so a
+        # truncated or checksum-corrupt IDAT of exactly the right
+        # length is still rejected
+        raise ValueError("IDAT stream is truncated or unterminated")
     if len(raw) != expect:
         raise ValueError("decompressed size mismatch")
     out = bytearray(stride * height)

@@ -197,50 +197,23 @@ def _split_posting_pair_rows(inv: DataFrame, id_col: str,
                              cap: int) -> DataFrame:
     """One row per (unordered pair, shared shingle) with the pair's set
     sizes attached — the skew-bounded equivalent of the inverted-index
-    self-join.  A shingle with f postings splits into
-    s = ceil(f / cap) salted sub-blocks; every posting fans out to the
-    triangular grid of sub-block cells, so each co-occurring pair meets
-    in EXACTLY one cell of that shingle (diagonal cells keep the
-    id_a < id_b triangle; a cross cell holds each unordered pair once
-    by construction).  Exactness is what distinguishes this from LSH
-    candidate generation: the downstream count(*) per pair IS |A∩B|,
-    so multiplicity must be one-per-shared-shingle, not deduped."""
-    from pyspark.sql import Window
+    self-join, built on the shared salted sub-block grid
+    (``operators.pairgrid.split_grid_pairs``).  Exactness is what
+    distinguishes this from LSH candidate generation: the downstream
+    count(*) per pair IS |A∩B|, so multiplicity must be
+    one-per-shared-shingle, not deduped — the grid guarantees each
+    co-occurring pair meets in exactly one cell of each shared
+    shingle."""
+    from covsonar_spark.operators.pairgrid import split_grid_pairs
 
-    w = Window.partitionBy("shingle")
-    s = F.greatest(
-        F.lit(1), F.ceil(F.count(F.lit(1)).over(w) / F.lit(cap))).cast("int")
-    base = (inv.select("shingle", F.col(id_col).alias("_id"), "n_sh")
-            .withColumn("_s", s)
-            .withColumn("_blk", F.pmod(
-                F.xxhash64(F.lit("posting-salt"), F.col("_id")),
-                F.col("_s")).cast("int")))
-    side_a = base.select(
-        "shingle", "_id", "n_sh", F.col("_blk").alias("ci"),
-        F.explode(F.sequence(F.col("_blk"), F.col("_s") - 1)).alias("cj"),
-        F.lit(0).alias("role"))
-    side_b = base.where(F.col("_blk") > 0).select(
-        "shingle", "_id", "n_sh",
-        F.explode(F.sequence(F.lit(0), F.col("_blk") - 1)).alias("ci"),
-        F.col("_blk").alias("cj"), F.lit(1).alias("role"))
-    post = F.struct(F.col("_id").alias("pid"), F.col("n_sh").alias("pn"))
-    grouped = (side_a.unionByName(side_b)
-               .groupBy("shingle", "ci", "cj")
-               .agg(F.collect_list(F.when(F.col("role") == 0, post)).alias("pa"),
-                    F.collect_list(F.when(F.col("role") == 1, post)).alias("pb")))
-    diag = (grouped.where(F.col("ci") == F.col("cj"))
-            .select(F.explode("pa").alias("x"), "pa")
-            .select("x", F.explode("pa").alias("y"))
-            .where(F.col("x.pid") < F.col("y.pid")))
-    offd = (grouped.where(F.col("ci") != F.col("cj"))
-            .select(F.explode("pa").alias("x"), "pb")
-            .select("x", F.explode("pb").alias("y")))
+    pairs = split_grid_pairs(inv, ["shingle"], id_col, ["n_sh"], cap,
+                             salt="posting-salt")
     lo_first = F.col("x.pid") < F.col("y.pid")
-    return diag.unionByName(offd).select(
+    return pairs.select(
         F.when(lo_first, F.col("x.pid")).otherwise(F.col("y.pid")).alias("id_a"),
         F.when(lo_first, F.col("y.pid")).otherwise(F.col("x.pid")).alias("id_b"),
-        F.when(lo_first, F.col("x.pn")).otherwise(F.col("y.pn")).alias("n_a"),
-        F.when(lo_first, F.col("y.pn")).otherwise(F.col("x.pn")).alias("n_b"))
+        F.when(lo_first, F.col("x.n_sh")).otherwise(F.col("y.n_sh")).alias("n_a"),
+        F.when(lo_first, F.col("y.n_sh")).otherwise(F.col("x.n_sh")).alias("n_b"))
 
 
 # affine-mixing constants for the minhash family: h_i = (a_i·h + b_i) mod P

@@ -576,46 +576,18 @@ def _split_bucket_pairs(b: DataFrame, id_col: str, max_bucket: int,
     instead of one giant task, so the cap is a win, not a tax.
 
     Emits DIRECTED pairs (id_a, id_b), id_a != id_b, deduped across
-    buckets and cells.
+    buckets and cells.  Built on the shared salted sub-block grid
+    (``operators.pairgrid.split_grid_pairs``): each unordered pair
+    meets in one cell per bucket; both orientations are emitted here
+    because the knn rerank ranks neighbors per directed source id.
     """
-    from pyspark.sql import Window
+    from covsonar_spark.operators.pairgrid import split_grid_pairs
 
-    w = Window.partitionBy(*[F.col(c) for c in key_cols])
-    s = F.greatest(
-        F.lit(1),
-        F.ceil(F.count(F.lit(1)).over(w) / F.lit(max_bucket))).cast("int")
-    base = (b.select(*key_cols, F.col(id_col).alias("_id"))
-            .withColumn("_s", s)
-            .withColumn("_blk", F.pmod(
-                F.xxhash64(F.lit("subbucket-salt"), F.col("_id")),
-                F.col("_s")).cast("int")))
-    # A side of cells (blk, j >= blk); B side of cells (i < blk, blk) —
-    # diagonal cells carry the sub-block once, as A.
-    side_a = base.select(
-        *key_cols, "_id", F.col("_blk").alias("ci"),
-        F.explode(F.sequence(F.col("_blk"), F.col("_s") - 1)).alias("cj"),
-        F.lit(0).alias("role"))
-    side_b = base.where(F.col("_blk") > 0).select(
-        *key_cols, "_id",
-        F.explode(F.sequence(F.lit(0), F.col("_blk") - 1)).alias("ci"),
-        F.col("_blk").alias("cj"), F.lit(1).alias("role"))
-    grouped = (side_a.unionByName(side_b)
-               .groupBy(*key_cols, "ci", "cj")
-               .agg(F.collect_list(F.when(F.col("role") == 0, F.col("_id")))
-                    .alias("ids_a"),
-                    F.collect_list(F.when(F.col("role") == 1, F.col("_id")))
-                    .alias("ids_b")))
-    diag = (grouped.where(F.col("ci") == F.col("cj"))
-            .select(F.explode("ids_a").alias("id_a"), "ids_a")
-            .select("id_a", F.explode("ids_a").alias("id_b"))
-            .where(F.col("id_a") != F.col("id_b")))
-    offd = grouped.where(F.col("ci") != F.col("cj"))
-    ab = (offd.select(F.explode("ids_a").alias("id_a"), "ids_b")
-          .select("id_a", F.explode("ids_b").alias("id_b")))
-    ba = (offd.select(F.explode("ids_b").alias("id_a"), "ids_a")
-          .select("id_a", F.explode("ids_a").alias("id_b")))
-    return (diag.unionByName(ab).unionByName(ba)
-            .dropDuplicates(["id_a", "id_b"]))
+    pairs = split_grid_pairs(b, list(key_cols), id_col, [], max_bucket,
+                             salt="subbucket-salt")
+    fwd = pairs.select(F.col("x.pid").alias("id_a"), F.col("y.pid").alias("id_b"))
+    rev = pairs.select(F.col("y.pid").alias("id_a"), F.col("x.pid").alias("id_b"))
+    return fwd.unionByName(rev).dropDuplicates(["id_a", "id_b"])
 
 
 def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,

@@ -237,10 +237,14 @@ def write_vcf_merged_distributed(sites: DataFrame, calls: DataFrame,
     from pyspark.sql import Window
 
     gts = sample_genotypes(calls)
+    # persisted: the sample index feeds three consumers (the count, the
+    # per-site join, the header iteration) — without the persist each
+    # one would re-scan the full calls relation for the distinct +
+    # window sort
     samples = (calls.select("accession").distinct()
                .select("accession",
                        (F.row_number().over(Window.orderBy("accession")) - 1)
-                       .alias("s_idx")))
+                       .alias("s_idx"))).persist()
     n_samples = samples.count()
     per_site = (gts.join(samples, "accession")
                 .groupBy("pos", "vcf_type")
@@ -275,6 +279,7 @@ def write_vcf_merged_distributed(sites: DataFrame, calls: DataFrame,
                 shutil.copyfileobj(src, fh)
     os.replace(tmp, path)
     shutil.rmtree(parts_dir, ignore_errors=True)
+    samples.unpersist()
     return n_samples
 
 

@@ -435,7 +435,20 @@ class SonarStore:
         failed job never truncates the table: the old data is moved
         aside, not deleted, until the new copy is in place (the crash
         window between the renames heals via ``_heal`` on next read —
-        the same pattern as the streaming sketch store's compaction)."""
+        the same pattern as the streaming sketch store's compaction).
+
+        The ``.old`` snapshot is RETAINED after a successful swap (it
+        is cleared at the START of the next overwrite, and by heal /
+        table drops): a concurrent reader that resolved the pre-swap
+        snapshot mid-swap (``_read_mid_swap``) holds a lazy plan over
+        ``.old``, and deleting it the instant the swap lands would
+        fail that reader's action with FileNotFoundException instead
+        of the promised old-or-new semantics.  Retention costs one
+        extra table copy between consecutive rewrites — the poor
+        man's MVCC version retention a plain-filesystem store needs;
+        a snapshot can still break if TWO overwrites complete before
+        the reader's action runs (documented transient-snapshot
+        limit)."""
         import shutil
 
         final = self._path(name)
@@ -450,7 +463,6 @@ class SonarStore:
         if os.path.exists(final):
             os.rename(final, old)
         os.rename(tmp, final)
-        shutil.rmtree(old, ignore_errors=True)
 
     def _append(self, name: str, df: DataFrame) -> None:
         out, parts = self._layout(name, df)
@@ -568,8 +580,6 @@ class SonarStore:
         # actions dominated the non-aligner half of cold ingest
         # (~6 s of a 19 s / 1024-genome batch); overlapped they cost
         # ~the slowest one.
-        import concurrent.futures as _cf
-
         append_jobs = {
             "sequences": new_seqs.join(
                 ok.select("seqhash"), "seqhash", "left_semi"),

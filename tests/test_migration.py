@@ -194,3 +194,37 @@ def test_upgrade_fast_path_skips_lock(spark, tmp_path):
     with mutation_lock(root):
         st = SonarStore.open(spark, root)     # must not block or raise
         assert st.table("genomes").count() == 0
+
+
+def test_reader_snapshot_survives_swap_completion(spark, tmp_path):
+    """The race the .old retention closes: a reader resolves the
+    pre-swap snapshot while the writer is mid-swap; the writer then
+    COMPLETES the swap; the reader's (lazy) action must still succeed
+    against the retained .old instead of FileNotFoundException."""
+    import os
+    import shutil
+
+    from covsonar_spark.store import SonarStore, _lock_key, mutation_lock
+
+    root = str(tmp_path / "store")
+    store = SonarStore.open(spark, root)
+    schema = store.table("genomes").schema
+    row = tuple("v" if not f.nullable else None for f in schema.fields)
+    df1 = spark.createDataFrame([row], schema)
+    store._overwrite("genomes", df1)
+    final = store._path("genomes")
+    tmp_dir, old = final + ".tmp", final + ".old"
+    # stage the new version like _overwrite does, then freeze mid-swap
+    shutil.copytree(final, tmp_dir)
+    os.rename(final, old)
+    with mutation_lock(root):
+        from covsonar_spark import store as store_mod
+        store_mod._HELD_LOCKS.discard(_lock_key(root))
+        try:
+            snapshot = store.table("genomes")     # resolves .old lazily
+        finally:
+            store_mod._HELD_LOCKS.add(_lock_key(root))
+        os.rename(tmp_dir, final)                 # writer completes swap
+        # .old retained (no post-swap rmtree) -> the snapshot still reads
+        assert snapshot.count() == 1
+        assert os.path.isdir(old)

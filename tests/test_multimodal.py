@@ -275,3 +275,21 @@ def test_png_decompression_bomb_rejected():
             + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="inflates past"):
         png.decode_png(over)
+
+    # zero-dimension bypass: width*height==0 must not slip past the
+    # ceiling into an unbounded (max_length=0) or over-provisioned inflate
+    for w, h in ((10, 0), (0, 500_000_000)):
+        zb = (png._SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+              + chunk(b"IDAT", zlib.compress(b"\x00" * 1000))
+              + chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="zero dimension"):
+            png.decode_png(zb)
+
+    # unterminated stream of exactly the declared size: the bounded
+    # decompressor must still enforce stream end + adler32
+    c = zlib.compressobj()
+    body = c.compress(b"\x00" * ((3 * 3 + 1) * 2)) + c.flush(zlib.Z_SYNC_FLUSH)
+    unterm = (png._SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0))
+              + chunk(b"IDAT", body) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="truncated or unterminated"):
+        png.decode_png(unterm)
