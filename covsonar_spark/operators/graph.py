@@ -79,17 +79,23 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, damp: float = DAMP) -> Dat
     transition weight = edge weight / node out-weight; dangling nodes
     simply emit no mass (simplified standard).  Each iteration rounds
     rank to 6 decimals — the cross-engine fixpoint pin."""
-    # cache: the edge aggregation pipeline feeds the node census, the
-    # transition build, AND every iteration's join — without it the
-    # upstream fact scan re-runs per action (triangle census caches
-    # its edge list for the same reason)
-    edges = edges.cache()
+    # scoped persist: the edge aggregation pipeline feeds the node
+    # census, the transition build, AND every iteration's join —
+    # without it the upstream fact scan re-runs per action.  Scoped
+    # (one bounded entry per key, sameResult-memoized) rather than a
+    # raw .cache() so repeated calls in a long-lived session don't
+    # accumulate leaked cache entries (triangle census persists its
+    # edge list the same way).
+    from covsonar_spark.operators.dedup import _persist_scoped
+
+    edges = _persist_scoped("pagerank_edges", edges)
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst"))).distinct()
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("ow"))
-    trans = (edges.join(out_w, "src")
-             .select("src", "dst", (F.col("weight") / F.col("ow")).alias("p"))
-             .cache())
+    trans = _persist_scoped(
+        "pagerank_trans",
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("weight") / F.col("ow")).alias("p")))
     n_nodes = nodes.count()
     ranks = nodes.select("node", F.round(F.lit(1.0 / n_nodes), 6).alias("rank"))
     for _ in range(iters):
@@ -177,7 +183,9 @@ def graph_triangles(spark, sf_dir):
     explodes on the hot node), then each triangle is counted once via
     Σ over oriented edges (u,v) of |out(u) ∩ out(v)| — the wedge set
     (Σ d²/4 rows, ~40M at sf0.1) is never materialized or shuffled."""
-    e = copurchase_edges(spark, sf_dir).cache()
+    from covsonar_spark.operators.dedup import _persist_scoped
+
+    e = _persist_scoped("tri_edges", copurchase_edges(spark, sf_dir))
     # degree table is |V| rows — always broadcast; the wedge stage then
     # runs entirely map-side over the cached edge partitions.  At edge
     # counts past broadcast reach, the closure semi-join falls back to
@@ -192,10 +200,10 @@ def graph_triangles(spark, sf_dir):
     ranked = (e.join(F.broadcast(degr.select(F.col("v").alias("a"), F.col("r").alias("ra"))), "a")
                .join(F.broadcast(degr.select(F.col("v").alias("b"), F.col("r").alias("rb"))), "b"))
     a_first = F.col("ra") < F.col("rb")
-    oriented = ranked.select(
+    oriented = _persist_scoped("tri_oriented", ranked.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    ).cache()
+    ))
     # adjacency-intersection form: never materializes the wedge set.
     # For oriented edge (u,v), |out(u) ∩ out(v)| counts exactly the
     # triangles whose two lowest-rank vertices are u,v — so the sum
