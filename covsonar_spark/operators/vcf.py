@@ -214,8 +214,9 @@ def write_vcf_merged_distributed(sites: DataFrame, calls: DataFrame,
     — the large-cohort path ``write_vcf`` dispatches to above its cap.
 
     Plan shape: ``sample_genotypes`` long format → per-sample column
-    index (one ``row_number`` over the sorted SAMPLE dimension —
-    n_samples rows, never sites × samples) → one
+    index (driver-assigned over the Python-``sorted()`` SAMPLE
+    dimension — n_samples rows, never sites × samples; same order as
+    the driver path) → one
     ``groupBy(pos, vcf_type)`` folds each site's sparse s_idx→gt map →
     the dense tab-separated genotype block expands JVM-side
     (``transform`` over 0..n-1 with a map lookup, missing samples
@@ -234,19 +235,27 @@ def write_vcf_merged_distributed(sites: DataFrame, calls: DataFrame,
     import os
     import shutil
 
-    from pyspark.sql import Window
-
     gts = sample_genotypes(calls)
-    # persisted: the sample index feeds three consumers (the count, the
-    # per-site join, the header iteration) — without the persist each
-    # one would re-scan the full calls relation for the distinct +
-    # window sort
-    samples = (calls.select("accession").distinct()
-               .select("accession",
-                       (F.row_number().over(Window.orderBy("accession")) - 1)
-                       .alias("s_idx"))).persist()
-    n_samples = samples.count()
-    per_site = (gts.join(samples, "accession")
+    # Sample index assigned on the driver from the SAME Python
+    # ``sorted()`` order the driver path uses (codepoint order, not
+    # Spark's UTF8 collation) so auto-mode column order can't change
+    # when a cohort crosses max_samples.  n_samples rows is
+    # driver-safe by construction — the #CHROM header must name every
+    # sample anyway.
+    acc_sorted = sorted(
+        r["accession"] for r in calls.select("accession").distinct().collect())
+    n_samples = len(acc_sorted)
+    samples = calls.sparkSession.createDataFrame(
+        [(a, i) for i, a in enumerate(acc_sorted)],
+        "accession string, s_idx int")
+    # duplicate calls at the same (pos, vcf_type) for one accession are
+    # folded with min() BEFORE map_from_entries — the default
+    # mapKeyDedupPolicy=EXCEPTION would otherwise crash on dirty data
+    # the driver path (pivot + first) tolerates; min is the
+    # deterministic counterpart of the driver path's first()
+    per_site = (gts.join(F.broadcast(samples), "accession")
+                .groupBy("pos", "vcf_type", "s_idx")
+                .agg(F.min("gt").alias("gt"))
                 .groupBy("pos", "vcf_type")
                 .agg(F.map_from_entries(F.collect_list(
                     F.struct(F.col("s_idx"),
@@ -269,17 +278,13 @@ def write_vcf_merged_distributed(sites: DataFrame, calls: DataFrame,
     with open(tmp, "w") as fh:
         fh.write(VCF_HEADER.format(chrom=chrom))
         fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t")
-        first = True
-        for r in samples.orderBy("s_idx").toLocalIterator():
-            fh.write(("" if first else "\t") + r["accession"])
-            first = False
+        fh.write("\t".join(acc_sorted))
         fh.write("\n")
         for p in sorted(glob.glob(os.path.join(parts_dir, "part-*"))):
             with open(p) as src:
                 shutil.copyfileobj(src, fh)
     os.replace(tmp, path)
     shutil.rmtree(parts_dir, ignore_errors=True)
-    samples.unpersist()
     return n_samples
 
 

@@ -47,7 +47,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-_NROWS_CACHE: dict[str, int] = {}
+_NROWS_CACHE: dict[tuple[str, float], int | None] = {}
 
 
 def _nrows(sf_dir: str, name: str) -> int | None:
@@ -55,22 +55,31 @@ def _nrows(sf_dir: str, name: str) -> int | None:
     similarity auto modes — saves those operators a full count() pass
     over the corpus before any useful work.  None when the footer
     isn't locally readable (remote FS, non-parquet): the operators
-    then fall back to counting."""
+    then fall back to counting.  Keyed on (path, mtime) so a table
+    rewritten in-session (bench regenerating testdata) gets a fresh
+    footer read instead of a stale hint."""
+    import os
+
     path = f"{sf_dir}/{name}.parquet"
-    if path not in _NROWS_CACHE:
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    key = (path, mtime)
+    if key not in _NROWS_CACHE:
         try:
             import pyarrow.parquet as pq
 
-            _NROWS_CACHE[path] = pq.ParquetFile(path).metadata.num_rows
+            _NROWS_CACHE[key] = pq.ParquetFile(path).metadata.num_rows
         except Exception:  # noqa: BLE001 — directory datasets, remote FS
             try:
                 import pyarrow.dataset as ds
 
-                _NROWS_CACHE[path] = ds.dataset(path, format="parquet") \
+                _NROWS_CACHE[key] = ds.dataset(path, format="parquet") \
                     .count_rows()
             except Exception:  # noqa: BLE001
-                _NROWS_CACHE[path] = None
-    return _NROWS_CACHE[path]
+                _NROWS_CACHE[key] = None
+    return _NROWS_CACHE[key]
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -95,6 +95,7 @@ class StreamingJoinView:
         if batch_id is None:
             batch_id = self._seq
             self._seq += 1
+        self._heal_dim_swaps()
         gen = self._batch_gen(batch_id)
         if gen is None:
             gen = self._current_gen()
@@ -103,6 +104,28 @@ class StreamingJoinView:
          .parquet(os.path.join(self._view_path, f"batch={batch_id}_g{gen}")))
         (delta_fact.write.mode("overwrite")
          .parquet(os.path.join(self._fact_path, f"batch={batch_id}")))
+
+    def _heal_dim_swaps(self) -> None:
+        """Recover a crash between the two renames of a dim-generation
+        swap: a ``_trash_gen<N>`` dir whose ``gen=<N>`` is missing IS
+        the committed generation renamed aside mid-swap — restore it;
+        one whose ``gen=<N>`` exists is a completed swap's leftover —
+        drop it.  Keeps the crash-safety claim honest: no window where
+        an already-committed generation is permanently deleted."""
+        import shutil
+
+        if not os.path.isdir(self._dim_path):
+            return
+        for e in os.listdir(self._dim_path):
+            if not e.startswith("_trash_gen"):
+                continue
+            trash = os.path.join(self._dim_path, e)
+            committed = os.path.join(
+                self._dim_path, "gen=" + e[len("_trash_gen"):])
+            if os.path.isdir(committed):
+                shutil.rmtree(trash, ignore_errors=True)
+            else:
+                os.rename(trash, committed)
 
     def _gen_of_tag(self, tag: str) -> int | None:
         for e in os.listdir(self._dim_path):
@@ -133,11 +156,14 @@ class StreamingJoinView:
         batches processed after the original wave already joined this
         delta (their pinned gen includes it), so re-joining them here
         would double-count ΔA ⋈ ΔB.  The generation directory is
-        staged in a tmp dir containing its tag marker and renamed into
-        place, so a crash can never leave a marker-less generation
-        that a retry would duplicate."""
+        staged in a tmp dir containing its tag marker and swapped into
+        place via rename-aside (never rmtree-then-rename), so a crash
+        at any point either leaves the old committed generation
+        restorable from its ``_trash_gen`` alias or the new one fully
+        in place — a retry can never duplicate or lose a generation."""
         import shutil
 
+        self._heal_dim_swaps()
         new_gen = self._gen_of_tag(tag)
         if new_gen is None:
             new_gen = self._current_gen() + 1
@@ -146,8 +172,12 @@ class StreamingJoinView:
         shutil.rmtree(tmp_dir, ignore_errors=True)
         delta_dim.write.mode("overwrite").parquet(tmp_dir)
         open(os.path.join(tmp_dir, f"_tag_{tag}"), "w").close()
-        shutil.rmtree(gen_dir, ignore_errors=True)
+        trash = os.path.join(self._dim_path, f"_trash_gen{new_gen}")
+        shutil.rmtree(trash, ignore_errors=True)
+        if os.path.isdir(gen_dir):
+            os.rename(gen_dir, trash)
         os.rename(tmp_dir, gen_dir)
+        shutil.rmtree(trash, ignore_errors=True)
         if os.path.isdir(self._fact_path):
             pinned = self._pinned_gens()
             old_batches = [

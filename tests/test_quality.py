@@ -302,3 +302,44 @@ def test_write_vcf_large_cohort_no_cap_error(spark, tmp_path):
     # spot-check genotype semantics: every non-header field is '.' or digits
     for l in body:
         assert set(f for f in l.split("\t")[9:]) <= {".", "1", "2", "3"}
+
+
+def test_write_vcf_distributed_tolerates_duplicate_calls(spark, tmp_path):
+    """Dirty input with two calls for one accession at the same
+    (pos, vcf_type) must not crash map_from_entries (default
+    mapKeyDedupPolicy=EXCEPTION) — the distributed path folds
+    duplicates with min() before building the map, matching the driver
+    path's first()-tolerance."""
+    from covsonar_spark.operators.vcf import site_table, write_vcf
+
+    calls = _synthetic_calls(spark, 10).unionAll(
+        _synthetic_calls(spark, 10))          # exact duplicate rows
+    sites = site_table(calls)
+    out = str(tmp_path / "dup.vcf")
+    write_vcf(sites, calls, out, mode="distributed")
+    body = [l for l in open(out).read().splitlines()
+            if not l.startswith("#")]
+    assert body
+
+
+def test_write_vcf_sample_order_parity_non_ascii(spark, tmp_path):
+    """Sample column order must be identical between the driver and
+    distributed paths even for non-ASCII accessions, where Python
+    sorted() (codepoint order) and Spark's UTF8 collation can differ."""
+    from pyspark.sql import functions as F
+
+    from covsonar_spark.operators.vcf import site_table, write_vcf
+
+    rows = [("Zèta", 5, "A", "T"), ("Zz", 5, "A", "G"),
+            ("Äbc", 12, "C", "T"), ("ABC", 12, "C", "G"),
+            ("zeta", 19, "G", "A")]
+    calls = spark.createDataFrame(rows, "accession string, pos long, "
+                                        "ref string, alt string")
+    sites = site_table(calls)
+    a, b = str(tmp_path / "drv.vcf"), str(tmp_path / "dst.vcf")
+    write_vcf(sites, calls, a, mode="driver")
+    write_vcf(sites, calls, b, mode="distributed")
+    ha = next(l for l in open(a).read().splitlines() if l.startswith("#CHROM"))
+    hb = next(l for l in open(b).read().splitlines() if l.startswith("#CHROM"))
+    assert ha == hb
+    assert open(a).read() == open(b).read()

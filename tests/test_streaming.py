@@ -283,3 +283,61 @@ def test_streaming_join_view_dim_wave_before_any_fact(spark, tmp_path):
     want = sorted(tuple(r) for r in o.join(c, ["c_custkey"])
                   .select(sjv.view().columns).collect())
     assert got == want
+
+
+def test_streaming_join_view_heals_interrupted_dim_swap(spark, tmp_path):
+    """Simulate a crash in the middle of a dim-generation swap (the
+    committed gen renamed aside to its _trash alias, the staged tmp dir
+    still present): the next call must restore the committed
+    generation, and a replayed wave must still converge to the exact
+    one-shot join — no lost generation, no double count."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from covsonar_spark.streaming.ivm import StreamingJoinView
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"))
+    c = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey", "c_name")
+    b0 = c.where(F.col("c_custkey") % 2 == 0)
+    db = c.where(F.col("c_custkey") % 2 == 1)
+    d0 = o.where(F.col("o_orderkey") % 2 == 0)
+    d1 = o.where(F.col("o_orderkey") % 2 == 1)
+
+    state = str(tmp_path / "state")
+    sjv = StreamingJoinView(spark, state, b0, ["c_custkey"])
+    sjv.process_batch(d0, batch_id=0)          # pinned gen 0
+    sjv.update_dim(db, "late")                 # wave -> gen 1 committed
+    sjv.process_batch(d1, batch_id=1)          # pinned gen 1
+
+    # hand-craft the crash window: gen=1 renamed aside, staged tmp left
+    dim_path = os.path.join(state, "dim")
+    gen1 = os.path.join(dim_path, "gen=1")
+    os.rename(gen1, os.path.join(dim_path, "_trash_gen1"))
+    tmp_dir = os.path.join(dim_path, "_tmp_late")
+    db.write.mode("overwrite").parquet(tmp_dir)
+    open(os.path.join(tmp_dir, "_tag_late"), "w").close()
+
+    sjv2 = StreamingJoinView(spark, state, b0, ["c_custkey"])
+    sjv2.update_dim(db, "late")                # replay heals + rewrites
+    assert os.path.isdir(gen1)
+    assert not any(e.startswith("_trash_gen") for e in os.listdir(dim_path))
+
+    got = sorted(tuple(r) for r in sjv2.view().collect())
+    want = sorted(tuple(r) for r in o.join(c, ["c_custkey"])
+                  .select(sjv2.view().columns).collect())
+    assert got == want and len(got) == len(set(got))
+
+    # second crash shape: committed gen aside with NO staged tmp — a
+    # plain process_batch must also heal before reading dims
+    os.rename(gen1, os.path.join(dim_path, "_trash_gen1"))
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    sjv3 = StreamingJoinView(spark, state, b0, ["c_custkey"])
+    sjv3.process_batch(d0, batch_id=0)         # replay of batch 0
+    assert os.path.isdir(gen1)
+    got = sorted(tuple(r) for r in sjv3.view().collect())
+    assert got == want
