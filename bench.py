@@ -129,7 +129,30 @@ HEADLINE = [
     "stream_histogram_quantile",
     "events_markov_transitions",
     "orders_rfm_segmentation",
+    # round 4: the previously-unbenched 16 — a perf regression on any
+    # registry path must show up in the bench, not just correctness
+    "match_count",
+    "match_metadata_negation",
+    "match_profile_semijoin",
+    "match_profile_exclude",
+    "profile_token_frequencies",
+    "agg_group_counts",
+    "agg_distinct_counts",
+    "agg_minmax_dates",
+    "agg_field_completeness",
+    "dedup_clusters",
+    "dedup_ngram_prefix",
+    "text_quality",
+    "stream_dedup_lsh",
+    "stream_hll_distinct",
+    "stream_sessionize",
+    "stream_countmin",
 ]
+
+# every registry query is benched: a query added to the registry without
+# a headline slot is appended (registry order) rather than silently
+# unmeasured
+HEADLINE += [k for k in REGISTRY if k not in HEADLINE]
 
 
 def main() -> None:
