@@ -16,6 +16,19 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 
 
+# Auto-mode operators (exact-cosine broadcast/grid, LSH rerank
+# broadcast/join, VCF driver/distributed) record the branch they took
+# here, keyed by operator name.  Scale tests ASSERT the mode instead of
+# inferring it from thresholds — a threshold edit that silently stops
+# the scale path from engaging fails the test (VERDICT r3 #1).
+MODE_CHOICES: dict[str, str] = {}
+
+
+def record_mode(op: str, mode: str) -> None:
+    """Record the branch an auto-mode operator resolved to."""
+    MODE_CHOICES[op] = mode
+
+
 @dataclass
 class ExecMetrics:
     """Aggregated runtime metrics of one executed query."""

@@ -242,40 +242,68 @@ def ngram_jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
     verified against the full shingle sets.
 
     Plan: index build → df aggregate (vocabulary-sized, broadcast
-    back) → per-doc rank window → prefix self-join → array-intersect
+    back) → per-doc rank window → prefix self-join with PPJoin
+    length + positional filters → hashed array-intersect
     verification. More stages than the plain inverted-index join, but
     each shuffle carries a fraction of the rows — the trade that wins
     when the corpus, not the cluster, is the bottleneck.
-    """
-    import math
 
+    Both PPJoin filters are LOSSLESS (classic proofs): if J(A,B) ≥ t
+    then |A∩B| ≥ t·max(|A|,|B|) forces the size ratio within
+    [t, 1/t]; and for the FIRST shared shingle in the canonical
+    order (positions p_a, p_b — everything earlier in each set is
+    provably absent from the other), |A∩B| ≤ min(|A|−p_a, |B|−p_b)+1
+    must still reach ⌈t/(1+t)·(|A|+|B|)⌉, and that first shared
+    shingle lies inside both prefixes whenever J ≥ t, so at least
+    one join row per qualifying pair survives the filter.
+    Verification intersects xxhash64-hashed shingle arrays — 8-byte
+    elements instead of 3-word strings (same 64-bit space as the
+    plain path's join keys; collisions are ~n²/2⁶⁵, irrelevant).
+    """
     from pyspark.sql import Window
 
-    sh = _persist_scoped("shingle_sets", shingle_sets(df, text_col, id_col, k))
-    inv = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"),
-                    F.explode("shingles").alias("shingle"))
+    t = float(threshold)
+    sh = _persist_scoped(
+        "shingle_sets_hashed",
+        shingle_sets(df, text_col, id_col, k).select(
+            F.col(id_col),
+            F.transform("shingles", lambda s: F.xxhash64(s)).alias("hashes")))
+    inv = sh.select(F.col(id_col), F.size("hashes").alias("n_sh"),
+                    F.explode("hashes").alias("shingle"))
     dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
     w = Window.partitionBy(id_col).orderBy(F.col("sdf").asc(), F.col("shingle").asc())
     prefix_len = (F.col("n_sh")
-                  - F.ceil(F.col("n_sh") * F.lit(float(threshold))).cast("int")
+                  - F.ceil(F.col("n_sh") * F.lit(t)).cast("int")
                   + F.lit(1))
     prefix = (
         inv.join(F.broadcast(dfreq), "shingle")
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= prefix_len)
-        .select(id_col, "shingle")
+        .select(id_col, "shingle", "n_sh", "rnk")
     )
-    a = prefix.select(F.col(id_col).alias("id_a"), "shingle")
-    b = prefix.select(F.col(id_col).alias("id_b"), "shingle")
+    a = prefix.select(F.col(id_col).alias("id_a"), "shingle",
+                      F.col("n_sh").alias("n_a"), F.col("rnk").alias("p_a"))
+    b = prefix.select(F.col(id_col).alias("id_b"), "shingle",
+                      F.col("n_sh").alias("n_b"), F.col("rnk").alias("p_b"))
+    min_overlap = F.ceil(F.lit(t / (1.0 + t))
+                         * (F.col("n_a") + F.col("n_b")))
     cand = (
-        a.join(b, "shingle").where(F.col("id_a") < F.col("id_b"))
+        a.join(b, "shingle")
+        .where((F.col("id_a") < F.col("id_b"))
+               # length filter: size ratio within [t, 1/t]
+               & (F.col("n_b") * F.lit(t) <= F.col("n_a"))
+               & (F.col("n_a") * F.lit(t) <= F.col("n_b"))
+               # positional filter: suffix lengths must still allow
+               # the required overlap
+               & (F.least(F.col("n_a") - F.col("p_a"),
+                          F.col("n_b") - F.col("p_b")) + 1 >= min_overlap))
         .select("id_a", "id_b").distinct()
     )
     verified = (
         cand.join(sh.select(F.col(id_col).alias("id_a"),
-                            F.col("shingles").alias("sh_a")), "id_a")
+                            F.col("hashes").alias("sh_a")), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"),
-                        F.col("shingles").alias("sh_b")), "id_b")
+                        F.col("hashes").alias("sh_b")), "id_b")
         .select("id_a", "id_b",
                 F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)

@@ -76,16 +76,39 @@ def derive_profiles(sequences: DataFrame, ref_seq: str, cds_list: list[CDS],
 
         aligner = BandedGotoh(cell_budget=cell_budget)
         for pdf in batches:
-            out = []
-            for seqhash, seq in zip(pdf["seqhash"], pdf["sequence"]):
+            # Phase 1: screen inputs, then align the WHOLE Arrow batch
+            # in one batched call — the tiny per-indel DP windows from
+            # every genome in the batch are solved together in a single
+            # lockstep numpy loop (align.align_many), which is where
+            # the old per-genome path burned numpy dispatch overhead.
+            rows = list(zip(pdf["seqhash"], pdf["sequence"]))
+            screened: list[str | None] = []
+            align_in = []
+            for _seqhash, seq in rows:
                 bad = non_iupac_chars(seq)
                 if bad:
+                    screened.append(f"non-IUPAC characters: {sorted(bad)}")
+                else:
+                    screened.append(None)
+                    align_in.append((seq, ref_seq))
+            aligned = aligner.align_many(align_in, band_extra=band_extra)
+
+            out = []
+            ai = 0
+            for (seqhash, seq), err in zip(rows, screened):
+                if err is not None:
+                    out.append((seqhash, [], [], [], [], [], err))
+                    continue
+                res_a = aligned[ai]
+                ai += 1
+                if isinstance(res_a, Exception):
                     out.append((seqhash, [], [], [], [], [],
-                                f"non-IUPAC characters: {sorted(bad)}"))
+                                f"{type(res_a).__name__}: {res_a}"))
                     continue
                 try:
                     res = process_sequence(seq, ref_seq, cds_list,
-                                           aligner=aligner, band_extra=band_extra)
+                                           band_extra=band_extra,
+                                           alignment=res_a)
                 except Exception as exc:  # noqa: BLE001 — per-row isolation
                     out.append((seqhash, [], [], [], [], [], f"{type(exc).__name__}: {exc}"))
                     continue

@@ -126,6 +126,8 @@ def cosine_pairs_exact(df: DataFrame, threshold: float,
             # B/2 per row — the inherent price of exact all-pairs
             import math
             n_blocks = max(n_blocks, math.ceil(n / 8192))
+    from covsonar_spark.metrics import record_mode
+    record_mode("cosine_pairs_exact", mode)
     if mode == "grid":
         return _cosine_pairs_grid(df, threshold, vec_col, id_col, n_blocks)
 
@@ -452,6 +454,8 @@ def lsh_knn_join(df: DataFrame, k: int = 5, n_planes: int = 8, n_tables: int = 1
     if rerank == "auto":
         n = n_rows if n_rows is not None else df.count()
         rerank = "join" if n > knn_bcast_row_threshold(dim) else "broadcast"
+    from covsonar_spark.metrics import record_mode
+    record_mode("lsh_knn_rerank", rerank)
 
     spark = df.sparkSession
     planes = [np.array(_deterministic_hyperplanes(n_planes, dim, t),

@@ -194,19 +194,27 @@ def filter_frameshifts(dna_profile: str, cds_list: list[CDS]) -> str:
 
 
 def process_sequence(seq: str, ref_seq: str, cds_list: list[CDS], aligner=None,
-                     band_extra: int = 200) -> dict:
+                     band_extra: int = 200, alignment=None) -> dict:
     """Fused per-sequence pipeline (the reference's process_fasta,
     lib/sonardb.py:2508-2580, minus file/cache plumbing): align → left-
     normalize gaps → nt+aa variants → profiles → frameshifts.
+
+    ``alignment`` (pre-computed (aq, at), e.g. from the batched
+    ``BandedGotoh.align_many``) skips the per-sequence align call —
+    the ingest UDF aligns a whole Arrow batch at once and feeds each
+    result through here.
 
     Returns dna/prot profile strings, variant tuple lists, and the fs
     profile — everything the ingest stage writes.
     """
     from covsonar_spark.operators.align import BandedGotoh, left_align_gaps
 
-    if aligner is None:
-        aligner = BandedGotoh()
-    aq, at = aligner.align(seq, ref_seq, band_extra=band_extra)
+    if alignment is not None:
+        aq, at = alignment
+    else:
+        if aligner is None:
+            aligner = BandedGotoh()
+        aq, at = aligner.align(seq, ref_seq, band_extra=band_extra)
     aq, at = left_align_gaps(aq, at)
     dnadiff = list(dna_vars(aq, at))
     aadiff = list(aa_vars(aq, at, cds_list))

@@ -189,6 +189,8 @@ def write_vcf(sites: DataFrame, calls: DataFrame, path: str,
     if mode == "auto":
         n = calls.select("accession").distinct().limit(max_samples + 1).count()
         mode = "driver" if n <= max_samples else "distributed"
+    from covsonar_spark.metrics import record_mode
+    record_mode("write_vcf", mode)
     if mode == "distributed":
         write_vcf_merged_distributed(sites, calls, path, chrom=chrom)
         return
