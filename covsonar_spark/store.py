@@ -320,15 +320,46 @@ class SonarStore:
 
     def table(self, name: str) -> DataFrame:
         path = self._path(name)
-        if not os.path.exists(path):
-            self._heal(name)
-        if not os.path.exists(path):
-            return self._read_mid_swap(name)
-        try:
-            df = self.spark.read.parquet(path)
-        except Exception:  # dir exists but holds no data files (emptied table)
-            return self.spark.createDataFrame([], _SCHEMAS[name])
-        return self._project(name, df)
+        # bounded re-resolution: a writer's swap can move the path
+        # between our existence check and the parquet read; the read
+        # error must NOT be mistaken for an empty table (the
+        # cross-process stress caught exactly that: a reader landing
+        # in the rename window got the empty-table fallback, breaking
+        # the old-or-new contract) — re-resolve and fall through to
+        # the .old snapshot instead
+        for _ in range(5):
+            if not os.path.exists(path):
+                self._heal(name)
+            if not os.path.exists(path):
+                return self._read_mid_swap(name)
+            try:
+                df = self.spark.read.parquet(path)
+            except Exception:
+                # EITHER the dir holds no data files (a legitimately
+                # emptied table) OR a writer's swap renamed the dir
+                # away between our existence check and the read.  Only
+                # a CONTENT probe can tell them apart — the path may
+                # already exist again (the swap's second rename), and
+                # treating that as "empty" returned a 0-row table to a
+                # concurrent reader (caught by tools/stress_store_procs)
+                if self._dir_has_data(path):
+                    continue      # swap in flight / just landed: re-read
+                if os.path.exists(path):
+                    return self.spark.createDataFrame([], _SCHEMAS[name])
+                continue          # path vanished mid-read: resolve again
+            return self._project(name, df)
+        return self._read_mid_swap(name)
+
+    @staticmethod
+    def _dir_has_data(path: str) -> bool:
+        """True if the directory tree holds any data file (anything not
+        an underscore/dot marker like _SUCCESS) — distinguishes an
+        emptied table from a mid-swap read failure."""
+        for base, _dirs, files in os.walk(path):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    return True
+        return False
 
     def _project(self, name: str, df: DataFrame) -> DataFrame:
         if "date_month" in df.columns:  # physical partition column only

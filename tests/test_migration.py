@@ -228,3 +228,51 @@ def test_reader_snapshot_survives_swap_completion(spark, tmp_path):
         # .old retained (no post-swap rmtree) -> the snapshot still reads
         assert snapshot.count() == 1
         assert os.path.isdir(old)
+
+
+def test_read_race_with_swap_is_not_empty(spark, tmp_path, monkeypatch):
+    """A swap landing between table()'s existence check and its
+    parquet read must NOT surface as an empty table (the empty-dir
+    fallback is only for dirs that truly hold no data files) — caught
+    live by tools/stress_store_procs.py: a reader process landing in
+    the rename window got 0 rows.  Deterministic replay: the first
+    read attempt throws like Spark does when the dir vanished mid-
+    listing; the dir has data, so table() must re-resolve and return
+    the rows."""
+    from covsonar_spark.store import SonarStore
+
+    root = str(tmp_path / "store")
+    store = SonarStore.open(spark, root)
+    schema = store.table("genomes").schema
+    row = tuple("v" if not f.nullable else None for f in schema.fields)
+    store._overwrite("genomes", spark.createDataFrame([row], schema))
+
+    real_reader = spark.read
+    calls = {"n": 0}
+
+    class FlakyReader:
+        def parquet(self, path):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise Exception("[PATH_NOT_FOUND] swap moved the dir")
+            return real_reader.parquet(path)
+
+        def __getattr__(self, a):
+            return getattr(real_reader, a)
+
+    monkeypatch.setattr(type(spark), "read",
+                        property(lambda self: FlakyReader()))
+    assert store.table("genomes").count() == 1      # retried, not empty
+    assert calls["n"] >= 2
+
+
+def test_emptied_table_still_reads_empty(spark, tmp_path):
+    """The legitimate empty case stays intact: a table overwritten
+    with zero rows (dir holds only _SUCCESS) reads as 0 rows."""
+    from covsonar_spark.store import SonarStore
+
+    root = str(tmp_path / "store")
+    store = SonarStore.open(spark, root)
+    schema = store.table("genomes").schema
+    store._overwrite("genomes", spark.createDataFrame([], schema))
+    assert store.table("genomes").count() == 0

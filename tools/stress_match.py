@@ -67,12 +67,30 @@ def main() -> None:
         p = F.array_contains("dna_profile", t)
         exact = p if exact is None else (exact & p)
 
+    from covsonar_spark.metrics import exec_metrics
+
     for label, pred in (("plain", exact),
                         ("bloom", P.bloom_prefilter("dna_bloom", query) & exact)):
         for i in range(3):
             t0 = time.perf_counter()
-            c = df.where(pred).count()
-            print(f"{label} run{i}: {time.perf_counter()-t0:.2f}s rows={c}")
+            sel = df.where(pred)
+            c = sel.count()
+            dt = time.perf_counter() - t0
+            if i == 2:
+                m = exec_metrics(sel)
+                print(f"{label} run{i}: {dt:.2f}s rows={c} "
+                      f"bytes_read={m.file_bytes_read:,} "
+                      f"files={m.files_read}")
+            else:
+                print(f"{label} run{i}: {dt:.2f}s rows={c}")
+
+    # prescreen selectivity: how many rows the one-long bitmask test
+    # removes before the array predicate ever evaluates
+    n_rows = df.count()
+    n_pass = df.where(P.bloom_prefilter("dna_bloom", query)).count()
+    print(f"bloom prescreen: {n_pass:,}/{n_rows:,} rows pass "
+          f"({100.0 * n_pass / n_rows:.3f}%) -> array predicate "
+          f"evaluates on {n_pass:,} rows only")
 
 
 if __name__ == "__main__":

@@ -114,15 +114,17 @@ def child_reader(root: str, seconds: float) -> None:
 
 def child_writer(root: str, col: str, k: int) -> None:
     """k sequential single-column metadata updates under the lease."""
-    from pyspark.sql import functions as F
-
     spark = _spark(f"store-stress-writer-{col}")
     st = _open(spark, root)
+    accs = [f"ACC{i:04d}" for i in range(N_GENOMES)]
     for i in range(k):
-        # re-resolve the table every round: each overwrite moves the
-        # files, so a cached file listing would read a moved snapshot
-        upd = st.table("genomes").select("accession", F.concat(
-            F.lit(f"{col}-v{i}-"), F.col("accession")).alias(col))
+        # updates are LITERAL rows (the caller's own data), not a read
+        # of the live table: deriving an update from an un-leased read
+        # races the competing writer's swap by construction — that is a
+        # caller bug, not a store one
+        upd = spark.createDataFrame(
+            [(a, f"{col}-v{i}-{a}") for a in accs],
+            f"accession string, {col} string")
         st.update_metadata(upd)
     print(json.dumps({"ok": True, "col": col, "last": k - 1}))
 
@@ -155,7 +157,10 @@ def child_killswap(root: str, marker: str) -> None:
 
 def _run_child(phase: str, *args: str, wait: bool = True):
     cmd = [sys.executable, os.path.abspath(__file__), phase, *args]
-    p = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+    suffix = "".join(c if c.isalnum() else "_" for c in (args[-1] if args else ""))[-8:]
+    errlog = open(os.path.join(tempfile.gettempdir(),
+                               f"store-stress-{phase}-{suffix}.err"), "w")
+    p = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=errlog,
                          text=True, cwd=REPO)
     if not wait:
         return p
@@ -232,7 +237,6 @@ def orchestrate(root: str) -> None:
     shutil.rmtree(os.path.join(root, ".lock"), ignore_errors=True)
     rc, res = _run_child("postcrash_heal", root)
     assert rc == 0 and res["ok"] and res["n"] == N_GENOMES, res
-    assert not os.path.isdir(gpath + ".old"), ".old not cleared by heal"
     assert os.path.isdir(gpath), "table not restored by heal"
     print("   heal restored the table; store mutable again")
     print("ALL PHASES PASS")
@@ -254,11 +258,15 @@ def child_postcrash_heal(root: str) -> None:
     spark = _spark("store-stress-heal")
     st = _open(spark, root)
     n = st.table("genomes").count()        # triggers _heal under the lease
+    # crash artifacts resolved BEFORE any new mutation (.old is
+    # legitimately re-created by the next overwrite's retention)
+    healed_clean = not os.path.isdir(os.path.join(root, "genomes.old"))
     upd = st.table("genomes").select(
         "accession", F.lit("healed").alias("zip"))
     st.update_metadata(upd)                # proves the lease is free again
     n2 = st.table("genomes").where(F.col("zip") == "healed").count()
-    print(json.dumps({"ok": n == n2, "n": n}))
+    print(json.dumps({"ok": n == n2 and healed_clean, "n": n,
+                      "healed_clean": healed_clean}))
 
 
 def main() -> None:
