@@ -404,7 +404,28 @@ def rp_lsh_buckets(df: DataFrame, n_planes: int = 8, n_tables: int = 1,
              .select(id_col, vec_col, "tb.table", "tb.bucket")
 
 
-def lsh_knn_join(df: DataFrame, k: int = 5, n_planes: int = 8, n_tables: int = 1,
+LSH_TARGET_BUCKET = 32  # auto-planes aims for ~this many ids/bucket
+
+
+def auto_n_planes(n: int, target_bucket: int = LSH_TARGET_BUCKET) -> int:
+    """Plane count that keeps EXPECTED bucket occupancy ~constant:
+    ``ceil(log2(n / target_bucket))``, clamped to [4, 24].
+
+    With a FIXED plane count the bucket space is fixed (2^p buckets),
+    so occupancy grows linearly with n and per-bucket candidate pairs
+    grow QUADRATICALLY — the parameterization that is value-checkable
+    against a pinned oracle is therefore not the 100 TB path.  Scaling
+    planes with log2(n) keeps candidates ~target_bucket × n (linear);
+    recall at a given similarity shifts with p, which callers recover
+    by raising ``n_tables`` (OR-amplification) — the standard LSH
+    tradeoff, now occupancy-stable by default."""
+    import math
+
+    return max(4, min(24, math.ceil(math.log2(max(n / target_bucket, 2.0)))))
+
+
+def lsh_knn_join(df: DataFrame, k: int = 5, n_planes: int | None = 8,
+                 n_tables: int = 1,
                  vec_col: str = "embedding", id_col: str = "vec_id",
                  rerank: str = "auto", max_bucket: int | None = None,
                  n_rows: int | None = None, dim: int = 64) -> DataFrame:
@@ -424,6 +445,11 @@ def lsh_knn_join(df: DataFrame, k: int = 5, n_planes: int = 8, n_tables: int = 1
     corpora — hot buckets then split into salted sub-block grid cells
     (``_split_bucket_pairs``) with NO candidate loss, rather than
     being dropped.
+
+    ``n_planes=None`` picks the occupancy-stable plane count
+    ``auto_n_planes(n)`` (~``LSH_TARGET_BUCKET`` ids/bucket, so
+    candidate volume stays LINEAR in n) — the scale default; explicit
+    plane counts remain for oracle-reproducible parameterizations.
 
     The exact-cosine rerank is adaptive (``rerank``):
       * ``"broadcast"`` — the (id-sorted) vector matrix is collected
@@ -451,10 +477,16 @@ def lsh_knn_join(df: DataFrame, k: int = 5, n_planes: int = 8, n_tables: int = 1
 
     if rerank not in ("auto", "broadcast", "join"):
         raise ValueError(f"unknown rerank mode {rerank!r}")
-    if rerank == "auto":
-        n = n_rows if n_rows is not None else df.count()
-        rerank = "join" if n > knn_bcast_row_threshold(dim) else "broadcast"
     from covsonar_spark.metrics import record_mode
+    if n_planes is None or rerank == "auto":
+        n = n_rows if n_rows is not None else df.count()
+        n_rows = n
+        if n_planes is None:
+            n_planes = auto_n_planes(n)
+            record_mode("lsh_knn_planes", str(n_planes))
+        if rerank == "auto":
+            rerank = ("join" if n > knn_bcast_row_threshold(dim)
+                      else "broadcast")
     record_mode("lsh_knn_rerank", rerank)
 
     spark = df.sparkSession

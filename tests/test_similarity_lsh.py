@@ -218,3 +218,40 @@ def test_grid_auto_blocks_scale_with_corpus(spark):
     bc = {(r["id_a"], r["id_b"]) for r in
           S.cosine_pairs_exact(big, 0.5, mode="broadcast").collect()}
     assert auto == bc and auto
+
+
+def test_auto_n_planes_occupancy_stable():
+    """n_planes=None resolves to the occupancy-stable plane count:
+    ceil(log2(n / 32)) clamped to [4, 24] — so expected bucket size
+    stays ~LSH_TARGET_BUCKET as n grows (linear candidate volume),
+    instead of the quadratic growth a fixed plane count gives."""
+    from covsonar_spark.operators.similarity import (LSH_TARGET_BUCKET,
+                                                     auto_n_planes)
+
+    assert LSH_TARGET_BUCKET == 32
+    assert auto_n_planes(0) == 4          # degenerate: clamp floor
+    assert auto_n_planes(1_000) == 5      # ceil(log2(31.25))
+    assert auto_n_planes(20_000) == 10    # ceil(log2(625))
+    assert auto_n_planes(1_000_000) == 15
+    assert auto_n_planes(10**12) == 24    # clamp ceiling
+    # occupancy n/2^p stays within [target/2, target] off clamp edges
+    for n in (10_000, 123_456, 5_000_000):
+        p = auto_n_planes(n)
+        assert LSH_TARGET_BUCKET / 2 <= n / 2 ** p <= LSH_TARGET_BUCKET
+
+
+def test_auto_planes_mode_recorded(spark, emb):
+    """lsh_knn_join(n_planes=None) takes the auto path, records the
+    chosen plane count, and still reports exact cosines."""
+    from covsonar_spark.metrics import MODE_CHOICES
+    from covsonar_spark.operators.similarity import auto_n_planes
+
+    small = emb.limit(100)
+    got = lsh_knn_join(small, k=2, n_planes=None, n_tables=2,
+                       n_rows=100).collect()
+    assert MODE_CHOICES["lsh_knn_planes"] == str(auto_n_planes(100))
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in cosine_pairs_exact(small, threshold=-1.0).collect()}
+    for r in got:
+        a, b = sorted((r["id_a"], r["id_b"]))
+        assert abs(exact[(a, b)] - r["cosine"]) < 1e-9

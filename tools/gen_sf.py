@@ -98,10 +98,17 @@ def tile_sql(con: duckdb.DuckDBPyConnection, table: str, out: str,
                 for e in exprs]
         selects.append(
             f"SELECT {', '.join(exprs)} FROM '{SRC}/{table}.parquet'")
-    union = "\nUNION ALL\n".join(selects)
-    con.sql(f"COPY ({union}) TO '{out}/{table}.parquet' "
-            f"(FORMAT PARQUET, ROW_GROUP_SIZE 262144)")
-    return con.sql(f"SELECT count(*) FROM '{out}/{table}.parquet'") \
+    # one file per replica inside a directory dataset: a single small
+    # parquet file gives Spark ONE input split, serializing every
+    # CPU-bound stage — unrepresentative of any real deployment, where
+    # data arrives as many files.  Spark and pyarrow.dataset both read
+    # the directory transparently.
+    tdir = f"{out}/{table}.parquet"
+    os.makedirs(tdir, exist_ok=True)
+    for k, sel in enumerate(selects):
+        con.sql(f"COPY ({sel}) TO '{tdir}/part-{k:02d}.parquet' "
+                f"(FORMAT PARQUET, ROW_GROUP_SIZE 262144)")
+    return con.sql(f"SELECT count(*) FROM '{tdir}/*.parquet'") \
         .fetchone()[0]
 
 
@@ -143,14 +150,18 @@ def gen_documents(out: str, replicas: int) -> int:
         all_lang.extend(langs)
         all_src.extend(sources)
 
-    out_tab = pa.table({
-        "doc_id": pa.array(all_ids, pa.int64()),
-        "text": pa.array(all_txt, pa.string()),
-        "lang": pa.array(all_lang, pa.string()),
-        "source": pa.array(all_src, pa.string()),
-        "n_chars": pa.array([len(t) for t in all_txt], pa.int64()),
-    })
-    pq.write_table(out_tab, f"{out}/documents.parquet")
+    ddir = f"{out}/documents.parquet"
+    os.makedirs(ddir, exist_ok=True)
+    for k in range(replicas):  # one file per replica (see tile_sql)
+        lo, hi = k * n0, (k + 1) * n0
+        pq.write_table(pa.table({
+            "doc_id": pa.array(all_ids[lo:hi], pa.int64()),
+            "text": pa.array(all_txt[lo:hi], pa.string()),
+            "lang": pa.array(all_lang[lo:hi], pa.string()),
+            "source": pa.array(all_src[lo:hi], pa.string()),
+            "n_chars": pa.array([len(t) for t in all_txt[lo:hi]],
+                                pa.int64()),
+        }), f"{ddir}/part-{k:02d}.parquet")
     return len(all_ids)
 
 
@@ -166,13 +177,14 @@ def gen_embeddings(out: str, replicas: int) -> int:
         v /= np.linalg.norm(v, axis=1, keepdims=True)
         vecs.append(v)
         labs.append(rng.integers(0, 10, n0).astype(np.int32))
-    v_all = np.concatenate(vecs)
-    out_tab = pa.table({
-        "vec_id": pa.array(range(replicas * n0), pa.int64()),
-        "embedding": pa.array(list(v_all), pa.list_(pa.float32())),
-        "label": pa.array(np.concatenate(labs), pa.int32()),
-    })
-    pq.write_table(out_tab, f"{out}/embeddings.parquet")
+    edir = f"{out}/embeddings.parquet"
+    os.makedirs(edir, exist_ok=True)
+    for k in range(replicas):  # one file per replica (see tile_sql)
+        pq.write_table(pa.table({
+            "vec_id": pa.array(range(k * n0, (k + 1) * n0), pa.int64()),
+            "embedding": pa.array(list(vecs[k]), pa.list_(pa.float32())),
+            "label": pa.array(labs[k], pa.int32()),
+        }), f"{edir}/part-{k:02d}.parquet")
     return replicas * n0
 
 

@@ -10,13 +10,21 @@ column written at ingest like the real store), then times:
   bloom   — the (dna_bloom & mask) = mask integer prescreen in front
             of the same exact predicate (lossless; store schema v3)
 
+Also measures the IO side of the prescreen (the 100 TB story): a
+bitmask test has no min/max row-group pruning, so the scan-byte win
+comes from COLUMN pruning — the prescreen pass reads only the 8-byte
+bloom long (plus the key), ~25x fewer bytes than the token-array
+column, and the exact array check then runs on the <1% surviving
+candidate set (two-phase variant, broadcast semi-join back).
+
 Usage:  python tools/stress_match.py [n_genomes]   (default 1_000_000)
 Measured 2026-08 (local[32], 1M genomes x ~30 tokens): plain ~0.25 s,
 bloom ~0.17 s per query steady-state (cold first run 1.2 s vs 0.45 s)
 — the 3-token AND over a million profile arrays is already a
 sub-second scan, and the prefilter's one-long bitmask shaves ~30%
 here (more on wider arrays or colder storage, where skipping the
-array column entirely dominates).
+array column entirely dominates).  10M-genome numbers (round 4) are
+recorded in ARCHITECTURE.md.
 """
 
 from __future__ import annotations
@@ -91,6 +99,44 @@ def main() -> None:
     print(f"bloom prescreen: {n_pass:,}/{n_rows:,} rows pass "
           f"({100.0 * n_pass / n_rows:.3f}%) -> array predicate "
           f"evaluates on {n_pass:,} rows only")
+
+    # IO pruning (column, not row-group — a bitmask test has no
+    # min/max stats): the prescreen PASS reads only (accession,
+    # dna_bloom), ~16 bytes/row, vs the token-array column the exact
+    # predicate needs.  `filesSize` on the scan node is the PLANNED
+    # file size (identical for both), so measure ACTUAL bytes through
+    # Hadoop FileSystem statistics — valid in local mode where every
+    # task shares this JVM.
+    def fs_bytes_read() -> int:
+        it = (spark._jvm.org.apache.hadoop.fs.FileSystem
+              .getAllStatistics().iterator())
+        total = 0
+        while it.hasNext():
+            total += it.next().getBytesRead()
+        return total
+
+    b0 = fs_bytes_read()
+    (df.select("accession", "dna_bloom")
+       .where(P.bloom_prefilter("dna_bloom", query))).count()
+    b_narrow = fs_bytes_read() - b0
+    b0 = fs_bytes_read()
+    df.where(exact).count()
+    b_full = fs_bytes_read() - b0
+    print(f"actual scan bytes: prescreen-only pass {b_narrow:,} "
+          f"vs full-profile scan {b_full:,} "
+          f"({b_full / max(1, b_narrow):.1f}x column-prune win "
+          f"for the narrow phase)")
+
+    for i in range(3):
+        t0 = time.perf_counter()
+        cand = (df.select("accession", "dna_bloom")
+                  .where(P.bloom_prefilter("dna_bloom", query))
+                  .select("accession"))
+        sel2 = df.join(F.broadcast(cand), "accession", "left_semi") \
+                 .where(exact)
+        c2 = sel2.count()
+        dt = time.perf_counter() - t0
+        print(f"two-phase run{i}: {dt:.2f}s rows={c2}")
 
 
 if __name__ == "__main__":
