@@ -191,6 +191,13 @@ def main() -> None:
         print(f"# {name}: {times[name]}s rows={n}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
+    # Host-speed probe: the same commit measured 2-3x apart across two
+    # days of the same shared machine (round-4 observation, same-code
+    # A/B in ARCHITECTURE.md).  Recording a fixed single-thread CPU
+    # probe with every run lets cross-round totals be normalized:
+    # compare value/hostmark_sec across rounds, not raw value.
+    from covsonar_spark.metrics import hostmark
+    hm = hostmark()
     # Per-query map goes to a sidecar file: the full 100+-entry map made
     # the stdout JSON line ~4 KB, which round 1's capture truncated
     # ("parsed": null).  The machine-read stdout line stays compact —
@@ -198,8 +205,8 @@ def main() -> None:
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_QUERIES.json")
     with open(sidecar, "w") as f:
-        json.dump({"sf": sf, "total_sec": total, "queries": times}, f,
-                  indent=1, sort_keys=True)
+        json.dump({"sf": sf, "total_sec": total, "hostmark_sec": hm,
+                   "queries": times}, f, indent=1, sort_keys=True)
     slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:5])
     print(json.dumps({
         "metric": "headline_query_wall_seconds",
@@ -207,6 +214,7 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(times),
+        "hostmark_sec": hm,
         "slowest": slowest,
         "queries_file": "BENCH_QUERIES.json",
     }, separators=(",", ":")))

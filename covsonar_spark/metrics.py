@@ -29,6 +29,36 @@ def record_mode(op: str, mode: str) -> None:
     MODE_CHOICES[op] = mode
 
 
+def hostmark() -> float:
+    """Deterministic ~0.5 s CPU probe: seconds to run a fixed
+    single-thread workload (pure-Python loop + seeded numpy matmul).
+    Lower = faster host.
+
+    Benchmarks on shared infrastructure are only comparable when the
+    host speed is known: the same repo commit measured 2-3x apart on
+    two days of the same machine (cross-round observation, round 4).
+    Every bench artifact records this number so a cross-round total can
+    be read as (code effect) x (host effect) instead of blaming the
+    code for the host.  The probe is overhead-shaped like the bench
+    itself: Spark's per-query driver work is single-thread Python +
+    JVM, so a single-thread probe tracks the inflation better than a
+    parallel one.
+    """
+    import time
+
+    import numpy as np
+
+    a = np.random.RandomState(0).rand(600, 600)
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(3_000_000):
+        s += i
+    for _ in range(6):
+        a = a @ a
+        a /= np.abs(a).max()
+    return round(time.perf_counter() - t0, 3)
+
+
 @dataclass
 class ExecMetrics:
     """Aggregated runtime metrics of one executed query."""
