@@ -167,6 +167,15 @@ class CDS:
         return frozenset(self.coding_positions)
 
     @cached_property
+    def coding_positions_sorted(self):
+        """Sorted numpy copy of ``coding_positions`` for O(log n) range
+        counts — sorting preserves the multiset, so slippage duplicates
+        still count twice."""
+        import numpy as np
+
+        return np.sort(np.asarray(self.coding_positions, dtype=np.int64))
+
+    @cached_property
     def nuc(self) -> str:
         seq = "".join(self.seqs)
         return revcomp(seq) if self.strand == "-" else seq
@@ -195,11 +204,17 @@ class CDS:
 
     def is_frameshift_del(self, x: int, y: int) -> bool:
         """Deletion [x,y) shifts the frame iff it hits the CDS and the
-        count of remaining coding positions is not a codon multiple."""
+        count of remaining coding positions is not a codon multiple.
+        Counted via searchsorted on the sorted position array — the
+        linear scan here was ~11% of the whole ingest-UDF profile."""
         if not self.is_cds(x, y):
             return False
-        remaining = sum(1 for z in self.coding_positions if z < x or z >= y)
-        return remaining % 3 != 0
+        import numpy as np
+
+        a = self.coding_positions_sorted
+        inside = int(np.searchsorted(a, y, "left")
+                     - np.searchsorted(a, x, "left"))
+        return (len(a) - inside) % 3 != 0
 
     def is_frameshift_in(self, x: int, length: int) -> bool:
         """Insertion of ``length`` bases (anchor excluded) at x shifts the

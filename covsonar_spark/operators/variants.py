@@ -30,67 +30,102 @@ _CODON = re.compile(r"[^-]-*[^-]-*[^-]-*")  # 3 target bases + embedded gaps
 Var = tuple[str, str, int, int | None, str | None, str | None]
 
 
+_GAP = ord("-")
+
+
 def dna_vars(aligned_query: str, aligned_target: str) -> Iterator[Var]:
-    """Nucleotide variants from an aligned pair (reference coords)."""
+    """Nucleotide variants from an aligned pair (reference coords).
+
+    The position scan is vectorized: the gap→reference coordinate map
+    is a cumsum and the candidate sites a single nonzero over byte
+    arrays, so Python-level work is proportional to the VARIANT count
+    (tens) instead of the genome length (30k) — the per-char loop here
+    was ~25% of the ingest-UDF profile."""
     target, query = aligned_target, aligned_query
 
     m = _LEADING_GAPS.match(target)
     if m:
         yield "", query[: m.end()], -1, None, None, None
 
-    # gap-position→reference-position map, O(n) precomputed (the
-    # reference recounts gaps per call, O(n²) overall)
-    ref_pos = []
-    p = 0
-    for ch in target:
-        if ch != "-":
-            p += 1
-        ref_pos.append(p - 1)
+    t8 = np.frombuffer(target.encode("latin-1"), dtype=np.uint8)
+    q8 = np.frombuffer(query.encode("latin-1"), dtype=np.uint8)
+    nongap = t8 != _GAP
+    ref_pos = np.cumsum(nongap, dtype=np.int64)  # 1-based; use -1 below
 
     isites = set()
     for m in _INSERT.finditer(target):
         isites.add(m.start())
-        yield target[m.start()], query[m.start() : m.end()], ref_pos[m.start()], None, None, None
+        yield (target[m.start()], query[m.start(): m.end()],
+               int(ref_pos[m.start()]) - 1, None, None, None)
 
-    for i, (tc, qc) in enumerate(zip(target, query)):
-        if tc != "-" and tc != qc and i not in isites:
-            s = ref_pos[i]
-            alt = qc.replace("-", "")
-            yield tc, alt, s, None, None, None
+    for i in np.nonzero(nongap & (t8 != q8))[0].tolist():
+        if i in isites:
+            continue
+        qc = query[i]
+        yield (target[i], "" if qc == "-" else qc,
+               int(ref_pos[i]) - 1, None, None, None)
 
 
-def _align_pos_map(aligned_target: str) -> list[int]:
-    """reference position → alignment position (cumulative non-gap)."""
-    out = []
-    for i, ch in enumerate(aligned_target):
-        if ch != "-":
-            out.append(i)
-    return out
+def _align_pos_map(aligned_target: str) -> np.ndarray:
+    """reference position → alignment position (indices of non-gaps)."""
+    t8 = np.frombuffer(aligned_target.encode("latin-1"), dtype=np.uint8)
+    return np.nonzero(t8 != _GAP)[0]
 
 
 def aa_vars(aligned_query: str, aligned_target: str, cds_list: Iterable[CDS]) -> Iterator[Var]:
     """Amino-acid variants per CDS: slice aligned exons via the
-    coordinate map, walk target codons, translate, diff."""
+    coordinate map, walk target codons, translate, diff.
+
+    Two vectorized shortcuts (~50% of the ingest-UDF profile lived
+    here), both exact: a CDS whose exon alignment spans contain no
+    query/target byte difference can yield nothing and is skipped
+    without slicing; a touched CDS whose target slice is GAPLESS has
+    regular codon boundaries, so the differing codons come from one
+    numpy compare instead of a regex walk.  CDS slices with target
+    gaps (an insertion inside the CDS) take the general regex path."""
     apos = _align_pos_map(aligned_target)
     n_aln = len(aligned_target)
+    t8_full = np.frombuffer(aligned_target.encode("latin-1"), dtype=np.uint8)
+    q8_full = np.frombuffer(aligned_query.encode("latin-1"), dtype=np.uint8)
+    mism_all = np.nonzero(t8_full != q8_full)[0]
 
     def align_pos(x: int) -> int:
-        return apos[x] if x < len(apos) else n_aln
+        return int(apos[x]) if x < len(apos) else n_aln
 
     for cds in cds_list:
-        q_parts, t_parts = [], []
-        for s, e in cds.coords:
-            s_a, e_a = align_pos(s), align_pos(e)
-            q_parts.append(aligned_query[s_a:e_a])
-            t_parts.append(aligned_target[s_a:e_a])
-        query = "".join(q_parts)
-        target = "".join(t_parts)
         if cds.strand == "-":
             # reverse-strand CDS do not occur in SARS-CoV-2; the
             # reference's own handling is broken (str.append on a str,
             # lib/sonardb.py:1209-1211) — explicit guard instead of
             # silently wrong answers
             raise NotImplementedError("reverse-strand CDS not supported")
+        spans = [(align_pos(s), align_pos(e)) for s, e in cds.coords]
+        if all(np.searchsorted(mism_all, sa) == np.searchsorted(mism_all, ea)
+               for sa, ea in spans):
+            continue  # no byte differs in any exon span -> no variants
+        query = "".join(aligned_query[sa:ea] for sa, ea in spans)
+        target = "".join(aligned_target[sa:ea] for sa, ea in spans)
+
+        t8 = np.frombuffer(target.encode("latin-1"), dtype=np.uint8)
+        if not (t8 == _GAP).any():
+            # gapless target slice: codons are exact 3-mers at regular
+            # offsets (a 1-2 base tail can never form a codon, matching
+            # the regex's 3-non-gap requirement)
+            q8 = np.frombuffer(query.encode("latin-1"), dtype=np.uint8)
+            diff = np.nonzero(t8 != q8)[0]
+            n3 = (len(t8) // 3) * 3
+            for start in np.unique(diff[diff < n3] // 3).tolist():
+                s = 3 * start
+                tcodon = target[s: s + 3]
+                qcodon = query[s: s + 3].replace("-", "")
+                taa = translate(tcodon, cds.translation_table)
+                qaa = translate(qcodon, cds.translation_table)
+                if qaa == "":
+                    yield taa, "", start, start + 1, cds.symbol, cds.locus
+                elif qaa != taa:
+                    end = None if len(qaa) == 1 else start + len(qaa)
+                    yield taa, qaa, start, end, cds.symbol, cds.locus
+            continue
 
         # gap-count prefix sums make codon start positions O(1) (a
         # per-codon target[:s].count('-') is O(n²) over the CDS), and

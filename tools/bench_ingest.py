@@ -9,11 +9,16 @@ aligner's anchored divide-and-conquer).
 
 Usage: python tools/bench_ingest.py [n_genomes]   (default 1024)
 Reference points (local[32], otherwise idle, cold session, file-based
-corpus): ~62 genomes/s at 1024, ~108 at 2048, ~172 at 4096 as the
-fixed ~10 s per-batch floor amortizes (marginal throughput 2048→4096
-is ~427 genomes/s, near the aligner UDF's ~520 ceiling).  The
-reference's own pipeline runs one EMBOSS Stretcher subprocess per
-genome (~1-2 genomes/s/core).
+corpus; host speeds drift 1.3-2x between sessions — see
+metrics.hostmark — so compare A/B on one host, not across days):
+round-4 host: ~57 genomes/s e2e at 1024, ~105 at 2048, ~135 at 4096;
+aligner UDF alone ~900-1050 genomes/s warm at 2048-4096 after the
+round-4 numpy vectorization of variant derivation (same-host A/B vs
+the round-3 code: 532 -> 1051 g/s at 4096, 1.98x; single-thread
+align+derive 4.9x).  With the UDF at ~1000 g/s the e2e bottleneck is
+back to the store write/paranoid envelope (~10 s fixed floor,
+ARCHITECTURE.md).  The reference's own pipeline runs one EMBOSS
+Stretcher subprocess per genome (~1-2 genomes/s/core).
 """
 
 from __future__ import annotations
@@ -84,6 +89,25 @@ def main() -> None:
     assert report["added_accessions"] == n
     print(f"{n} genomes in {dt:.1f}s -> {n / dt:.1f} genomes/s "
           f"(file scan+align+diff+profile+write+paranoid)")
+
+    # the aligner-UDF ceiling: just the fused align/diff/profile stage
+    # over the same distinct sequences (workers warm from the ingest
+    # above) — the upper bound any store-side optimization can reach
+    from pyspark.sql import functions as F
+
+    from covsonar_spark.operators.ingest import derive_profiles, harmonized
+
+    seqs = (records.select(harmonized(F.col("sequence")).alias("sequence"))
+            .select(F.sha1(F.col("sequence")).alias("seqhash"), "sequence")
+            .dropDuplicates(["seqhash"]))
+    for run in ("warm1", "warm2"):
+        t0 = time.perf_counter()
+        n_ok = derive_profiles(seqs, ref, cds).where(
+            F.col("error").isNull()).count()
+        dt_u = time.perf_counter() - t0
+        assert n_ok == n, n_ok
+        print(f"aligner UDF only ({run}): {n} genomes in {dt_u:.1f}s "
+              f"-> {n / dt_u:.1f} genomes/s")
 
 
 if __name__ == "__main__":
