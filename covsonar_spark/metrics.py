@@ -67,7 +67,7 @@ class ExecMetrics:
     shuffle_records_written: int = 0
     spill_bytes: int = 0
     files_read: int = 0
-    file_bytes_read: int = 0
+    file_bytes_planned: int = 0
     exchanges: int = 0
     by_node: dict[str, int] = field(default_factory=dict)  # nodeName -> count
 
@@ -141,6 +141,6 @@ def exec_metrics(df: DataFrame) -> ExecMetrics:
         m.spill_bytes += mets.get("spillSize", 0)
         if name.startswith("Scan"):
             m.files_read += mets.get("numFiles", 0)
-            m.file_bytes_read += mets.get("filesSize", 0)
+            m.file_bytes_planned += mets.get("filesSize", 0)
         stack.extend(_children(node))
     return m

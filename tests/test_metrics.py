@@ -14,7 +14,7 @@ def test_aggregate_reports_shuffle_and_scan(spark):
     m = exec_metrics(df)
     assert m.exchanges >= 1
     assert m.shuffle_bytes_written > 0
-    assert m.files_read >= 1 and m.file_bytes_read > 0
+    assert m.files_read >= 1 and m.file_bytes_planned > 0
     # a 5-group rollup must not spill
     assert m.spill_bytes == 0
 

@@ -13,9 +13,10 @@ column written at ingest like the real store), then times:
 Also measures the IO side of the prescreen (the 100 TB story): a
 bitmask test has no min/max row-group pruning, so the scan-byte win
 comes from COLUMN pruning — the prescreen pass reads only the 8-byte
-bloom long (plus the key), ~25x fewer bytes than the token-array
-column, and the exact array check then runs on the <1% surviving
-candidate set (two-phase variant, broadcast semi-join back).
+bloom long (plus the key), measured from the parquet footers as the
+compressed column-chunk bytes each projection must fetch, and the
+exact array check then runs on the few-% surviving candidate set
+(two-phase variant, broadcast semi-join back).
 
 Usage:  python tools/stress_match.py [n_genomes]   (default 1_000_000)
 Measured 2026-08 (local[32], 1M genomes x ~30 tokens): plain ~0.25 s,
@@ -87,7 +88,7 @@ def main() -> None:
             if i == 2:
                 m = exec_metrics(sel)
                 print(f"{label} run{i}: {dt:.2f}s rows={c} "
-                      f"bytes_read={m.file_bytes_read:,} "
+                      f"bytes_planned={m.file_bytes_planned:,} "
                       f"files={m.files_read}")
             else:
                 print(f"{label} run{i}: {dt:.2f}s rows={c}")
@@ -102,31 +103,37 @@ def main() -> None:
 
     # IO pruning (column, not row-group — a bitmask test has no
     # min/max stats): the prescreen PASS reads only (accession,
-    # dna_bloom), ~16 bytes/row, vs the token-array column the exact
-    # predicate needs.  `filesSize` on the scan node is the PLANNED
-    # file size (identical for both), so measure ACTUAL bytes through
-    # Hadoop FileSystem statistics — valid in local mode where every
-    # task shares this JVM.
-    def fs_bytes_read() -> int:
-        it = (spark._jvm.org.apache.hadoop.fs.FileSystem
-              .getAllStatistics().iterator())
-        total = 0
-        while it.hasNext():
-            total += it.next().getBytesRead()
-        return total
+    # dna_bloom) vs the token-array column the exact predicate needs.
+    # Hadoop FileSystem byte counters miss the vectorized parquet
+    # reader's IO in local mode, so measure what each column-pruned
+    # scan MUST read from the parquet footers: the compressed
+    # column-chunk bytes of the projected columns (what a remote
+    # object store would serve).
+    import glob as _glob
 
-    b0 = fs_bytes_read()
-    (df.select("accession", "dna_bloom")
-       .where(P.bloom_prefilter("dna_bloom", query))).count()
-    b_narrow = fs_bytes_read() - b0
-    b0 = fs_bytes_read()
-    df.where(exact).count()
-    b_full = fs_bytes_read() - b0
-    print(f"actual scan bytes: prescreen-only pass {b_narrow:,} "
-          f"vs full-profile scan {b_full:,} "
-          f"({b_full / max(1, b_narrow):.1f}x column-prune win "
-          f"for the narrow phase)")
+    import pyarrow.parquet as pq
 
+    col_bytes: dict[str, int] = {}
+    for part in _glob.glob(d + "/part-*.parquet"):
+        md = pq.ParquetFile(part).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                root = c.path_in_schema.split(".", 1)[0]
+                col_bytes[root] = (col_bytes.get(root, 0)
+                                   + c.total_compressed_size)
+    narrow = col_bytes["accession"] + col_bytes["dna_bloom"]
+    full = sum(col_bytes.values())
+    print(f"column-pruned scan bytes (compressed, from footers): "
+          f"prescreen pass {narrow:,} vs full-row scan {full:,} "
+          f"({full / narrow:.1f}x less IO for the narrow phase; "
+          f"dna_profile column alone {col_bytes['dna_profile']:,})")
+
+    # two-phase variant (narrow scan -> broadcast semi-join back):
+    # slower here where the page cache hides the wide column's IO,
+    # but the shape a cold object-store read wants — the wide
+    # dna_profile bytes are only fetched for the <5% candidate set
     for i in range(3):
         t0 = time.perf_counter()
         cand = (df.select("accession", "dna_bloom")
