@@ -115,29 +115,39 @@ class BandedGotoh:
         plans: list[tuple] = []               # ("fast",res) | ("segs",segs)
         windows: list[tuple[str, str]] = []   # shared window pool
         owner: list[int] = []                 # window -> pair index
+        failed: dict[int, Exception] = {}
         for gi, (q, t) in enumerate(pairs):
-            fast = self._align_gapfree(q, t)
-            if fast is not None:
-                plans.append(("fast", fast))
-                continue
-            segs: list[tuple] = []
             n0 = len(windows)
-            self._decompose_rec(q, t, 0, segs=segs, windows=windows)
+            try:
+                fast = self._align_gapfree(q, t)
+                if fast is not None:
+                    plans.append(("fast", fast))
+                    continue
+                segs: list[tuple] = []
+                self._decompose_rec(q, t, 0, segs=segs, windows=windows)
+            except Exception as exc:  # noqa: BLE001 — per-pair isolation
+                del windows[n0:]     # drop this pair's partial windows
+                plans.append(("segs", []))
+                failed[gi] = exc
+                continue
             owner.extend([gi] * (len(windows) - n0))
             plans.append(("segs", segs))
 
         # per-pair budget: charge each pair's small windows up front with
-        # the cells the batch solver actually computes ((n+1) rows of the
-        # full-coverage band) — deterministic per input, checked before
-        # any window is solved, same contract as the scalar path
+        # the SAME cell count scalar ``_dp`` charges for that window
+        # ((n+1) rows of the band_extra band) — NOT the (narrower)
+        # full-coverage band the batch solver actually computes.
+        # Charging the scalar number keeps accept/reject parity: a
+        # budget that fails a pair through ``align()`` fails it through
+        # ``align_many()`` too, and vice versa (the documented
+        # "identical results" contract covers errors, not just output).
         cells = [0] * len(pairs)
-        failed: dict[int, Exception] = {}
         small: list[int] = []
         for wi, (qc, tc) in enumerate(windows):
             gi = owner[wi]
             if max(len(qc), len(tc)) <= self.DP_MAX:
                 n, m = len(tc), len(qc)
-                w = abs(m - n) + 2 * max(n, m, 1) + 1
+                w = abs(m - n) + 2 * band_extra + 1   # == _dp's charge
                 cells[gi] += (n + 1) * w
                 if cells[gi] > self.cell_budget and gi not in failed:
                     failed[gi] = AlignmentBudgetError(
@@ -155,9 +165,26 @@ class BandedGotoh:
         todo.sort(key=lambda wi: (len(windows[wi][1]), len(windows[wi][0])))
         for lo in range(0, len(todo), self.BATCH_CHUNK):
             chunk = todo[lo:lo + self.BATCH_CHUNK]
-            for wi, res in zip(chunk, self._solve_small_batch(
-                    [windows[i] for i in chunk], band_extra)):
-                solved[wi] = res
+            try:
+                res_list = self._solve_small_batch(
+                    [windows[i] for i in chunk], band_extra)
+            except Exception:  # noqa: BLE001 — e.g. MemoryError on the
+                # (n,B,W) scratch tensors under executor pressure: the
+                # batch path must not abort the whole Arrow batch, so
+                # degrade this chunk to per-window scalar solves with
+                # per-pair isolation
+                res_list = []
+                for i in chunk:
+                    try:
+                        res_list.append(
+                            self._solve_window_scalar(*windows[i]))
+                    except Exception as exc:  # noqa: BLE001
+                        res_list.append(exc)
+            for wi, res in zip(chunk, res_list):
+                if isinstance(res, Exception):
+                    failed.setdefault(owner[wi], res)
+                else:
+                    solved[wi] = res
 
         # oversized windows: scalar banded path with the pair's budget
         for wi, (qc, tc) in enumerate(windows):
@@ -198,6 +225,27 @@ class BandedGotoh:
                 qa.append(aq)
                 ta.append(at)
         return "".join(qa), "".join(ta)
+
+    def _solve_window_scalar(self, query: str, target: str) -> tuple[str, str]:
+        """Solve ONE small window scalar-side WITHOUT touching the shared
+        ``_cells_used`` account — for fallback paths where the window's
+        cells were already charged up front (``align_many``'s budget
+        pass).  Going through ``_dp`` here would read/mutate whatever
+        pair's account happens to be in ``_cells_used`` and could raise
+        against the wrong pair.  Starts at the full-coverage band, so
+        the first attempt cannot fail for lack of band width."""
+        if len(query) == 0:
+            return "-" * len(target), target
+        if len(target) == 0:
+            return query, "-" * len(query)
+        extra = max(len(query), len(target), 1)
+        while True:
+            res = self._align_banded(query, target, extra)
+            if res is not None:
+                return res
+            if extra > len(query) + len(target):
+                raise RuntimeError("alignment failed even unbanded")
+            extra *= 4
 
     def _dp(self, query: str, target: str, extra: int) -> tuple[str, str]:
         n, m = len(target), len(query)
@@ -462,15 +510,18 @@ class BandedGotoh:
                 n_w = int(nb[w])
                 if Hfin[w, k_end[w]] <= NEG // 2:     # can't happen with
                     # full band coverage; scalar fallback keeps the
-                    # guarantee explicit rather than assumed
-                    results[wi] = self._dp(qs[w], ts[w], band_extra)
+                    # guarantee explicit rather than assumed.  The
+                    # budget-neutral solver: the window was already
+                    # charged by the caller, and _dp would bill the
+                    # shared account (possibly another pair's).
+                    results[wi] = self._solve_window_scalar(qs[w], ts[w])
                     continue
                 aq, at = self._traceback(
                     qs[w], ts[w], int(lo[w]), Hc[:n_w + 1, w, :],
                     Gc[:n_w + 1, w, :], Fo[:n_w + 1, w, :],
                     Eo[:n_w + 1, w, :])
                 if aq is None:                        # ditto
-                    results[wi] = self._dp(qs[w], ts[w], band_extra)
+                    results[wi] = self._solve_window_scalar(qs[w], ts[w])
                 else:
                     results[wi] = (aq, at)
         return [results[i] for i in range(len(wins))]

@@ -272,8 +272,17 @@ def ngram_jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
                     F.explode("hashes").alias("shingle"))
     dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
     w = Window.partitionBy(id_col).orderBy(F.col("sdf").asc(), F.col("shingle").asc())
+    # Float-safety: every PPJoin bound below is computed in float, but
+    # the underlying inequalities are over integers — a product like
+    # 100 * 0.07 evaluates to 7.000000000000001 and an unguarded ceil
+    # or <= would then over-filter at exact-integer boundaries, dropping
+    # qualifying pairs from an operator documented as lossless.  Nudging
+    # each bound by _EPS toward INCLUSION is always safe: extra
+    # candidates are removed by the exact verify step; missing ones are
+    # unrecoverable.
+    _EPS = 1e-6
     prefix_len = (F.col("n_sh")
-                  - F.ceil(F.col("n_sh") * F.lit(t)).cast("int")
+                  - F.ceil(F.col("n_sh") * F.lit(t) - F.lit(_EPS)).cast("int")
                   + F.lit(1))
     prefix = (
         inv.join(F.broadcast(dfreq), "shingle")
@@ -286,13 +295,13 @@ def ngram_jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
     b = prefix.select(F.col(id_col).alias("id_b"), "shingle",
                       F.col("n_sh").alias("n_b"), F.col("rnk").alias("p_b"))
     min_overlap = F.ceil(F.lit(t / (1.0 + t))
-                         * (F.col("n_a") + F.col("n_b")))
+                         * (F.col("n_a") + F.col("n_b")) - F.lit(_EPS))
     cand = (
         a.join(b, "shingle")
         .where((F.col("id_a") < F.col("id_b"))
                # length filter: size ratio within [t, 1/t]
-               & (F.col("n_b") * F.lit(t) <= F.col("n_a"))
-               & (F.col("n_a") * F.lit(t) <= F.col("n_b"))
+               & (F.col("n_b") * F.lit(t) - F.lit(_EPS) <= F.col("n_a"))
+               & (F.col("n_a") * F.lit(t) - F.lit(_EPS) <= F.col("n_b"))
                # positional filter: suffix lengths must still allow
                # the required overlap
                & (F.least(F.col("n_a") - F.col("p_a"),

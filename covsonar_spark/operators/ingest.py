@@ -91,7 +91,19 @@ def derive_profiles(sequences: DataFrame, ref_seq: str, cds_list: list[CDS],
                 else:
                     screened.append(None)
                     align_in.append((seq, ref_seq))
-            aligned = aligner.align_many(align_in, band_extra=band_extra)
+            try:
+                aligned = aligner.align_many(align_in, band_extra=band_extra)
+            except Exception:  # noqa: BLE001 — batch-path failure must
+                # not poison the Arrow batch (the per-row isolation
+                # contract): degrade to the scalar per-pair path, which
+                # re-establishes one error column entry per bad genome
+                aligned = []
+                for q, t in align_in:
+                    try:
+                        aligned.append(aligner.align(q, t,
+                                                     band_extra=band_extra))
+                    except Exception as exc:  # noqa: BLE001
+                        aligned.append(exc)
 
             out = []
             ai = 0

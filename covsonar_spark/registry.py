@@ -47,7 +47,34 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-_NROWS_CACHE: dict[tuple[str, float], int | None] = {}
+_NROWS_CACHE: dict[tuple, int | None] = {}
+
+
+def _nrows_sig(path: str) -> tuple:
+    """Cheap content signature for the row-count cache key.
+
+    A single file keys on (size, mtime).  A DIRECTORY dataset keys on
+    the sorted (name, size, mtime) of its data files: rewriting a part
+    file in place (tools/gen_sf.py regenerating a corpus) changes the
+    part's mtime but NOT the parent directory's — a dir-mtime key would
+    serve the stale count for exactly the regeneration scenario the
+    cache must survive.  Directories here hold tens of parts, so the
+    listdir+stat is microseconds."""
+    import os
+
+    try:
+        if os.path.isdir(path):
+            sig = []
+            for e in sorted(os.listdir(path)):
+                if e.startswith(("_", ".")):
+                    continue
+                st = os.stat(os.path.join(path, e))
+                sig.append((e, st.st_size, st.st_mtime))
+            return tuple(sig)
+        st = os.stat(path)
+        return (st.st_size, st.st_mtime)
+    except OSError:
+        return (-1.0,)
 
 
 def _nrows(sf_dir: str, name: str) -> int | None:
@@ -55,17 +82,13 @@ def _nrows(sf_dir: str, name: str) -> int | None:
     similarity auto modes — saves those operators a full count() pass
     over the corpus before any useful work.  None when the footer
     isn't locally readable (remote FS, non-parquet): the operators
-    then fall back to counting.  Keyed on (path, mtime) so a table
-    rewritten in-session (bench regenerating testdata) gets a fresh
-    footer read instead of a stale hint."""
-    import os
-
+    then fall back to counting.  Keyed on (path, content signature)
+    so a table rewritten in-session (bench regenerating testdata)
+    gets a fresh footer read instead of a stale hint."""
     path = f"{sf_dir}/{name}.parquet"
-    try:
-        mtime = os.path.getmtime(path)
-    except OSError:
-        mtime = -1.0
-    key = (path, mtime)
+    key = (path, _nrows_sig(path))
+    if len(_NROWS_CACHE) > 256:   # bound: old (path, sig) keys of
+        _NROWS_CACHE.clear()      # rewritten tables are never reused
     if key not in _NROWS_CACHE:
         try:
             import pyarrow.parquet as pq

@@ -40,6 +40,14 @@ from covsonar_spark.operators.match import MatchEngine, MatchQuery, build_essenc
 
 TABLES = ("genomes", "sequences", "profiles", "dna_variants", "prot_variants")
 
+
+class StoreReadError(RuntimeError):
+    """A data-bearing table directory could not be read after retries.
+
+    Raised instead of returning an empty DataFrame: the store's reader
+    contract is old-snapshot-or-new, never silently empty — a torn
+    footer or externally corrupted file must surface as an error."""
+
 # (thread id, root) pairs whose mutation lease THIS thread currently
 # holds (reentrancy: a lease-holding mutation that reads a table must
 # heal directly instead of skipping because "someone" — itself — holds
@@ -403,7 +411,21 @@ class SonarStore:
             try:
                 return self._project(name, self.spark.read.parquet(path))
             except Exception:  # noqa: BLE001
-                pass
+                # final read failed with the dir present: prefer the
+                # pre-swap snapshot if one survives, and if the dir is
+                # data-bearing but persistently unreadable (torn footer,
+                # external corruption) RAISE — a silent 0-row result is
+                # the one outcome the module contract forbids
+                if os.path.isdir(old):
+                    try:
+                        return self._project(
+                            name, self.spark.read.parquet(old))
+                    except Exception:  # noqa: BLE001
+                        pass
+                if self._dir_has_data(path):
+                    raise StoreReadError(
+                        f"table '{name}' at {path} holds data files but "
+                        f"could not be read after retries")
         return self.spark.createDataFrame([], _SCHEMAS[name])
 
     def _layout(self, name: str, df: DataFrame):

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import os
 import re
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -52,6 +53,13 @@ class StreamingJoinView:
         self._dim_path = os.path.join(state_dir, "dim")
         self.on = on
         self._seq = 0
+        # serializes a live dim swap against the streaming thread's
+        # crash-heal scan: heal observing the instant between
+        # update_dim's two renames would "restore" the renamed-aside
+        # generation and make the swap's second rename hit a non-empty
+        # directory (crash-heal is for dead processes; a live swap in
+        # THIS process is visible through this lock)
+        self._swap_lock = threading.Lock()
         # bootstrap generation 0 (idempotent: overwrite)
         if not os.path.isdir(os.path.join(self._dim_path, "gen=0")):
             dim.write.mode("overwrite").parquet(
@@ -116,16 +124,17 @@ class StreamingJoinView:
 
         if not os.path.isdir(self._dim_path):
             return
-        for e in os.listdir(self._dim_path):
-            if not e.startswith("_trash_gen"):
-                continue
-            trash = os.path.join(self._dim_path, e)
-            committed = os.path.join(
-                self._dim_path, "gen=" + e[len("_trash_gen"):])
-            if os.path.isdir(committed):
-                shutil.rmtree(trash, ignore_errors=True)
-            else:
-                os.rename(trash, committed)
+        with self._swap_lock:
+            for e in os.listdir(self._dim_path):
+                if not e.startswith("_trash_gen"):
+                    continue
+                trash = os.path.join(self._dim_path, e)
+                committed = os.path.join(
+                    self._dim_path, "gen=" + e[len("_trash_gen"):])
+                if os.path.isdir(committed):
+                    shutil.rmtree(trash, ignore_errors=True)
+                else:
+                    os.rename(trash, committed)
 
     def _gen_of_tag(self, tag: str) -> int | None:
         for e in os.listdir(self._dim_path):
@@ -173,11 +182,15 @@ class StreamingJoinView:
         delta_dim.write.mode("overwrite").parquet(tmp_dir)
         open(os.path.join(tmp_dir, f"_tag_{tag}"), "w").close()
         trash = os.path.join(self._dim_path, f"_trash_gen{new_gen}")
-        shutil.rmtree(trash, ignore_errors=True)
-        if os.path.isdir(gen_dir):
-            os.rename(gen_dir, trash)
-        os.rename(tmp_dir, gen_dir)
-        shutil.rmtree(trash, ignore_errors=True)
+        # the two renames and the trash cleanup run under the swap
+        # lock, so a concurrent process_batch heal scan (streaming
+        # thread) can never observe — and "repair" — the mid-swap state
+        with self._swap_lock:
+            shutil.rmtree(trash, ignore_errors=True)
+            if os.path.isdir(gen_dir):
+                os.rename(gen_dir, trash)
+            os.rename(tmp_dir, gen_dir)
+            shutil.rmtree(trash, ignore_errors=True)
         if os.path.isdir(self._fact_path):
             pinned = self._pinned_gens()
             old_batches = [

@@ -42,6 +42,7 @@ Pure duckdb + numpy/pyarrow — no Spark needed to generate.
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 import zlib
 
@@ -71,6 +72,17 @@ NAME_FMT = {
 
 PLANT_NEAR_DUPS = 25          # near-dup pairs planted per replica
 EDIT_FRACTION = 0.05          # words replaced in a planted near-dup
+
+
+def _fresh_dir(path: str) -> str:
+    """Recreate a dataset directory empty.  Writers emit part-{k} files
+    for the REQUESTED replica count only — re-running with a smaller
+    count into an existing directory would leave the old higher-k parts
+    behind, and every reader (Spark, pyarrow, duckdb glob) would
+    silently see the union of two generations."""
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    return path
 
 
 def tile_sql(con: duckdb.DuckDBPyConnection, table: str, out: str,
@@ -104,7 +116,7 @@ def tile_sql(con: duckdb.DuckDBPyConnection, table: str, out: str,
     # data arrives as many files.  Spark and pyarrow.dataset both read
     # the directory transparently.
     tdir = f"{out}/{table}.parquet"
-    os.makedirs(tdir, exist_ok=True)
+    _fresh_dir(tdir)
     for k, sel in enumerate(selects):
         con.sql(f"COPY ({sel}) TO '{tdir}/part-{k:02d}.parquet' "
                 f"(FORMAT PARQUET, ROW_GROUP_SIZE 262144)")
@@ -151,7 +163,7 @@ def gen_documents(out: str, replicas: int) -> int:
         all_src.extend(sources)
 
     ddir = f"{out}/documents.parquet"
-    os.makedirs(ddir, exist_ok=True)
+    _fresh_dir(ddir)
     for k in range(replicas):  # one file per replica (see tile_sql)
         lo, hi = k * n0, (k + 1) * n0
         pq.write_table(pa.table({
@@ -178,7 +190,7 @@ def gen_embeddings(out: str, replicas: int) -> int:
         vecs.append(v)
         labs.append(rng.integers(0, 10, n0).astype(np.int32))
     edir = f"{out}/embeddings.parquet"
-    os.makedirs(edir, exist_ok=True)
+    _fresh_dir(edir)
     for k in range(replicas):  # one file per replica (see tile_sql)
         pq.write_table(pa.table({
             "vec_id": pa.array(range(k * n0, (k + 1) * n0), pa.int64()),
