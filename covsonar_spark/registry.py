@@ -602,6 +602,31 @@ def match_profile_bloom(spark, sf_dir):
             .select("doc_id", "lang", "source").orderBy("doc_id"))
 
 
+def match_profile_pruned(spark, sf_dir):
+    """F7 through the FILE-SKIPPING manifest (sources/manifest.py —
+    the Delta/Iceberg-style per-file statistics lever): the corpus is
+    laid out as a multi-file dataset, a manifest of per-file
+    vocabulary blooms is built, files that provably cannot contain the
+    AND token group are dropped driver-side BEFORE the scan, and the
+    exact predicate runs on the survivors.  Lossless — shares
+    match_profile_and's oracle, so the whole prune-then-scan path is
+    value-checked, not just plumbed."""
+    from covsonar_spark.sources.manifest import build_manifest, read_pruned
+
+    docs = _t(spark, sf_dir, "documents")
+    d = _scratch("manifest_docs_") + "/docs"
+    (docs.withColumn("toks", Tx.tokens("text"))
+         .repartition(8, "doc_id")
+         .write.mode("overwrite").parquet(d))
+    man = build_manifest(spark, d, token_cols=("toks",),
+                         key_cols=("doc_id",))
+    pruned = read_pruned(spark, d, man, "toks_bloom",
+                         ["merge", "hash", "join"])
+    pred = P.profile_group(F.col("toks"), ["merge", "hash", "join"])
+    return (pruned.where(pred)
+            .select("doc_id", "lang", "source").orderBy("doc_id"))
+
+
 def match_profile_semijoin(spark, sf_dir):
     """F7 via the 100 TB plan (SURVEY §4's flagged rewrite): the same
     AND-group as match_profile_and executed as an inverted-index
@@ -2744,6 +2769,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "match_profile_and": (match_profile_and, MATCH_PROFILE_AND_SQL),
     "match_profile_semijoin": (match_profile_semijoin, MATCH_PROFILE_AND_SQL),
     "match_profile_bloom": (match_profile_bloom, MATCH_PROFILE_AND_SQL),
+    "match_profile_pruned": (match_profile_pruned, MATCH_PROFILE_AND_SQL),
     "match_profile_or_groups": (match_profile_or_groups, MATCH_PROFILE_OR_SQL),
     "match_profile_exclude": (match_profile_exclude, MATCH_PROFILE_EXCL_SQL),
     "match_count": (match_count, MATCH_COUNT_SQL),

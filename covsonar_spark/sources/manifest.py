@@ -1,0 +1,129 @@
+"""File-level data-skipping manifest — one stats row per parquet data
+file, consulted driver-side to drop whole files BEFORE the scan starts.
+
+Reference parity: none (beyond-parity scale feature).  At 100 TB a
+table is tens of thousands of files; Spark's built-in min/max pruning
+happens only after a file's footer is opened, and a token-containment
+predicate (`array_contains` AND-groups, the match engine's hot path)
+has no min/max statistics at all.  This is the same lever Delta's
+file statistics / Iceberg manifests provide, specialized for the
+profile-token workload:
+
+* per file: row count, min/max of the declared key columns, and a
+  WIDE bloom (default 8192 bits = 128 longs) OR-folded over every
+  row's token array — the file's token vocabulary fingerprint.
+* losslessness: a file whose bloom lacks a queried token's bit cannot
+  contain any row with that token, so dropping it cannot drop results;
+  kept files still run the exact predicate (false keeps are harmless).
+* the row-level analogue is operators/predicates.py:token_bloom (64
+  bits, per row).  The file bloom must be much wider because it
+  accumulates the file's whole vocabulary: at ~5k distinct tokens per
+  file (a lineage-clustered layout) 8192 bits sits near 50% fill —
+  ~12% false-keep for a 3-token AND; a randomly-sharded layout
+  saturates ANY per-file fingerprint, so skipping effectiveness is a
+  property of clustering (write profiles sorted/partitioned by
+  lineage), which the store's optimize() layout already encourages.
+
+Scale shape: the manifest build is one column-pruned scan (token
+array + keys) with a two-level aggregation keyed on (file, slot) —
+fully distributed, no driver state beyond the final one-row-per-file
+result.  Pruning filters the MANIFEST (tiny) and collects only the
+surviving file list, never file contents.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_BITS = 8192   # 128 longs per token column per file
+
+
+def _py_slot_mask(token: str, bits: int) -> tuple[int, int]:
+    """(slot, single-bit mask) for a token — the driver-side twin of
+    the JVM hash below (same md5-hex-prefix derivation as
+    predicates.bloom_mask, widened to ``bits``)."""
+    h = int(hashlib.md5(token.encode()).hexdigest()[:15], 16) % bits
+    slot, bit = divmod(h, 64)
+    mask = 1 << bit
+    # two's-complement fold: bit 63 is negative in a JVM long
+    if mask >= (1 << 63):
+        mask -= 1 << 64
+    return slot, mask
+
+
+def build_manifest(spark: SparkSession, table_path: str,
+                   token_cols: Sequence[str] = ("dna_profile",),
+                   key_cols: Sequence[str] = (),
+                   bits: int = MANIFEST_BITS) -> DataFrame:
+    """One row per data file of ``table_path``: n_rows, min/max of each
+    key column, and a ``{tc}_bloom`` array<long> per token column.
+
+    Single column-pruned scan; the (file, slot) pre-aggregation keeps
+    the shuffle at |files| x |occupied slots| rows regardless of row
+    count (map-side bit_or combine does the heavy folding)."""
+    n_longs = bits // 64
+    df = spark.read.parquet(table_path)
+    base = df.select(F.input_file_name().alias("file"),
+                     *[F.col(c) for c in dict.fromkeys((*token_cols,
+                                                        *key_cols))])
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for k in key_cols:
+        aggs += [F.min(k).alias(f"min_{k}"), F.max(k).alias(f"max_{k}")]
+    out = base.groupBy("file").agg(*aggs)
+
+    for tc in token_cols:
+        tok = (base.select("file", F.explode(tc).alias("tok"))
+               .select("file",
+                       (F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+                        .cast("long") % bits).alias("h")))
+        slots = (tok.select("file",
+                            (F.col("h") / 64).cast("int").alias("slot"),
+                            F.call_function(
+                                "shiftleft", F.lit(1).cast("long"),
+                                (F.col("h") % 64).cast("int")).alias("b"))
+                 .groupBy("file", "slot").agg(F.bit_or("b").alias("b"))
+                 .groupBy("file")
+                 .agg(F.map_from_entries(
+                     F.collect_list(F.struct("slot", "b"))).alias("m"))
+                 .select("file", F.expr(
+                     f"transform(sequence(0, {n_longs - 1}),"
+                     f" i -> coalesce(m[i], 0L))").alias(f"{tc}_bloom")))
+        out = out.join(slots, "file", "left").withColumn(
+            f"{tc}_bloom",
+            F.coalesce(f"{tc}_bloom",
+                       F.expr(f"array_repeat(0L, {n_longs})")))
+    return out
+
+
+def prune_files(manifest: DataFrame, bloom_col: str,
+                tokens: Sequence[str],
+                bits: int = MANIFEST_BITS) -> list[str]:
+    """File paths that MAY contain rows where every token of the AND
+    group appears — the complement set provably cannot and is skipped.
+    Filters the manifest (one row per file) and collects only paths."""
+    cond = None
+    for t in tokens:
+        slot, mask = _py_slot_mask(t, bits)
+        c = (F.element_at(F.col(bloom_col), slot + 1)
+             .bitwiseAND(F.lit(mask)) != 0)
+        cond = c if cond is None else cond & c
+    pruned = manifest if cond is None else manifest.where(cond)
+    return [r["file"] for r in pruned.select("file").collect()]
+
+
+def read_pruned(spark: SparkSession, table_path: str, manifest: DataFrame,
+                bloom_col: str, tokens: Sequence[str],
+                bits: int = MANIFEST_BITS) -> DataFrame:
+    """The manifest-pruned scan: read only files that can match the AND
+    token group.  Callers still apply the exact predicate — pruning is
+    a necessary condition, identical results guaranteed.  ``basePath``
+    keeps partition-directory columns intact when explicit files are
+    read from a partitioned layout."""
+    files = prune_files(manifest, bloom_col, tokens, bits)
+    if not files:
+        return spark.read.parquet(table_path).limit(0)
+    return spark.read.option("basePath", table_path).parquet(*files)

@@ -319,7 +319,72 @@ class SonarStore:
                 continue
             self._overwrite(t, df.coalesce(parts))
             out[t] = parts
+        # refresh the file-skipping manifest over the compacted layout
+        # (stats are derived data — cheap to rebuild, safe when stale)
+        if os.path.exists(self._path("profiles")):
+            out["manifest_files"] = self.build_manifest("profiles")
         return out
+
+    # -- file-skipping manifest (beyond-parity scale feature) -------------
+
+    def build_manifest(self, table: str = "profiles") -> int:
+        """Build the file-level data-skipping manifest for ``table``
+        (sources/manifest.py): per-file row counts, seqhash min/max and
+        wide token blooms, persisted under ``root/manifests/``.  Returns
+        the number of data files covered.  Derived data: staleness is
+        SAFE (``pruned_table`` never prunes a file the manifest does not
+        cover), so a simple overwrite suffices — no rename protocol."""
+        from covsonar_spark.sources.manifest import build_manifest as _bm
+
+        token_cols = [c for c in ("dna_profile", "aa_profile")
+                      if c in _SCHEMAS[table].fieldNames()] or None
+        if token_cols is None:
+            raise ValueError(f"no token columns to fingerprint in {table}")
+        man = _bm(self.spark, self._path(table), token_cols=token_cols,
+                  key_cols=("seqhash",))
+        mpath = os.path.join(self.root, "manifests", table)
+        man.coalesce(1).write.mode("overwrite").parquet(mpath)
+        return self.spark.read.parquet(mpath).count()
+
+    def _data_files(self, table: str) -> list[str]:
+        out = []
+        for base, _dirs, files in os.walk(self._path(table)):
+            out.extend(os.path.join(base, f) for f in files
+                       if not f.startswith(("_", ".")))
+        return out
+
+    def pruned_table(self, table: str, bloom_col: str,
+                     tokens: list[str]) -> DataFrame:
+        """``table`` scanned through the file manifest: files whose
+        vocabulary bloom cannot contain the AND token group are skipped
+        before the scan.  Lossless BY CONSTRUCTION even against a stale
+        manifest: a data file the manifest does not cover (appended
+        after the last build) is always kept, and callers still apply
+        the exact predicate.  Falls back to the full table when no
+        manifest exists."""
+        from covsonar_spark.sources.manifest import prune_files
+
+        mpath = os.path.join(self.root, "manifests", table)
+        if not os.path.isdir(mpath):
+            return self.table(table)
+        man = self.spark.read.parquet(mpath)
+
+        def norm(p: str) -> str:
+            if p.startswith("file://"):
+                p = p[len("file://"):]
+            elif p.startswith("file:"):
+                p = p[len("file:"):]
+            return os.path.normpath(p)
+
+        covered = {norm(r["file"]) for r in man.select("file").collect()}
+        kept = {norm(p) for p in prune_files(man, bloom_col, tokens)}
+        actual = self._data_files(table)
+        files = [p for p in actual
+                 if norm(p) in kept or norm(p) not in covered]
+        if not files:
+            return self.table(table).limit(0)
+        return (self.spark.read.option("basePath", self._path(table))
+                .parquet(*files))
 
     # -- table IO ---------------------------------------------------------
 

@@ -1,0 +1,121 @@
+"""File-level data-skipping manifest (sources/manifest.py + the store
+integration): pruning must be lossless, actually skip files on a
+clustered layout, survive a stale manifest, and degrade to the full
+scan when no manifest exists."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from covsonar_spark.sources.manifest import (build_manifest, prune_files,
+                                             read_pruned)
+
+
+@pytest.fixture(scope="module")
+def clustered(spark, tmp_path_factory):
+    """16 lineages with disjoint-ish token bands, one file per
+    lineage-range — the layout where file skipping must bite."""
+    d = str(tmp_path_factory.mktemp("man") / "profiles")
+    df = (spark.range(16_000)
+          .withColumn("lineage", (F.col("id") % 16).cast("int"))
+          .withColumn("dna_profile", F.expr(
+              "transform(sequence(1, 20), j -> concat('C', cast("
+              "(lineage*200 + pmod(hash(id, j), 180)) as string), 'T'))")))
+    df.repartitionByRange(16, "lineage").write.parquet(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def manifest(spark, clustered):
+    return build_manifest(spark, clustered, token_cols=("dna_profile",),
+                          key_cols=("id",)).cache()
+
+
+def _exact(tokens):
+    pred = None
+    for t in tokens:
+        p = F.array_contains("dna_profile", t)
+        pred = p if pred is None else pred & p
+    return pred
+
+
+def test_pruned_scan_is_lossless(spark, clustered, manifest):
+    toks = ["C612T", "C655T", "C701T"]      # lineage-3 band
+    full = spark.read.parquet(clustered)
+    expect = sorted(r["id"] for r in full.where(_exact(toks))
+                    .select("id").collect())
+    got = sorted(r["id"] for r in
+                 read_pruned(spark, clustered, manifest,
+                             "dna_profile_bloom", toks)
+                 .where(_exact(toks)).select("id").collect())
+    assert got == expect and expect        # non-trivial result
+
+
+def test_pruning_skips_files_on_clustered_layout(spark, clustered, manifest):
+    n_files = manifest.count()
+    assert n_files >= 8                     # layout produced real files
+    kept = prune_files(manifest, "dna_profile_bloom",
+                       ["C612T", "C655T", "C701T"])
+    assert 0 < len(kept) < n_files          # skipped at least one file
+
+
+def test_no_match_prunes_everything(spark, clustered, manifest):
+    out = read_pruned(spark, clustered, manifest, "dna_profile_bloom",
+                      ["NOT_A_TOKEN"])
+    assert out.count() == 0
+    assert out.columns == spark.read.parquet(clustered).columns
+
+
+def test_store_manifest_stale_append_is_safe(spark, tmp_path):
+    """A data file appended AFTER the manifest build is not covered by
+    it — pruned_table must always keep uncovered files, so a stale
+    manifest can cause extra reads, never missing rows."""
+    from covsonar_spark.store import SonarStore
+
+    root = str(tmp_path / "db")
+    st = SonarStore.open(spark, root)
+    rows = [(f"h{i}", [f"C{100 + i}T", "C1T"], [], [], None, None)
+            for i in range(8)]
+    df = spark.createDataFrame(rows, schema=_profiles_schema())
+    pdir = os.path.join(root, "profiles")
+    df.coalesce(2).write.parquet(pdir)
+    assert st.build_manifest("profiles") == 2
+
+    # append a new part file the manifest has never seen: clone an
+    # existing part under a new name but with DIFFERENT content by
+    # writing a fresh one-row dataset and moving its part in
+    extra = spark.createDataFrame(
+        [("hx", ["C999T", "C1T"], [], [], None, None)],
+        schema=_profiles_schema())
+    tmp_out = str(tmp_path / "extra")
+    extra.coalesce(1).write.parquet(tmp_out)
+    part = next(f for f in os.listdir(tmp_out)
+                if f.endswith(".parquet") and not f.startswith(("_", ".")))
+    shutil.copy(os.path.join(tmp_out, part),
+                os.path.join(pdir, "part-appended.parquet"))
+
+    got = (st.pruned_table("profiles", "dna_profile_bloom", ["C999T"])
+           .where(F.array_contains("dna_profile", "C999T"))
+           .select("seqhash").collect())
+    assert [r["seqhash"] for r in got] == ["hx"]
+
+
+def test_pruned_table_without_manifest_falls_back(spark, tmp_path):
+    from covsonar_spark.store import SonarStore
+
+    root = str(tmp_path / "db")
+    st = SonarStore.open(spark, root)
+    df = spark.createDataFrame(
+        [("h0", ["C5T"], [], [], None, None)], schema=_profiles_schema())
+    df.write.parquet(os.path.join(root, "profiles"))
+    assert st.pruned_table("profiles", "dna_profile_bloom",
+                           ["C5T"]).count() == 1
+
+
+def _profiles_schema():
+    from covsonar_spark.store import _SCHEMAS
+    return _SCHEMAS["profiles"]

@@ -145,6 +145,81 @@ def main() -> None:
         dt = time.perf_counter() - t0
         print(f"two-phase run{i}: {dt:.2f}s rows={c2}")
 
+    # ---- file-level manifest skipping on a CLUSTERED layout ----------
+    # The row-bloom prescreen still scans every file.  The manifest
+    # (sources/manifest.py) drops whole files driver-side — but only a
+    # token-correlated layout makes per-file vocabularies narrow, so
+    # rebuild the corpus clustered by lineage (each lineage owns a
+    # token band, the realistic correlation) and measure skip rate +
+    # scan bytes avoided.
+    from covsonar_spark.sources.manifest import (build_manifest,
+                                                 prune_files, read_pruned)
+
+    N_LINEAGES = 128
+    dc = tempfile.mkdtemp(prefix="match_clustered_") + "/profiles"
+    lineage = (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8),
+                      16, 10) % N_LINEAGES).cast("int")
+    toks_c = F.transform(
+        F.sequence(F.lit(1), F.lit(TOKENS_PER)),
+        lambda j: F.concat(
+            F.lit("C"),
+            ((F.col("lin") * 40
+              + F.conv(F.substring(F.md5(F.concat(
+                  F.col("id").cast("string"), F.lit(":"),
+                  j.cast("string"))), 1, 8), 16, 10) % 60)
+             % F.lit(VOCAB * 3)).cast("string"),
+            F.lit("T")))
+    t0 = time.perf_counter()
+    (spark.range(n)
+     .withColumn("lin", lineage)
+     .select(F.col("id").alias("accession"), F.col("lin"),
+             F.array_distinct(toks_c).alias("dna_profile"))
+     .withColumn("dna_bloom", P.token_bloom("dna_profile"))
+     .repartitionByRange(32, "lin")
+     .write.mode("overwrite").parquet(dc))
+    print(f"clustered build: {time.perf_counter()-t0:.1f}s")
+    t0 = time.perf_counter()
+    man = build_manifest(spark, dc, token_cols=("dna_profile",),
+                         key_cols=("accession",)).cache()
+    n_files = man.count()
+    print(f"manifest build: {time.perf_counter()-t0:.1f}s over "
+          f"{n_files} files")
+
+    # a lineage-77 AND group: tokens from one band
+    q_band = [f"C{77 * 40 + k}T" for k in (3, 17, 42)]
+    kept = prune_files(man, "dna_profile_bloom", q_band)
+    pruned_bytes = 0
+    total_bytes = 0
+    for part in _glob.glob(dc + "/part-*.parquet"):
+        sz = __import__("os").path.getsize(part)
+        total_bytes += sz
+        if any(part.endswith(k.rsplit("/", 1)[-1]) for k in kept):
+            pruned_bytes += sz
+    print(f"manifest prune: kept {len(kept)}/{n_files} files "
+          f"({pruned_bytes:,} of {total_bytes:,} bytes = "
+          f"{100.0 * pruned_bytes / max(total_bytes, 1):.1f}% scanned)")
+
+    exact_c = None
+    for t in q_band:
+        p = F.array_contains("dna_profile", t)
+        exact_c = p if exact_c is None else exact_c & p
+    dfc = spark.read.parquet(dc)
+    for label, frame in (
+            ("full-scan", dfc.where(exact_c)),
+            ("manifest", read_pruned(spark, dc, man, "dna_profile_bloom",
+                                     q_band).where(exact_c))):
+        for i in range(3):
+            t0 = time.perf_counter()
+            c = frame.count()
+            dt = time.perf_counter() - t0
+            print(f"clustered {label} run{i}: {dt:.2f}s rows={c}")
+    a = sorted(r["accession"] for r in dfc.where(exact_c)
+               .select("accession").collect())
+    b = sorted(r["accession"] for r in
+               read_pruned(spark, dc, man, "dna_profile_bloom", q_band)
+               .where(exact_c).select("accession").collect())
+    print("manifest lossless:", a == b, f"(rows={len(a)})")
+
 
 if __name__ == "__main__":
     main()
