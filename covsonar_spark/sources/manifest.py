@@ -115,6 +115,56 @@ def prune_files(manifest: DataFrame, bloom_col: str,
     return [r["file"] for r in pruned.select("file").collect()]
 
 
+def file_group_condition(groups: list[dict[str, list[list[str]]]],
+                         col_of: dict[str, str],
+                         bits: int = MANIFEST_BITS):
+    """File-level necessary condition for a rewritten profile query —
+    the manifest twin of operators/match.py:profile_bloom_prefilter,
+    over the wide per-file blooms instead of the per-row long.
+
+    ``groups`` is the rewrite_profiles output (OR of groups; within a
+    group AND across fields/atoms, an atom being a token's IUPAC
+    expansion set).  ``col_of`` maps field name -> manifest bloom
+    column.  Per atom the file must contain ANY of the expansion's
+    bits; AND-mode folds atoms with AND, the wildcard-OR quirk with
+    OR; groups OR together.  Returns None (prune nothing) when any
+    group yields no usable parts — same vacuousness rule as the row
+    prefilter, so pruning is always a superset of the rows the exact
+    predicate keeps."""
+    from functools import reduce
+
+    from covsonar_spark.functions import tokens as TK
+
+    def bit_test(col: str, token: str):
+        slot, mask = _py_slot_mask(token, bits)
+        return (F.element_at(F.col(col), slot + 1)
+                .bitwiseAND(F.lit(mask)) != 0)
+
+    group_preds = []
+    for g in groups:
+        parts = []
+        for field, col in col_of.items():
+            exps = g.get(field) or []
+            if not exps:
+                continue
+            atoms = []
+            for exp in exps:
+                if not exp:
+                    return None
+                atoms.append(reduce(lambda a, b: a | b,
+                                    [bit_test(col, t) for t in exp]))
+            if TK.group_any_mode(exps, field):
+                parts.append(reduce(lambda a, b: a | b, atoms))
+            else:
+                parts.append(reduce(lambda a, b: a & b, atoms))
+        if not parts:
+            return None
+        group_preds.append(reduce(lambda a, b: a & b, parts))
+    if not group_preds:
+        return None
+    return reduce(lambda a, b: a | b, group_preds)
+
+
 def read_pruned(spark: SparkSession, table_path: str, manifest: DataFrame,
                 bloom_col: str, tokens: Sequence[str],
                 bits: int = MANIFEST_BITS) -> DataFrame:

@@ -362,12 +362,35 @@ class SonarStore:
         after the last build) is always kept, and callers still apply
         the exact predicate.  Falls back to the full table when no
         manifest exists."""
-        from covsonar_spark.sources.manifest import prune_files
+        from covsonar_spark.sources.manifest import file_group_condition
 
+        man = self._manifest(table)
+        if man is None:
+            return self.table(table)
+        # field kind drives the reference's trailing-N/X wildcard-OR
+        # quirk inside file_group_condition — derive it from the column
+        field = "dna" if bloom_col.startswith("dna") else "aa"
+        cond = file_group_condition(
+            [{field: [[t] for t in tokens]}], {field: bloom_col})
+        return self._prune_with(table, man, cond)
+
+    def _manifest(self, table: str) -> DataFrame | None:
         mpath = os.path.join(self.root, "manifests", table)
         if not os.path.isdir(mpath):
+            return None
+        try:
+            return self.spark.read.parquet(mpath)
+        except Exception:  # noqa: BLE001 — unreadable manifest: it is
+            # derived data, so degrade to the unpruned scan
+            return None
+
+    def _prune_with(self, table: str, man: DataFrame, cond) -> DataFrame:
+        """Staleness-safe file selection: keep files passing ``cond``
+        plus every data file the manifest does not cover (appended
+        since the last build) — a stale manifest costs extra reads,
+        never rows.  ``cond`` None means nothing is prunable."""
+        if cond is None:
             return self.table(table)
-        man = self.spark.read.parquet(mpath)
 
         def norm(p: str) -> str:
             if p.startswith("file://"):
@@ -377,14 +400,16 @@ class SonarStore:
             return os.path.normpath(p)
 
         covered = {norm(r["file"]) for r in man.select("file").collect()}
-        kept = {norm(p) for p in prune_files(man, bloom_col, tokens)}
+        kept = {norm(r["file"])
+                for r in man.where(cond).select("file").collect()}
         actual = self._data_files(table)
         files = [p for p in actual
                  if norm(p) in kept or norm(p) not in covered]
         if not files:
             return self.table(table).limit(0)
-        return (self.spark.read.option("basePath", self._path(table))
-                .parquet(*files))
+        return self._project(
+            table, self.spark.read.option("basePath", self._path(table))
+            .parquet(*files))
 
     # -- table IO ---------------------------------------------------------
 
@@ -881,11 +906,14 @@ class SonarStore:
                 d0 = (d0 + datetime.timedelta(days=32)).replace(day=1)
         return sorted(months) if saw_include else None
 
-    def essence(self, date_specs: list[str] | None = None) -> DataFrame:
+    def essence(self, date_specs: list[str] | None = None,
+                profiles: DataFrame | None = None) -> DataFrame:
         """genomes ⟕ profiles; when the query carries include-date specs
         the derived month set filters the hive partition column BEFORE
         it is dropped, so the parquet scan prunes directories (the
-        match-time payoff of the partition-by-month layout)."""
+        match-time payoff of the partition-by-month layout).
+        ``profiles`` overrides the profiles side (the manifest-pruned
+        scan from ``_match_profiles``)."""
         path = self._path("genomes")
         if date_specs and os.path.exists(path):
             months = self._months_of(date_specs)
@@ -902,11 +930,40 @@ class SonarStore:
             genomes = raw
         else:
             genomes = self.table("genomes")
-        return build_essence(genomes, self.table("profiles"))
+        if profiles is None:
+            profiles = self.table("profiles")
+        return build_essence(genomes, profiles)
 
     def match(self, query: MatchQuery) -> DataFrame:
-        return MatchEngine(self.essence(query.dates or None),
+        return MatchEngine(self.essence(query.dates or None,
+                                        self._match_profiles(query)),
                            self.sublineage_map).run(query)
+
+    def _match_profiles(self, query: MatchQuery) -> DataFrame | None:
+        """The profiles side for a match: manifest-pruned when the query
+        carries include-profile groups and a manifest exists, else None
+        (full table).  Safe under the essence left join: a genome whose
+        profile file was pruned joins NULL profiles, and the include
+        predicate (which pruning is a necessary condition of) rejects
+        it exactly as the full scan would.  Exclude-only queries are
+        never pruned — negation cannot skip files."""
+        if not query.profiles:
+            return None
+        man = self._manifest("profiles")
+        if man is None:
+            return None
+        from covsonar_spark.functions import tokens as TK
+        from covsonar_spark.sources.manifest import file_group_condition
+
+        try:
+            groups = TK.rewrite_profiles(query.profiles)
+        except ValueError:
+            return None       # invalid tokens: let the engine raise
+        cond = file_group_condition(
+            groups, {"dna": "dna_profile_bloom", "aa": "aa_profile_bloom"})
+        if cond is None:
+            return None
+        return self._prune_with("profiles", man, cond)
 
     def variant_trends(self, field: str = "dna_profile") -> DataFrame:
         """Per-month variant-token frequencies over the store — the

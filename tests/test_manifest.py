@@ -119,3 +119,59 @@ def test_pruned_table_without_manifest_falls_back(spark, tmp_path):
 def _profiles_schema():
     from covsonar_spark.store import _SCHEMAS
     return _SCHEMAS["profiles"]
+
+
+def _mini_store(spark, root: str, n: int = 60):
+    """A store with real genomes+profiles tables: 4 lineage bands, each
+    with its own token band, profiles written one file per band."""
+    from covsonar_spark.store import SonarStore, _SCHEMAS
+
+    st = SonarStore.open(spark, root)
+    genomes = [(f"ACC{i}", None, f"h{i}", f"L.{i % 4}", None, None, None,
+                None, None, None, None, None, None, None, None, None,
+                None, None, None, None) for i in range(n)]
+    profiles = [(f"h{i}",
+                 [f"C{(i % 4) * 100 + 10 + (i % 7)}T",
+                  f"C{(i % 4) * 100 + 50}T"],
+                 [], [], None, None) for i in range(n)]
+    spark.createDataFrame(genomes, schema=_SCHEMAS["genomes"]) \
+        .coalesce(1).write.parquet(os.path.join(root, "genomes"))
+    gdf = spark.createDataFrame(profiles, schema=_profiles_schema())
+    gdf = gdf.withColumn("band", F.expr(
+        "cast(substring(seqhash, 2) as int) % 4"))
+    gdf.repartitionByRange(4, "band").drop("band") \
+        .write.parquet(os.path.join(root, "profiles"))
+    return st
+
+
+def test_store_match_uses_manifest_losslessly(spark, tmp_path):
+    """store.match() through the manifest-pruned profiles side returns
+    exactly the rows of the unpruned match, and the pruned side reads
+    strictly fewer files for a band-local AND group."""
+    from covsonar_spark.operators.match import MatchQuery
+
+    root = str(tmp_path / "db")
+    st = _mini_store(spark, root)
+    q = MatchQuery(profiles=[["C250T", "C211T"]])   # band-2 tokens
+    before = sorted(r["accession"] for r in st.match(q).collect())
+
+    n_files = st.build_manifest("profiles")
+    assert n_files >= 3
+    pruned = st._match_profiles(q)
+    assert pruned is not None
+    n_inputs = len(pruned.inputFiles())
+    assert 0 < n_inputs < n_files           # whole files skipped
+    after = sorted(r["accession"] for r in st.match(q).collect())
+    assert after == before and before       # non-trivial, identical
+
+
+def test_store_match_exclude_only_not_pruned(spark, tmp_path):
+    from covsonar_spark.operators.match import MatchQuery
+
+    root = str(tmp_path / "db")
+    st = _mini_store(spark, root)
+    st.build_manifest("profiles")
+    q = MatchQuery(exclude_profiles=[["C250T"]])
+    assert st._match_profiles(q) is None    # negation cannot skip files
+    n = st.match(q).count()
+    assert n > 0                            # non-band-2 genomes survive
