@@ -297,24 +297,38 @@ class SonarStore:
         os.replace(tmp, os.path.join(root, "VERSION"))
 
     @_locked
-    def optimize(self) -> dict:
+    def optimize(self, rows_per_file: int = 500_000) -> dict:
         """P6 — compaction (reference VACUUM, lib/sonardb.py:2090-2093):
         rewrite each table into size-appropriate files. Genomes are
         additionally sorted by (lineage, date) on write so parquet
         row-group min/max stats cluster the two hottest match
         predicates (a poor man's Z-order — the reference's 17 B-tree
-        indexes collapse into scan statistics)."""
+        indexes collapse into scan statistics).  Profiles are
+        range-clustered by their position-sorted profile STRING:
+        same-lineage genomes share long token prefixes, so lexicographic
+        clustering shrinks each file's token vocabulary — exactly what
+        makes the file-skipping manifest selective (a random shard
+        saturates any per-file fingerprint).  Appends keep the cheap
+        seqhash layout; clustering is an optimize-time decision, like
+        Delta's OPTIMIZE ZORDER."""
         out = {}
         for t in TABLES:
             if not os.path.exists(self._path(t)):
                 continue
             df = self.table(t)
             n = df.count()
-            parts = max(1, n // 500_000)
+            parts = max(1, n // rows_per_file)
             if t == "genomes":
                 df = df.repartitionByRange(parts, "lineage", "date") \
                        .sortWithinPartitions("lineage", "date")
                 self._overwrite(t, df)
+                out[t] = parts
+                continue
+            if t == "profiles":
+                key = F.concat_ws(" ", "dna_profile")
+                df = df.repartitionByRange(parts, key) \
+                       .sortWithinPartitions(key)
+                self._overwrite(t, df, shape=False)
                 out[t] = parts
                 continue
             self._overwrite(t, df.coalesce(parts))
@@ -573,7 +587,7 @@ class SonarStore:
             pass                          # raced a release: re-read below
         shutil.rmtree(old, ignore_errors=True)
 
-    def _overwrite(self, name: str, df: DataFrame) -> None:
+    def _overwrite(self, name: str, df: DataFrame, shape: bool = True) -> None:
         """Copy-on-write table replace (write tmp → rename pair) so a
         failed job never truncates the table: the old data is moved
         aside, not deleted, until the new copy is in place (the crash
@@ -597,7 +611,9 @@ class SonarStore:
         final = self._path(name)
         tmp, old = final + ".tmp", final + ".old"
         shutil.rmtree(tmp, ignore_errors=True)
-        out, parts = self._layout(name, df)
+        # shape=False: the caller pre-shaped the frame (optimize()'s
+        # profile clustering) — _layout's repartition would undo it
+        out, parts = self._layout(name, df) if shape else (df, [])
         w = out.write.mode("overwrite")
         if parts:
             w = w.partitionBy(*parts)

@@ -165,6 +165,53 @@ def test_store_match_uses_manifest_losslessly(spark, tmp_path):
     assert after == before and before       # non-trivial, identical
 
 
+def test_optimize_clustering_makes_manifest_selective(spark, tmp_path):
+    """On a band-INTERLEAVED layout every file contains every band's
+    tokens, so the manifest can skip nothing.  optimize() range-clusters
+    profiles by their position-sorted profile string (same-lineage rows
+    share prefixes) and rebuilds the manifest — after which a band-local
+    query keeps strictly fewer files.  Match results are identical
+    before and after (clustering is layout-only)."""
+    from covsonar_spark.operators.match import MatchQuery
+    from covsonar_spark.store import SonarStore, _SCHEMAS
+
+    root = str(tmp_path / "db")
+    st = SonarStore.open(spark, root)
+    n = 60
+    genomes = [(f"ACC{i}", None, f"h{i}", f"L.{i % 4}", None, None, None,
+                None, None, None, None, None, None, None, None, None,
+                None, None, None, None) for i in range(n)]
+    profiles = [(f"h{i}",
+                 [f"C{(i % 4) * 100 + 10 + (i % 7)}T",
+                  f"C{(i % 4) * 100 + 50}T"],
+                 [], [], None, None) for i in range(n)]
+    spark.createDataFrame(genomes, schema=_SCHEMAS["genomes"]) \
+        .coalesce(1).write.parquet(os.path.join(root, "genomes"))
+    # interleaved: round-robin hash spreads every band over every file
+    spark.createDataFrame(profiles, schema=_profiles_schema()) \
+        .repartition(4, "seqhash") \
+        .write.parquet(os.path.join(root, "profiles"))
+
+    # C250T is carried by EVERY band-2 row (15 docs): interleaved over
+    # 4 files it lands in all of them — nothing skippable pre-cluster
+    q = MatchQuery(profiles=[["C250T"]])
+    before = sorted(r["accession"] for r in st.match(q).collect())
+    assert len(before) == 15
+
+    n_files = st.build_manifest("profiles")
+    pruned = st._match_profiles(q)
+    interleaved_kept = len(pruned.inputFiles())
+    assert interleaved_kept == n_files      # nothing skippable
+
+    res = st.optimize(rows_per_file=15)     # 4 clustered files
+    assert res["profiles"] == 4
+    assert res["manifest_files"] >= 2       # manifest auto-rebuilt
+    clustered_kept = len(st._match_profiles(q).inputFiles())
+    assert clustered_kept < res["manifest_files"]
+    after = sorted(r["accession"] for r in st.match(q).collect())
+    assert after == before
+
+
 def test_store_match_exclude_only_not_pruned(spark, tmp_path):
     from covsonar_spark.operators.match import MatchQuery
 
