@@ -160,6 +160,24 @@ def distinct_values_matching(df: DataFrame, col: str, sql_like_pattern: str) -> 
 BLOOM_BITS = 64
 
 
+def token_index_col(t: Column, bits: int) -> Column:
+    """JVM-side bloom bit index of a token: md5-hex-prefix hash mod
+    ``bits``.  THE single definition of the hash→bit mapping — the
+    per-row bloom uses it at bits=64, the file-manifest bloom
+    (sources/manifest.py) at 8192.  ``token_index`` below is its exact
+    Python twin; any change must land in both or stored fingerprints
+    stop matching query masks and pruning silently drops rows."""
+    return (F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+            .cast("long") % bits)
+
+
+def token_index(token: str, bits: int) -> int:
+    """Driver-side twin of ``token_index_col`` (same md5 derivation)."""
+    import hashlib
+
+    return int(hashlib.md5(token.encode()).hexdigest()[:15], 16) % bits
+
+
 def token_bloom(tokens_col: str | Column) -> Column:
     """64-bit bloom fingerprint of a token-array column: OR of
     ``1 << (md5(token) % 64)`` — md5-derived so the ingest-side column
@@ -177,20 +195,16 @@ def token_bloom(tokens_col: str | Column) -> Column:
     # literal int for numBits, the SQL resolver takes a column
     bit = lambda t: F.call_function(  # noqa: E731
         "shiftleft", F.lit(1).cast("long"),
-        (F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
-         % BLOOM_BITS).cast("int"))
+        token_index_col(t, BLOOM_BITS).cast("int"))
     return F.aggregate(c, F.lit(0).cast("long"),
                        lambda acc, t: acc.bitwiseOR(bit(t)))
 
 
 def bloom_mask(tokens: Sequence[str]) -> int:
     """Driver-side query mask: same md5 bit mapping as token_bloom."""
-    import hashlib
-
     mask = 0
     for t in tokens:
-        idx = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % BLOOM_BITS
-        mask |= 1 << idx
+        mask |= 1 << token_index(t, BLOOM_BITS)
     # two's-complement fold: bit 63 makes the JVM long negative, and
     # F.lit rejects unsigned values above Long.MAX_VALUE
     return mask - (1 << 64) if mask >= (1 << 63) else mask

@@ -33,7 +33,6 @@ surviving file list, never file contents.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,11 +42,12 @@ MANIFEST_BITS = 8192   # 128 longs per token column per file
 
 
 def _py_slot_mask(token: str, bits: int) -> tuple[int, int]:
-    """(slot, single-bit mask) for a token — the driver-side twin of
-    the JVM hash below (same md5-hex-prefix derivation as
-    predicates.bloom_mask, widened to ``bits``)."""
-    h = int(hashlib.md5(token.encode()).hexdigest()[:15], 16) % bits
-    slot, bit = divmod(h, 64)
+    """(slot, single-bit mask) for a token — built on the ONE shared
+    hash→bit mapping (operators/predicates.py:token_index, whose JVM
+    twin token_index_col also produces the stored file blooms)."""
+    from covsonar_spark.operators.predicates import token_index
+
+    slot, bit = divmod(token_index(token, bits), 64)
     mask = 1 << bit
     # two's-complement fold: bit 63 is negative in a JVM long
     if mask >= (1 << 63):
@@ -62,9 +62,14 @@ def build_manifest(spark: SparkSession, table_path: str,
     """One row per data file of ``table_path``: n_rows, min/max of each
     key column, and a ``{tc}_bloom`` array<long> per token column.
 
-    Single column-pruned scan; the (file, slot) pre-aggregation keeps
-    the shuffle at |files| x |occupied slots| rows regardless of row
-    count (map-side bit_or combine does the heavy folding)."""
+    Cost: one stats pass plus one column-pruned pass PER TOKEN COLUMN
+    (profiles with dna+aa blooms = 3 passes), each reading only the
+    token/key columns — the wide payload columns are never touched.
+    The (file, slot) pre-aggregation keeps each pass's shuffle at
+    |files| x |occupied slots| rows regardless of row count (map-side
+    bit_or combine does the heavy folding)."""
+    from covsonar_spark.operators.predicates import token_index_col
+
     n_longs = bits // 64
     df = spark.read.parquet(table_path)
     base = df.select(F.input_file_name().alias("file"),
@@ -78,8 +83,7 @@ def build_manifest(spark: SparkSession, table_path: str,
     for tc in token_cols:
         tok = (base.select("file", F.explode(tc).alias("tok"))
                .select("file",
-                       (F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
-                        .cast("long") % bits).alias("h")))
+                       token_index_col(F.col("tok"), bits).alias("h")))
         slots = (tok.select("file",
                             (F.col("h") / 64).cast("int").alias("slot"),
                             F.call_function(

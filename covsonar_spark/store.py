@@ -358,11 +358,20 @@ class SonarStore:
                   key_cols=("seqhash",))
         mpath = os.path.join(self.root, "manifests", table)
         man.coalesce(1).write.mode("overwrite").parquet(mpath)
-        return self.spark.read.parquet(mpath).count()
+        # row count from the written footers — no second Spark job
+        import pyarrow.dataset as ds
+
+        return ds.dataset(mpath, format="parquet").count_rows()
 
     def _data_files(self, table: str) -> list[str]:
         out = []
-        for base, _dirs, files in os.walk(self._path(table)):
+        for base, dirs, files in os.walk(self._path(table)):
+            # skip marker/staging subtrees (_temporary from an
+            # in-flight or crashed committer, dot-dirs): Spark's own
+            # directory reader filters _-prefixed PATHS, and an
+            # explicit file list must apply the same rule or a pruned
+            # read would ingest uncommitted attempt files
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             out.extend(os.path.join(base, f) for f in files
                        if not f.startswith(("_", ".")))
         return out
@@ -370,19 +379,25 @@ class SonarStore:
     def pruned_table(self, table: str, bloom_col: str,
                      tokens: list[str]) -> DataFrame:
         """``table`` scanned through the file manifest: files whose
-        vocabulary bloom cannot contain the AND token group are skipped
-        before the scan.  Lossless BY CONSTRUCTION even against a stale
-        manifest: a data file the manifest does not cover (appended
-        after the last build) is always kept, and callers still apply
-        the exact predicate.  Falls back to the full table when no
-        manifest exists."""
+        vocabulary bloom cannot contain the AND group of LITERAL tokens
+        are skipped before the scan.  Lossless BY CONSTRUCTION against
+        the literal ``array_contains`` conjunction (and even against a
+        stale manifest: uncovered files are always kept); callers still
+        apply the exact predicate.  NOTE: tokens are taken verbatim —
+        no IUPAC expansion.  A query in the engine's full profile
+        grammar (ambiguity codes, wildcard rewrites) must go through
+        ``match()``/``_match_profiles``, which prune on the
+        ``rewrite_profiles`` expansion sets.  Falls back to the full
+        table when no manifest exists."""
         from covsonar_spark.sources.manifest import file_group_condition
 
         man = self._manifest(table)
         if man is None:
             return self.table(table)
         # field kind drives the reference's trailing-N/X wildcard-OR
-        # quirk inside file_group_condition — derive it from the column
+        # quirk inside file_group_condition (it can only WEAKEN the
+        # prune — AND flips to OR — so literal-token losslessness holds
+        # either way); derive it from the column
         field = "dna" if bloom_col.startswith("dna") else "aa"
         cond = file_group_condition(
             [{field: [[t] for t in tokens]}], {field: bloom_col})
@@ -402,21 +417,35 @@ class SonarStore:
         """Staleness-safe file selection: keep files passing ``cond``
         plus every data file the manifest does not cover (appended
         since the last build) — a stale manifest costs extra reads,
-        never rows.  ``cond`` None means nothing is prunable."""
+        never rows.  ``cond`` None means nothing is prunable.  Any
+        failure reading the manifest (e.g. a concurrent rebuild's
+        overwrite) degrades to the unpruned table — the manifest is
+        an accelerator, never a correctness dependency."""
         if cond is None:
             return self.table(table)
 
         def norm(p: str) -> str:
-            if p.startswith("file://"):
-                p = p[len("file://"):]
-            elif p.startswith("file:"):
-                p = p[len("file:"):]
+            # input_file_name() yields percent-encoded file: URIs;
+            # decode or paths with spaces etc. never match the
+            # os.walk paths and pruning silently no-ops
+            if p.startswith("file:"):
+                from urllib.parse import unquote, urlparse
+
+                p = unquote(urlparse(p).path)
             return os.path.normpath(p)
 
-        covered = {norm(r["file"]) for r in man.select("file").collect()}
-        kept = {norm(r["file"])
-                for r in man.where(cond).select("file").collect()}
+        try:  # one collect: (file, keep-bit) over the tiny manifest
+            rows = man.select("file", cond.alias("keep")).collect()
+        except Exception:  # noqa: BLE001 — manifest mid-rebuild
+            return self.table(table)
+        covered = {norm(r["file"]) for r in rows}
+        kept = {norm(r["file"]) for r in rows if r["keep"]}
         actual = self._data_files(table)
+        if not actual:
+            # table dir absent or empty on disk (possibly mid-swap):
+            # defer to table(), whose old-snapshot-or-new protocol —
+            # not an empty frame — is the reader contract
+            return self.table(table)
         files = [p for p in actual
                  if norm(p) in kept or norm(p) not in covered]
         if not files:
