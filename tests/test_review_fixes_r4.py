@@ -113,6 +113,26 @@ def test_unreadable_table_raises_not_silent_empty(spark, tmp_path):
         st.table("genomes")
 
 
+def test_unreadable_table_serves_old_snapshot_when_present(spark, tmp_path):
+    """Mid-swap shape: the final dir is corrupt but the pre-swap .old
+    snapshot survives — the reader must serve .old, not raise and not
+    return empty."""
+    from covsonar_spark.store import SonarStore, _SCHEMAS
+
+    root = str(tmp_path / "db")
+    st = SonarStore.open(spark, root)
+    gdir = os.path.join(root, "genomes")
+    rows = [("A1", None, "h1", None, None, None, None, None, None, None,
+             None, None, None, None, None, None, None, None, None, None)]
+    spark.createDataFrame(rows, schema=_SCHEMAS["genomes"]) \
+        .coalesce(1).write.parquet(gdir + ".old")
+    os.makedirs(gdir, exist_ok=True)
+    with open(os.path.join(gdir, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"PAR1 torn footer")
+    got = st.table("genomes").select("accession").collect()
+    assert [r["accession"] for r in got] == ["A1"]
+
+
 # -- registry row-count cache: in-place part rewrite invalidates ---------
 
 def test_nrows_refreshes_after_inplace_part_rewrite(tmp_path):
