@@ -212,6 +212,51 @@ def test_optimize_clustering_makes_manifest_selective(spark, tmp_path):
     assert after == before
 
 
+def test_store_match_prunes_on_aa_tokens(spark, tmp_path):
+    """The aa_profile_bloom path: an amino-acid token query prunes on
+    the aa manifest column and returns the unpruned result."""
+    from covsonar_spark.operators.match import MatchQuery
+    from covsonar_spark.store import SonarStore, _SCHEMAS
+
+    root = str(tmp_path / "db")
+    st = SonarStore.open(spark, root)
+    n = 40
+    genomes = [(f"ACC{i}", None, f"h{i}", None, None, None, None,
+                None, None, None, None, None, None, None, None, None,
+                None, None, None, None) for i in range(n)]
+    profiles = [(f"h{i}", [f"C{(i % 4) * 100 + 50}T"],
+                 [f"S:N{(i % 4) * 100 + 501}Y"], [], None, None)
+                for i in range(n)]
+    spark.createDataFrame(genomes, schema=_SCHEMAS["genomes"]) \
+        .coalesce(1).write.parquet(os.path.join(root, "genomes"))
+    gdf = spark.createDataFrame(profiles, schema=_profiles_schema())
+    gdf.withColumn("band", F.expr("cast(substring(seqhash, 2) as int) % 4")) \
+        .repartitionByRange(4, "band").drop("band") \
+        .write.parquet(os.path.join(root, "profiles"))
+
+    q = MatchQuery(profiles=[["S:N701Y"]])      # band-2's aa token
+    before = sorted(r["accession"] for r in st.match(q).collect())
+    assert len(before) == 10
+
+    n_files = st.build_manifest("profiles")
+    pruned = st._match_profiles(q)
+    assert pruned is not None
+    assert 0 < len(pruned.inputFiles()) < n_files
+    after = sorted(r["accession"] for r in st.match(q).collect())
+    assert after == before
+
+    # an aa token present nowhere prunes everything and matches nothing
+    none_q = MatchQuery(profiles=[["S:N999Y"]])
+    assert st.match(none_q).count() == 0
+
+    # IUPAC ambiguity: C250Y expands to {C250C, C250T, C250Y}; the file
+    # condition must OR the expansion's bits (any-bit atom), keeping
+    # band-2 files via the stored C250T and matching the unpruned rows
+    amb_q = MatchQuery(profiles=[["C250Y"]])
+    amb_full = sorted(r["accession"] for r in st.match(amb_q).collect())
+    assert amb_full == before    # same band-2 rows (dna C250T carriers)
+
+
 def test_store_match_exclude_only_not_pruned(spark, tmp_path):
     from covsonar_spark.operators.match import MatchQuery
 
