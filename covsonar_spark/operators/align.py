@@ -141,6 +141,13 @@ class BandedGotoh:
         # budget that fails a pair through ``align()`` fails it through
         # ``align_many()`` too, and vice versa (the documented
         # "identical results" contract covers errors, not just output).
+        # Parity is exact when the band fully covers every small window
+        # — true at band_extra >= DP_MAX (default 200 >= 160).  With a
+        # caller-supplied narrower band, scalar ``_dp`` re-charges the
+        # account on each band-widening retry while this pre-charge
+        # bills each window once, so near the budget boundary the two
+        # paths may disagree on raising AlignmentBudgetError (output
+        # parity is unaffected: accepted pairs align identically).
         cells = [0] * len(pairs)
         small: list[int] = []
         for wi, (qc, tc) in enumerate(windows):

@@ -439,7 +439,11 @@ class SonarStore:
         except Exception:  # noqa: BLE001 — manifest mid-rebuild
             return self.table(table)
         covered = {norm(r["file"]) for r in rows}
-        kept = {norm(r["file"]) for r in rows if r["keep"]}
+        # prune only on a definite False: a NULL verdict (e.g. a bloom
+        # array whose width disagrees with the query side, making
+        # element_at return NULL) must KEEP the file — the lossless
+        # direction — not skip rows the exact predicate would match
+        kept = {norm(r["file"]) for r in rows if r["keep"] is not False}
         actual = self._data_files(table)
         if not actual:
             # table dir absent or empty on disk (possibly mid-swap):

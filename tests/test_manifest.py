@@ -257,6 +257,26 @@ def test_store_match_prunes_on_aa_tokens(spark, tmp_path):
     assert amb_full == before    # same band-2 rows (dna C250T carriers)
 
 
+def test_prune_with_null_verdict_keeps_file(spark, tmp_path):
+    """A NULL keep-verdict (e.g. a manifest built with a different
+    bloom width making element_at return NULL under non-ANSI Spark)
+    must KEEP the file — pruning only on a definite False is the
+    lossless direction."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "db")
+    st = _mini_store(spark, root)
+    st.build_manifest("profiles")
+    man = st._manifest("profiles")
+    total = st.table("profiles").count()
+
+    null_cond = F.lit(None).cast("boolean")
+    assert st._prune_with("profiles", man, null_cond).count() == total
+
+    false_cond = F.lit(False)
+    assert st._prune_with("profiles", man, false_cond).count() == 0
+
+
 def test_store_match_exclude_only_not_pruned(spark, tmp_path):
     from covsonar_spark.operators.match import MatchQuery
 

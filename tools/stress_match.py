@@ -188,16 +188,28 @@ def main() -> None:
     # a lineage-77 AND group: tokens from one band
     q_band = [f"C{77 * 40 + k}T" for k in (3, 17, 42)]
     kept = prune_files(man, "dna_profile_bloom", q_band)
-    pruned_bytes = 0
+
+    def _norm(p: str) -> str:
+        # input_file_name() yields percent-encoded file: URIs; compare
+        # normalized full paths (same rule as store._prune_with), not
+        # basenames, which could collide across directories
+        if p.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            p = unquote(urlparse(p).path)
+        return __import__("os").path.normpath(p)
+
+    kept_paths = {_norm(k) for k in kept}
+    kept_bytes = 0      # bytes of KEPT (i.e. scanned) files
     total_bytes = 0
     for part in _glob.glob(dc + "/part-*.parquet"):
         sz = __import__("os").path.getsize(part)
         total_bytes += sz
-        if any(part.endswith(k.rsplit("/", 1)[-1]) for k in kept):
-            pruned_bytes += sz
+        if _norm(part) in kept_paths:
+            kept_bytes += sz
     print(f"manifest prune: kept {len(kept)}/{n_files} files "
-          f"({pruned_bytes:,} of {total_bytes:,} bytes = "
-          f"{100.0 * pruned_bytes / max(total_bytes, 1):.1f}% scanned)")
+          f"({kept_bytes:,} of {total_bytes:,} bytes = "
+          f"{100.0 * kept_bytes / max(total_bytes, 1):.1f}% scanned)")
 
     exact_c = None
     for t in q_band:
