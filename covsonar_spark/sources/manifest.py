@@ -119,6 +119,14 @@ def prune_files(manifest: DataFrame, bloom_col: str,
     return [r["file"] for r in pruned.select("file").collect()]
 
 
+def files_where(manifest: DataFrame, cond) -> list[str]:
+    """File paths whose stats row does not DEFINITELY fail ``cond`` —
+    a NULL verdict (all-NULL stat columns) keeps the file, the lossless
+    direction.  One collect over the tiny one-row-per-file manifest."""
+    rows = manifest.select("file", cond.alias("keep")).collect()
+    return [r["file"] for r in rows if r["keep"] is not False]
+
+
 def file_group_condition(groups: list[dict[str, list[list[str]]]],
                          col_of: dict[str, str],
                          bits: int = MANIFEST_BITS):
@@ -167,6 +175,92 @@ def file_group_condition(groups: list[dict[str, list[list[str]]]],
     if not group_preds:
         return None
     return reduce(lambda a, b: a | b, group_preds)
+
+
+# ---------------------------------------------------------------------------
+# Metadata min/max conditions (the manifest twin of the reference's
+# B-tree metadata indexes, /root/reference/lib/db.sqlite:34-50): per-file
+# min/max stats turn point/IN/range/prefix predicates into whole-file
+# skips.  Every builder returns a NECESSARY condition of the exact
+# row predicate — a file where it is definitely False cannot hold a
+# matching row; NULL verdicts (all-NULL stat columns) keep the file
+# (store._prune_with prunes only on definite False).
+# ---------------------------------------------------------------------------
+
+
+def stat_in_condition(key: str, values: Sequence, max_terms: int = 256):
+    """File may contain a row with ``key IN values``: some v must fall
+    inside [min_key, max_key].  Above ``max_terms`` values the OR chain
+    would bloat the plan (the sublineage closure can expand to
+    thousands), so it degrades to the coarser—but still necessary—
+    bracket overlap [min(values), max(values)]."""
+    from functools import reduce
+
+    vals = [v for v in values if v is not None]
+    if not vals:
+        return None
+    lo_c, hi_c = F.col(f"min_{key}"), F.col(f"max_{key}")
+    if len(vals) > max_terms:
+        return (lo_c <= F.lit(max(vals))) & (hi_c >= F.lit(min(vals)))
+    return reduce(lambda a, b: a | b,
+                  [(lo_c <= F.lit(v)) & (hi_c >= F.lit(v)) for v in vals])
+
+
+def stat_range_condition(key: str, ranges: Sequence[tuple], cast: str | None = None):
+    """File may contain a row with ``key`` in ANY inclusive [lo, hi]
+    range (either bound None = open): the file's [min, max] must
+    overlap it.  An unbounded range can never prune — returns None."""
+    from functools import reduce
+
+    def lit(v):
+        c = F.lit(v)
+        return c.cast(cast) if cast else c
+
+    preds = []
+    for lo, hi in ranges:
+        parts = []
+        if hi is not None:
+            parts.append(F.col(f"min_{key}") <= lit(hi))
+        if lo is not None:
+            parts.append(F.col(f"max_{key}") >= lit(lo))
+        if not parts:
+            return None          # open range: nothing prunable anywhere
+        preds.append(reduce(lambda a, b: a & b, parts))
+    if not preds:
+        return None
+    return reduce(lambda a, b: a | b, preds)
+
+
+def _prefix_upper(p: str) -> str | None:
+    """Smallest string greater than EVERY string with prefix ``p``
+    (increment the last incrementable codepoint, skipping the surrogate
+    range so the literal stays a valid UTF-8 string); None when no such
+    string exists (all codepoints maxed)."""
+    for i in reversed(range(len(p))):
+        nxt = ord(p[i]) + 1
+        if 0xD800 <= nxt <= 0xDFFF:
+            nxt = 0xE000         # > every valid continuation of p[i]
+        if nxt <= 0x10FFFF:
+            return p[:i] + chr(nxt)
+    return None
+
+
+def stat_prefix_condition(key: str, prefixes: Sequence[str]):
+    """File may contain a row where ``key`` starts with ANY prefix:
+    s startswith p implies p <= s < prefix_upper(p), so the file's
+    [min, max] must intersect that half-open interval."""
+    from functools import reduce
+
+    preds = []
+    for p in prefixes:
+        parts = [F.col(f"max_{key}") >= F.lit(p)]
+        up = _prefix_upper(p)
+        if up is not None:
+            parts.append(F.col(f"min_{key}") < F.lit(up))
+        preds.append(reduce(lambda a, b: a & b, parts))
+    if not preds:
+        return None
+    return reduce(lambda a, b: a | b, preds)
 
 
 def read_pruned(spark: SparkSession, table_path: str, manifest: DataFrame,

@@ -333,29 +333,44 @@ class SonarStore:
                 continue
             self._overwrite(t, df.coalesce(parts))
             out[t] = parts
-        # refresh the file-skipping manifest over the compacted layout
-        # (stats are derived data — cheap to rebuild, safe when stale)
+        # refresh the file-skipping manifests over the compacted layout
+        # (stats are derived data — cheap to rebuild, safe when stale);
+        # the (lineage, date) genome clustering above is exactly what
+        # makes the genomes manifest's min/max stats selective
         if os.path.exists(self._path("profiles")):
             out["manifest_files"] = self.build_manifest("profiles")
+        if os.path.exists(self._path("genomes")):
+            out["genomes_manifest_files"] = self.build_manifest("genomes")
         return out
 
     # -- file-skipping manifest (beyond-parity scale feature) -------------
 
+    # per-table manifest contents: profiles carry token-vocabulary
+    # blooms (the include-profile skip), genomes carry min/max stats of
+    # the reference's hottest indexed metadata columns
+    # (/root/reference/lib/db.sqlite:34-50 B-trees → file statistics)
+    _MANIFEST_SPEC = {
+        "profiles": {"token_cols": ("dna_profile", "aa_profile"),
+                     "key_cols": ("seqhash",)},
+        "genomes": {"token_cols": (),
+                    "key_cols": ("lineage", "date", "submission_date",
+                                 "zip")},
+    }
+
     def build_manifest(self, table: str = "profiles") -> int:
         """Build the file-level data-skipping manifest for ``table``
-        (sources/manifest.py): per-file row counts, seqhash min/max and
-        wide token blooms, persisted under ``root/manifests/``.  Returns
-        the number of data files covered.  Derived data: staleness is
-        SAFE (``pruned_table`` never prunes a file the manifest does not
-        cover), so a simple overwrite suffices — no rename protocol."""
+        (sources/manifest.py): per-file row counts, key-column min/max
+        and (for profiles) wide token blooms, persisted under
+        ``root/manifests/``.  Returns the number of data files covered.
+        Derived data: staleness is SAFE (``pruned_table`` never prunes
+        a file the manifest does not cover), so a simple overwrite
+        suffices — no rename protocol."""
         from covsonar_spark.sources.manifest import build_manifest as _bm
 
-        token_cols = [c for c in ("dna_profile", "aa_profile")
-                      if c in _SCHEMAS[table].fieldNames()] or None
-        if token_cols is None:
-            raise ValueError(f"no token columns to fingerprint in {table}")
-        man = _bm(self.spark, self._path(table), token_cols=token_cols,
-                  key_cols=("seqhash",))
+        spec = self._MANIFEST_SPEC.get(table)
+        if spec is None:
+            raise ValueError(f"no manifest spec for table {table!r}")
+        man = _bm(self.spark, self._path(table), **spec)
         mpath = os.path.join(self.root, "manifests", table)
         man.coalesce(1).write.mode("overwrite").parquet(mpath)
         # row count from the written footers — no second Spark job
@@ -956,13 +971,20 @@ class SonarStore:
         return sorted(months) if saw_include else None
 
     def essence(self, date_specs: list[str] | None = None,
-                profiles: DataFrame | None = None) -> DataFrame:
+                profiles: DataFrame | None = None,
+                genomes: DataFrame | None = None) -> DataFrame:
         """genomes ⟕ profiles; when the query carries include-date specs
         the derived month set filters the hive partition column BEFORE
         it is dropped, so the parquet scan prunes directories (the
         match-time payoff of the partition-by-month layout).
-        ``profiles`` overrides the profiles side (the manifest-pruned
-        scan from ``_match_profiles``)."""
+        ``profiles``/``genomes`` override their side (the
+        manifest-pruned scans from ``_match_profiles`` /
+        ``_match_genomes``; the genomes override subsumes the month
+        pruning — its manifest carries exact per-file date min/max)."""
+        if genomes is not None:
+            if profiles is None:
+                profiles = self.table("profiles")
+            return build_essence(genomes, profiles)
         path = self._path("genomes")
         if date_specs and os.path.exists(path):
             months = self._months_of(date_specs)
@@ -985,8 +1007,80 @@ class SonarStore:
 
     def match(self, query: MatchQuery) -> DataFrame:
         return MatchEngine(self.essence(query.dates or None,
-                                        self._match_profiles(query)),
+                                        self._match_profiles(query),
+                                        self._match_genomes(query)),
                            self.sublineage_map).run(query)
+
+    def _match_genomes(self, query: MatchQuery) -> DataFrame | None:
+        """The genomes side for a match: manifest-pruned on metadata
+        min/max stats when the query carries include lineage / date /
+        submission-date / zip specs and a genomes manifest exists, else
+        None (full table + the month partition pruning in essence()).
+
+        Losslessness: every per-dimension condition is a NECESSARY
+        condition of the engine's row predicate for that dimension
+        (sources/manifest.py stat_* builders), and conditions AND
+        together exactly like the engine's predicate tree — a pruned
+        file provably holds no row the match would return.  Wildcard
+        lineages expand over the FULL table (a superset of the engine's
+        expansion over the pruned essence, so still necessary); an
+        expansion that yields nothing drops the engine's lineage
+        predicate entirely, so it must not prune here either.
+        Excludes (`^`) never prune — negation cannot skip files."""
+        man = self._manifest("genomes")
+        if man is None:
+            return None
+        from covsonar_spark.operators import closure as CL
+        from covsonar_spark.operators.match import split_negations
+        from covsonar_spark.sources import manifest as M
+
+        conds = []
+        inc_lin, _ = split_negations([v.upper() for v in query.lineages])
+        if inc_lin:
+            if any("%" in v for v in inc_lin):
+                expanded = []
+                for v in inc_lin:
+                    if "%" in v:
+                        expanded.extend(P.distinct_values_matching(
+                            self.table("genomes"), "lineage", v))
+                    else:
+                        expanded.append(v)
+                inc_lin = expanded
+            if query.with_sublineage:
+                inc_lin = CL.bfs_closure(self.sublineage_map, inc_lin)
+            if inc_lin:      # empty expansion = no engine predicate
+                c = M.stat_in_condition("lineage", inc_lin)
+                if c is not None:
+                    conds.append(c)
+        for fld, specs in (("date", query.dates),
+                           ("submission_date", query.submission_dates)):
+            inc, _ = split_negations(specs or [])
+            if not inc:
+                continue
+            import datetime
+            ranges, ok = [], True
+            for spec in inc:
+                a, _, b = spec.partition(":")
+                b = b or a
+                try:
+                    datetime.date.fromisoformat(a)
+                    datetime.date.fromisoformat(b)
+                except ValueError:
+                    ok = False   # malformed spec: the engine raises
+                    break
+                ranges.append((a, b))
+            if ok:
+                c = M.stat_range_condition(fld, ranges, cast="date")
+                if c is not None:
+                    conds.append(c)
+        inc_zip, _ = split_negations(query.zips or [])
+        if inc_zip:
+            c = M.stat_prefix_condition("zip", [str(z) for z in inc_zip])
+            if c is not None:
+                conds.append(c)
+        if not conds:
+            return None
+        return self._prune_with("genomes", man, P.and_all(conds))
 
     def _match_profiles(self, query: MatchQuery) -> DataFrame | None:
         """The profiles side for a match: manifest-pruned when the query

@@ -257,6 +257,117 @@ def test_store_match_prunes_on_aa_tokens(spark, tmp_path):
     assert amb_full == before    # same band-2 rows (dna C250T carriers)
 
 
+def _meta_store(spark, root: str, n: int = 80):
+    """A store whose genomes table is (lineage, date)-clustered into 4
+    files: lineage L.k carries dates in month 2k+1 of 2021 and zips in
+    the 10k*(k+1) range — the layout where metadata min/max pruning
+    must bite."""
+    import datetime
+
+    from covsonar_spark.store import SonarStore, _SCHEMAS
+
+    st = SonarStore.open(spark, root)
+    rows = []
+    for i in range(n):
+        k = i % 4
+        rows.append((f"ACC{i}", None, f"h{i}", f"L.{k}",
+                     str(10000 * (k + 1) + i),
+                     datetime.date(2021, 2 * k + 1, 1 + i % 27),
+                     datetime.date(2021, 2 * k + 2, 1 + i % 27),
+                     None, None, None, None, None, None, None, None,
+                     None, None, None, None, None))
+    gdf = spark.createDataFrame(rows, schema=_SCHEMAS["genomes"])
+    gdf.repartitionByRange(4, "lineage", "date") \
+        .write.parquet(os.path.join(root, "genomes"))
+    profiles = [(f"h{i}", [f"C{100 + i % 9}T"], [], [], None, None)
+                for i in range(n)]
+    spark.createDataFrame(profiles, schema=_profiles_schema()) \
+        .coalesce(1).write.parquet(os.path.join(root, "profiles"))
+    return st
+
+
+def test_store_match_metadata_pruned_lineage_date(spark, tmp_path):
+    """A lineage+date query over the clustered genomes layout skips
+    whole files via the metadata min/max manifest and returns exactly
+    the unpruned match rows."""
+    from covsonar_spark.operators.match import MatchQuery
+
+    root = str(tmp_path / "db")
+    st = _meta_store(spark, root)
+    q = MatchQuery(lineages=["L.2"], dates=["2021-05-01:2021-05-31"])
+    before = sorted(r["accession"] for r in st.match(q).collect())
+    assert before                                # non-trivial result
+
+    n_files = st.build_manifest("genomes")
+    assert n_files >= 3
+    pruned = st._match_genomes(q)
+    assert pruned is not None
+    assert 0 < len(pruned.inputFiles()) < n_files  # whole files skipped
+    after = sorted(r["accession"] for r in st.match(q).collect())
+    assert after == before
+
+    # date-only and zip-prefix queries prune too, losslessly
+    for q2 in (MatchQuery(dates=["2021-01-01:2021-01-31"]),
+               MatchQuery(zips=["30"])):
+        exp = sorted(r["accession"] for r in
+                     _unpruned_match(st, q2).collect())
+        p2 = st._match_genomes(q2)
+        assert p2 is not None and 0 < len(p2.inputFiles()) < n_files
+        got = sorted(r["accession"] for r in st.match(q2).collect())
+        assert got == exp and exp
+
+
+def _unpruned_match(st, q):
+    """The same match evaluated WITHOUT manifest pruning (full tables)."""
+    from covsonar_spark.operators.match import MatchEngine
+
+    return MatchEngine(st.essence(), st.sublineage_map).run(q)
+
+
+def test_store_match_metadata_pruned_wildcard_and_negation(spark, tmp_path):
+    from covsonar_spark.operators.match import MatchQuery
+
+    root = str(tmp_path / "db")
+    st = _meta_store(spark, root)
+    st.build_manifest("genomes")
+
+    # wildcard expansion over the full table is a superset of the
+    # engine's over the pruned essence — identical results
+    q = MatchQuery(lineages=["L.1%"], dates=["2021-03-01:2021-03-31"])
+    exp = sorted(r["accession"] for r in _unpruned_match(st, q).collect())
+    got = sorted(r["accession"] for r in st.match(q).collect())
+    assert got == exp and exp
+
+    # a wildcard matching nothing drops the engine's lineage predicate
+    # — pruning must not drop it either (no lineage cond, no date cond
+    # -> no pruning at all)
+    q_none = MatchQuery(lineages=["ZZZ%"])
+    assert st._match_genomes(q_none) is None
+    assert st.match(q_none).count() == _unpruned_match(st, q_none).count()
+
+    # exclude-only specs never prune
+    q_exc = MatchQuery(lineages=["^L.2"], dates=["^2021-05-01:2021-05-31"])
+    assert st._match_genomes(q_exc) is None
+    exp = sorted(r["accession"] for r in _unpruned_match(st, q_exc).collect())
+    got = sorted(r["accession"] for r in st.match(q_exc).collect())
+    assert got == exp and exp
+
+
+def test_optimize_builds_genomes_manifest(spark, tmp_path):
+    from covsonar_spark.operators.match import MatchQuery
+
+    root = str(tmp_path / "db")
+    st = _meta_store(spark, root)
+    res = st.optimize(rows_per_file=20)
+    assert res.get("genomes_manifest_files", 0) >= 2
+    q = MatchQuery(lineages=["L.0"])
+    pruned = st._match_genomes(q)
+    assert pruned is not None
+    assert len(pruned.inputFiles()) < res["genomes_manifest_files"]
+    exp = sorted(r["accession"] for r in _unpruned_match(st, q).collect())
+    assert sorted(r["accession"] for r in st.match(q).collect()) == exp
+
+
 def test_prune_with_null_verdict_keeps_file(spark, tmp_path):
     """A NULL keep-verdict (e.g. a manifest built with a different
     bloom width making element_at return NULL under non-ANSI Spark)
