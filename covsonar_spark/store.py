@@ -48,6 +48,89 @@ class StoreReadError(RuntimeError):
     contract is old-snapshot-or-new, never silently empty — a torn
     footer or externally corrupted file must surface as an error."""
 
+
+# ---------------------------------------------------------------------------
+# Filesystem portability (ARCHITECTURE.md "Store commit protocol"):
+# READ paths (table scans, manifests, file-level pruning) go through the
+# Hadoop FileSystem API so a store directory on any Spark-readable
+# scheme (file:, hdfs:, viewfs:, s3a:, abfs:) can be queried.  MUTATION
+# paths (ingest/update/delete/optimize/migrate) additionally require
+# posix-rename semantics — atomic directory rename and atomic mkdir —
+# which local filesystems and HDFS provide but object stores do not;
+# mutation_lock refuses remote-scheme roots up front instead of
+# corrupting silently.
+# ---------------------------------------------------------------------------
+
+
+def _remote_scheme(path: str) -> bool:
+    """True when ``path`` is a URI on a non-local filesystem scheme
+    (hdfs://, s3a://, viewfs://, …) — i.e. os.* primitives don't apply."""
+    from urllib.parse import urlparse
+
+    scheme = urlparse(path).scheme
+    return len(scheme) > 1 and scheme != "file"
+
+
+def norm_uri(p: str) -> str:
+    """Canonical ``scheme://netloc/path`` identity for comparing file
+    paths across producers: ``input_file_name()`` (percent-encoded
+    URIs), Hadoop listings (qualified URIs), and plain local paths —
+    so manifest pruning matches files on every scheme, not only when
+    both sides happen to be local paths."""
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(p)
+    if not u.scheme or len(u.scheme) == 1:      # plain path (or drive letter)
+        return "file://" + os.path.normpath(os.path.abspath(p))
+    path = unquote(u.path) or "/"
+    if u.scheme == "file":
+        return "file://" + os.path.normpath(path)
+    return f"{u.scheme}://{u.netloc}{os.path.normpath(path)}"
+
+
+def hadoop_qualify(spark: SparkSession, path: str) -> str:
+    """``path`` fully qualified by its owning Hadoop FileSystem (adds
+    scheme/authority the way Spark's reader would)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs.makeQualified(hpath).toString()
+
+
+def hadoop_list_files(spark: SparkSession, path: str,
+                      include_hidden: bool = False,
+                      with_size: bool = False) -> list:
+    """Recursive file listing of ``path`` via the Hadoop FileSystem API
+    — the same listing Spark's reader performs, so it works on any
+    scheme a deployment stores tables on, not just the local POSIX
+    tree.  Unless ``include_hidden``, entries with a ``_``/``.``
+    -prefixed path segment (``_temporary`` staging trees, ``_SUCCESS``,
+    dot-files) are filtered with Spark's own hidden-path rule.  Returns
+    qualified URI strings (or ``(uri, size)`` with ``with_size``).
+    Driver-side py4j iteration: fine for the tens of thousands of
+    files a compacted 100 TB table holds; the result feeds a tiny
+    manifest anti-set, never per-row work."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    try:
+        if not fs.exists(hpath):
+            return []
+        root = fs.makeQualified(hpath).toString().rstrip("/")
+        it = fs.listFiles(hpath, True)
+    except Exception:  # noqa: BLE001 — unresolvable mount/scheme: empty
+        return []
+    out = []
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        rel = p[len(root) + 1:] if p.startswith(root + "/") else p
+        if not include_hidden and any(
+                seg.startswith(("_", ".")) for seg in rel.split("/")):
+            continue
+        out.append((p, st.getLen()) if with_size else p)
+    return out
+
 # (thread id, root) pairs whose mutation lease THIS thread currently
 # holds (reentrancy: a lease-holding mutation that reads a table must
 # heal directly instead of skipping because "someone" — itself — holds
@@ -93,6 +176,13 @@ def mutation_lock(root: str, timeout: float = 600.0,
     """
     import uuid
 
+    if _remote_scheme(root):
+        raise ValueError(
+            f"store mutations need posix-rename semantics (atomic mkdir "
+            f"+ directory rename), which {root!r} cannot provide through "
+            f"os.* primitives — remote-scheme store roots are query-only "
+            f"(match/restore/info); run mutations against a local or "
+            f"fuse-mounted posix path")
     os.makedirs(root, exist_ok=True)   # lazy stores create root on demand
     lock = os.path.join(root, ".lock")
     deadline = time.time() + timeout
@@ -373,23 +463,22 @@ class SonarStore:
         man = _bm(self.spark, self._path(table), **spec)
         mpath = os.path.join(self.root, "manifests", table)
         man.coalesce(1).write.mode("overwrite").parquet(mpath)
-        # row count from the written footers — no second Spark job
-        import pyarrow.dataset as ds
+        try:
+            # row count from the written footers — no second Spark job
+            import pyarrow.dataset as ds
 
-        return ds.dataset(mpath, format="parquet").count_rows()
+            return ds.dataset(mpath, format="parquet").count_rows()
+        except Exception:  # noqa: BLE001 — pyarrow can't open remote
+            # schemes (viewfs/hdfs/s3a): count via a tiny Spark job
+            # over the one-file manifest instead
+            return self.spark.read.parquet(mpath).count()
 
     def _data_files(self, table: str) -> list[str]:
-        out = []
-        for base, dirs, files in os.walk(self._path(table)):
-            # skip marker/staging subtrees (_temporary from an
-            # in-flight or crashed committer, dot-dirs): Spark's own
-            # directory reader filters _-prefixed PATHS, and an
-            # explicit file list must apply the same rule or a pruned
-            # read would ingest uncommitted attempt files
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-            out.extend(os.path.join(base, f) for f in files
-                       if not f.startswith(("_", ".")))
-        return out
+        """Data files of ``table`` listed via the Hadoop FileSystem API
+        (scheme-portable; marker/staging paths filtered with Spark's
+        hidden-path rule — an explicit file list must apply it or a
+        pruned read would ingest uncommitted attempt files)."""
+        return hadoop_list_files(self.spark, self._path(table))
 
     def pruned_table(self, table: str, bloom_col: str,
                      tokens: list[str]) -> DataFrame:
@@ -420,11 +509,10 @@ class SonarStore:
 
     def _manifest(self, table: str) -> DataFrame | None:
         mpath = os.path.join(self.root, "manifests", table)
-        if not os.path.isdir(mpath):
-            return None
         try:
             return self.spark.read.parquet(mpath)
-        except Exception:  # noqa: BLE001 — unreadable manifest: it is
+        except Exception:  # noqa: BLE001 — absent or unreadable
+            # manifest (works on any scheme — no os.* existence probe):
             # derived data, so degrade to the unpruned scan
             return None
 
@@ -438,27 +526,19 @@ class SonarStore:
         an accelerator, never a correctness dependency."""
         if cond is None:
             return self.table(table)
-
-        def norm(p: str) -> str:
-            # input_file_name() yields percent-encoded file: URIs;
-            # decode or paths with spaces etc. never match the
-            # os.walk paths and pruning silently no-ops
-            if p.startswith("file:"):
-                from urllib.parse import unquote, urlparse
-
-                p = unquote(urlparse(p).path)
-            return os.path.normpath(p)
-
         try:  # one collect: (file, keep-bit) over the tiny manifest
             rows = man.select("file", cond.alias("keep")).collect()
         except Exception:  # noqa: BLE001 — manifest mid-rebuild
             return self.table(table)
-        covered = {norm(r["file"]) for r in rows}
+        # norm_uri both sides: input_file_name() yields percent-encoded
+        # URIs, the Hadoop listing yields qualified URIs — un-normalized
+        # they never match and pruning silently no-ops
+        covered = {norm_uri(r["file"]) for r in rows}
         # prune only on a definite False: a NULL verdict (e.g. a bloom
         # array whose width disagrees with the query side, making
         # element_at return NULL) must KEEP the file — the lossless
         # direction — not skip rows the exact predicate would match
-        kept = {norm(r["file"]) for r in rows if r["keep"] is not False}
+        kept = {norm_uri(r["file"]) for r in rows if r["keep"] is not False}
         actual = self._data_files(table)
         if not actual:
             # table dir absent or empty on disk (possibly mid-swap):
@@ -466,11 +546,12 @@ class SonarStore:
             # not an empty frame — is the reader contract
             return self.table(table)
         files = [p for p in actual
-                 if norm(p) in kept or norm(p) not in covered]
+                 if norm_uri(p) in kept or norm_uri(p) not in covered]
         if not files:
             return self.table(table).limit(0)
         return self._project(
-            table, self.spark.read.option("basePath", self._path(table))
+            table, self.spark.read
+            .option("basePath", hadoop_qualify(self.spark, self._path(table)))
             .parquet(*files))
 
     # -- table IO ---------------------------------------------------------
@@ -480,6 +561,19 @@ class SonarStore:
 
     def table(self, name: str) -> DataFrame:
         path = self._path(name)
+        if _remote_scheme(self.root):
+            # non-posix schemes are QUERY-ONLY (see module commit
+            # protocol note): no swap/heal protocol exists there, so a
+            # missing/unreadable table is simply empty-or-raise, with
+            # no .old-snapshot semantics to honor
+            try:
+                return self._project(name, self.spark.read.parquet(path))
+            except Exception:  # noqa: BLE001
+                if hadoop_list_files(self.spark, path):
+                    raise StoreReadError(
+                        f"table '{name}' at {path} holds data files but "
+                        f"could not be read")
+                return self.spark.createDataFrame([], _SCHEMAS[name])
         # bounded re-resolution: a writer's swap can move the path
         # between our existence check and the parquet read; the read
         # error must NOT be mistaken for an empty table (the
@@ -934,13 +1028,13 @@ class SonarStore:
             .agg(F.count("accession").alias("n"))
             .orderBy("source", "collection").collect()]
         # A10 — database size (reference pretty-prints the sqlite file
-        # size, sonar.py:933-939; here the sum over table files)
-        total = 0
-        for t in TABLES:
-            p = self._path(t)
-            for dirpath, _dirs, files in os.walk(p) if os.path.exists(p) else []:
-                total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
-        row["db_size_bytes"] = total
+        # size, sonar.py:933-939; here the sum over table files, listed
+        # via the Hadoop FS API so it works on any scheme)
+        row["db_size_bytes"] = sum(
+            size for t in TABLES
+            for _p, size in hadoop_list_files(
+                self.spark, self._path(t), include_hidden=True,
+                with_size=True))
         return row
 
     # -- query ------------------------------------------------------------
