@@ -315,22 +315,28 @@ class MatchEngine:
             "chemistry": q.chemistries, "material": q.materials,
             "seqhash": q.seqhashes,
         }
+        # IN/NOT-IN dims route through apply_in_filter: a literal isin
+        # below the threshold (identical plan to inlining the pred), a
+        # broadcast semi/anti join above it — the sublineage closure or
+        # an accession sample file expanding to 100k+ values must not
+        # inject a 100k-literal IN into the plan
+        in_filters: list[tuple[str, list, bool]] = []
         inc_lin, exc_lin = split_negations(self._norm("lineage", q.lineages))
         inc_lin = self._expand_lineages(inc_lin, q.with_sublineage)
         exc_lin = self._expand_lineages(exc_lin, False)
         if inc_lin:
-            preds.append(P.in_list("lineage", inc_lin))
+            in_filters.append(("lineage", inc_lin, False))
         if exc_lin:
-            preds.append(P.not_in_list("lineage", exc_lin))
+            in_filters.append(("lineage", exc_lin, True))
 
         for fld, vals in dims.items():
             if not vals:
                 continue
             inc, exc = split_negations(self._norm(fld, vals))
             if inc:
-                preds.append(P.in_list(fld, inc))
+                in_filters.append((fld, inc, False))
             if exc:
-                preds.append(P.not_in_list(fld, exc))
+                in_filters.append((fld, exc, True))
 
         inc_zip, exc_zip = split_negations(q.zips)
         if inc_zip:
@@ -363,6 +369,8 @@ class MatchEngine:
             preds.append(P.empty_array("fs_profile", empty=False))
 
         df = self.essence.where(P.and_all(preds)) if preds else self.essence
+        for fld, vals, neg in in_filters:
+            df = P.apply_in_filter(df, fld, vals, negate=neg)
 
         if q.count:
             return df.agg(F.count(F.lit(1)).alias("count"))

@@ -143,6 +143,41 @@ def empty_array(col: str | Column, empty: bool = True) -> Column:
     return F.size(c) == 0 if empty else F.size(c) > 0
 
 
+# Above this many IN-list values the literal list stops being a win:
+# it bloats the plan (serialized to every task, re-parsed per stage)
+# and the optimizer gains nothing from pushdown it can't use on a
+# thousands-wide OR.  A broadcast semi-join against a values frame is
+# the scale-safe shape.  Module-level (read at call time) so tests and
+# deployments can tune it.
+IN_SEMIJOIN_THRESHOLD = 10_000
+
+
+def apply_in_filter(df: DataFrame, col: str, values: Sequence,
+                    negate: bool = False) -> DataFrame:
+    """``field IN (…)`` / ``NOT IN (…)`` at any list size.
+
+    Below :data:`IN_SEMIJOIN_THRESHOLD` this is the plain literal
+    ``isin`` predicate (partition-prunable, pushes to the scan).
+    Above it — e.g. a sublineage closure or an accession sample file
+    expanding to 100k+ values (reference --sample files,
+    /root/reference/lib/sonardb.py:3365-3425) — it flips to a
+    broadcast left_semi (or left_anti) join against a deduplicated
+    values frame, preserving exact IN/NOT-IN semantics: NULL field
+    values match neither IN nor NOT IN, so the anti path filters them
+    explicitly (a bare anti-join would keep them)."""
+    values = list(values)
+    if len(values) <= IN_SEMIJOIN_THRESHOLD:
+        return df.where(not_in_list(col, values) if negate
+                        else in_list(col, values))
+    vals = df.sparkSession.createDataFrame(
+        [(v,) for v in dict.fromkeys(values)],
+        df.select(col).schema)
+    if negate:
+        return df.where(F.col(col).isNotNull()) \
+                 .join(F.broadcast(vals), col, "left_anti")
+    return df.join(F.broadcast(vals), col, "left_semi")
+
+
 def distinct_values_matching(df: DataFrame, col: str, sql_like_pattern: str) -> list:
     """F13 — lineage ``%`` wildcard expansion: collect DISTINCT values
     matching a SQL LIKE pattern (lib/sonardb.py:1608-1614).  Driver-side

@@ -489,3 +489,77 @@ def test_cosine_grid_no_broadcast_no_cartesian(spark):
     assert "FlatMapGroupsInPandas" in plan      # per-cell scoring
     # exactly one shuffle, on (ci, cj) — count the detail headers
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_in_filter_flips_to_semijoin_at_threshold(spark, monkeypatch):
+    """apply_in_filter: literal isin below IN_SEMIJOIN_THRESHOLD (no
+    join in the plan), broadcast left_semi/left_anti above it, with
+    identical results — including NOT-IN's NULL semantics (NULL field
+    values match neither side)."""
+    from pyspark.sql import functions as F
+
+    from covsonar_spark.operators import predicates as P
+
+    df = spark.range(500).select(
+        F.col("id"),
+        F.when(F.col("id") % 50 == 0, None).otherwise(
+            F.concat(F.lit("L."), (F.col("id") % 40).cast("string")))
+        .alias("lineage"))
+    values = [f"L.{k}" for k in range(0, 40, 2)]
+
+    lit_in = P.apply_in_filter(df, "lineage", values)
+    lit_not = P.apply_in_filter(df, "lineage", values, negate=True)
+    assert "Join" not in _plan(lit_in) and "Join" not in _plan(lit_not)
+
+    monkeypatch.setattr(P, "IN_SEMIJOIN_THRESHOLD", 10)
+    semi = P.apply_in_filter(df, "lineage", values)
+    anti = P.apply_in_filter(df, "lineage", values, negate=True)
+    p_semi, p_anti = _plan(semi), _plan(anti)
+    assert "LeftSemi" in p_semi and "BroadcastHashJoin" in p_semi
+    assert "LeftAnti" in p_anti and "BroadcastHashJoin" in p_anti
+
+    key = lambda frame: sorted(r["id"] for r in frame.collect())  # noqa: E731
+    assert key(semi) == key(lit_in) and key(lit_in)
+    assert key(anti) == key(lit_not) and key(lit_not)
+    # NULL lineage rows appear in NEITHER result (NOT IN is NULL, and
+    # the anti path filters NULLs explicitly)
+    nulls = {r["id"] for r in df.where(F.col("lineage").isNull()).collect()}
+    assert not nulls & set(key(semi)) and not nulls & set(key(anti))
+
+
+def test_match_engine_lineage_semijoin_identical(spark, monkeypatch):
+    """The match engine's lineage IN-list goes through the same flip:
+    forcing the threshold low turns the lineage filter into a
+    broadcast semi-join with byte-identical match results."""
+    from pyspark.sql import functions as F
+
+    from covsonar_spark.operators import predicates as P
+    from covsonar_spark.operators.match import MatchEngine, MatchQuery
+    from covsonar_spark.schemas import ESSENCE_COLUMNS
+
+    base = spark.range(200).select(
+        F.concat(F.lit("ACC"), F.col("id").cast("string")).alias("accession"),
+        F.concat(F.lit("L."), (F.col("id") % 8).cast("string")).alias("lineage"))
+    for c in ESSENCE_COLUMNS:
+        if c in ("accession", "lineage"):
+            continue
+        if c in ("dna_profile", "aa_profile", "fs_profile"):
+            base = base.withColumn(c, F.array().cast("array<string>"))
+        elif c in ("date", "submission_date"):
+            base = base.withColumn(c, F.lit(None).cast("date"))
+        elif c == "ct":
+            base = base.withColumn(c, F.lit(None).cast("double"))
+        elif c == "imported":
+            base = base.withColumn(c, F.lit(None).cast("timestamp"))
+        else:
+            base = base.withColumn(c, F.lit(None).cast("string"))
+    essence = base.select(*ESSENCE_COLUMNS)
+
+    q = MatchQuery(lineages=["L.1", "L.3", "L.5"])
+    before = sorted(r["accession"]
+                    for r in MatchEngine(essence).run(q).collect())
+    monkeypatch.setattr(P, "IN_SEMIJOIN_THRESHOLD", 2)
+    plan_df = MatchEngine(essence).run(q)
+    assert "LeftSemi" in _plan(plan_df)
+    after = sorted(r["accession"] for r in plan_df.collect())
+    assert after == before and before
