@@ -23,12 +23,15 @@ over all batches therefore equals the one-shot batch LSH run over the
 full corpus — `stream_dedup_lsh` in the registry value-checks exactly
 that equivalence against the DuckDB oracle.
 
-Scale notes: the band store is append-only parquet partitioned by
-band_idx; the per-batch join shuffles only on (band_idx, band_key).
-At cluster scale the store compacts like any fact table, and a skewed
-band key (a boilerplate-heavy corpus) is AQE's skew-join case. The
-reference has no streaming at all (SURVEY §2.8) — this is
-beyond-parity surface built on the same dedup operator core.
+Scale notes: the band store is append-only parquet (one batch=<id>
+subdir per micro-batch, files_per_batch files each — micro-batches
+are small, so tiny-file control matters more than physical
+partitioning; band_idx is a plain column since the probe join
+shuffles on (band_idx, band_key) either way).  At cluster scale the
+store compacts like any fact table, and a skewed band key (a
+boilerplate-heavy corpus) is AQE's skew-join case. The reference has
+no streaming at all (SURVEY §2.8) — this is beyond-parity surface
+built on the same dedup operator core.
 """
 
 from __future__ import annotations
@@ -53,13 +56,19 @@ class StreamingLshDedup:
     def __init__(self, spark: SparkSession, state_dir: str, *,
                  text_col: str = "text", id_col: str = "doc_id",
                  k: int = 3, num_hashes: int = 8, band_rows: int = 2,
-                 threshold: float = 0.4) -> None:
+                 threshold: float = 0.4, files_per_batch: int = 1) -> None:
         assert num_hashes % band_rows == 0
         self.spark = spark
         self.state_dir = state_dir
         self.text_col, self.id_col = text_col, id_col
         self.k, self.num_hashes, self.band_rows = k, num_hashes, band_rows
         self.threshold = threshold
+        # output files per micro-batch write: micro-batches are small
+        # by definition, so default to ONE file per batch per sink —
+        # the r4 layout (partitionBy(band_idx) × shuffle partitions)
+        # wrote ~256 tiny files per batch, and every later batch paid
+        # to list and open them.  Size up for genuinely large batches.
+        self.files_per_batch = files_per_batch
         self._bands_path = os.path.join(state_dir, "bands")
         self._pairs_path = os.path.join(state_dir, "pairs")
         self._seq = 0                      # direct-call batch ids
@@ -136,10 +145,15 @@ class StreamingLshDedup:
         if batch_id is None:
             batch_id = self._seq
             self._seq += 1
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(self._pairs_path, f"batch={batch_id}"))
-        (new_bands.write.mode("overwrite").partitionBy("band_idx")
+        # bands first (materializes the persist for the pairs job);
+        # both sinks coalesce to files_per_batch — the band-store join
+        # shuffles on (band_idx, band_key) regardless of file layout,
+        # so a physical partitionBy(band_idx) bought no pruning and
+        # cost a file-count explosion (band_idx stays as a COLUMN)
+        (new_bands.coalesce(self.files_per_batch).write.mode("overwrite")
          .parquet(os.path.join(self._bands_path, f"batch={batch_id}")))
+        pairs.coalesce(self.files_per_batch).write.mode("overwrite").parquet(
+            os.path.join(self._pairs_path, f"batch={batch_id}"))
         new_bands.unpersist()
         return self.pairs()
 
