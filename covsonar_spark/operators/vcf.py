@@ -170,11 +170,24 @@ def genotype_matrix(calls: DataFrame, max_samples: int = 2000) -> DataFrame:
     return mat
 
 
+def _open_vcf_text(path: str, compress: bool):
+    """Text sink for VCF output: plain file, or BGZF (bgzip/tabix-
+    compatible, sources/bgzf.py — the reference shells out to bgzip,
+    lib/sonartoVCF.py:129-144; this needs no external tools)."""
+    if compress:
+        from covsonar_spark.sources.bgzf import bgzf_text_writer
+
+        return bgzf_text_writer(path)
+    return open(path, "w")
+
+
 def write_vcf(sites: DataFrame, calls: DataFrame, path: str,
               chrom: str = "NC_045512.2", max_samples: int = 2000,
               mode: str = "auto") -> None:
     """Merged multi-sample VCF text file (replaces the bcftools
-    merge pipeline, lib/sonartoVCF.py:226-303).
+    merge pipeline, lib/sonartoVCF.py:226-303).  A ``path`` ending in
+    ``.gz`` is written as BGZF (bgzip/tabix-compatible) — the same
+    deliverable the reference produces via external bgzip.
 
     ``mode="driver"`` pivots and collects on the driver — the
     small-cohort parity path.  ``mode="distributed"`` builds every
@@ -198,7 +211,7 @@ def write_vcf(sites: DataFrame, calls: DataFrame, path: str,
     samples = sorted(c for c in mat.columns if c not in ("pos", "vcf_type"))
     merged = sites.join(mat, ["pos", "vcf_type"]).orderBy("pos", "vcf_type")
     rows = merged.collect()
-    with open(path, "w") as fh:
+    with _open_vcf_text(path, path.endswith(".gz")) as fh:
         fh.write(VCF_HEADER.format(chrom=chrom))
         fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
                  + "\t".join(samples) + "\n")
@@ -277,7 +290,7 @@ def write_vcf_merged_distributed(sites: DataFrame, calls: DataFrame,
      .select("value")
      .write.mode("overwrite").text(parts_dir))
     tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
+    with _open_vcf_text(tmp, path.endswith(".gz")) as fh:
         fh.write(VCF_HEADER.format(chrom=chrom))
         fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t")
         fh.write("\t".join(acc_sorted))
@@ -291,12 +304,15 @@ def write_vcf_merged_distributed(sites: DataFrame, calls: DataFrame,
 
 
 def write_sample_vcfs(calls: DataFrame, out_dir: str,
-                      chrom: str = "NC_045512.2") -> int:
+                      chrom: str = "NC_045512.2",
+                      compress: bool = False) -> int:
     """S8 (v1 semantics) — one single-sample VCF per accession, written
     as a partitioned distributed job (reference forks a worker per
     accession and shells out to bgzip/tabix, lib/sonartoVCF.py:92-144;
     here one ``partitionBy(accession)`` text write, no subprocesses).
-    Returns the number of samples written."""
+    ``compress`` emits ``<acc>.vcf.gz`` in BGZF (the reference's bgzip
+    deliverable) instead of plain text.  Returns the number of samples
+    written."""
     typed = calls.withColumn("vcf_type", variant_type(F.col("ref"), F.col("alt"))) \
                  .where(F.col("vcf_type") != "Unknown")
     header = VCF_HEADER.format(chrom=chrom)
@@ -322,7 +338,8 @@ def write_sample_vcfs(calls: DataFrame, out_dir: str,
     for d in glob.glob(os.path.join(out_dir, "accession=*")):
         parts = sorted(glob.glob(os.path.join(d, "part-*")))
         acc = os.path.basename(d).split("=", 1)[1]
-        with open(os.path.join(d, f"{acc}.vcf"), "w") as fh:
+        out_name = f"{acc}.vcf.gz" if compress else f"{acc}.vcf"
+        with _open_vcf_text(os.path.join(d, out_name), compress) as fh:
             fh.write(header)
             fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
                      + acc + "\n")
