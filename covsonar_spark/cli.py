@@ -228,19 +228,63 @@ def cmd_db_upgrade(spark, args):
           + (" (already current)" if before == after else ""), file=sys.stderr)
 
 
+PANGO_LINEAGES_URL = ("https://raw.githubusercontent.com/cov-lineages/"
+                      "pango-designation/master/lineages.csv")
+PANGO_ALIAS_URL = ("https://raw.githubusercontent.com/cov-lineages/"
+                   "pango-designation/master/pango_designation/"
+                   "alias_key.json")
+
+
+def _fetch_text(url: str, timeout: float = 30.0) -> str:
+    """Download one pango-designation asset; a network failure raises a
+    CLEAN, actionable error instead of a stack trace (sandboxed and
+    air-gapped deployments hit this first)."""
+    import urllib.error
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as resp:
+            return resp.read().decode()
+    except (urllib.error.URLError, OSError, TimeoutError) as exc:
+        raise SystemExit(
+            f"update-lineage-info --fetch could not download {url}: {exc}. "
+            f"This environment appears offline; download lineages.csv and "
+            f"alias_key.json yourself and pass them via --input / "
+            f"--alias-key instead.") from None
+
+
 def cmd_update_lineage_info(spark, args):
+    """Rebuild the sublineage closure table.  The reference's
+    update-lineage-info always downloads fresh pango-designation data
+    (lib/Lineages_UPDATER.py:87-164); this engine defaults to LOCAL
+    input files (the sandbox/production-safe contract) and offers the
+    networked behavior behind --fetch, which errors cleanly offline."""
     import json
 
     from covsonar_spark.operators.lineage import build_sublineage_table
 
     st = _store(spark, args)
+    if args.fetch:
+        lineages_text = _fetch_text(PANGO_LINEAGES_URL)
+        alias_text = _fetch_text(PANGO_ALIAS_URL)
+    else:
+        if not args.input:
+            raise SystemExit(
+                "update-lineage-info needs --input lineages.csv (pango "
+                "designation export: header line, lineage name first "
+                "column) or --fetch to download it")
+        with open(args.input) as fh:
+            lineages_text = fh.read()
+        alias_text = None
+        if args.alias_key:
+            with open(args.alias_key) as fh:
+                alias_text = fh.read()
     alias = {}
-    if args.alias_key:
-        with open(args.alias_key) as fh:
-            raw = json.load(fh)
+    if alias_text is not None:
+        raw = json.loads(alias_text)
         alias = {k: (v if isinstance(v, str) else "") for k, v in raw.items()}
-    with open(args.input) as fh:
-        lineages = [ln.strip().split(",")[0] for ln in fh if ln.strip()][1:]
+    lineages = [ln.strip().split(",")[0]
+                for ln in lineages_text.splitlines() if ln.strip()][1:]
     table = build_sublineage_table(spark, lineages, alias)
     with open(args.out, "w") as fh:
         fh.write("lineage\tsublineage\n")
@@ -374,10 +418,25 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.set_defaults(fn=cmd_db_upgrade)
 
-    sp = sub.add_parser("update-lineage-info")
+    sp = sub.add_parser(
+        "update-lineage-info",
+        description="Rebuild the lineage→sublineage closure table. "
+        "Input contract: --input is the pango-designation lineages.csv "
+        "export (one header line; lineage name in the first column), "
+        "--alias-key its alias_key.json (optional; maps alias prefixes "
+        "to full lineage paths). The reference downloads these itself "
+        "every run; this engine reads LOCAL files by default and only "
+        "downloads with --fetch, which fails with a clean error when "
+        "offline.")
     common(sp)
-    sp.add_argument("--input", required=True, help="lineage csv (pango designation)")
+    sp.add_argument("--input",
+                    help="lineages.csv (pango designation export; "
+                         "required unless --fetch)")
     sp.add_argument("--alias-key", help="alias_key.json")
+    sp.add_argument("--fetch", action="store_true",
+                    help="download lineages.csv + alias_key.json from "
+                         "the public pango-designation repository "
+                         "(errors cleanly offline)")
     sp.add_argument("-o", "--out", required=True)
     sp.set_defaults(fn=cmd_update_lineage_info)
 

@@ -143,3 +143,39 @@ def test_dq_subcommand_reports_clean_store(spark, db, capsys):
     rules = [l.split(",") for l in out[1:]]
     assert len(rules) == 5
     assert all(r[1] == "0" and r[3] == "True" for r in rules)
+
+
+def test_update_lineage_info_fetch_errors_cleanly_offline(spark, db):
+    """--fetch in an offline environment exits with an actionable
+    message (the documented gate for the reference's networked
+    update-lineage-info), never a stack trace; --input stays the
+    local-first path."""
+    import covsonar_spark.cli as cli
+
+    with pytest.raises(SystemExit) as exc:
+        main(["update-lineage-info", "--db", db, "--fetch",
+              "-o", os.path.join(db, "lts.tsv")], spark=spark)
+    msg = str(exc.value)
+    assert "offline" in msg and "--input" in msg
+
+    # missing --input without --fetch: clean contract error
+    with pytest.raises(SystemExit) as exc2:
+        main(["update-lineage-info", "--db", db,
+              "-o", os.path.join(db, "lts.tsv")], spark=spark)
+    assert "--input" in str(exc2.value)
+
+
+def test_update_lineage_info_local_input(spark, db, tmp_path):
+    """The local-file contract: a pango-designation-style csv (header
+    line, lineage first column) rebuilds the closure table."""
+    src = tmp_path / "lineages.csv"
+    src.write_text("lineage,description\nB.1,x\nB.1.1,x\nB.1.1.7,x\n")
+    out = tmp_path / "lts.tsv"
+    main(["update-lineage-info", "--db", db, "--input", str(src),
+          "-o", str(out)], spark=spark)
+    body = out.read_text().splitlines()
+    assert body[0] == "lineage\tsublineage"
+    closure = {ln.split("\t")[0]: set(ln.split("\t")[1].split(","))
+               for ln in body[1:]}
+    assert closure["B.1"] == {"B.1.1", "B.1.1.7"}
+    assert closure["B.1.1.7"] == {"none"}
