@@ -43,10 +43,19 @@ _NT_RESOLVE = {
 }
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32768)
 def _translate_codon(codon: str) -> str:
     """Ambiguity-aware codon translation (Biopython-compatible, matching
     the reference's translate): if every resolution of the IUPAC codes
-    yields the same amino acid, return it; otherwise ``X``."""
+    yields the same amino acid, return it; otherwise ``X``.
+
+    Cached: the codon domain is tiny (<=26³ uppercase triplets, in
+    practice a few hundred distinct values per corpus — runs of N map
+    to the same handful) and the set-expansion for ambiguous codons
+    was a measurable slice of the ingest UDF profile."""
     aa = CODON_TABLE_1.get(codon)
     if aa is not None:
         return aa

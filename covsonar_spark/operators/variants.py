@@ -25,7 +25,8 @@ from covsonar_spark.functions.genetics import CDS, translate
 
 _LEADING_GAPS = re.compile(r"^-+")
 _INSERT = re.compile(r"[^-]-+")          # anchor + gap run in the target
-_CODON = re.compile(r"[^-]-*[^-]-*[^-]-*")  # 3 target bases + embedded gaps
+# (codon spans over a gapped target — formerly the regex
+# [^-]-*[^-]-*[^-]-* — are computed vectorized inside aa_vars)
 
 Var = tuple[str, str, int, int | None, str | None, str | None]
 
@@ -127,29 +128,40 @@ def aa_vars(aligned_query: str, aligned_target: str, cds_list: Iterable[CDS]) ->
                     yield taa, qaa, start, end, cds.symbol, cds.locus
             continue
 
-        # gap-count prefix sums make codon start positions O(1) (a
-        # per-codon target[:s].count('-') is O(n²) over the CDS), and
-        # identical gapless codons translate identically by definition —
-        # skipping them removes ~99.9% of translate() calls on a real
-        # corpus (only codons touched by a variant differ)
-        gaps_before = np.concatenate((
-            [0],
-            np.cumsum(np.frombuffer(target.encode("ascii"), dtype=np.uint8)
-                      == ord("-")))).astype(np.int64)
-        for m in _CODON.finditer(target):
-            s, e = m.start(), m.end()
-            if query[s:e] == m.group() and e - s == 3:
-                continue
-            start = int(s - gaps_before[s]) // 3
-            tcodon = m.group().replace("-", "")
+        # Gapped target slice (an insertion inside the CDS).  The regex
+        # walk (_CODON.finditer) this replaces built a match object per
+        # codon — ~8k per genome once one insertion lands in orf1ab,
+        # half the post-alignment profile.  The codon spans are
+        # computable vectorized instead: the k-th codon starts at the
+        # 3k-th non-gap position and (like the regex, whose trailing
+        # ``-*`` absorbs gaps after the 3rd base) extends to the next
+        # codon's first base; a codon needs Python-level work only when
+        # its span holds a query/target byte difference or an embedded
+        # gap (span length != 3) — identical to the regex path's
+        # ``query[s:e] == m.group() and e - s == 3`` skip.
+        q8 = np.frombuffer(query.encode("latin-1"), dtype=np.uint8)
+        ng = np.nonzero(t8 != _GAP)[0]
+        n_codons = len(ng) // 3
+        if n_codons == 0:
+            continue
+        starts = ng[0: 3 * n_codons: 3]
+        ends = np.empty(n_codons, dtype=np.int64)
+        ends[:-1] = ng[3: 3 * n_codons: 3]
+        ends[-1] = ng[3 * n_codons] if len(ng) > 3 * n_codons else len(target)
+        dcum = np.concatenate(([0], np.cumsum(t8 != q8, dtype=np.int64)))
+        touched = np.nonzero((ends - starts != 3)
+                             | (dcum[ends] - dcum[starts] > 0))[0]
+        for ci in touched.tolist():
+            s, e = int(starts[ci]), int(ends[ci])
+            tcodon = target[s:e].replace("-", "")
             qcodon = query[s:e].replace("-", "")
             taa = translate(tcodon, cds.translation_table)
             qaa = translate(qcodon, cds.translation_table)
             if qaa == "":
-                yield taa, "", start, start + 1, cds.symbol, cds.locus
+                yield taa, "", ci, ci + 1, cds.symbol, cds.locus
             elif qaa != taa:
-                end = None if len(qaa) == 1 else start + len(qaa)
-                yield taa, qaa, start, end, cds.symbol, cds.locus
+                end = None if len(qaa) == 1 else ci + len(qaa)
+                yield taa, qaa, ci, end, cds.symbol, cds.locus
 
 
 def format_var(ref: str, alt: str, start: int, end: int | None,
