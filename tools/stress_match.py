@@ -232,6 +232,69 @@ def main() -> None:
                .where(exact_c).select("accession").collect())
     print("manifest lossless:", a == b, f"(rows={len(a)})")
 
+    # ---- metadata min/max manifest skipping (round 5) -----------------
+    # The genomes-side twin: a (lineage, date)-clustered layout (what
+    # store.optimize() writes) + per-file min/max stats; a lineage IN +
+    # date range query must skip whole files losslessly.
+    from covsonar_spark.sources.manifest import (files_where,
+                                                 stat_in_condition,
+                                                 stat_range_condition)
+
+    n = dfc.count()
+    dm = tempfile.mkdtemp(prefix="match_meta_") + "/genomes"
+    lin_col = (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8),
+                      16, 10) % N_LINEAGES).cast("int")
+    t0 = time.perf_counter()
+    (spark.range(n)
+     .withColumn("lin", lin_col)
+     .select(F.col("id").alias("accession"),
+             F.concat(F.lit("L."), F.col("lin").cast("string"))
+             .alias("lineage"),
+             F.date_add(F.lit("2020-01-01").cast("date"),
+                        (F.col("lin") * 7 + F.col("id") % 7).cast("int"))
+             .alias("date"))
+     .repartitionByRange(32, "lineage", "date")
+     .sortWithinPartitions("lineage", "date")
+     .write.mode("overwrite").parquet(dm))
+    print(f"metadata clustered build: {time.perf_counter()-t0:.1f}s")
+    t0 = time.perf_counter()
+    mman = build_manifest(spark, dm, token_cols=(),
+                          key_cols=("lineage", "date")).cache()
+    mn_files = mman.count()
+    print(f"metadata manifest build: {time.perf_counter()-t0:.1f}s "
+          f"over {mn_files} files")
+    lins = ["L.77", "L.78"]
+    cond = (stat_in_condition("lineage", lins)
+            & stat_range_condition("date", [("2021-06-01", "2021-08-31")],
+                                   cast="date"))
+    mkept = files_where(mman, cond)
+    kept_b = sum(sz for p, sz in
+                 ((q, __import__("os").path.getsize(q)) for q in
+                  _glob.glob(dm + "/part-*.parquet"))
+                 if _norm(p) in {_norm(k) for k in mkept})
+    total_b = sum(__import__("os").path.getsize(p)
+                  for p in _glob.glob(dm + "/part-*.parquet"))
+    print(f"metadata prune: kept {len(mkept)}/{mn_files} files "
+          f"({kept_b:,} of {total_b:,} bytes = "
+          f"{100.0 * kept_b / max(total_b, 1):.1f}% scanned)")
+    meta_pred = (F.col("lineage").isin(lins)
+                 & F.col("date").between("2021-06-01", "2021-08-31"))
+    dfm = spark.read.parquet(dm)
+    pruned_df = (spark.read.option("basePath", dm).parquet(*mkept)
+                 if mkept else dfm.limit(0))
+    for label, frame in (("meta full-scan", dfm.where(meta_pred)),
+                         ("meta manifest", pruned_df.where(meta_pred))):
+        for i in range(3):
+            t0 = time.perf_counter()
+            c = frame.count()
+            print(f"{label} run{i}: {time.perf_counter()-t0:.2f}s rows={c}")
+    ma = sorted(r["accession"] for r in dfm.where(meta_pred)
+                .select("accession").collect())
+    mb = sorted(r["accession"] for r in pruned_df.where(meta_pred)
+                .select("accession").collect())
+    print("metadata manifest lossless:", ma == mb, f"(rows={len(ma)})")
+    assert ma == mb
+
 
 if __name__ == "__main__":
     main()
