@@ -1,5 +1,5 @@
 """Query registry: every implemented operator from SURVEY.md §2 exposed as
-a (spark_fn, oracle_sql) pair (129 queries, 129 with full oracles)
+a (spark_fn, oracle_sql) pair (130 queries, 130 with full oracles)
 over the driver's synthetic tables
 (/root/testdata/sf*/ — region nation customer supplier part orders
 lineitem events documents embeddings).

@@ -509,11 +509,15 @@ class SonarStore:
 
     def _manifest(self, table: str) -> DataFrame | None:
         mpath = os.path.join(self.root, "manifests", table)
+        # local roots: cheap isdir probe so every manifest-less match()
+        # doesn't pay an exception-driven Spark read attempt; remote
+        # schemes have no os.* probe and go straight to the read
+        if not _remote_scheme(self.root) and not os.path.isdir(mpath):
+            return None
         try:
             return self.spark.read.parquet(mpath)
         except Exception:  # noqa: BLE001 — absent or unreadable
-            # manifest (works on any scheme — no os.* existence probe):
-            # derived data, so degrade to the unpruned scan
+            # manifest: derived data, degrade to the unpruned scan
             return None
 
     def _prune_with(self, table: str, man: DataFrame, cond) -> DataFrame:
