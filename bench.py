@@ -196,8 +196,9 @@ def main() -> None:
     # A/B in ARCHITECTURE.md).  Recording a fixed single-thread CPU
     # probe with every run lets cross-round totals be normalized:
     # compare value/hostmark_sec across rounds, not raw value.
-    from covsonar_spark.metrics import hostmark
+    from covsonar_spark.metrics import hostmark, hostmark_mt
     hm = hostmark()
+    hm_mt = hostmark_mt()
     # Per-query map goes to a sidecar file: the full 100+-entry map made
     # the stdout JSON line ~4 KB, which round 1's capture truncated
     # ("parsed": null).  The machine-read stdout line stays compact —
@@ -206,6 +207,7 @@ def main() -> None:
                            "BENCH_QUERIES.json")
     with open(sidecar, "w") as f:
         json.dump({"sf": sf, "total_sec": total, "hostmark_sec": hm,
+                   "hostmark_mt_sec": hm_mt,
                    "queries": times}, f, indent=1, sort_keys=True)
     slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:5])
     print(json.dumps({
@@ -215,6 +217,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(times),
         "hostmark_sec": hm,
+        "hostmark_mt_sec": hm_mt,
         "slowest": slowest,
         "queries_file": "BENCH_QUERIES.json",
     }, separators=(",", ":")))

@@ -59,6 +59,35 @@ def hostmark() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def hostmark_mt(n_threads: int = 16) -> float:
+    """Multi-core CPU probe: seconds for ``n_threads`` concurrent
+    seeded numpy matmul workloads (numpy releases the GIL, so threads
+    genuinely compete for cores).  Lower = faster host.
+
+    Round-5 finding (BENCH_AB_HOST.json): the single-thread
+    :func:`hostmark` missed a 1.74x swing between two runs of
+    IDENTICAL code minutes apart — the shared machine's contention is
+    multi-core, and Spark's local[32] task execution feels it while a
+    single pinned thread does not.  Bench artifacts record BOTH probes
+    so cross-round totals can be normalized by whichever regime the
+    workload matches."""
+    import concurrent.futures as cf
+    import time
+
+    import numpy as np
+
+    def work(seed: int) -> None:
+        m = np.random.RandomState(seed).rand(500, 500)
+        for _ in range(14):
+            m = m @ m
+            m /= np.abs(m).max()
+
+    t0 = time.perf_counter()
+    with cf.ThreadPoolExecutor(max_workers=n_threads) as pool:
+        list(pool.map(work, range(n_threads)))
+    return round(time.perf_counter() - t0, 3)
+
+
 @dataclass
 class ExecMetrics:
     """Aggregated runtime metrics of one executed query."""

@@ -444,7 +444,7 @@ class SonarStore:
                      "key_cols": ("seqhash",)},
         "genomes": {"token_cols": (),
                     "key_cols": ("lineage", "date", "submission_date",
-                                 "zip")},
+                                 "zip", "ct")},
     }
 
     def build_manifest(self, table: str = "profiles") -> int:
@@ -1174,6 +1174,11 @@ class SonarStore:
         inc_zip, _ = split_negations(query.zips or [])
         if inc_zip:
             c = M.stat_prefix_condition("zip", [str(z) for z in inc_zip])
+            if c is not None:
+                conds.append(c)
+        if query.min_ct is not None or query.max_ct is not None:
+            c = M.stat_range_condition(
+                "ct", [(query.min_ct, query.max_ct)])
             if c is not None:
                 conds.append(c)
         if not conds:

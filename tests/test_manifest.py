@@ -275,7 +275,7 @@ def _meta_store(spark, root: str, n: int = 80):
                      datetime.date(2021, 2 * k + 1, 1 + i % 27),
                      datetime.date(2021, 2 * k + 2, 1 + i % 27),
                      None, None, None, None, None, None, None, None,
-                     None, None, None, None, None))
+                     None, None, None, float(10 * k + i % 5), None))
     gdf = spark.createDataFrame(rows, schema=_SCHEMAS["genomes"])
     gdf.repartitionByRange(4, "lineage", "date") \
         .write.parquet(os.path.join(root, "genomes"))
@@ -306,9 +306,10 @@ def test_store_match_metadata_pruned_lineage_date(spark, tmp_path):
     after = sorted(r["accession"] for r in st.match(q).collect())
     assert after == before
 
-    # date-only and zip-prefix queries prune too, losslessly
+    # date-only, zip-prefix, and ct-range queries prune too, losslessly
     for q2 in (MatchQuery(dates=["2021-01-01:2021-01-31"]),
-               MatchQuery(zips=["30"])):
+               MatchQuery(zips=["30"]),
+               MatchQuery(min_ct=20.0, max_ct=24.0)):
         exp = sorted(r["accession"] for r in
                      _unpruned_match(st, q2).collect())
         p2 = st._match_genomes(q2)
