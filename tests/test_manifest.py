@@ -354,6 +354,51 @@ def test_store_match_metadata_pruned_wildcard_and_negation(spark, tmp_path):
     assert got == exp and exp
 
 
+def test_both_sides_pruned_compose_losslessly(spark, tmp_path):
+    """A query with BOTH an include-profile group and include
+    lineage/date specs prunes the profiles side (vocabulary bloom) AND
+    the genomes side (metadata min/max) in one match, returning exactly
+    the unpruned rows."""
+    import datetime
+
+    from covsonar_spark.operators.match import MatchQuery
+    from covsonar_spark.store import SonarStore, _SCHEMAS
+
+    root = str(tmp_path / "db")
+    st = SonarStore.open(spark, root)
+    n = 80
+    genomes, profiles = [], []
+    for i in range(n):
+        k = i % 4
+        genomes.append((f"ACC{i}", None, f"h{i}", f"L.{k}", None,
+                        datetime.date(2021, 2 * k + 1, 1 + i % 27),
+                        None, None, None, None, None, None, None, None,
+                        None, None, None, None, None, None))
+        profiles.append((f"h{i}", [f"C{k * 100 + 10 + i % 7}T",
+                                   f"C{k * 100 + 50}T"],
+                         [], [], None, None))
+    spark.createDataFrame(genomes, schema=_SCHEMAS["genomes"]) \
+        .repartitionByRange(4, "lineage") \
+        .write.parquet(os.path.join(root, "genomes"))
+    gdf = spark.createDataFrame(profiles, schema=_profiles_schema())
+    gdf.withColumn("band", F.expr("cast(substring(seqhash, 2) as int) % 4")) \
+        .repartitionByRange(4, "band").drop("band") \
+        .write.parquet(os.path.join(root, "profiles"))
+
+    q = MatchQuery(profiles=[["C250T"]], lineages=["L.2"],
+                   dates=["2021-05-01:2021-05-31"])
+    before = sorted(r["accession"] for r in st.match(q).collect())
+    assert before
+
+    n_p = st.build_manifest("profiles")
+    n_g = st.build_manifest("genomes")
+    pp, gp = st._match_profiles(q), st._match_genomes(q)
+    assert pp is not None and 0 < len(pp.inputFiles()) < n_p
+    assert gp is not None and 0 < len(gp.inputFiles()) < n_g
+    after = sorted(r["accession"] for r in st.match(q).collect())
+    assert after == before
+
+
 def test_optimize_builds_genomes_manifest(spark, tmp_path):
     from covsonar_spark.operators.match import MatchQuery
 
