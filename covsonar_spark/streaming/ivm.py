@@ -107,11 +107,27 @@ class StreamingJoinView:
         gen = self._batch_gen(batch_id)
         if gen is None:
             gen = self._current_gen()
-        (delta_fact.join(self._dim_as_of(gen), self.on)
-         .write.mode("overwrite")
-         .parquet(os.path.join(self._view_path, f"batch={batch_id}_g{gen}")))
-        (delta_fact.write.mode("overwrite")
-         .parquet(os.path.join(self._fact_path, f"batch={batch_id}")))
+        # the ΔV write and the raw-ΔA log write are independent jobs
+        # over the same input — submit them concurrently (driver
+        # threads into one scheduler, the store-ingest pattern); the
+        # crash window between them is unchanged (foreachBatch replays
+        # the whole batch until both land, overwrite semantics)
+        import concurrent.futures as _cf
+
+        view_df = delta_fact.join(self._dim_as_of(gen), self.on)
+        with _cf.ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [
+                pool.submit(
+                    lambda: view_df.write.mode("overwrite").parquet(
+                        os.path.join(self._view_path,
+                                     f"batch={batch_id}_g{gen}"))),
+                pool.submit(
+                    lambda: delta_fact.write.mode("overwrite").parquet(
+                        os.path.join(self._fact_path,
+                                     f"batch={batch_id}"))),
+            ]
+            for f in futs:
+                f.result()
 
     def _heal_dim_swaps(self) -> None:
         """Recover a crash between the two renames of a dim-generation
