@@ -153,7 +153,8 @@ IN_SEMIJOIN_THRESHOLD = 10_000
 
 
 def apply_in_filter(df: DataFrame, col: str, values: Sequence,
-                    negate: bool = False) -> DataFrame:
+                    negate: bool = False,
+                    threshold: int | None = None) -> DataFrame:
     """``field IN (…)`` / ``NOT IN (…)`` at any list size.
 
     Below :data:`IN_SEMIJOIN_THRESHOLD` this is the plain literal
@@ -166,7 +167,9 @@ def apply_in_filter(df: DataFrame, col: str, values: Sequence,
     values match neither IN nor NOT IN, so the anti path filters them
     explicitly (a bare anti-join would keep them)."""
     values = list(values)
-    if len(values) <= IN_SEMIJOIN_THRESHOLD:
+    if threshold is None:
+        threshold = IN_SEMIJOIN_THRESHOLD   # module global: tunable
+    if len(values) <= threshold:
         return df.where(not_in_list(col, values) if negate
                         else in_list(col, values))
     vals = df.sparkSession.createDataFrame(

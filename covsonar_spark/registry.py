@@ -1,5 +1,5 @@
 """Query registry: every implemented operator from SURVEY.md §2 exposed as
-a (spark_fn, oracle_sql) pair (130 queries, 130 with full oracles)
+a (spark_fn, oracle_sql) pair (131 queries, 131 with full oracles)
 over the driver's synthetic tables
 (/root/testdata/sf*/ — region nation customer supplier part orders
 lineitem events documents embeddings).
@@ -559,6 +559,33 @@ SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
 WHERE o_orderstatus NOT IN ('F')
   AND o_orderpriority NOT LIKE '4-%' AND o_orderpriority NOT LIKE '5-%'
   AND CAST(o_orderdate AS DATE) NOT BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+ORDER BY o_orderkey
+"""
+
+
+def match_metadata_semijoin(spark, sf_dir):
+    """F2 through the oversized-IN-list scale path: the same IN /
+    NOT-IN predicates executed as broadcast left_semi / left_anti
+    joins (predicates.apply_in_filter with the flip threshold forced
+    to 0) — the strategy match() switches to when a sublineage closure
+    or an accession sample file expands past the literal-IN limit
+    (reference sample files, /root/reference/lib/sonardb.py:3365-3425).
+    Shares a literal IN-list oracle, so the strategy equivalence —
+    including NOT-IN's NULL semantics on the anti side — is
+    value-checked, not just plan-audited."""
+    orders = _t(spark, sf_dir, "orders")
+    keys = list(range(1, 3000, 7))
+    out = P.apply_in_filter(orders, "o_custkey", keys, threshold=0)
+    out = P.apply_in_filter(out, "o_orderstatus", ["F"], negate=True,
+                            threshold=0)
+    return out.select("o_orderkey", "o_custkey", "o_orderstatus") \
+              .orderBy("o_orderkey")
+
+
+MATCH_METADATA_SEMIJOIN_SQL = f"""
+SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+WHERE o_custkey IN ({", ".join(str(k) for k in range(1, 3000, 7))})
+  AND o_orderstatus NOT IN ('F')
 ORDER BY o_orderkey
 """
 
@@ -2815,6 +2842,8 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "match_profile_bloom": (match_profile_bloom, MATCH_PROFILE_AND_SQL),
     "match_profile_pruned": (match_profile_pruned, MATCH_PROFILE_AND_SQL),
     "match_metadata_pruned": (match_metadata_pruned, MATCH_METADATA_SQL),
+    "match_metadata_semijoin": (match_metadata_semijoin,
+                                MATCH_METADATA_SEMIJOIN_SQL),
     "match_profile_or_groups": (match_profile_or_groups, MATCH_PROFILE_OR_SQL),
     "match_profile_exclude": (match_profile_exclude, MATCH_PROFILE_EXCL_SQL),
     "match_count": (match_count, MATCH_COUNT_SQL),
