@@ -295,3 +295,55 @@ def priority_sample(df: DataFrame, weight_col: str, k: int = 50,
             .where(F.col("weight").isNotNull() & (F.col("weight") > 0))
             .orderBy(F.col("priority").desc(), id_col)
             .limit(k))
+
+
+def dsir_importance(docs: DataFrame, target: DataFrame, k: int = 50,
+                    buckets: int = 2048, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every corpus document by how much more likely its hashed-bigram
+    features are under the TARGET distribution than under the corpus
+    distribution, and keep the top-k — the data-selection step that
+    steers a raw crawl toward a curated domain.
+
+    weight(d) = mean over d's bigram occurrences (bucket h) of
+        ln((tc_h + 1) / (Tn + B)) − ln((cc_h + 1) / (Cn + B))
+    with tc/cc the target/corpus bucket counts, Tn/Cn their totals and
+    B the bucket count (add-1 smoothing over the hashed feature space —
+    hashing bounds model state at B regardless of corpus size, the
+    paper's own scaling device).
+
+    Scale shape: one bigram explode per side, two groupBy(h) count
+    aggregates (model state = B rows, broadcastable), the totals as
+    one-row broadcast cross joins, one groupBy(doc) for the per-doc
+    mean, and a top-k sort of doc-count rows.  The md5 bucket hash is
+    engine-portable, so the DuckDB oracle retrains the same two models
+    and reproduces the selection exactly (registry ``sample_dsir``)."""
+    def occurrences(df: DataFrame, with_id: bool):
+        toks = df.select(F.col(id_col),
+                         F.split(F.col(text_col), " ").alias("t"))
+        occ = toks.select(
+            F.col(id_col),
+            F.explode(F.expr(
+                "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " (w, i) -> concat(w, ' ', t[i + 1]))")).alias("bg"))
+        h = (F.conv(F.substring(F.md5(F.col("bg")), 1, 15), 16, 10)
+             .cast("long") % buckets).alias("h")
+        return occ.select(F.col(id_col), h) if with_id else occ.select(h)
+
+    occ = occurrences(docs, with_id=True)
+    t_occ = occurrences(target, with_id=False)
+    cc = occ.groupBy("h").agg(F.count(F.lit(1)).alias("cc"))
+    tc = t_occ.groupBy("h").agg(F.count(F.lit(1)).alias("tc"))
+    totals = occ.agg(F.count(F.lit(1)).alias("cn")).crossJoin(
+        t_occ.agg(F.count(F.lit(1)).alias("tn")))
+    term = (F.log((F.col("tc") + 1.0) / (F.col("tn") + float(buckets)))
+            - F.log((F.col("cc") + 1.0) / (F.col("cn") + float(buckets))))
+    return (occ.join(cc, "h").join(tc, "h", "left").na.fill({"tc": 0})
+            .crossJoin(F.broadcast(totals))
+            .groupBy(id_col)
+            .agg(F.round(F.avg(term), 6).alias("dsir_weight"),
+                 F.count(F.lit(1)).alias("n_bigrams"))
+            .orderBy(F.col("dsir_weight").desc(), id_col)
+            .limit(k))

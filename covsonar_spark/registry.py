@@ -1,5 +1,5 @@
 """Query registry: every implemented operator from SURVEY.md §2 exposed as
-a (spark_fn, oracle_sql) pair (131 queries, 131 with full oracles)
+a (spark_fn, oracle_sql) pair (132 queries, 132 with full oracles)
 over the driver's synthetic tables
 (/root/testdata/sf*/ — region nation customer supplier part orders
 lineitem events documents embeddings).
@@ -1781,6 +1781,41 @@ LIMIT 10
 """
 
 
+def sample_dsir(spark, sf_dir):
+    """DSIR importance resampling (curation.dsir_importance): steer the
+    corpus toward the English subset — every doc scored by the hashed-
+    bigram LM likelihood ratio target/corpus (add-1 smoothing over 2048
+    md5 buckets, the paper's bounded-state device), top-50 kept.  The
+    oracle retrains both hashed models in SQL, so the bucket hash, the
+    smoothing, the ratio and the selection are all value-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    return curation.dsir_importance(docs, target, k=50)
+
+
+SAMPLE_DSIR_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+occ AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 15)) AS BIGINT)
+           % 2048 AS h
+  FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)),
+tocc AS (
+  SELECT o.h FROM occ o JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+cc AS (SELECT h, count(*) AS cc FROM occ GROUP BY 1),
+tc AS (SELECT h, count(*) AS tc FROM tocc GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM occ) AS cn, (SELECT count(*) FROM tocc) AS tn)
+SELECT doc_id,
+       round(avg(ln((coalesce(tc, 0) + 1.0) / (tn + 2048.0))
+                 - ln((cc + 1.0) / (cn + 2048.0))), 6) AS dsir_weight,
+       count(*) AS n_bigrams
+FROM occ JOIN cc USING (h) LEFT JOIN tc USING (h) CROSS JOIN tot
+GROUP BY doc_id
+ORDER BY dsir_weight DESC, doc_id
+LIMIT 50
+"""
+
+
 def curate_corpus(spark, sf_dir):
     """The composed training-data curation pipeline — the flow the
     operator library exists for, end-to-end in ONE declarative plan:
@@ -2869,6 +2904,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "curate_corpus": (curate_corpus, CURATE_CORPUS_SQL),
+    "sample_dsir": (sample_dsir, SAMPLE_DSIR_SQL),
     "embed_near_dup": (embed_near_dup, EMBED_NEAR_DUP_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
     "hybrid_search_rrf": (hybrid_search_rrf, HYBRID_SEARCH_SQL),
