@@ -40,6 +40,27 @@ def closure_table(taxa: DataFrame, path_col: str = "path") -> DataFrame:
     return a.join(d, cond)
 
 
+def closure_frame(children: dict[str, list[str]], roots: DataFrame,
+                  col: str = "lineage") -> DataFrame:
+    """Distributed --with-sublineage closure of a single-column ``roots``
+    frame against the (broadcast-sized) taxonomy child-map — the overflow
+    twin of :func:`bfs_closure` for wildcard expansions too large to
+    collect: the transitive (ancestor → descendant) pairs of the SMALL
+    taxonomy are enumerated driver-side (thousands of rows), broadcast,
+    and joined against the distributed roots; the roots themselves never
+    reach the driver."""
+    spark = roots.sparkSession
+    r = roots.toDF(col).dropDuplicates()
+    pairs = [(a, d) for a in children
+             for d in bfs_closure(children, [a]) if d != a]
+    if not pairs:
+        return r
+    edges = spark.createDataFrame(pairs, f"__anc: string, {col}: string")
+    desc = r.join(F.broadcast(edges), r[col] == edges["__anc"]) \
+            .select(edges[col])
+    return r.unionByName(desc).dropDuplicates()
+
+
 def bfs_closure(children: dict[str, list[str]], roots: list[str]) -> list[str]:
     """Driver-side BFS closure over a broadcastable child-map — the exact
     semantics of the reference's --with-sublineage expansion

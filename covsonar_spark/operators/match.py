@@ -75,6 +75,58 @@ class MatchQuery:
     ambig: bool = False           # True = keep ambiguous calls in output
 
 
+def expand_lineages(over: DataFrame, lineages: list[str], with_sublineage: bool,
+                    sublineage_map: dict[str, list[str]] | None,
+                    threshold: int | None = None) -> list[str] | DataFrame:
+    """F13 wildcard expansion + F14 sublineage closure, in ONE place
+    (reference lib/sonardb.py:3365-3425).
+
+    ``over`` must be the FULL genomes/essence frame: a store that prunes
+    files before matching must expand wildcards against the unpruned
+    table, or pruning that removes every file holding a wildcard's
+    lineages silently drops the engine's lineage predicate and the
+    pruned match diverges from the unpruned one (round-5 review
+    finding; regression test
+    tests/test_manifest.py::test_wildcard_prune_divergence).
+
+    Returns a plain list below ``threshold`` (default
+    :data:`predicates.IN_SEMIJOIN_THRESHOLD`) — preserving the
+    reference's empty-expansion-drops-the-predicate semantics — or a
+    single-column DataFrame of distinct values above it, which stays
+    distributed end-to-end (``predicates.apply_in_frame``)."""
+    if threshold is None:
+        threshold = P.IN_SEMIJOIN_THRESHOLD
+    literals = [v for v in lineages if "%" not in v]
+    patterns = [v for v in lineages if "%" in v]
+    out = list(literals)
+    overflow = len(out) > threshold
+    for pat in patterns:
+        if overflow:
+            break
+        vals = P.distinct_values_matching(over, "lineage", pat,
+                                          limit=threshold)
+        if vals is None or len(out) + len(vals) > threshold:
+            overflow = True
+        else:
+            out.extend(vals)
+    if not overflow:
+        if with_sublineage:
+            out = CL.bfs_closure(sublineage_map or {}, out)
+        return out
+    spark = over.sparkSession
+    frames = []
+    if literals:
+        frames.append(spark.createDataFrame(
+            [(v,) for v in literals], "lineage: string"))
+    for pat in patterns:
+        frames.append(over.select("lineage")
+                      .where(F.col("lineage").like(pat)).distinct())
+    vals_df = reduce(DataFrame.unionByName, frames).dropDuplicates()
+    if with_sublineage:
+        vals_df = CL.closure_frame(sublineage_map or {}, vals_df, "lineage")
+    return vals_df
+
+
 def _profile_field_pred(col: str, expansions: list[list[str]], kind: str, negate: bool) -> Column:
     """One field's clause for one group — AND across user tokens, flipped
     to OR by the trailing-N/X wildcard quirk (lib/sonardb.py:1623-1639).
@@ -262,18 +314,14 @@ class MatchEngine:
 
     # -- rewrite ----------------------------------------------------------
 
-    def _expand_lineages(self, lineages: list[str], with_sublineage: bool) -> list[str]:
-        """F13 wildcard expansion (driver-side distinct-collect, tiny) +
-        F14 BFS closure over the broadcast taxonomy."""
-        out: list[str] = []
-        for lin in lineages:
-            if "%" in lin:
-                out.extend(P.distinct_values_matching(self.essence, "lineage", lin))
-            else:
-                out.append(lin)
-        if with_sublineage:
-            out = CL.bfs_closure(self.sublineage_map, out)
-        return out
+    def _expand_lineages(self, lineages: list[str],
+                         with_sublineage: bool) -> list[str] | DataFrame:
+        """F13/F14 over this engine's own essence — correct when the
+        essence IS the full table (standalone engines); a store whose
+        essence is file-pruned resolves against the full table instead
+        and passes the result via ``run(..., resolved_lineages=…)``."""
+        return expand_lineages(self.essence, lineages, with_sublineage,
+                               self.sublineage_map)
 
     # -- plan construction ------------------------------------------------
 
@@ -285,7 +333,8 @@ class MatchEngine:
             return [v.upper() for v in values]
         return values
 
-    def plan(self, q: MatchQuery) -> DataFrame:
+    def plan(self, q: MatchQuery,
+             resolved_lineages: tuple | None = None) -> DataFrame:
         preds: list[Column] = []
 
         inc_prof = TK.rewrite_profiles(q.profiles, self.grammar) if q.profiles else []
@@ -321,12 +370,20 @@ class MatchEngine:
         # an accession sample file expanding to 100k+ values must not
         # inject a 100k-literal IN into the plan
         in_filters: list[tuple[str, list, bool]] = []
-        inc_lin, exc_lin = split_negations(self._norm("lineage", q.lineages))
-        inc_lin = self._expand_lineages(inc_lin, q.with_sublineage)
-        exc_lin = self._expand_lineages(exc_lin, False)
-        if inc_lin:
+        if resolved_lineages is not None:
+            # the store resolved wildcards/closure over the FULL table
+            # (its essence here may be file-pruned — see expand_lineages)
+            inc_lin, exc_lin = resolved_lineages
+        else:
+            inc_lin, exc_lin = split_negations(self._norm("lineage", q.lineages))
+            inc_lin = self._expand_lineages(inc_lin, q.with_sublineage)
+            exc_lin = self._expand_lineages(exc_lin, False)
+        # a DataFrame-valued resolution (expansion overflow) always
+        # filters; an empty LIST drops the predicate (reference
+        # empty-expansion semantics, lib/sonardb.py:3365-3388)
+        if isinstance(inc_lin, DataFrame) or inc_lin:
             in_filters.append(("lineage", inc_lin, False))
-        if exc_lin:
+        if isinstance(exc_lin, DataFrame) or exc_lin:
             in_filters.append(("lineage", exc_lin, True))
 
         for fld, vals in dims.items():
@@ -391,8 +448,9 @@ class MatchEngine:
             )
         return df.select(*ESSENCE_COLUMNS)
 
-    def run(self, q: MatchQuery) -> DataFrame:
-        return self.plan(q)
+    def run(self, q: MatchQuery,
+            resolved_lineages: tuple | None = None) -> DataFrame:
+        return self.plan(q, resolved_lineages=resolved_lineages)
 
 
 def build_essence(genomes: DataFrame, profiles: DataFrame) -> DataFrame:

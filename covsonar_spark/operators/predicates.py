@@ -166,6 +166,8 @@ def apply_in_filter(df: DataFrame, col: str, values: Sequence,
     values frame, preserving exact IN/NOT-IN semantics: NULL field
     values match neither IN nor NOT IN, so the anti path filters them
     explicitly (a bare anti-join would keep them)."""
+    if isinstance(values, DataFrame):
+        return apply_in_frame(df, col, values, negate=negate)
     values = list(values)
     if threshold is None:
         threshold = IN_SEMIJOIN_THRESHOLD   # module global: tunable
@@ -181,13 +183,40 @@ def apply_in_filter(df: DataFrame, col: str, values: Sequence,
     return df.join(F.broadcast(vals), col, "left_semi")
 
 
-def distinct_values_matching(df: DataFrame, col: str, sql_like_pattern: str) -> list:
+def apply_in_frame(df: DataFrame, col: str, values: DataFrame,
+                   negate: bool = False) -> DataFrame:
+    """``field IN (subquery)`` against a DISTRIBUTED single-column values
+    frame — the wildcard-expansion overflow path: the value set never
+    touches the driver.  Exact IN/NOT-IN semantics match
+    :func:`apply_in_filter`'s join path (NULL field values match
+    neither).  No broadcast hint: the values side is usually a distinct
+    set of a categorical column and AQE picks broadcast on its measured
+    size — a pathological expansion over a high-cardinality column must
+    not be forced driver-resident."""
+    vals = values.toDF(col).dropDuplicates()
+    if negate:
+        return df.where(F.col(col).isNotNull()).join(vals, col, "left_anti")
+    return df.join(vals, col, "left_semi")
+
+
+def distinct_values_matching(df: DataFrame, col: str, sql_like_pattern: str,
+                             limit: int | None = None) -> list | None:
     """F13 — lineage ``%`` wildcard expansion: collect DISTINCT values
     matching a SQL LIKE pattern (lib/sonardb.py:1608-1614).  Driver-side
     collect of a tiny distinct set; the result feeds :func:`in_list` so the
-    final scan predicate stays a static IN-list (partition-prunable)."""
-    rows = df.select(col).where(F.col(col).like(sql_like_pattern)).distinct().collect()
-    return [r[0] for r in rows]
+    final scan predicate stays a static IN-list (partition-prunable).
+
+    With ``limit``, at most ``limit + 1`` rows are fetched and **None**
+    is returned when the distinct set exceeds it — the caller's signal
+    to stay distributed (``apply_in_frame``) instead of collecting an
+    unbounded expansion of a high-cardinality column."""
+    q = df.select(col).where(F.col(col).like(sql_like_pattern)).distinct()
+    if limit is not None:
+        rows = q.limit(limit + 1).collect()
+        if len(rows) > limit:
+            return None
+        return [r[0] for r in rows]
+    return [r[0] for r in q.collect()]
 
 
 # ---------------------------------------------------------------------------

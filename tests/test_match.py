@@ -138,3 +138,69 @@ def test_essence_projection_columns(engine):
 
     df = engine.run(MatchQuery(accessions=["test1"]))
     assert tuple(df.columns) == ESSENCE_COLUMNS
+
+
+def test_wildcard_expansion_overflow_stays_distributed(spark, monkeypatch):
+    """Round-5 verdict item: a %-pattern whose distinct expansion
+    exceeds the semi-join threshold must never be collected to the
+    driver — expand_lineages returns a DataFrame and the match applies
+    it as a (semi/anti) join with identical results."""
+    import datetime
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from covsonar_spark.operators import predicates as P
+    from covsonar_spark.operators.match import (MatchEngine, MatchQuery,
+                                                expand_lineages)
+    from covsonar_spark.schemas import GENOMES
+
+    rows = []
+    for i in range(40):
+        # mix of Q.* (wildcard hits), R.* (exclude survivors) and NULL
+        lin = (None if i % 10 == 0
+               else f"R.{i}" if i % 7 == 0 else f"Q.{i % 8}")
+        rows.append((f"ACC{i}", None, f"h{i}", lin, None,
+                     datetime.date(2021, 1, 1 + i % 27), None, None,
+                     None, None, None, None, None, None, None, None,
+                     None, None, None, None))
+    genomes = spark.createDataFrame(rows, schema=GENOMES)
+    profiles = spark.createDataFrame(
+        [(f"h{i}", [], [], [], None, None) for i in range(40)],
+        "seqhash string, dna_profile array<string>, "
+        "aa_profile array<string>, fs_profile array<string>, "
+        "dna_bloom long, aa_bloom long")
+    from covsonar_spark.operators.match import build_essence
+
+    essence = build_essence(genomes, profiles)
+    eng = MatchEngine(essence, {"Q.1": ["Q.1.1"]})
+
+    expect_inc = sorted(
+        r["accession"] for r in eng.run(
+            MatchQuery(lineages=["Q.%"])).select("accession").collect())
+    expect_exc = sorted(
+        r["accession"] for r in eng.run(
+            MatchQuery(lineages=["^Q.%"])).select("accession").collect())
+    assert expect_inc and expect_exc
+
+    monkeypatch.setattr(P, "IN_SEMIJOIN_THRESHOLD", 3)   # Q.% → 8 values
+    resolved = expand_lineages(essence, ["Q.%"], False, {})
+    assert isinstance(resolved, DataFrame)               # stayed a plan
+
+    got_inc = sorted(
+        r["accession"] for r in eng.run(
+            MatchQuery(lineages=["Q.%"])).select("accession").collect())
+    got_exc = sorted(
+        r["accession"] for r in eng.run(
+            MatchQuery(lineages=["^Q.%"])).select("accession").collect())
+    assert got_inc == expect_inc
+    # NOT-IN NULL semantics preserved: NULL lineages match neither path
+    assert got_exc == expect_exc
+    assert not any(r["lineage"] is None for r in eng.run(
+        MatchQuery(lineages=["^Q.%"])).select("lineage").collect())
+
+    # closure composes with the distributed path (broadcast edge join)
+    with_sub = eng.run(MatchQuery(lineages=["Q.1%"], with_sublineage=True))
+    lit = eng.run(MatchQuery(lineages=["Q.1", "Q.1.1"]))
+    assert sorted(r["accession"] for r in with_sub.collect()) == \
+        sorted(r["accession"] for r in lit.collect())
