@@ -265,6 +265,13 @@ def cmd_update_lineage_info(spark, args):
 
     st = _store(spark, args)
     if args.fetch:
+        if args.input or args.alias_key:
+            # a user pinning a designation snapshot via --input must not
+            # have it silently discarded for a network download
+            raise SystemExit(
+                "update-lineage-info: --fetch conflicts with "
+                "--input/--alias-key — drop --fetch to use the local "
+                "files, or drop the local files to download")
         lineages_text = _fetch_text(PANGO_LINEAGES_URL)
         alias_text = _fetch_text(PANGO_ALIAS_URL)
     else:

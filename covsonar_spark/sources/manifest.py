@@ -55,11 +55,12 @@ def _py_slot_mask(token: str, bits: int) -> tuple[int, int]:
     return slot, mask
 
 
-def build_manifest(spark: SparkSession, table_path: str,
+def build_manifest(spark: SparkSession, table_path: str | Sequence[str],
                    token_cols: Sequence[str] = ("dna_profile",),
                    key_cols: Sequence[str] = (),
                    bits: int = MANIFEST_BITS) -> DataFrame:
-    """One row per data file of ``table_path``: n_rows, min/max of each
+    """One row per data file of ``table_path`` (one directory, or the
+    live directory list of a commit-log table): n_rows, min/max of each
     key column, and a ``{tc}_bloom`` array<long> per token column.
 
     Cost: one stats pass plus one column-pruned pass PER TOKEN COLUMN
@@ -71,7 +72,9 @@ def build_manifest(spark: SparkSession, table_path: str,
     from covsonar_spark.operators.predicates import token_index_col
 
     n_longs = bits // 64
-    df = spark.read.parquet(table_path)
+    paths = ([table_path] if isinstance(table_path, str)
+             else list(table_path))
+    df = spark.read.parquet(*paths)
     base = df.select(F.input_file_name().alias("file"),
                      *[F.col(c) for c in dict.fromkeys((*token_cols,
                                                         *key_cols))])

@@ -54,11 +54,18 @@ class StoreReadError(RuntimeError):
 # READ paths (table scans, manifests, file-level pruning) go through the
 # Hadoop FileSystem API so a store directory on any Spark-readable
 # scheme (file:, hdfs:, viewfs:, s3a:, abfs:) can be queried.  MUTATION
-# paths (ingest/update/delete/optimize/migrate) additionally require
-# posix-rename semantics — atomic directory rename and atomic mkdir —
-# which local filesystems and HDFS provide but object stores do not;
-# mutation_lock refuses remote-scheme roots up front instead of
-# corrupting silently.
+# paths branch on the root's scheme:
+#   * local/posix roots keep the battle-tested rename-pair swap under
+#     the mkdir mutation lease (below) — zero-copy overwrites, .old
+#     snapshot retention, crash heal;
+#   * remote-scheme roots use the log-structured commit protocol
+#     (commitlog.py): immutable uuid-named data directories published
+#     by a versioned snapshot file, put-if-absent commit rename as the
+#     single atomicity primitive — mutations (ingest/update/delete/
+#     optimize) work on any Hadoop-addressable store, and a multi-table
+#     ingest becomes atomic (one commit covers all five tables, the
+#     property the reference got from its SQLite transaction,
+#     lib/sonardb.py:1316-1356, and the posix path never had).
 # ---------------------------------------------------------------------------
 
 
@@ -99,7 +106,8 @@ def hadoop_qualify(spark: SparkSession, path: str) -> str:
 
 def hadoop_list_files(spark: SparkSession, path: str,
                       include_hidden: bool = False,
-                      with_size: bool = False) -> list:
+                      with_size: bool = False,
+                      strict: bool = False) -> list:
     """Recursive file listing of ``path`` via the Hadoop FileSystem API
     — the same listing Spark's reader performs, so it works on any
     scheme a deployment stores tables on, not just the local POSIX
@@ -109,16 +117,28 @@ def hadoop_list_files(spark: SparkSession, path: str,
     qualified URI strings (or ``(uri, size)`` with ``with_size``).
     Driver-side py4j iteration: fine for the tens of thousands of
     files a compacted 100 TB table holds; the result feeds a tiny
-    manifest anti-set, never per-row work."""
+    manifest anti-set, never per-row work.
+
+    ``strict`` distinguishes a CONFIRMED-absent path (still ``[]``)
+    from an FS failure (unresolvable mount, transient outage), which
+    then raises ``StoreReadError`` instead of pretending emptiness —
+    callers deciding "table is empty" vs "table is unreadable" (the
+    remote ``table()`` fallback) must not conflate the two (round-5
+    review, medium)."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     try:
+        fs = hpath.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration())
         if not fs.exists(hpath):
             return []
         root = fs.makeQualified(hpath).toString().rstrip("/")
         it = fs.listFiles(hpath, True)
-    except Exception:  # noqa: BLE001 — unresolvable mount/scheme: empty
+    except Exception as exc:  # noqa: BLE001 — unresolvable mount/scheme
+        if strict:
+            raise StoreReadError(
+                f"listing {path} failed (filesystem error, NOT a "
+                f"confirmed-absent path): {exc}") from exc
         return []
     out = []
     while it.hasNext():
@@ -178,11 +198,11 @@ def mutation_lock(root: str, timeout: float = 600.0,
 
     if _remote_scheme(root):
         raise ValueError(
-            f"store mutations need posix-rename semantics (atomic mkdir "
-            f"+ directory rename), which {root!r} cannot provide through "
-            f"os.* primitives — remote-scheme store roots are query-only "
-            f"(match/restore/info); run mutations against a local or "
-            f"fuse-mounted posix path")
+            f"mutation_lock is the POSIX lease (atomic mkdir + directory "
+            f"rename) and cannot run on {root!r} — remote-scheme roots "
+            f"mutate through the log-structured commit protocol "
+            f"(SonarStore._remote_mutation / commitlog.py), which every "
+            f"@_locked method routes to automatically")
     os.makedirs(root, exist_ok=True)   # lazy stores create root on demand
     lock = os.path.join(root, ".lock")
     deadline = time.time() + timeout
@@ -247,11 +267,16 @@ def try_mutation_lock(root: str):
 
 def _locked(fn):
     """Decorator: run a mutating SonarStore method under the store's
-    single-writer lease."""
+    single-writer protocol — the posix mutation lease on local roots,
+    the commit-log mutation session (advisory lease + staged dirs + one
+    atomic multi-table commit) on remote-scheme roots."""
     import functools
 
     @functools.wraps(fn)
     def wrapper(self, *args, **kwargs):
+        if self._log is not None:
+            with self._remote_mutation():
+                return fn(self, *args, **kwargs)
         with mutation_lock(self.root):
             return fn(self, *args, **kwargs)
     return wrapper
@@ -285,6 +310,131 @@ class SonarStore:
         self.ref_seq = ref_seq
         self.cds_list = cds_list or []
         self.sublineage_map = sublineage_map or {}
+        # remote-scheme roots mutate through the commit log; local roots
+        # keep the posix rename protocol and never touch it
+        if _remote_scheme(root):
+            from covsonar_spark.commitlog import CommitLog
+
+            self._log = CommitLog(spark, root)
+        else:
+            self._log = None
+        # mutation-session state (commit-log roots only): staged dir
+        # lists per table, applied over the base snapshot at commit
+        # time; the lock serializes staging from ingest's concurrent
+        # append threads
+        self._staged: dict[str, dict] | None = None
+        self._staged_lock = threading.Lock()
+        self._base_version: int = 0
+        self._base_tables: dict[str, list[str]] = {}
+
+    # -- commit-log mutation session (remote-scheme roots) ------------------
+
+    @contextlib.contextmanager
+    def _remote_mutation(self):
+        """One atomic multi-table mutation on a commit-log store:
+        acquire the advisory writer lease, snapshot the base version,
+        stage every ``_overwrite``/``_append`` as immutable uuid dirs,
+        then publish ONE commit (put-if-absent — racing writers lose
+        cleanly with StoreWriteConflict, never corrupt).  On failure the
+        staged dirs are deleted best-effort; leftovers are invisible
+        until vacuum() reaps them.  Reentrant: a mutation calling
+        another @_locked method (remove → _gc_orphans) joins the open
+        session and its changes ride the same commit."""
+        if self._staged is not None:
+            yield                      # reentrant: join the open session
+            return
+        self._log.acquire_lease()
+        snap = self._log.latest()
+        if snap is not None:
+            self._base_version, self._base_tables = snap
+        else:
+            # first mutation on a log-less root: ADOPT any legacy
+            # plain-directory tables (e.g. written locally, now mounted
+            # remotely) as the base snapshot — the commit references
+            # them verbatim; vacuum only ever reaps c-* dirs, so
+            # adopted directories are never deleted
+            self._base_version, self._base_tables = 0, {}
+            for t in TABLES:
+                if hadoop_list_files(self.spark, self._path(t)):
+                    self._base_tables[t] = [self._path(t)]
+        self._staged = {}
+        try:
+            yield
+            if self._staged:
+                tables = {t: list(dirs) for t, dirs in
+                          self._base_tables.items()}
+                for t, st in self._staged.items():
+                    base = [] if st["replace"] else tables.get(t, [])
+                    tables[t] = base + st["dirs"]
+                self._log.commit(self._base_version, tables)
+        except BaseException:
+            for st in (self._staged or {}).values():
+                for d in st["dirs"]:
+                    try:
+                        self._log.fs.delete(d)
+                    except Exception:  # noqa: BLE001 — vacuum reaps later
+                        pass
+            raise
+        finally:
+            self._staged = None
+            self._base_tables = {}
+            self._log.release_lease()
+
+    def _data_area(self, name: str) -> str:
+        """Commit-log data dirs live under ``root/_data/<table>/`` —
+        SEPARATE from the legacy plain ``root/<table>/`` path, so an
+        adopted legacy directory is never re-listed through a staged
+        sibling, and the underscore keeps naive whole-root globs from
+        double-reading log-managed files."""
+        return f"{self.root.rstrip('/')}/_data/{name}"
+
+    def _live_dirs(self, name: str) -> list[str] | None:
+        """The committed (plus session-staged) data directories of
+        ``name`` on a commit-log store; None when the root is local or
+        the log holds no commit (legacy plain-directory layout)."""
+        if self._log is None:
+            return None
+        if self._staged is not None:      # inside a mutation session
+            dirs = list(self._base_tables.get(name, []))
+            st = self._staged.get(name)
+            if st is not None:
+                dirs = ([] if st["replace"] else dirs) + st["dirs"]
+            return dirs
+        snap = self._log.latest()
+        if snap is None:
+            return None                   # legacy plain-directory layout
+        return list(snap[1].get(name, []))
+
+    def _stage_write(self, name: str, df: DataFrame, replace: bool,
+                     shape: bool = True) -> None:
+        """Write ``df`` as a fresh immutable data dir and record it in
+        the open mutation session (commit-log protocol write path)."""
+        import uuid as _uuid
+
+        if self._staged is None:
+            raise RuntimeError(
+                "commit-log table writes must run inside a mutation "
+                "session (@_locked method) — direct _overwrite/_append "
+                "outside one would publish nothing")
+        out = df
+        if shape and name != "genomes":
+            out = df.repartition(
+                max(1, df.rdd.getNumPartitions() // 4 or 1), "seqhash")
+        # genomes stay UNPARTITIONED on commit-log stores: object-store
+        # layouts skip directory partitioning (tiny-file explosion,
+        # slow renames) — the genomes manifest's per-file date min/max
+        # subsumes month pruning, the same trade Delta/Iceberg make
+        # (file statistics over hive partitions)
+        d = f"{self._data_area(name)}/c-{_uuid.uuid4().hex[:12]}"
+        out.write.mode("error").parquet(d)
+        with self._staged_lock:
+            st = self._staged.setdefault(
+                name, {"replace": False, "dirs": []})
+            if replace:
+                st["replace"] = True
+                st["dirs"] = [d]
+            else:
+                st["dirs"].append(d)
 
     # -- db bootstrap (S10) ------------------------------------------------
 
@@ -303,6 +453,9 @@ class SonarStore:
                                                        read_fasta_one)
         from covsonar_spark.operators.lineage import load_sublineage_map
 
+        if _remote_scheme(root):
+            return cls._open_remote(spark, root, ref_path, gff_path,
+                                    lineage_tsv)
         assets = os.path.join(root, "assets")
         os.makedirs(assets, exist_ok=True)
         for src, name in ((ref_path, "ref.fna"), (gff_path, "ref.gff3"),
@@ -326,14 +479,78 @@ class SonarStore:
         cls.upgrade(spark, root)
         return cls(spark, root, ref, cds, sub)
 
+    @classmethod
+    def _open_remote(cls, spark: SparkSession, root: str,
+                     ref_path: str | None, gff_path: str | None,
+                     lineage_tsv: str | None) -> "SonarStore":
+        """open() for a remote-scheme root: assets persist through the
+        Hadoop FS (sources are local files as on the posix path), and
+        are staged to a local temp file for the existing parsers."""
+        import tempfile
+
+        from covsonar_spark.commitlog import HadoopFS
+        from covsonar_spark.functions.genetics import (harmonize, parse_gff3,
+                                                       read_fasta_one)
+        from covsonar_spark.operators.lineage import load_sublineage_map
+
+        fs = HadoopFS(spark, root)
+        assets = f"{root.rstrip('/')}/assets"
+        for src, name in ((ref_path, "ref.fna"), (gff_path, "ref.gff3"),
+                          (lineage_tsv, "lineage.tsv")):
+            dst = f"{assets}/{name}"
+            if src and not fs.exists(dst):
+                with open(src, "rb") as fh:
+                    fs.write_bytes(dst, fh.read())
+
+        def _local(name: str) -> str | None:
+            p = f"{assets}/{name}"
+            if not fs.exists(p):
+                return None
+            tmp = tempfile.NamedTemporaryFile(
+                suffix="-" + name, delete=False)
+            tmp.write(fs.read_bytes(p))
+            tmp.close()
+            return tmp.name
+
+        ref = None
+        cds = []
+        sub = {}
+        ref_file = _local("ref.fna")
+        if ref_file:
+            _, _, ref = read_fasta_one(ref_file)
+            ref = harmonize(ref)
+            gff_file = _local("ref.gff3")
+            if gff_file:
+                cds = parse_gff3(gff_file, ref)
+        lin_file = _local("lineage.tsv")
+        if lin_file:
+            sub = load_sublineage_map(lin_file)
+        cls.upgrade(spark, root)
+        return cls(spark, root, ref, cds, sub)
+
     # -- schema versioning / migration (S11) -------------------------------
 
     @classmethod
-    def version(cls, root: str) -> int:
+    def version(cls, root: str, spark: SparkSession | None = None) -> int:
         """Stored schema version (reference: ``PRAGMA user_version``,
         lib/sonardb.py:1369-1381). Stores from before versioning (tables
         exist but no VERSION marker) report 1; a fresh directory reports
-        the current version (nothing to migrate)."""
+        the current version (nothing to migrate).  Remote-scheme roots
+        need ``spark`` (the marker is read through the Hadoop FS)."""
+        if _remote_scheme(root):
+            if spark is None:
+                raise ValueError(
+                    f"reading the schema version of remote root {root!r} "
+                    f"needs a SparkSession (Hadoop FS access)")
+            from covsonar_spark.commitlog import HadoopFS
+
+            fs = HadoopFS(spark, root)
+            vf = f"{root.rstrip('/')}/VERSION"
+            if fs.exists(vf):
+                return int(fs.read_bytes(vf).decode().strip())
+            has_tables = any(
+                fs.exists(f"{root.rstrip('/')}/{t}") for t in TABLES)
+            return 1 if has_tables else SCHEMA_VERSION
         vf = os.path.join(root, "VERSION")
         if os.path.exists(vf):
             with open(vf) as fh:
@@ -348,7 +565,32 @@ class SonarStore:
         pending migration in order, recording the version marker after
         each step so an interrupted upgrade resumes where it stopped.
         Returns (version_before, version_after); refuses stores written
-        by a newer engine."""
+        by a newer engine.
+
+        Remote-scheme roots: only the version check + first-open marker
+        write — a pre-current store on a remote root must be migrated
+        through a posix mount (the migrations predate the commit-log
+        protocol, so no remote store written by an older engine exists;
+        the refusal is a guard against foreign layouts)."""
+        if _remote_scheme(root):
+            from covsonar_spark.commitlog import HadoopFS
+
+            before = cls.version(root, spark)
+            if before > SCHEMA_VERSION:
+                raise ValueError(
+                    f"store schema version {before} is newer than this "
+                    f"engine supports ({SCHEMA_VERSION}) — upgrade the "
+                    f"engine, not the store")
+            if before < SCHEMA_VERSION:
+                raise ValueError(
+                    f"remote root {root!r} holds a pre-version-"
+                    f"{SCHEMA_VERSION} layout; run db-upgrade against a "
+                    f"posix mount of it first")
+            fs = HadoopFS(spark, root)
+            vf = f"{root.rstrip('/')}/VERSION"
+            if not fs.exists(vf):
+                fs.write_bytes(vf, f"{SCHEMA_VERSION}\n".encode())
+            return before, SCHEMA_VERSION
         os.makedirs(root, exist_ok=True)
         # lock-free fast path: a current store with its marker present
         # needs no migration and no marker write — read-only flows
@@ -403,7 +645,10 @@ class SonarStore:
         Delta's OPTIMIZE ZORDER."""
         out = {}
         for t in TABLES:
-            if not os.path.exists(self._path(t)):
+            if self._log is not None:
+                if not self._live_dirs(t):
+                    continue
+            elif not os.path.exists(self._path(t)):
                 continue
             df = self.table(t)
             n = df.count()
@@ -427,10 +672,17 @@ class SonarStore:
         # (stats are derived data — cheap to rebuild, safe when stale);
         # the (lineage, date) genome clustering above is exactly what
         # makes the genomes manifest's min/max stats selective
-        if os.path.exists(self._path("profiles")):
+        if "profiles" in out:
             out["manifest_files"] = self.build_manifest("profiles")
-        if os.path.exists(self._path("genomes")):
+        if "genomes" in out:
             out["genomes_manifest_files"] = self.build_manifest("genomes")
+        if self._log is not None:
+            # reap dirs superseded past the retention window and
+            # uncommitted garbage from crashed/conflicted writers (the
+            # VACUUM half of the reference's optimize,
+            # lib/sonardb.py:2090-2093)
+            out["vacuumed_dirs"] = self._log.vacuum(
+                {t: self._data_area(t) for t in TABLES})
         return out
 
     # -- file-skipping manifest (beyond-parity scale feature) -------------
@@ -460,7 +712,11 @@ class SonarStore:
         spec = self._MANIFEST_SPEC.get(table)
         if spec is None:
             raise ValueError(f"no manifest spec for table {table!r}")
-        man = _bm(self.spark, self._path(table), **spec)
+        dirs = self._live_dirs(table)
+        if dirs is not None and not dirs:
+            return 0        # empty log table: nothing to cover
+        man = _bm(self.spark,
+                  dirs if dirs is not None else self._path(table), **spec)
         mpath = os.path.join(self.root, "manifests", table)
         man.coalesce(1).write.mode("overwrite").parquet(mpath)
         try:
@@ -477,8 +733,16 @@ class SonarStore:
         """Data files of ``table`` listed via the Hadoop FileSystem API
         (scheme-portable; marker/staging paths filtered with Spark's
         hidden-path rule — an explicit file list must apply it or a
-        pruned read would ingest uncommitted attempt files)."""
-        return hadoop_list_files(self.spark, self._path(table))
+        pruned read would ingest uncommitted attempt files).  On a
+        commit-log store only the LIVE directory set is listed —
+        uncommitted/superseded c-* dirs never leak into a pruned read."""
+        dirs = self._live_dirs(table)
+        if dirs is None:
+            return hadoop_list_files(self.spark, self._path(table))
+        out: list[str] = []
+        for d in dirs:
+            out.extend(hadoop_list_files(self.spark, d))
+        return out
 
     def pruned_table(self, table: str, bloom_col: str,
                      tokens: list[str]) -> DataFrame:
@@ -553,10 +817,15 @@ class SonarStore:
                  if norm_uri(p) in kept or norm_uri(p) not in covered]
         if not files:
             return self.table(table).limit(0)
-        return self._project(
-            table, self.spark.read
-            .option("basePath", hadoop_qualify(self.spark, self._path(table)))
-            .parquet(*files))
+        reader = self.spark.read
+        if self._live_dirs(table) is None:
+            # plain layout: basePath keeps hive partition columns
+            # (genomes' date_month) resolvable from the file list;
+            # commit-log dirs are unpartitioned and span multiple
+            # roots, where no single basePath applies
+            reader = reader.option(
+                "basePath", hadoop_qualify(self.spark, self._path(table)))
+        return self._project(table, reader.parquet(*files))
 
     # -- table IO ---------------------------------------------------------
 
@@ -566,14 +835,37 @@ class SonarStore:
     def table(self, name: str) -> DataFrame:
         path = self._path(name)
         if _remote_scheme(self.root):
-            # non-posix schemes are QUERY-ONLY (see module commit
-            # protocol note): no swap/heal protocol exists there, so a
+            # commit-log read path: resolve the live directory set from
+            # the newest commit (old-snapshot-or-new — a concurrent
+            # writer's staged dirs are invisible until its atomic
+            # commit rename lands).  Dirs read separately + unioned:
+            # an adopted legacy dir may carry the date_month partition
+            # column that log-written dirs don't.
+            try:
+                dirs = self._live_dirs(name)
+            except Exception as exc:  # noqa: BLE001 — unreachable mount
+                raise StoreReadError(
+                    f"commit log of {self.root} unreadable (filesystem "
+                    f"error, NOT a confirmed-absent store): {exc}") from exc
+            if dirs is not None:
+                if not dirs:
+                    return self.spark.createDataFrame([], _SCHEMAS[name])
+                frames = [self.spark.read.parquet(d) for d in dirs]
+                df = frames[0]
+                for f in frames[1:]:
+                    df = df.unionByName(f, allowMissingColumns=True)
+                return self._project(name, df)
+            # legacy plain-directory remote layout (no commit log): a
             # missing/unreadable table is simply empty-or-raise, with
             # no .old-snapshot semantics to honor
             try:
                 return self._project(name, self.spark.read.parquet(path))
             except Exception:  # noqa: BLE001
-                if hadoop_list_files(self.spark, path):
+                # strict listing: only a CONFIRMED-absent path may fall
+                # through to the empty table — a transient FS outage
+                # (listing also failing) raises StoreReadError instead
+                # of silently returning 0 rows (round-5 review, medium)
+                if hadoop_list_files(self.spark, path, strict=True):
                     raise StoreReadError(
                         f"table '{name}' at {path} holds data files but "
                         f"could not be read")
@@ -754,6 +1046,9 @@ class SonarStore:
         limit)."""
         import shutil
 
+        if self._log is not None:     # commit-log root: stage a replace
+            self._stage_write(name, df, replace=True, shape=shape)
+            return
         final = self._path(name)
         tmp, old = final + ".tmp", final + ".old"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -770,6 +1065,9 @@ class SonarStore:
         os.rename(tmp, final)
 
     def _append(self, name: str, df: DataFrame) -> None:
+        if self._log is not None:     # commit-log root: stage an append
+            self._stage_write(name, df, replace=False)
+            return
         out, parts = self._layout(name, df)
         w = out.write.mode("append")
         if parts:
@@ -1104,12 +1402,36 @@ class SonarStore:
         return build_essence(genomes, profiles)
 
     def match(self, query: MatchQuery) -> DataFrame:
+        resolved = self._resolved_lineages(query)
         return MatchEngine(self.essence(query.dates or None,
                                         self._match_profiles(query),
-                                        self._match_genomes(query)),
-                           self.sublineage_map).run(query)
+                                        self._match_genomes(query, resolved)),
+                           self.sublineage_map).run(
+            query, resolved_lineages=resolved)
 
-    def _match_genomes(self, query: MatchQuery) -> DataFrame | None:
+    def _resolved_lineages(self, query: MatchQuery) -> tuple | None:
+        """``%``-wildcard expansion + sublineage closure resolved ONCE
+        over the FULL genomes table, feeding BOTH the manifest prune and
+        the engine predicate (round-5 review, high: the engine used to
+        re-expand over the PRUNED essence — when date/zip/ct pruning
+        removed every file holding the wildcard's lineages, the engine's
+        expansion came back empty, the lineage predicate was dropped,
+        and the pruned match returned rows the unpruned match excludes).
+        Above the semi-join threshold the resolution stays a distributed
+        DataFrame (match.expand_lineages)."""
+        if not query.lineages:
+            return None
+        from covsonar_spark.operators.match import (expand_lineages,
+                                                    split_negations)
+
+        inc, exc = split_negations([v.upper() for v in query.lineages])
+        genomes = self.table("genomes")
+        return (expand_lineages(genomes, inc, query.with_sublineage,
+                                self.sublineage_map),
+                expand_lineages(genomes, exc, False, self.sublineage_map))
+
+    def _match_genomes(self, query: MatchQuery,
+                       resolved: tuple | None = None) -> DataFrame | None:
         """The genomes side for a match: manifest-pruned on metadata
         min/max stats when the query carries include lineage / date /
         submission-date / zip specs and a genomes manifest exists, else
@@ -1120,36 +1442,31 @@ class SonarStore:
         (sources/manifest.py stat_* builders), and conditions AND
         together exactly like the engine's predicate tree — a pruned
         file provably holds no row the match would return.  Wildcard
-        lineages expand over the FULL table (a superset of the engine's
-        expansion over the pruned essence, so still necessary); an
-        expansion that yields nothing drops the engine's lineage
+        lineages use the SAME resolution the engine predicate does
+        (``_resolved_lineages``, expanded over the full table — one
+        source of truth, so pruned and unpruned matches cannot diverge);
+        an expansion that yields nothing drops the engine's lineage
         predicate entirely, so it must not prune here either.
         Excludes (`^`) never prune — negation cannot skip files."""
         man = self._manifest("genomes")
         if man is None:
             return None
-        from covsonar_spark.operators import closure as CL
         from covsonar_spark.operators.match import split_negations
         from covsonar_spark.sources import manifest as M
 
         conds = []
-        inc_lin, _ = split_negations([v.upper() for v in query.lineages])
-        if inc_lin:
-            if any("%" in v for v in inc_lin):
-                expanded = []
-                for v in inc_lin:
-                    if "%" in v:
-                        expanded.extend(P.distinct_values_matching(
-                            self.table("genomes"), "lineage", v))
-                    else:
-                        expanded.append(v)
-                inc_lin = expanded
-            if query.with_sublineage:
-                inc_lin = CL.bfs_closure(self.sublineage_map, inc_lin)
-            if inc_lin:      # empty expansion = no engine predicate
-                c = M.stat_in_condition("lineage", inc_lin)
-                if c is not None:
-                    conds.append(c)
+        if resolved is None:
+            resolved = self._resolved_lineages(query)
+        inc_lin = resolved[0] if resolved is not None else []
+        if isinstance(inc_lin, DataFrame):
+            # expansion overflow: the value set is distributed-only —
+            # skip the lineage prune dimension (pruning less is always
+            # lossless); the engine's semi-join applies the exact filter
+            pass
+        elif inc_lin:        # empty expansion = no engine predicate
+            c = M.stat_in_condition("lineage", inc_lin)
+            if c is not None:
+                conds.append(c)
         for fld, specs in (("date", query.dates),
                            ("submission_date", query.submission_dates)):
             inc, _ = split_negations(specs or [])

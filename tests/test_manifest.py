@@ -354,6 +354,61 @@ def test_store_match_metadata_pruned_wildcard_and_negation(spark, tmp_path):
     assert got == exp and exp
 
 
+def test_wildcard_prune_divergence(spark, tmp_path):
+    """Round-5 review (high): when date/zip/ct pruning removes EVERY
+    file holding a %-wildcard's matching lineages, the engine's
+    expansion must NOT come back empty (which would drop the lineage
+    predicate and return rows the unpruned match excludes) — wildcards
+    resolve once over the FULL table (store._resolved_lineages)."""
+    import datetime
+
+    from covsonar_spark.operators.match import MatchQuery
+    from covsonar_spark.store import SonarStore, _SCHEMAS
+
+    root = str(tmp_path / "db")
+    st = SonarStore.open(spark, root)
+    # file 0: all B.1.1.7, dated 2021-01;  file 1: all XX.1, dated
+    # 2022-06 — an ANTI-correlated layout: the date range selects only
+    # the file holding NONE of the wildcard's lineages
+    rows = []
+    for i in range(20):
+        rows.append((f"A{i}", None, f"h{i}", "B.1.1.7", None,
+                     datetime.date(2021, 1, 1 + i % 27), None, None,
+                     None, None, None, None, None, None, None, None,
+                     None, None, None, None))
+        rows.append((f"B{i}", None, f"g{i}", "XX.1", None,
+                     datetime.date(2022, 6, 1 + i % 27), None, None,
+                     None, None, None, None, None, None, None, None,
+                     None, None, None, None))
+    gdf = spark.createDataFrame(rows, schema=_SCHEMAS["genomes"])
+    gdf.repartitionByRange(2, "lineage") \
+        .write.parquet(os.path.join(root, "genomes"))
+    profiles = [(f"h{i}", ["C100T"], [], [], None, None) for i in range(20)] \
+        + [(f"g{i}", ["C200T"], [], [], None, None) for i in range(20)]
+    spark.createDataFrame(profiles, schema=_profiles_schema()) \
+        .coalesce(1).write.parquet(os.path.join(root, "profiles"))
+    n_files = st.build_manifest("genomes")
+    assert n_files >= 2
+
+    # B.% expands to {B.1.1.7} over the full table; no B.1.1.7 row is
+    # in the date range → the match is EMPTY, pruned or not
+    q = MatchQuery(lineages=["B.%"], dates=["2022-06-01:2022-06-30"])
+    assert _unpruned_match(st, q).count() == 0
+    assert st.match(q).count() == 0            # the old bug returned 20
+
+    # control: same wildcard with its own date range matches file 0
+    q_ok = MatchQuery(lineages=["B.%"], dates=["2021-01-01:2021-01-31"])
+    got = sorted(r["accession"] for r in st.match(q_ok).collect())
+    assert got == sorted(f"A{i}" for i in range(20))
+
+    # same divergence shape with --with-sublineage: closure runs on the
+    # full-table expansion, not the pruned one
+    st.sublineage_map = {"B.1.1.7": ["B.1.1.7.1"]}
+    q_sub = MatchQuery(lineages=["B.%"], with_sublineage=True,
+                       dates=["2022-06-01:2022-06-30"])
+    assert st.match(q_sub).count() == 0
+
+
 def test_both_sides_pruned_compose_losslessly(spark, tmp_path):
     """A query with BOTH an include-profile group and include
     lineage/date specs prunes the profiles side (vocabulary bloom) AND

@@ -106,13 +106,142 @@ def test_match_end_to_end_on_viewfs(spark, tmp_path):
     assert stv.table("dna_variants").count() == 0
 
 
-def test_mutations_refuse_remote_roots(spark, tmp_path):
+def test_commitlog_adopts_legacy_layout(spark, tmp_path):
+    """First mutation on a remote root holding plain table directories
+    (written locally, mounted remotely): the commit-log protocol adopts
+    them as version-1 base, optimize() compacts into log-managed dirs,
+    and match results are unchanged."""
+    from covsonar_spark.operators.match import MatchQuery
+
     root = str(tmp_path / "db")
-    _write_clustered_store(spark, root, n=8)
+    _write_clustered_store(spark, root, n=16)
     uri = _mount(spark, "vtestmut", root)
     stv = SonarStore(spark, uri)
-    with pytest.raises(ValueError, match="query-only"):
-        stv.optimize()
+    q = MatchQuery(lineages=["L.1"])
+    before = sorted(r["accession"] for r in stv.match(q).collect())
+    assert before
+
+    res = stv.optimize(rows_per_file=8)
+    assert res["genomes"] >= 1
+    assert stv._log.versions()                 # a commit landed
+    dirs = stv._live_dirs("genomes")
+    assert dirs and all("/_data/genomes/c-" in d for d in dirs)
+    after = sorted(r["accession"] for r in stv.match(q).collect())
+    assert after == before
+
+
+def test_commitlog_ingest_update_remove_on_viewfs(spark, tmp_path):
+    """The full mutation lifecycle on a remote-scheme root: open →
+    ingest (atomic five-table commit) → metadata update → remove with
+    orphan GC — each one commit, results identical to a local store
+    run of the same inputs."""
+    from covsonar_spark.operators.match import MatchQuery
+    from covsonar_spark.sources.fasta import read_fasta
+    from covsonar_spark.sources.metadata import read_pangolin_csv
+
+    REF = "/root/reference"
+    local = str(tmp_path / "local_db")
+    st_local = SonarStore.open(spark, local, ref_path=f"{REF}/lib/ref.fna",
+                               gff_path=f"{REF}/lib/ref.gff3")
+    remote_backing = str(tmp_path / "remote_db")
+    os.makedirs(remote_backing, exist_ok=True)
+    uri = _mount(spark, "vtestingest", remote_backing)
+    st_remote = SonarStore.open(spark, uri, ref_path=f"{REF}/lib/ref.fna",
+                                gff_path=f"{REF}/lib/ref.gff3")
+
+    records = read_fasta(spark, [f"{REF}/test/test.fasta"])
+    rep_l = st_local.add_fasta_df(records)
+    rep_r = st_remote.add_fasta_df(records)
+    assert rep_r["errors"] == {} and rep_r["paranoid_mismatches"] == []
+    assert rep_r["added_accessions"] == rep_l["added_accessions"]
+    v_after_ingest = st_remote._log.versions()
+    assert len(v_after_ingest) == 1            # five tables, ONE commit
+
+    pango = read_pangolin_csv(spark, f"{REF}/test/test_pangolin.csv")
+    assert st_remote.update_metadata(pango) == st_local.update_metadata(pango)
+    q = MatchQuery(lineages=["B.1.1.297"])    # test1's pangolin call
+    exp = sorted(r["accession"] for r in st_local.match(q).collect())
+    got = sorted(r["accession"] for r in st_remote.match(q).collect())
+    assert got == exp and exp
+
+    acc = exp[0]
+    out_l = st_local.remove([acc])
+    out_r = st_remote.remove([acc])
+    assert out_r == out_l
+    assert st_remote.match(MatchQuery()).count() == \
+        st_local.match(MatchQuery()).count()
+    # every mutation published exactly one atomic snapshot
+    assert len(st_remote._log.versions()) == 3
+
+
+def test_commitlog_conflict_and_reader_isolation(spark, tmp_path):
+    """Optimistic-concurrency guarantees: (a) two committers at the
+    same base version — exactly one wins, the loser gets a clean
+    StoreWriteConflict; (b) staged-but-uncommitted data is invisible to
+    a concurrent reader handle until the commit rename lands."""
+    from covsonar_spark.commitlog import CommitLog, StoreWriteConflict
+
+    root = str(tmp_path / "db")
+    _write_clustered_store(spark, root, n=8)
+    uri = _mount(spark, "vtestconf", root)
+
+    log = CommitLog(spark, uri)
+    log.commit(0, {"genomes": [uri + "/genomes"]})
+    log2 = CommitLog(spark, uri)
+    with pytest.raises(StoreWriteConflict):
+        log2.commit(0, {"genomes": []})        # same base: loser raises
+    assert log.latest()[0] == 1
+
+    writer = SonarStore(spark, uri)
+    reader = SonarStore(spark, uri)
+    n_before = reader.table("genomes").count()
+    with writer._remote_mutation():
+        writer._overwrite("genomes", writer.table("genomes").limit(2))
+        # writer sees its own staged state; the reader handle does not
+        assert writer.table("genomes").count() == 2
+        assert reader.table("genomes").count() == n_before
+    assert reader.table("genomes").count() == 2
+
+
+def test_commitlog_vacuum_reaps_garbage(spark, tmp_path):
+    """A crashed/conflicted writer's staged dirs are invisible and
+    vacuum() deletes them (plus superseded versions past retention)
+    without touching live or adopted directories."""
+    root = str(tmp_path / "db")
+    _write_clustered_store(spark, root, n=8)
+    uri = _mount(spark, "vtestvac", root)
+    stv = SonarStore(spark, uri)
+    stv.optimize(rows_per_file=4)              # adopt + compact: v1
+    n = stv.table("genomes").count()
+
+    # simulate a crash: stage a write, then abort before commit
+    with pytest.raises(RuntimeError, match="boom"):
+        with stv._remote_mutation():
+            stv._append("genomes", stv.table("genomes").limit(1))
+            raise RuntimeError("boom")
+    assert stv.table("genomes").count() == n   # nothing published
+
+    stv.optimize(rows_per_file=4)              # v2
+    stv.optimize(rows_per_file=4)              # v3
+    removed = stv._log.vacuum(
+        {t: stv._data_area(t) for t in ("genomes", "profiles")},
+        retain_last=1, min_age_s=0.0)
+    assert removed >= 1                        # superseded dirs reaped
+    assert stv.table("genomes").count() == n   # live data intact
+    assert len(stv._log.versions()) == 1
+
+
+def test_remote_fs_failure_raises_not_empty(spark, tmp_path):
+    """Round-5 review (medium): when the parquet read AND the fallback
+    listing both fail (unresolvable mount / transient FS outage), the
+    remote table() must raise StoreReadError — never silently return an
+    empty table.  A CONFIRMED-absent path on a healthy mount still
+    reads as empty (test_match_end_to_end_on_viewfs)."""
+    from covsonar_spark.store import StoreReadError
+
+    stv = SonarStore(spark, "viewfs://no-such-mounttable/db")
+    with pytest.raises(StoreReadError, match="filesystem error"):
+        stv.table("genomes")
 
 
 def test_hadoop_listing_filters_hidden_and_sizes(spark, tmp_path):
