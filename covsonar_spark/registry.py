@@ -3061,64 +3061,78 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 # sketch / quality); the remaining rows follow and are still
 # value-checked by the local twin harness (tests/test_oracle_twins.py).
 #
-# ROTATION (round 5): rows with four consecutive driver-green rounds
-# rotate OUT to the head of the second window (they stay twin-gated)
-# and rows that never earned a driver check rotate IN — including the
-# r4/r5 file-manifest paths (match_profile_pruned,
-# match_metadata_pruned) — so every registry row eventually gets an
-# external pass(d), not only the in-repo twin gate.
+# ROTATION (round 6 policy, started round 5): rows with ≥4 driver-green
+# rounds rotate OUT to the head of the second window (they stay
+# twin-gated every run); rows that have never earned a driver check
+# rotate IN, so every registry row eventually gets an external pass(d),
+# not only the in-repo twin gate.  Round 6 keeps the 15 rows still
+# under 4 green rounds and fills the other 35 slots with
+# first-time-windowed rows spanning every remaining family
+# (curation / text / multimodal / OLAP / ts / sketches / analytics /
+# skew / ivm / fuzzy-join / streaming-sketch).
 # ---------------------------------------------------------------------------
 
 _PRIORITY_WINDOW = [
-    # §2 covsonar core: match / profile / lineage / vcf
-    "match_metadata_filters", "match_metadata_negation",
-    "match_profile_and", "match_profile_semijoin",
-    "match_profile_pruned", "match_metadata_pruned",
-    "match_profile_or_groups", "match_profile_exclude",
-    "profile_token_frequencies", "lineage_closure_prefix", "vcf_site_stats",
-    # §2 aggregations
-    "agg_group_counts", "agg_distinct_counts", "agg_rollup_revenue",
-    "agg_histogram",
-    # §2 windows + event analytics
-    "window_rank_per_group", "events_window_agg",
-    "events_sessionize", "events_asof_attribution",
-    "events_concurrent_sessions",
-    # TPC-H joins/aggregates
-    "q1_pricing_summary", "q18_large_orders", "q9_product_profit",
-    "join_parts_never_ordered",
-    # dedup family
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_clusters", "dedup_semantic", "dedup_canonical",
-    "dedup_ngram_prefix",
-    # streaming (full-oracle rows)
-    "stream_dedup_lsh", "stream_hll_distinct", "stream_ivm_join",
-    "stream_sessionize",
-    # ANN / embeddings
-    "ann_cosine_topk", "ann_ivf_topk", "ann_pq_topk", "embed_near_dup",
-    "hybrid_search_rrf",
-    # text / curation / incremental view maintenance
-    "text_lang_id", "text_boilerplate", "curate_corpus",
-    "sample_split_leakage_safe", "ivm_join_view",
-    # one row per remaining family
-    "agg_cube_revenue", "ts_gap_fill", "graph_triangles",
-    "sketch_kmv_distinct", "cdc_snapshot_diff",
+    # <4 driver-green rounds: stay until they reach rotation maturity
+    "match_profile_pruned", "match_metadata_pruned", "agg_histogram",
+    "q9_product_profit", "dedup_canonical", "dedup_ngram_prefix",
+    "stream_ivm_join", "stream_sessionize", "ann_pq_topk",
+    "hybrid_search_rrf", "text_boilerplate", "sample_split_leakage_safe",
+    "graph_triangles", "sketch_kmv_distinct", "cdc_snapshot_diff",
+    # first driver check: match semi-join fallback path
+    "match_metadata_semijoin",
+    # first driver check: curation family
+    "sample_dsir", "decontaminate", "pii_scrub", "sample_stratified",
+    "pack_sequences",
+    # first driver check: text-analysis family
+    "text_quality", "text_fingerprint", "text_chunk_windows",
+    "text_tfidf_topk", "text_quality_gate", "text_pmi_collocations",
+    # first driver check: multimodal + embeddings
+    "multimodal_frames", "multimodal_meta_stats", "embed_kmeans",
+    # first driver check: TPC-H spread (q13 is also the r5 perf watch row)
+    "q13_customer_distribution", "q19_disjunctive", "q14_promo_revenue",
+    # first driver check: OLAP reshaping
+    "pivot_revenue_matrix", "unpivot_acctbal", "profile_table_stats",
+    # first driver check: windows / time series / graph
+    "window_trailing_range", "ts_ewma", "ts_anomaly_zscore",
+    "ts_islands_scd2", "graph_degree_stats",
+    # first driver check: sketches (batch + streaming)
+    "sketch_hll_setops", "sketch_countmin", "sketch_histogram_quantile",
+    "stream_histogram_quantile",
+    # first driver check: analytics / skew / ivm / fuzzy join
+    "stats_ab_test", "orders_rfm_segmentation", "skew_diagnose",
+    "ivm_retract_minmax", "join_fuzzy_levenshtein",
 ]
 assert len(_PRIORITY_WINDOW) == 50, len(_PRIORITY_WINDOW)
 assert all(k in _ALL for k in _PRIORITY_WINDOW), [
     k for k in _PRIORITY_WINDOW if k not in _ALL]
 
 _SECOND_WINDOW = [
-    # rows 52+: the four-round driver-green rows rotated out in round 5
-    # first (still twin-gated every run), then the remaining rows by
-    # marginal signal in case the harness checks beyond its budget
+    # rows 51+: the ≥4-round driver-green rows rotated out in round 6
+    # first (still twin-gated every run), then earlier rotations, then
+    # the remaining rows by marginal signal in case the harness checks
+    # beyond its budget
+    "match_metadata_filters", "match_metadata_negation",
+    "match_profile_and", "match_profile_semijoin",
+    "match_profile_or_groups", "match_profile_exclude",
+    "profile_token_frequencies", "lineage_closure_prefix", "vcf_site_stats",
+    "agg_group_counts", "agg_distinct_counts", "agg_rollup_revenue",
+    "window_rank_per_group", "events_window_agg", "events_sessionize",
+    "events_asof_attribution", "events_concurrent_sessions",
+    "q1_pricing_summary", "q18_large_orders", "join_parts_never_ordered",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_clusters", "dedup_semantic", "stream_dedup_lsh",
+    "stream_hll_distinct", "ann_cosine_topk", "ann_ivf_topk",
+    "embed_near_dup", "text_lang_id", "curate_corpus", "ivm_join_view",
+    "agg_cube_revenue", "ts_gap_fill",
+    # round-5 rotations
     "match_profile_bloom", "match_count", "agg_salted_collect",
     "agg_percentiles", "agg_minmax_dates", "agg_field_completeness",
     "window_running_total", "events_json_extract", "q21_waiting_suppliers",
     "dedup_substring", "dedup_simhash", "ann_lsh_knn",
     "graph_pagerank", "sketch_hll_distinct", "dq_constraint_audit",
-    "multimodal_meta_stats", "basket_association_rules",
-    "join_fuzzy_levenshtein", "ivm_orders_rollup", "stream_countmin",
-    "stream_histogram_quantile", "events_funnel",
+    "basket_association_rules", "ivm_orders_rollup", "stream_countmin",
+    "events_funnel",
 ]
 assert len(_SECOND_WINDOW) == len(set(_SECOND_WINDOW)), "duplicate in _SECOND_WINDOW"
 assert all(k in _ALL and k not in _PRIORITY_WINDOW for k in _SECOND_WINDOW), [
