@@ -354,9 +354,13 @@ def write_sample_vcfs(calls: DataFrame, out_dir: str,
 
 
 def export_vcf(store, path: str, accessions: list[str] | None = None,
-               dates: list[str] | None = None, chrom: str = "NC_045512.2") -> DataFrame:
+               dates: list[str] | None = None, chrom: str = "NC_045512.2",
+               index: bool = True) -> DataFrame:
     """End-to-end `var2vcf`: store → filtered calls → site table + text
-    file; returns the site table for inspection."""
+    file; returns the site table for inspection.  A ``.gz`` deliverable
+    additionally gets its tabix ``.tbi`` sidecar (sources/tabix.py) —
+    the reference produces it via external ``tabix -p vcf``,
+    lib/sonartoVCF.py:129-144."""
     view = dna_view(store.table("genomes"), store.table("dna_variants"))
     # persist: the filtered calls subtree feeds the sample census, the
     # genotype pivot, the site aggregation, and the final merge join —
@@ -364,5 +368,9 @@ def export_vcf(store, path: str, accessions: list[str] | None = None,
     calls = calls_from_dna_view(view, accessions, dates).persist()
     sites = site_table(calls, chrom=chrom)
     write_vcf(sites, calls, path, chrom=chrom)
+    if index and path.endswith(".gz"):
+        from covsonar_spark.sources.tabix import build_tabix_index
+
+        build_tabix_index(path)
     calls.unpersist()
     return sites
