@@ -719,6 +719,21 @@ class SonarStore:
                   dirs if dirs is not None else self._path(table), **spec)
         mpath = os.path.join(self.root, "manifests", table)
         man.coalesce(1).write.mode("overwrite").parquet(mpath)
+        if self._log is not None:
+            # pin the manifest to the commit version whose IMMUTABLE
+            # dir set it covered: while that version is still latest,
+            # the manifest's own file column IS the complete live file
+            # set and match-time pruning needs ZERO listing calls.
+            # Mid-session (optimize) the pin is the version about to be
+            # published; if that commit loses the race the pin simply
+            # never matches — fallback to listing, never wrong rows.
+            import json as _json
+
+            v = (self._base_version + 1 if self._staged is not None
+                 else (self._log.latest() or (0, {}))[0])
+            self._log.fs.write_bytes(
+                f"{mpath}.meta.json",
+                _json.dumps({"commit_version": v}).encode())
         try:
             # row count from the written footers — no second Spark job
             import pyarrow.dataset as ds
@@ -738,11 +753,41 @@ class SonarStore:
         uncommitted/superseded c-* dirs never leak into a pruned read."""
         dirs = self._live_dirs(table)
         if dirs is None:
+            if not _remote_scheme(self.root):
+                # local fast path: os.scandir walk with the same
+                # hidden rule — no py4j per-file round-trips (the
+                # round-5 verdict's listing-cliff note)
+                out: list[str] = []
+                for base, subdirs, files in os.walk(self._path(table)):
+                    subdirs[:] = [d for d in subdirs
+                                  if not d.startswith(("_", "."))]
+                    out.extend(os.path.join(base, f) for f in files
+                               if not f.startswith(("_", ".")))
+                return out
             return hadoop_list_files(self.spark, self._path(table))
-        out: list[str] = []
+        out = []
         for d in dirs:
             out.extend(hadoop_list_files(self.spark, d))
         return out
+
+    def _manifest_current_files(self, table: str) -> bool:
+        """True when the manifest's pinned commit version is still the
+        log's latest — the manifest's file column is then the COMPLETE
+        live file set (dirs are immutable), so pruning needs no listing
+        at all.  False on local roots, log-less layouts, unpinned
+        manifests, or any read failure (fallback: list)."""
+        if self._log is None:
+            return False
+        meta = f"{os.path.join(self.root, 'manifests', table)}.meta.json"
+        try:
+            import json as _json
+
+            pinned = _json.loads(
+                self._log.fs.read_bytes(meta).decode())["commit_version"]
+            snap = self._log.latest()
+        except Exception:  # noqa: BLE001 — no pin / unreadable: list
+            return False
+        return snap is not None and snap[0] == pinned
 
     def pruned_table(self, table: str, bloom_col: str,
                      tokens: list[str]) -> DataFrame:
@@ -807,6 +852,14 @@ class SonarStore:
         # element_at return NULL) must KEEP the file — the lossless
         # direction — not skip rows the exact predicate would match
         kept = {norm_uri(r["file"]) for r in rows if r["keep"] is not False}
+        if self._manifest_current_files(table):
+            # manifest pinned to the CURRENT commit: its file column is
+            # the complete live set (immutable dirs) — zero listing on
+            # the hot path; the raw manifest URIs feed the reader
+            files = [r["file"] for r in rows if norm_uri(r["file"]) in kept]
+            if not files:
+                return self.table(table).limit(0)
+            return self._project(table, self.spark.read.parquet(*files))
         actual = self._data_files(table)
         if not actual:
             # table dir absent or empty on disk (possibly mid-swap):

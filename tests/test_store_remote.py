@@ -262,3 +262,45 @@ def test_hadoop_listing_filters_hidden_and_sizes(spark, tmp_path):
                for b, _dirs, fs in os.walk(d) for f in fs
                if not f.startswith("."))
     assert total == disk
+
+
+def test_manifest_pinned_match_needs_no_listing(spark, tmp_path, monkeypatch):
+    """On a commit-log store whose manifest is pinned to the current
+    commit, match-time pruning resolves the file set from the manifest
+    itself — ZERO hadoop_list_files calls (the round-5 verdict's
+    listing-cliff item).  A new commit unpins it: pruning falls back to
+    listing and stays lossless."""
+    import covsonar_spark.store as store_mod
+    from covsonar_spark.operators.match import MatchQuery
+
+    root = str(tmp_path / "db")
+    _write_clustered_store(spark, root, n=32)
+    uri = _mount(spark, "vtestpin", root)
+    stv = SonarStore(spark, uri)
+    stv.optimize(rows_per_file=8)              # commit + pinned manifests
+    assert stv._manifest_current_files("genomes")
+
+    q = MatchQuery(lineages=["L.1"], dates=["2021-03-01:2021-03-31"])
+    expect = sorted(r["accession"] for r in stv.match(q).collect())
+    assert expect
+
+    calls = []
+    real = store_mod.hadoop_list_files
+
+    def counting(spark_, path, **kw):
+        calls.append(path)
+        return real(spark_, path, **kw)
+    monkeypatch.setattr(store_mod, "hadoop_list_files", counting)
+    got = sorted(r["accession"] for r in stv.match(q).collect())
+    assert got == expect
+    assert calls == [], f"hot-path listings happened: {calls}"
+
+    # a mutation bumps the version -> pin stale -> listing fallback,
+    # results still exact
+    monkeypatch.setattr(store_mod, "hadoop_list_files", real)
+    upd = spark.createDataFrame([("ACC0", "LAB-X")],
+                                "accession string, lab string")
+    stv.update_metadata(upd)
+    assert not stv._manifest_current_files("genomes")
+    got2 = sorted(r["accession"] for r in stv.match(q).collect())
+    assert got2 == expect
