@@ -191,6 +191,19 @@ def main() -> None:
         print(f"# {name}: {times[name]}s rows={n}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
+
+    # Cold-ingest throughput probe (round-5 verdict #8): the covsonar
+    # heavy path — FASTA file scan → align/diff/profile pandas UDF →
+    # five-table write → paranoid restore — measured every round so
+    # aligner/store regressions surface like query regressions do.
+    # Kept OUT of the query total (prior-round comparability); corpus
+    # size via SPARK_GRAFT_INGEST_N (0 disables).
+    ingest_rate, ingest_n = None, int(
+        os.environ.get("SPARK_GRAFT_INGEST_N", "256"))
+    if ingest_n:
+        ingest_rate = _ingest_probe(spark, ingest_n)
+        print(f"# ingest: {ingest_n} genomes -> {ingest_rate} g/s",
+              file=sys.stderr)
     # Host-speed probe: the same commit measured 2-3x apart across two
     # days of the same shared machine (round-4 observation, same-code
     # A/B in ARCHITECTURE.md).  Recording a fixed single-thread CPU
@@ -218,9 +231,52 @@ def main() -> None:
         "n_queries": len(times),
         "hostmark_sec": hm,
         "hostmark_mt_sec": hm_mt,
+        "ingest_genomes_per_sec": ingest_rate,
+        "ingest_n": ingest_n,
         "slowest": slowest,
         "queries_file": "BENCH_QUERIES.json",
     }, separators=(",", ":")))
+
+
+def _ingest_probe(spark, n: int) -> float:
+    """genomes/sec for a cold mutated-corpus ingest (tools/bench_ingest
+    distilled): seeded deterministic corpus, file-based entry, full
+    paranoid validation — one number per bench run."""
+    import random
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    from bench_ingest import mutate
+
+    from covsonar_spark.functions.genetics import (harmonize, parse_gff3,
+                                                   read_fasta_one)
+    from covsonar_spark.sources.fasta import read_fasta
+    from covsonar_spark.store import SonarStore
+
+    _, _, ref = read_fasta_one("/root/reference/lib/ref.fna")
+    ref = harmonize(ref)
+    cds = parse_gff3("/root/reference/lib/ref.gff3", ref)
+    corpus = tempfile.mkdtemp(prefix="bench_ing_corpus_")
+    root = tempfile.mkdtemp(prefix="bench_ing_store_")
+    try:
+        fasta = os.path.join(corpus, "corpus.fasta")
+        with open(fasta, "w") as fh:
+            for i in range(n):
+                rng = random.Random(1_000_003 * i + 7)
+                fh.write(f">bench{i:05d} g{i}\n{mutate(ref, rng)}\n")
+        records = read_fasta(spark, fasta, partitions=32)
+        st = SonarStore(spark, root, ref, cds)
+        t0 = time.perf_counter()
+        report = st.add_fasta_df(records)
+        dt = time.perf_counter() - t0
+        assert report["errors"] == {} and \
+            report["paranoid_mismatches"] == [], report
+        return round(n / dt, 1)
+    finally:
+        shutil.rmtree(corpus, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":
