@@ -699,14 +699,24 @@ class SonarStore:
                                  "zip", "ct")},
     }
 
-    def build_manifest(self, table: str = "profiles") -> int:
+    def build_manifest(self, table: str = "profiles",
+                       incremental: bool = True) -> int:
         """Build the file-level data-skipping manifest for ``table``
         (sources/manifest.py): per-file row counts, key-column min/max
         and (for profiles) wide token blooms, persisted under
         ``root/manifests/``.  Returns the number of data files covered.
         Derived data: staleness is SAFE (``pruned_table`` never prunes
         a file the manifest does not cover), so a simple overwrite
-        suffices — no rename protocol."""
+        suffices — no rename protocol.
+
+        On a commit-log store with an existing manifest, the build is
+        INCREMENTAL by default: log data dirs are immutable, so
+        surviving rows (files under still-live dirs) are reused
+        verbatim and stats run only over the dirs added since the
+        previous build — manifest maintenance is O(delta), not
+        O(table), which is what makes refreshing it inside every
+        ingest affordable at 100 TB.  ``incremental=False`` forces a
+        full rebuild (e.g. after changing _MANIFEST_SPEC)."""
         from covsonar_spark.sources.manifest import build_manifest as _bm
 
         spec = self._MANIFEST_SPEC.get(table)
@@ -715,8 +725,37 @@ class SonarStore:
         dirs = self._live_dirs(table)
         if dirs is not None and not dirs:
             return 0        # empty log table: nothing to cover
-        man = _bm(self.spark,
-                  dirs if dirs is not None else self._path(table), **spec)
+        surviving = None
+        if incremental and dirs is not None:
+            old = self._manifest(table)
+            if old is not None:
+                live_norm = {norm_uri(d) for d in dirs}
+
+                def _parent(uri: str) -> str:
+                    return norm_uri(uri).rsplit("/", 1)[0]
+                try:
+                    old_rows = old.collect()        # tiny: one row/file
+                except Exception:  # noqa: BLE001 — mid-rebuild: full
+                    old_rows = None
+                if old_rows is not None:
+                    covered_dirs = {_parent(r["file"]) for r in old_rows}
+                    new_dirs = [d for d in dirs
+                                if norm_uri(d) not in covered_dirs]
+                    keep = [r for r in old_rows
+                            if _parent(r["file"]) in live_norm]
+                    if len(new_dirs) < len(dirs) and keep:
+                        surviving = self.spark.createDataFrame(
+                            keep, old.schema)
+                        dirs = new_dirs
+        if dirs is not None and not dirs and surviving is not None:
+            man = surviving                 # pure-compaction edge: no
+            #                                 new dirs, all rows survive
+        else:
+            man = _bm(self.spark,
+                      dirs if dirs is not None else self._path(table),
+                      **spec)
+            if surviving is not None:
+                man = man.unionByName(surviving)
         mpath = os.path.join(self.root, "manifests", table)
         man.coalesce(1).write.mode("overwrite").parquet(mpath)
         if self._log is not None:
@@ -884,6 +923,46 @@ class SonarStore:
 
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
+
+    def history(self) -> list[dict]:
+        """Commit history of a log-structured store (newest last):
+        version, commit time, per-table dir counts.  Empty on posix
+        stores (their swap protocol retains only one `.old` snapshot —
+        MVCC history is a commit-log feature)."""
+        if self._log is None:
+            return []
+        out = []
+        for v in self._log.versions():
+            try:
+                import json as _json
+
+                raw = _json.loads(self._log.fs.read_bytes(
+                    self._log._commit_path(v)).decode())
+            except Exception:  # noqa: BLE001 — vacuumed under us
+                continue
+            out.append({"version": v,
+                        "committed_at": raw.get("committed_at"),
+                        "tables": {t: len(d) for t, d in
+                                   raw.get("tables", {}).items()}})
+        return out
+
+    def table_at(self, name: str, version: int) -> DataFrame:
+        """Time travel on a commit-log store: ``name`` as of commit
+        ``version`` (Delta's ``VERSION AS OF``).  Valid while vacuum
+        retention still holds that version's dirs (vacuum defaults keep
+        the last 2 versions and an age floor)."""
+        if self._log is None:
+            raise ValueError(
+                "time travel needs the commit-log layout (remote-scheme "
+                "roots); posix stores retain no version history")
+        dirs = self._log.snapshot(version).get(name, [])
+        if not dirs:
+            return self.spark.createDataFrame([], _SCHEMAS[name])
+        frames = [self.spark.read.parquet(d) for d in dirs]
+        df = frames[0]
+        for f in frames[1:]:
+            df = df.unionByName(f, allowMissingColumns=True)
+        return self._project(name, df)
 
     def table(self, name: str) -> DataFrame:
         path = self._path(name)
@@ -1292,6 +1371,17 @@ class SonarStore:
             # replaced accessions may have orphaned their old seqhash
             # rows (reference delete-then-add GCs, lib/sonardb.py:1470)
             self._gc_orphans()
+        if self._log is not None:
+            # commit-log stores keep existing manifests CURRENT through
+            # ingest: the incremental build reuses every surviving row
+            # (immutable dirs) and scans only this batch's new dirs, so
+            # the zero-listing pinned-manifest match path stays hot
+            # instead of falling back to listing until the next
+            # optimize().  Absent manifests are not created here —
+            # opting into manifests stays an optimize()-time decision.
+            for t in ("profiles", "genomes"):
+                if self._manifest(t) is not None:
+                    report[f"manifest_files_{t}"] = self.build_manifest(t)
         pre.unpersist()
         return report
 

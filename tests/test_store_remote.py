@@ -304,3 +304,110 @@ def test_manifest_pinned_match_needs_no_listing(spark, tmp_path, monkeypatch):
     assert not stv._manifest_current_files("genomes")
     got2 = sorted(r["accession"] for r in stv.match(q).collect())
     assert got2 == expect
+
+
+def test_incremental_manifest_build(spark, tmp_path, monkeypatch):
+    """On a commit-log store, build_manifest reuses rows of still-live
+    immutable dirs and scans ONLY dirs added since the last build —
+    and an ingest-shaped append keeps the pinned zero-listing path hot.
+    The incremental result must equal a forced full rebuild."""
+    import covsonar_spark.store as store_mod
+    from covsonar_spark.operators.match import MatchQuery
+
+    root = str(tmp_path / "db")
+    _write_clustered_store(spark, root, n=32)
+    uri = _mount(spark, "vtestinc", root)
+    stv = SonarStore(spark, uri)
+    stv.optimize(rows_per_file=8)              # v1 + pinned manifests
+
+    # append one new genomes dir through the protocol
+    import datetime
+    extra = [(f"X{i}", None, f"hx{i}", "L.9", "90001",
+              datetime.date(2022, 9, 1 + i), None, None, None, None,
+              None, None, None, None, None, None, None, None, None,
+              None) for i in range(6)]
+    with stv._remote_mutation():
+        stv._append("genomes", spark.createDataFrame(
+            extra, schema=_SCHEMAS["genomes"]))
+
+    # incremental build must scan only the NEW dir
+    scanned = []
+    import covsonar_spark.sources.manifest as man_mod
+    real_bm = man_mod.build_manifest
+
+    def spying_bm(spark_, table_path, **kw):
+        scanned.append(table_path)
+        return real_bm(spark_, table_path, **kw)
+    monkeypatch.setattr(store_mod, "norm_uri", store_mod.norm_uri)
+    import covsonar_spark.sources.manifest
+    monkeypatch.setattr(covsonar_spark.sources.manifest,
+                        "build_manifest", spying_bm)
+    n_inc = stv.build_manifest("genomes")
+    assert len(scanned) == 1 and isinstance(scanned[0], list)
+    assert len(scanned[0]) == 1 and "/c-" in scanned[0][0]  # only new dir
+    inc_rows = sorted(
+        (r["file"], r["n_rows"]) for r in stv._manifest("genomes").collect())
+
+    n_full = stv.build_manifest("genomes", incremental=False)
+    full_rows = sorted(
+        (r["file"], r["n_rows"]) for r in stv._manifest("genomes").collect())
+    assert n_inc == n_full and inc_rows == full_rows
+
+    # pinned + correct: the appended rows are matchable with no listing
+    assert stv._manifest_current_files("genomes")
+    q = MatchQuery(lineages=["L.9"])
+    assert stv.match(q).count() == 6
+
+
+def test_ingest_keeps_manifest_pinned(spark, tmp_path):
+    """add_fasta_df on a commit-log store refreshes existing manifests
+    incrementally, so the zero-listing pin survives ingest."""
+    from covsonar_spark.operators.match import MatchQuery
+    from covsonar_spark.sources.fasta import read_fasta
+
+    REF = "/root/reference"
+    backing = str(tmp_path / "rdb")
+    os.makedirs(backing, exist_ok=True)
+    uri = _mount(spark, "vtestpin2", backing)
+    st = SonarStore.open(spark, uri, ref_path=f"{REF}/lib/ref.fna",
+                         gff_path=f"{REF}/lib/ref.gff3")
+    st.add_fasta_df(read_fasta(spark, [f"{REF}/test/test.fasta"]))
+    st.optimize(rows_per_file=10)              # creates + pins manifests
+    assert st._manifest_current_files("profiles")
+
+    rep = st.add_fasta_df(read_fasta(spark, [f"{REF}/test/test2.fasta"]))
+    assert rep["manifest_files_profiles"] >= 2
+    assert st._manifest_current_files("profiles")   # pin survived ingest
+    assert st._manifest_current_files("genomes")
+    # the new genome is matchable through the pinned pruned path
+    assert st.match(MatchQuery(accessions=["test3"])).count() == 1
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    """Commit-log version history: table_at(v) returns the exact
+    pre-mutation snapshot while retention holds, history() lists the
+    commits, and posix stores refuse cleanly."""
+    root = str(tmp_path / "db")
+    _write_clustered_store(spark, root, n=12)
+    uri = _mount(spark, "vtesttt", root)
+    stv = SonarStore(spark, uri)
+    stv.optimize(rows_per_file=6)                       # v1
+    n1 = stv.table("genomes").count()
+    labs_v1 = stv.table("genomes").where(
+        F.col("lab").isNotNull()).count()
+    assert labs_v1 == 0
+
+    upd = spark.createDataFrame([(f"ACC{i}", "LAB-Z") for i in range(12)],
+                                "accession string, lab string")
+    stv.update_metadata(upd)                            # v2
+    hist = stv.history()
+    assert [h["version"] for h in hist] == [1, 2]
+    assert stv.table("genomes").where(F.col("lab") == "LAB-Z").count() == 12
+    old = stv.table_at("genomes", 1)
+    assert old.count() == n1
+    assert old.where(F.col("lab").isNotNull()).count() == 0   # pre-update
+
+    st_local = SonarStore(spark, root)
+    assert st_local.history() == []
+    with pytest.raises(ValueError, match="commit-log"):
+        st_local.table_at("genomes", 1)
