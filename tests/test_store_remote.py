@@ -411,3 +411,27 @@ def test_time_travel_and_history(spark, tmp_path):
     assert st_local.history() == []
     with pytest.raises(ValueError, match="commit-log"):
         st_local.table_at("genomes", 1)
+
+
+def test_pushdown_survives_commitlog_union(spark, tmp_path):
+    """table() on a log store is a union of per-dir reads — Catalyst
+    must still push filters into EVERY member scan (a union that
+    blocked pushdown would silently full-scan 100 TB)."""
+    import re
+
+    root = str(tmp_path / "db")
+    _write_clustered_store(spark, root, n=24)
+    uri = _mount(spark, "vtestpd", root)
+    stv = SonarStore(spark, uri)
+    stv.optimize(rows_per_file=6)
+    with stv._remote_mutation():                # second live dir
+        stv._append("genomes", stv.table_at("genomes", 1).limit(4))
+    dirs = stv._live_dirs("genomes")
+    assert len(dirs) >= 2
+
+    df = stv.table("genomes").where(F.col("lineage") == "L.2") \
+        .select("accession", "lineage")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert len(pushed) >= 2                     # one per member scan
+    assert all("EqualTo(lineage,L.2)" in p for p in pushed), pushed
