@@ -435,3 +435,61 @@ def test_pushdown_survives_commitlog_union(spark, tmp_path):
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert len(pushed) >= 2                     # one per member scan
     assert all("EqualTo(lineage,L.2)" in p for p in pushed), pushed
+
+
+def test_commitlog_model_fuzz(spark, tmp_path):
+    """Model-based fuzz: a random sequence of append / overwrite /
+    filter-rewrite mutations applied through the commit-log protocol
+    must leave table() equal to an in-memory Python model after EVERY
+    commit, with one version per mutation and old versions readable
+    until vacuumed."""
+    import random
+
+    rng = random.Random(20260815)
+    root = str(tmp_path / "db")
+    os.makedirs(root, exist_ok=True)
+    uri = _mount(spark, "vtestfuzz", root)
+    st = SonarStore(spark, uri)
+
+    schema = "seqhash string, dna_profile array<string>, " \
+             "aa_profile array<string>, fs_profile array<string>, " \
+             "dna_bloom long, aa_bloom long"
+    model: dict[str, int] = {}          # seqhash -> bloom marker
+    next_id = 0
+    snapshots = []
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(h, [], [], [], v, None) for h, v in rows], schema)
+
+    for step in range(8):
+        op = rng.choice(["append", "append", "overwrite", "rewrite"])
+        with st._remote_mutation():
+            if op == "append":
+                rows = [(f"h{next_id + i}", step) for i in range(rng.randint(1, 4))]
+                next_id += len(rows)
+                st._append("profiles", frame(rows))
+                model.update(rows)
+            elif op == "overwrite":
+                rows = [(f"h{next_id + i}", step) for i in range(rng.randint(1, 3))]
+                next_id += len(rows)
+                st._overwrite("profiles", frame(rows))
+                model = dict(rows)
+            else:                        # rewrite: drop a random half
+                keep_keys = {k for k in model if rng.random() < 0.5}
+                st._overwrite("profiles", st.table("profiles").where(
+                    F.col("seqhash").isin(list(keep_keys)) if keep_keys
+                    else F.lit(False)))
+                model = {k: v for k, v in model.items() if k in keep_keys}
+        got = {(r["seqhash"], r["dna_bloom"]) for r in
+               st.table("profiles").select("seqhash", "dna_bloom").collect()}
+        assert got == set(model.items()), f"step {step} ({op})"
+        snapshots.append((st._log.latest()[0], dict(model)))
+
+    assert [v for v, _m in snapshots] == list(range(1, 9))  # linear log
+    # time travel: every retained snapshot reads back exactly
+    for v, m in snapshots[-3:]:
+        got = {(r["seqhash"], r["dna_bloom"]) for r in
+               st.table_at("profiles", v)
+               .select("seqhash", "dna_bloom").collect()}
+        assert got == set(m.items()), f"version {v}"
