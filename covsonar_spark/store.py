@@ -1475,6 +1475,15 @@ class SonarStore:
         # A10 — database size (reference pretty-prints the sqlite file
         # size, sonar.py:933-939; here the sum over table files, listed
         # via the Hadoop FS API so it works on any scheme)
+        if self._log is not None:
+            dirs = [d for t in TABLES for d in (self._live_dirs(t) or [])]
+            row["db_size_bytes"] = sum(
+                size for d in dirs
+                for _p, size in hadoop_list_files(
+                    self.spark, d, include_hidden=True, with_size=True))
+            snap = self._log.latest()
+            row["commit_version"] = snap[0] if snap else 0
+            return row
         row["db_size_bytes"] = sum(
             size for t in TABLES
             for _p, size in hadoop_list_files(

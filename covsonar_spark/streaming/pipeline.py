@@ -28,13 +28,25 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     as TIMESTAMP(NANOS) (read nanos-as-long) and TIMESTAMP(MICROS)
     (TIMESTAMP_NTZ in Spark 4); peek at the batch schema and normalize
     either to integer ``ts_us`` + proper timestamp ``event_time``."""
+    import os
+
     ensure_nanos_readable(spark, f"{sf_dir}/events.parquet")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        # multi-file layout (sf1's generated tile): stream the table
+        # directory itself — a name glob on the parent would match NO
+        # part files and silently stream 0 rows (caught at sf1: the
+        # stream queries read empty while the batch twins read 1M rows)
+        raw = spark.readStream.schema(schema).parquet(path)
+    else:
+        # single-file layout (driver sf dirs): the glob picks the one
+        # table file out of the shared directory
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     ts_type = dict((f.name, f.dataType.simpleString()) for f in schema.fields)["ts"]
     if ts_type == "bigint":
         raw = raw.withColumn("ts_us", F.expr("ts div 1000"))
