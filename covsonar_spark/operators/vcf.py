@@ -361,7 +361,12 @@ def export_vcf(store, path: str, accessions: list[str] | None = None,
     additionally gets its tabix ``.tbi`` sidecar (sources/tabix.py) —
     the reference produces it via external ``tabix -p vcf``,
     lib/sonartoVCF.py:129-144."""
-    view = dna_view(store.table("genomes"), store.table("dna_variants"))
+    import contextlib
+
+    with getattr(store, "read_snapshot", contextlib.nullcontext)():
+        # one commit snapshot across genomes + dna_variants (no-op on
+        # posix layouts)
+        view = dna_view(store.table("genomes"), store.table("dna_variants"))
     # persist: the filtered calls subtree feeds the sample census, the
     # genotype pivot, the site aggregation, and the final merge join —
     # four actions that would otherwise re-run the genomes⋈variants scan

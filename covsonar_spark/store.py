@@ -326,6 +326,7 @@ class SonarStore:
         self._staged_lock = threading.Lock()
         self._base_version: int = 0
         self._base_tables: dict[str, list[str]] = {}
+        self._read_pin = threading.local()   # read_snapshot() pin
 
     # -- commit-log mutation session (remote-scheme roots) ------------------
 
@@ -400,10 +401,34 @@ class SonarStore:
             if st is not None:
                 dirs = ([] if st["replace"] else dirs) + st["dirs"]
             return dirs
-        snap = self._log.latest()
+        snap = getattr(self._read_pin, "snap", None)
+        if snap is None:
+            snap = self._log.latest()
         if snap is None:
             return None                   # legacy plain-directory layout
         return list(snap[1].get(name, []))
+
+    @contextlib.contextmanager
+    def read_snapshot(self):
+        """Cross-table snapshot isolation for a multi-table read plan:
+        every table resolved inside the block sees ONE commit version.
+        Without it, each table() resolves the then-latest commit, so a
+        writer landing between the genomes and profiles resolutions of
+        one essence plan could pair new genomes with old profiles —
+        the posix layout cannot avoid that (per-table swaps); the
+        atomic multi-table commit makes fixing it one pin.  Dirs are
+        immutable, so the pinned plan stays valid for the vacuum
+        retention window.  No-op on posix/legacy layouts; thread-local
+        so concurrent readers on one store handle don't share pins."""
+        if self._log is None:
+            yield
+            return
+        prev = getattr(self._read_pin, "snap", None)
+        self._read_pin.snap = self._log.latest()
+        try:
+            yield
+        finally:
+            self._read_pin.snap = prev
 
     def _stage_write(self, name: str, df: DataFrame, replace: bool,
                      shape: bool = True) -> None:
@@ -1554,12 +1579,15 @@ class SonarStore:
         return build_essence(genomes, profiles)
 
     def match(self, query: MatchQuery) -> DataFrame:
-        resolved = self._resolved_lineages(query)
-        return MatchEngine(self.essence(query.dates or None,
-                                        self._match_profiles(query),
-                                        self._match_genomes(query, resolved)),
-                           self.sublineage_map).run(
-            query, resolved_lineages=resolved)
+        # one commit snapshot for the whole multi-table plan
+        # (genomes + profiles + manifests) — see read_snapshot()
+        with self.read_snapshot():
+            resolved = self._resolved_lineages(query)
+            return MatchEngine(
+                self.essence(query.dates or None,
+                             self._match_profiles(query),
+                             self._match_genomes(query, resolved)),
+                self.sublineage_map).run(query, resolved_lineages=resolved)
 
     def _resolved_lineages(self, query: MatchQuery) -> tuple | None:
         """``%``-wildcard expansion + sublineage closure resolved ONCE

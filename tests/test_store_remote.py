@@ -493,3 +493,30 @@ def test_commitlog_model_fuzz(spark, tmp_path):
                st.table_at("profiles", v)
                .select("seqhash", "dna_bloom").collect()}
         assert got == set(m.items()), f"version {v}"
+
+
+def test_read_snapshot_isolation(spark, tmp_path):
+    """Plans built inside read_snapshot() resolve ONE commit version
+    across tables, even when a writer commits mid-construction — the
+    cross-table consistency the atomic multi-table commit enables."""
+    root = str(tmp_path / "db")
+    _write_clustered_store(spark, root, n=12)
+    uri = _mount(spark, "vtestsnap", root)
+    reader = SonarStore(spark, uri)
+    writer = SonarStore(spark, uri)
+    writer.optimize(rows_per_file=6)            # v1
+
+    with reader.read_snapshot():
+        g1 = reader.table("genomes")
+        # a writer lands v2 BETWEEN the two table resolutions
+        upd = spark.createDataFrame(
+            [(f"ACC{i}", "MID") for i in range(12)],
+            "accession string, lab string")
+        writer.update_metadata(upd)             # v2
+        g2 = reader.table("genomes")
+        # both tables resolved the pinned v1: no MID labels anywhere
+        assert g1.where(F.col("lab") == "MID").count() == 0
+        assert g2.where(F.col("lab") == "MID").count() == 0
+    # outside the pin, reads resolve the latest commit again
+    assert reader.table("genomes").where(
+        F.col("lab") == "MID").count() == 12
