@@ -848,7 +848,13 @@ class SonarStore:
 
             pinned = _json.loads(
                 self._log.fs.read_bytes(meta).decode())["commit_version"]
-            snap = self._log.latest()
+            # compare against the SAME snapshot _live_dirs resolves —
+            # under read_snapshot() that is the pinned version, and a
+            # manifest rebuilt for a newer commit must NOT shortcut a
+            # pinned older read onto the newer file set
+            snap = getattr(self._read_pin, "snap", None)
+            if snap is None:
+                snap = self._log.latest()
         except Exception:  # noqa: BLE001 — no pin / unreadable: list
             return False
         return snap is not None and snap[0] == pinned
