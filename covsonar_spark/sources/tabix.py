@@ -236,24 +236,36 @@ def read_tabix_index(path: str) -> dict:
             "names": [n.decode() for n in names], "refs": refs}
 
 
-def _read_from_voff(path: str, voff: int, n_bytes_hint: int = 1 << 20) -> bytes:
-    """Decompress BGZF payload starting at a virtual offset (enough for
-    the tests' region scans)."""
+def _iter_lines_from_voff(path: str, voff: int):
+    """Lazily yield newline-terminated lines starting at a virtual
+    offset — streams block-by-block so a region scan stops as soon as
+    it passes the region, with no read-size cap to truncate under."""
     coffset, uoffset = voff >> 16, voff & 0xFFFF
-    out = bytearray()
+    carry = b""
     with open(path, "rb") as fh:
         fh.seek(coffset)
         first = True
-        while len(out) < n_bytes_hint:
+        while True:
             header = fh.read(18)
             if len(header) < 18:
                 break
             bsize = struct.unpack("<H", header[16:18])[0] + 1
             rest = fh.read(bsize - 18)
             payload = zlib.decompress(rest[:-8], -15)
-            out += payload[uoffset:] if first else payload
-            first = False
-    return bytes(out)
+            if first:
+                payload = payload[uoffset:]
+                first = False
+            pos = 0
+            while True:
+                nl = payload.find(b"\n", pos)
+                if nl < 0:
+                    carry += payload[pos:]
+                    break
+                yield carry + payload[pos:nl]
+                carry = b""
+                pos = nl + 1
+    if carry:
+        yield carry
 
 
 def fetch_region(vcf_gz: str, tbi: str, chrom: str,
@@ -275,7 +287,7 @@ def fetch_region(vcf_gz: str, tbi: str, chrom: str,
                 chunks.append((max(s, min_voff), e))
     out = []
     for s, _e in sorted(set(chunks)):
-        for line in _read_from_voff(vcf_gz, s).splitlines():
+        for line in _iter_lines_from_voff(vcf_gz, s):
             if not line or line.startswith(b"#"):
                 continue
             f = line.split(b"\t", 4)
