@@ -241,6 +241,8 @@ class CommitLog:
         ``tables_root`` maps table name → its data area.  Retention
         mirrors the local protocol's ``.old`` snapshot: a reader still
         draining an older version must keep resolving its files."""
+        retain_last = max(retain_last, 1)   # the latest commit is never
+        #                                     collectable — it IS the table
         vs = self.versions()
         keep_vs = vs[-retain_last:] if vs else []
         live: set[str] = set()
@@ -263,7 +265,7 @@ class CommitLog:
                     continue
                 if self.fs.delete(path):
                     removed += 1
-        for v in vs[:-retain_last] if retain_last else vs:
+        for v in vs[:-retain_last]:
             self.fs.delete(self._commit_path(v), recursive=False)
         for name in self.fs.list_names(self.log_dir):
             if ".tmp-" in name:
