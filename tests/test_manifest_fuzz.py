@@ -20,7 +20,13 @@ from covsonar_spark.operators.match import MatchEngine, MatchQuery
 from covsonar_spark.store import SonarStore, _SCHEMAS
 
 
-def _store(spark, root: str, rng: random.Random, n: int = 90):
+def _store(spark, root: str, rng: random.Random, n: int = 90,
+           correlate: bool = True):
+    """``correlate=False`` draws the date month INDEPENDENTLY of the
+    lineage band — the anti-correlated layout where a date range can
+    prune away every file holding a wildcard's lineages (the round-5
+    review's divergence class, which the correlated layout can never
+    trigger)."""
     st = SonarStore.open(spark, root)
     # taxonomy: L.0..L.3 children of L, so with_sublineage has closure
     st.sublineage_map = {"L": [f"L.{k}" for k in range(4)],
@@ -28,9 +34,10 @@ def _store(spark, root: str, rng: random.Random, n: int = 90):
     genomes, profiles = [], []
     for i in range(n):
         k = i % 4
+        dk = rng.randrange(4) if not correlate else k
         lin = rng.choice([f"L.{k}", f"L.{k}", None])
         date = (None if rng.random() < 0.15 else
-                datetime.date(2021, 2 * k + 1, 1 + rng.randrange(27)))
+                datetime.date(2021, 2 * dk + 1, 1 + rng.randrange(27)))
         zipc = None if rng.random() < 0.2 else str(10000 * (k + 1)
                                                    + rng.randrange(90))
         ct = None if rng.random() < 0.3 else float(10 * k + rng.randrange(5))
@@ -55,12 +62,17 @@ def _store(spark, root: str, rng: random.Random, n: int = 90):
     return st
 
 
-def _random_query(rng: random.Random) -> MatchQuery:
+def _random_query(rng: random.Random, narrow_wildcards: bool = False) -> MatchQuery:
     q = MatchQuery()
     k = rng.randrange(4)
     if rng.random() < 0.6:
         pool = [f"L.{k}", f"L.{(k + 1) % 4}", "L.%", "l.1%", "^L.2",
                 "ZZZ%", "L"]
+        if narrow_wildcards:
+            # single-band wildcards: the expansion set lives in few
+            # files, so date/zip pruning can remove ALL of them — the
+            # pruned-expansion divergence trigger
+            pool += [f"L.{k}%", f"L.{(k + 2) % 4}%"]
         q.lineages = rng.sample(pool, rng.randrange(1, 3))
         q.with_sublineage = rng.random() < 0.4
     if rng.random() < 0.5:
@@ -102,5 +114,24 @@ def test_pruned_match_equals_unpruned(spark, tmp_path, seed):
             exp = sorted(map(tuple, plain.run(q).collect()))
         except ValueError:
             continue                        # invalid spec: engine raises
+        got = sorted(map(tuple, st.match(q).collect()))
+        assert got == exp, f"query diverged under pruning: {q}"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_pruned_match_equals_unpruned_anticorrelated(spark, tmp_path, seed):
+    """Anti-correlated lineage⊥date layout + single-band wildcards:
+    hammers the round-5 divergence class (pruning removes every file
+    holding a wildcard's lineages → the engine's expansion must still
+    run over the FULL table, or the lineage predicate is dropped)."""
+    rng = random.Random(7000 + seed)
+    st = _store(spark, str(tmp_path / "db"), rng, correlate=False)
+    plain = MatchEngine(st.essence(), st.sublineage_map)
+    for _ in range(6):
+        q = _random_query(rng, narrow_wildcards=True)
+        try:
+            exp = sorted(map(tuple, plain.run(q).collect()))
+        except ValueError:
+            continue
         got = sorted(map(tuple, st.match(q).collect()))
         assert got == exp, f"query diverged under pruning: {q}"
