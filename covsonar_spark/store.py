@@ -1595,6 +1595,30 @@ class SonarStore:
                              self._match_genomes(query, resolved)),
                 self.sublineage_map).run(query, resolved_lineages=resolved)
 
+    def match_at(self, query: MatchQuery, version: int) -> DataFrame:
+        """Time-travel match on a commit-log store: the full match
+        semantics evaluated against commit ``version``'s snapshot
+        (reproduce last month's screen exactly, audit what a query
+        returned before a delete).  Pins the whole multi-table plan —
+        wildcard expansion included — to that version; manifest pruning
+        only engages when the manifest is pinned to the same version."""
+        if self._log is None:
+            raise ValueError(
+                "time travel needs the commit-log layout (remote-scheme "
+                "roots); posix stores retain no version history")
+        snap = (version, self._log.snapshot(version))
+        prev = getattr(self._read_pin, "snap", None)
+        self._read_pin.snap = snap
+        try:
+            resolved = self._resolved_lineages(query)
+            return MatchEngine(
+                self.essence(query.dates or None,
+                             self._match_profiles(query),
+                             self._match_genomes(query, resolved)),
+                self.sublineage_map).run(query, resolved_lineages=resolved)
+        finally:
+            self._read_pin.snap = prev
+
     def _resolved_lineages(self, query: MatchQuery) -> tuple | None:
         """``%``-wildcard expansion + sublineage closure resolved ONCE
         over the FULL genomes table, feeding BOTH the manifest prune and

@@ -520,3 +520,39 @@ def test_read_snapshot_isolation(spark, tmp_path):
     # outside the pin, reads resolve the latest commit again
     assert reader.table("genomes").where(
         F.col("lab") == "MID").count() == 12
+
+
+def test_match_at_version(spark, tmp_path):
+    """match_at(query, v) evaluates the FULL match semantics against a
+    retained snapshot — results equal what match() returned before the
+    mutation, including wildcard expansion over version-v lineages."""
+    from covsonar_spark.operators.match import MatchQuery
+
+    root = str(tmp_path / "db")
+    _write_clustered_store(spark, root, n=16)
+    uri = _mount(spark, "vtestmatchat", root)
+    st = SonarStore(spark, uri)
+    st.optimize(rows_per_file=8)                        # v1
+    q = MatchQuery(lineages=["L.1%"])
+    v1_rows = sorted(r["accession"] for r in st.match(q).collect())
+    assert v1_rows
+
+    # v2: relabel every L.1 genome to M.1.  The CURRENT match's L.1%
+    # expansion is now empty, which (reference empty-expansion
+    # semantics, lib/sonardb.py:3365-3388) drops the lineage predicate
+    # entirely — all 16 rows return.  match_at(v1) expands over v1's
+    # lineage values and returns exactly the pre-update rows.
+    upd = spark.createDataFrame([(a, "M.1") for a in v1_rows],
+                                "accession string, lineage string")
+    st.update_metadata(upd)                             # v2
+    assert st.match(q).count() == 16
+    got = sorted(r["accession"] for r in st.match_at(q, 1).collect())
+    assert got == v1_rows
+    # a non-wildcard query shows the plain contrast: 0 now, 4 at v1
+    q_lit = MatchQuery(lineages=["L.1"])
+    assert st.match(q_lit).count() == 0
+    assert sorted(r["accession"] for r in
+                  st.match_at(q_lit, 1).collect()) == v1_rows
+
+    with pytest.raises(ValueError, match="commit-log"):
+        SonarStore(spark, root).match_at(q, 1)
