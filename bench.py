@@ -204,6 +204,16 @@ def main() -> None:
         ingest_rate = _ingest_probe(spark, ingest_n)
         print(f"# ingest: {ingest_n} genomes -> {ingest_rate} g/s",
               file=sys.stderr)
+    # second probe at a realistic batch shape (round-6 verdict #7):
+    # 256 genomes barely exercises the mapInPandas stage fan-out — the
+    # larger cohort (~sf1-equivalent distinct sequences) surfaces
+    # alignment-path regressions that small batches hide.
+    ingest_rate_lg, ingest_n_lg = None, int(
+        os.environ.get("SPARK_GRAFT_INGEST_N_LARGE", "2560"))
+    if ingest_n_lg:
+        ingest_rate_lg = _ingest_probe(spark, ingest_n_lg)
+        print(f"# ingest: {ingest_n_lg} genomes -> {ingest_rate_lg} g/s",
+              file=sys.stderr)
     # Host-speed probe: the same commit measured 2-3x apart across two
     # days of the same shared machine (round-4 observation, same-code
     # A/B in ARCHITECTURE.md).  Recording a fixed single-thread CPU
@@ -233,6 +243,8 @@ def main() -> None:
         "hostmark_mt_sec": hm_mt,
         "ingest_genomes_per_sec": ingest_rate,
         "ingest_n": ingest_n,
+        "ingest_large_genomes_per_sec": ingest_rate_lg,
+        "ingest_large_n": ingest_n_lg,
         "slowest": slowest,
         "queries_file": "BENCH_QUERIES.json",
     }, separators=(",", ":")))

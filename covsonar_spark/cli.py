@@ -102,7 +102,9 @@ def _match_query(args) -> MatchQuery:
 
 def cmd_match(spark, args):
     st = _store(spark, args)
-    res = st.match(_match_query(args))
+    q = _match_query(args)
+    res = (st.match_at(q, args.at_version)
+           if getattr(args, "at_version", None) is not None else st.match(q))
     if args.debug:
         # reference --debug prints the generated SQL (sonar.py:340-343);
         # the Spark twin is the optimized physical plan
@@ -152,10 +154,16 @@ def cmd_dq(spark, args):
 
 
 def cmd_restore(spark, args):
+    import contextlib
+
     from covsonar_spark.operators.restore import restore_genomes, to_fasta_lines
 
     st = _store(spark, args)
-    lines = to_fasta_lines(restore_genomes(st, _accs_from(args) or None))
+    pin = (st.at_version(args.at_version)
+           if getattr(args, "at_version", None) is not None
+           else contextlib.nullcontext())
+    with pin:
+        lines = to_fasta_lines(restore_genomes(st, _accs_from(args) or None))
     out = open(args.out, "w") if args.out else sys.stdout
     try:
         for r in lines.toLocalIterator():
@@ -166,11 +174,17 @@ def cmd_restore(spark, args):
 
 
 def cmd_var2vcf(spark, args):
+    import contextlib
+
     from covsonar_spark.operators.vcf import export_vcf
 
     st = _store(spark, args)
-    export_vcf(st, args.out, accessions=_accs_from(args) or None,
-               dates=args.date or None)
+    pin = (st.at_version(args.at_version)
+           if getattr(args, "at_version", None) is not None
+           else contextlib.nullcontext())
+    with pin:
+        export_vcf(st, args.out, accessions=_accs_from(args) or None,
+                   dates=args.date or None)
     print(f"wrote {args.out}", file=sys.stderr)
 
 
@@ -218,6 +232,26 @@ def cmd_info(spark, args):
 def cmd_optimize(spark, args):
     st = _store(spark, args)
     print(st.optimize(), file=sys.stderr)
+
+
+def cmd_history(spark, args):
+    """Commit history of the store (any root since the round-7
+    protocol unification) — the audit/time-travel companion of
+    match/restore/var2vcf --at-version."""
+    import datetime as _dt
+
+    st = _store(spark, args)
+    hist = st.history()
+    if not hist:
+        print("no commit history (legacy layout: run a mutation or "
+              "`optimize` to adopt the store into the commit log)",
+              file=sys.stderr)
+        return
+    for h in hist:
+        ts = _dt.datetime.fromtimestamp(
+            h["committed_at"]).isoformat(timespec="seconds")             if h.get("committed_at") else "?"
+        tables = " ".join(f"{t}={n}" for t, n in sorted(h["tables"].items()))
+        print(f"version {h['version']}	{ts}	{tables}")
 
 
 def cmd_db_upgrade(spark, args):
@@ -360,6 +394,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="accepted for compatibility; this engine never "
                          "auto-downloads the taxonomy at match time")
     sp.add_argument("-o", "--out")
+    sp.add_argument("--at-version", dest="at_version", type=int,
+                    help="time travel: evaluate against the store as of "
+                         "this commit version (see `history`)")
     sp.set_defaults(fn=cmd_match)
 
     sp = sub.add_parser("restore")
@@ -368,6 +405,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-f", "--file", dest="acc_file",
                     help="file with one accession per line")
     sp.add_argument("-o", "--out")
+    sp.add_argument("--at-version", dest="at_version", type=int,
+                    help="time travel: restore from this commit version")
     sp.set_defaults(fn=cmd_restore)
 
     sp = sub.add_parser("var2vcf")
@@ -380,6 +419,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--betaV2", action="store_true",
                     help="accepted for compatibility; this engine is always "
                          "aggregation-first (the v2 semantics)")
+    sp.add_argument("--at-version", dest="at_version", type=int,
+                    help="time travel: export from this commit version")
     sp.set_defaults(fn=cmd_var2vcf)
 
     sp = sub.add_parser("update")
@@ -424,6 +465,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("db-upgrade")
     common(sp)
     sp.set_defaults(fn=cmd_db_upgrade)
+
+    sp = sub.add_parser("history")
+    common(sp)
+    sp.set_defaults(fn=cmd_history)
 
     sp = sub.add_parser(
         "update-lineage-info",

@@ -3061,57 +3061,62 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 # sketch / quality); the remaining rows follow and are still
 # value-checked by the local twin harness (tests/test_oracle_twins.py).
 #
-# ROTATION (round 6 policy, started round 5): rows with ≥4 driver-green
-# rounds rotate OUT to the head of the second window (they stay
-# twin-gated every run); rows that have never earned a driver check
-# rotate IN, so every registry row eventually gets an external pass(d),
-# not only the in-repo twin gate.  Round 6 keeps the 15 rows still
-# under 4 green rounds and fills the other 35 slots with
-# first-time-windowed rows spanning every remaining family
-# (curation / text / multimodal / OLAP / ts / sketches / analytics /
-# skew / ivm / fuzzy-join / streaming-sketch).
+# ROTATION (started round 5): rows that have never earned a driver
+# check rotate IN; mature rows (≥4 driver-green rounds) rotate OUT to
+# the head of the second window (they stay twin-gated every run).
+# Round 7 windows the FINAL 24 never-checked rows — after this round
+# every one of the 132 registry rows has had an external pass(d) —
+# and fills the other 26 slots with the least-checked rows (the 15
+# still under 4 green rounds, plus 11 single-green r6 first-timers
+# spread across families).
 # ---------------------------------------------------------------------------
 
 _PRIORITY_WINDOW = [
-    # <4 driver-green rounds: stay until they reach rotation maturity
+    # ROTATION round 7: the FINAL 24 rows that have never had an
+    # external driver check go first — after this round every one of
+    # the 132 registry rows has earned a pass(d), not only the in-repo
+    # twin gate (round-6 verdict, gap #1).
+    "q2_min_cost_supplier", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q10_returned_items", "q11_important_stock",
+    "q12_shipping_priority_classes", "q15_top_supplier",
+    "q16_parts_supplier_relationship", "q17_small_quantity",
+    "q20_excess_stock_suppliers", "q22_global_sales", "agg_stats_profile",
+    "basket_association_rules", "forecast_linear_trend", "ivm_orders_rollup",
+    "sample_temperature_mix", "sample_weighted_priority", "stream_countmin",
+    "text_bigram_lm", "text_chunk_dedup", "text_repetition", "ts_ohlc",
+    "window_navigation",
+    # <4 driver-green rounds: stay until rotation maturity
     "match_profile_pruned", "match_metadata_pruned", "agg_histogram",
     "q9_product_profit", "dedup_canonical", "dedup_ngram_prefix",
     "stream_ivm_join", "stream_sessionize", "ann_pq_topk",
     "hybrid_search_rrf", "text_boilerplate", "sample_split_leakage_safe",
     "graph_triangles", "sketch_kmv_distinct", "cdc_snapshot_diff",
-    # first driver check: match semi-join fallback path
-    "match_metadata_semijoin",
-    # first driver check: curation family
-    "sample_dsir", "decontaminate", "pii_scrub", "sample_stratified",
-    "pack_sequences",
-    # first driver check: text-analysis family
-    "text_quality", "text_fingerprint", "text_chunk_windows",
-    "text_tfidf_topk", "text_quality_gate", "text_pmi_collocations",
-    # first driver check: multimodal + embeddings
-    "multimodal_frames", "multimodal_meta_stats", "embed_kmeans",
-    # first driver check: TPC-H spread (q13 is also the r5 perf watch row)
-    "q13_customer_distribution", "q19_disjunctive", "q14_promo_revenue",
-    # first driver check: OLAP reshaping
-    "pivot_revenue_matrix", "unpivot_acctbal", "profile_table_stats",
-    # first driver check: windows / time series / graph
-    "window_trailing_range", "ts_ewma", "ts_anomaly_zscore",
-    "ts_islands_scd2", "graph_degree_stats",
-    # first driver check: sketches (batch + streaming)
-    "sketch_hll_setops", "sketch_countmin", "sketch_histogram_quantile",
-    "stream_histogram_quantile",
-    # first driver check: analytics / skew / ivm / fuzzy join
-    "stats_ab_test", "orders_rfm_segmentation", "skew_diagnose",
-    "ivm_retract_minmax", "join_fuzzy_levenshtein",
+    # 1 green round (first checked in r6): one more rotation each,
+    # spread across families (match/curation/text/multimodal/embed/
+    # tpch/olap/ts/sketch/analytics)
+    "match_metadata_semijoin", "sample_dsir", "decontaminate",
+    "text_quality", "multimodal_frames", "embed_kmeans",
+    "q13_customer_distribution", "pivot_revenue_matrix", "ts_anomaly_zscore",
+    "sketch_hll_setops", "stats_ab_test",
 ]
 assert len(_PRIORITY_WINDOW) == 50, len(_PRIORITY_WINDOW)
 assert all(k in _ALL for k in _PRIORITY_WINDOW), [
     k for k in _PRIORITY_WINDOW if k not in _ALL]
 
 _SECOND_WINDOW = [
-    # rows 51+: the ≥4-round driver-green rows rotated out in round 6
+    # rows 51+: the >=2-round driver-green rows rotated out in round 7
     # first (still twin-gated every run), then earlier rotations, then
     # the remaining rows by marginal signal in case the harness checks
     # beyond its budget
+    "pii_scrub", "sample_stratified", "pack_sequences", "text_fingerprint",
+    "text_chunk_windows", "text_tfidf_topk", "text_quality_gate",
+    "text_pmi_collocations", "multimodal_meta_stats", "q19_disjunctive",
+    "q14_promo_revenue", "unpivot_acctbal", "profile_table_stats",
+    "window_trailing_range", "ts_ewma", "ts_islands_scd2",
+    "graph_degree_stats", "sketch_countmin", "sketch_histogram_quantile",
+    "stream_histogram_quantile", "orders_rfm_segmentation", "skew_diagnose",
+    "ivm_retract_minmax", "join_fuzzy_levenshtein",
+    # earlier rotations (>=4 green rounds)
     "match_metadata_filters", "match_metadata_negation",
     "match_profile_and", "match_profile_semijoin",
     "match_profile_or_groups", "match_profile_exclude",
@@ -3131,7 +3136,6 @@ _SECOND_WINDOW = [
     "window_running_total", "events_json_extract", "q21_waiting_suppliers",
     "dedup_substring", "dedup_simhash", "ann_lsh_knn",
     "graph_pagerank", "sketch_hll_distinct", "dq_constraint_audit",
-    "basket_association_rules", "ivm_orders_rollup", "stream_countmin",
     "events_funnel",
 ]
 assert len(_SECOND_WINDOW) == len(set(_SECOND_WINDOW)), "duplicate in _SECOND_WINDOW"

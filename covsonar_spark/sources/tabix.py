@@ -237,35 +237,45 @@ def read_tabix_index(path: str) -> dict:
 
 
 def _iter_lines_from_voff(path: str, voff: int):
-    """Lazily yield newline-terminated lines starting at a virtual
-    offset — streams block-by-block so a region scan stops as soon as
-    it passes the region, with no read-size cap to truncate under."""
+    """Lazily yield ``(line_start_voff, line)`` pairs starting at a
+    virtual offset — streams block-by-block, and reporting each line's
+    own virtual offset lets the caller stop the moment it passes a
+    chunk's END voff instead of scanning to EOF."""
     coffset, uoffset = voff >> 16, voff & 0xFFFF
     carry = b""
+    carry_voff = None
     with open(path, "rb") as fh:
         fh.seek(coffset)
         first = True
         while True:
+            block_coffset = fh.tell()
             header = fh.read(18)
             if len(header) < 18:
                 break
             bsize = struct.unpack("<H", header[16:18])[0] + 1
             rest = fh.read(bsize - 18)
             payload = zlib.decompress(rest[:-8], -15)
+            base = 0
             if first:
                 payload = payload[uoffset:]
+                base = uoffset
                 first = False
             pos = 0
             while True:
                 nl = payload.find(b"\n", pos)
                 if nl < 0:
+                    if payload[pos:] and carry_voff is None:
+                        carry_voff = (block_coffset << 16) | (base + pos)
                     carry += payload[pos:]
                     break
-                yield carry + payload[pos:nl]
+                voff_line = carry_voff if carry_voff is not None \
+                    else (block_coffset << 16) | (base + pos)
+                yield voff_line, carry + payload[pos:nl]
                 carry = b""
+                carry_voff = None
                 pos = nl + 1
     if carry:
-        yield carry
+        yield carry_voff, carry
 
 
 def fetch_region(vcf_gz: str, tbi: str, chrom: str,
@@ -286,13 +296,23 @@ def fetch_region(vcf_gz: str, tbi: str, chrom: str,
             if e > min_voff:
                 chunks.append((max(s, min_voff), e))
     out = []
-    for s, _e in sorted(set(chunks)):
-        for line in _iter_lines_from_voff(vcf_gz, s):
+    want = chrom.encode()
+    for s, e in sorted(set(chunks)):
+        seen_chrom = False
+        for voff_line, line in _iter_lines_from_voff(vcf_gz, s):
+            if voff_line >= e:
+                break          # past this chunk's END voff: the index
+                #                guarantees no overlapping record beyond
             if not line or line.startswith(b"#"):
                 continue
             f = line.split(b"\t", 4)
-            if len(f) < 4 or f[0] != chrom.encode():
+            if len(f) < 4:
                 continue
+            if f[0] != want:
+                if seen_chrom:
+                    break      # sorted file: target chrom's records done
+                continue
+            seen_chrom = True
             rb = int(f[1]) - 1
             re_ = rb + max(len(f[3]), 1)
             if rb < end and re_ > beg:

@@ -10,16 +10,21 @@ Layout: one parquet directory per logical table under a root path:
     root/prot_variants/   exploded aa variants per seqhash
 
 Scale notes (100 TB):
-  * genomes is the big fact table → written partitioned by
-    ``date_month`` so date filters prune files; all other metadata
-    predicates push down to parquet row groups.
+  * genomes is the big fact table → the genomes manifest carries exact
+    per-file min/max date (and lineage/zip/ct) statistics so match
+    predicates skip whole files — file statistics over hive
+    partitioning, the same trade Delta/Iceberg make (directory
+    partitioning explodes tiny files on object stores).
   * sequences/profiles/variants are keyed by seqhash; at cluster scale
     these would be bucketed by seqhash (Hive bucketing / liquid
     clustering) so the essence join and ingest anti-joins co-locate.
     Plain parquet (no metastore) can't persist bucketing — documented
     here, enforced via repartition-on-write to keep files seqhash-local.
-  * mutation (add/update/delete) is copy-on-write per table — the
-    Delta/Iceberg MERGE pattern without the format dependency.
+  * mutation (add/update/delete) is copy-on-write into immutable
+    uuid-named directories published by the versioned commit log
+    (commitlog.py) — the Delta/Iceberg MERGE pattern without the
+    format dependency, on every filesystem scheme, with MVCC history
+    and time travel.
 """
 
 from __future__ import annotations
@@ -27,7 +32,6 @@ from __future__ import annotations
 import contextlib
 import os
 import threading
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,30 +56,28 @@ class StoreReadError(RuntimeError):
 # ---------------------------------------------------------------------------
 # Filesystem portability (ARCHITECTURE.md "Store commit protocol"):
 # READ paths (table scans, manifests, file-level pruning) go through the
-# Hadoop FileSystem API so a store directory on any Spark-readable
-# scheme (file:, hdfs:, viewfs:, s3a:, abfs:) can be queried.  MUTATION
-# paths branch on the root's scheme:
-#   * local/posix roots keep the battle-tested rename-pair swap under
-#     the mkdir mutation lease (below) — zero-copy overwrites, .old
-#     snapshot retention, crash heal;
-#   * remote-scheme roots use the log-structured commit protocol
-#     (commitlog.py): immutable uuid-named data directories published
-#     by a versioned snapshot file, put-if-absent commit rename as the
-#     single atomicity primitive — mutations (ingest/update/delete/
-#     optimize) work on any Hadoop-addressable store, and a multi-table
-#     ingest becomes atomic (one commit covers all five tables, the
-#     property the reference got from its SQLite transaction,
-#     lib/sonardb.py:1316-1356, and the posix path never had).
+# Hadoop FileSystem API (with pure-Python os.* fast paths on local
+# roots) so a store directory on any Spark-readable scheme (file:,
+# hdfs:, viewfs:, s3a:, abfs:) can be queried.  ALL mutation paths use
+# the log-structured commit protocol (commitlog.py): immutable
+# uuid-named data directories published by a versioned snapshot file,
+# put-if-absent commit rename as the single atomicity primitive —
+# mutations (ingest/update/delete/optimize) work on any
+# Hadoop-addressable store, a multi-table ingest is atomic (one commit
+# covers all five tables, the property the reference got from its
+# SQLite transaction, lib/sonardb.py:1316-1356), and every root gets
+# MVCC history + time travel.  Pre-log LEGACY layouts (plain
+# root/<table> directories) stay readable as-is and are adopted into
+# the log by the first mutation.
 # ---------------------------------------------------------------------------
 
 
 def _remote_scheme(path: str) -> bool:
     """True when ``path`` is a URI on a non-local filesystem scheme
     (hdfs://, s3a://, viewfs://, …) — i.e. os.* primitives don't apply."""
-    from urllib.parse import urlparse
+    from covsonar_spark.commitlog import is_remote
 
-    scheme = urlparse(path).scheme
-    return len(scheme) > 1 and scheme != "file"
+    return is_remote(path)
 
 
 def norm_uri(p: str) -> str:
@@ -151,135 +153,20 @@ def hadoop_list_files(spark: SparkSession, path: str,
         out.append((p, st.getLen()) if with_size else p)
     return out
 
-# (thread id, root) pairs whose mutation lease THIS thread currently
-# holds (reentrancy: a lease-holding mutation that reads a table must
-# heal directly instead of skipping because "someone" — itself — holds
-# the lock).  Keyed per-thread, not per-process: a reader thread in the
-# same process as a mid-mutation writer thread (e.g. a foreachBatch
-# sink) must NOT pass the we-are-the-writer check and race the writer's
-# rename pair — it takes the non-blocking-acquire path like any foreign
-# reader.
-_HELD_LOCKS: set[tuple[int, str]] = set()
-
-
-def _lock_key(root: str) -> tuple[int, str]:
-    return (threading.get_ident(), os.path.abspath(root))
-
-
-@contextlib.contextmanager
-def mutation_lock(root: str, timeout: float = 600.0,
-                  lease_timeout: float = 3600.0):
-    """Single-writer mutation lease for a store root.
-
-    The reference inherited writer exclusion from SQLite's file lock
-    (lib/sonardb.py connection handling); a parquet-directory store
-    must provide its own.  Atomic ``os.mkdir`` is the lease — portable
-    to any POSIX filesystem, NFS included.
-
-    Liveness protocol:
-      * a HEARTBEAT thread refreshes the lock dir's mtime every
-        ``lease_timeout/4`` seconds while the holder works, so a lease
-        is stale only when its holder is genuinely gone — long
-        mutations (an hours-long compaction) keep their lease;
-      * breaking a stale lease is ATOMIC: the breaker renames the
-        stale dir aside (exactly one concurrent breaker wins the
-        rename) and deletes the renamed copy — delete-then-create
-        would let two waiters both "acquire";
-      * waiters poll until ``timeout`` then raise; transient stat
-        errors still honor the deadline and back off.
-
-    Readers never take the lock for QUERYING: mutations are
-    copy-on-write rename swaps (``_overwrite``), so a concurrent
-    reader sees either the old or the new table, never a half-written
-    one.  (``_heal`` — crash repair — does a non-blocking acquire and
-    skips when a live writer holds the lease.)
-    """
-    import uuid
-
-    if _remote_scheme(root):
-        raise ValueError(
-            f"mutation_lock is the POSIX lease (atomic mkdir + directory "
-            f"rename) and cannot run on {root!r} — remote-scheme roots "
-            f"mutate through the log-structured commit protocol "
-            f"(SonarStore._remote_mutation / commitlog.py), which every "
-            f"@_locked method routes to automatically")
-    os.makedirs(root, exist_ok=True)   # lazy stores create root on demand
-    lock = os.path.join(root, ".lock")
-    deadline = time.time() + timeout
-    while True:
-        try:
-            os.mkdir(lock)
-            break
-        except FileExistsError:
-            try:
-                age = time.time() - os.path.getmtime(lock)
-            except OSError:
-                age = 0.0                     # released between checks
-            if age > lease_timeout:
-                import shutil
-                stale = f"{lock}.stale-{uuid.uuid4().hex[:8]}"
-                try:
-                    os.rename(lock, stale)    # atomic: one breaker wins
-                except OSError:
-                    pass                      # someone else broke/released it
-                else:
-                    shutil.rmtree(stale, ignore_errors=True)
-                continue
-            if time.time() > deadline:
-                raise TimeoutError(
-                    f"another writer holds the store lock {lock} "
-                    f"(held {age:.0f}s; waited {timeout:.0f}s)")
-            time.sleep(0.2)
-
-    stop = threading.Event()
-    _HELD_LOCKS.add(_lock_key(root))
-
-    def _heartbeat():
-        while not stop.wait(max(lease_timeout / 4.0, 0.5)):
-            try:
-                os.utime(lock)
-            except OSError:
-                return                        # lock gone: holder exiting
-    hb = threading.Thread(target=_heartbeat, daemon=True)
-    hb.start()
-    try:
-        with open(os.path.join(lock, "owner"), "w") as fh:
-            fh.write(f"pid={os.getpid()} at={time.time():.0f}\n")
-        yield
-    finally:
-        import shutil
-        stop.set()
-        _HELD_LOCKS.discard(_lock_key(root))
-        shutil.rmtree(lock, ignore_errors=True)
-
-
-@contextlib.contextmanager
-def try_mutation_lock(root: str):
-    """Non-blocking acquire: yields True holding the lease, or False
-    (without it) when a live writer currently holds it — used by crash
-    repair, which must never fight an in-progress mutation."""
-    try:
-        with mutation_lock(root, timeout=0.0):
-            yield True
-    except TimeoutError:
-        yield False
-
 
 def _locked(fn):
-    """Decorator: run a mutating SonarStore method under the store's
-    single-writer protocol — the posix mutation lease on local roots,
-    the commit-log mutation session (advisory lease + staged dirs + one
-    atomic multi-table commit) on remote-scheme roots."""
+    """Decorator: run a mutating SonarStore method inside the store's
+    single-writer commit-log mutation session (advisory lease +
+    heartbeat, staged immutable dirs, ONE atomic multi-table commit) —
+    the same protocol on every filesystem scheme."""
     import functools
 
     @functools.wraps(fn)
     def wrapper(self, *args, **kwargs):
-        if self._log is not None:
-            with self._remote_mutation():
-                return fn(self, *args, **kwargs)
-        with mutation_lock(self.root):
+        with self._mutation_session():
             return fn(self, *args, **kwargs)
     return wrapper
+
 
 # Store format history (marker file root/VERSION; see SonarStore.upgrade):
 #   1 — pre-versioning: genomes written unpartitioned; dates possibly
@@ -310,54 +197,99 @@ class SonarStore:
         self.ref_seq = ref_seq
         self.cds_list = cds_list or []
         self.sublineage_map = sublineage_map or {}
-        # remote-scheme roots mutate through the commit log; local roots
-        # keep the posix rename protocol and never touch it
-        if _remote_scheme(root):
-            from covsonar_spark.commitlog import CommitLog
+        # every root — local posix or remote scheme — mutates through
+        # the same commit log (round 7 unification: one protocol, and
+        # local stores get history/time travel too)
+        from covsonar_spark.commitlog import CommitLog
 
-            self._log = CommitLog(spark, root)
-        else:
-            self._log = None
-        # mutation-session state (commit-log roots only): staged dir
-        # lists per table, applied over the base snapshot at commit
-        # time; the lock serializes staging from ingest's concurrent
-        # append threads
+        self._log = CommitLog(spark, root)
+        # mutation-session state: staged dir lists per table, applied
+        # over the base snapshot at commit time; the lock serializes
+        # staging from ingest's concurrent append threads
         self._staged: dict[str, dict] | None = None
         self._staged_lock = threading.Lock()
         self._base_version: int = 0
         self._base_tables: dict[str, list[str]] = {}
+        self._commit_id: str | None = None   # pre-generated session id
         self._read_pin = threading.local()   # read_snapshot() pin
 
-    # -- commit-log mutation session (remote-scheme roots) ------------------
+    # -- commit-log mutation session (every root) ---------------------------
+
+    def _legacy_files(self, table: str) -> list[str]:
+        """STRICT file listing of a legacy plain ``root/<table>`` dir —
+        adoption must distinguish confirmed-absent ([]) from an FS
+        failure (raise): a transient outage silently omitting a legacy
+        table from the adopted base snapshot would drop that table from
+        every later read, permanently (round-6 review, medium)."""
+        path = self._path(table)
+        if not _remote_scheme(self.root):
+            # os.walk with Spark's hidden-path rule; never raises for a
+            # confirmed-absent dir and os errors surface naturally
+            out: list[str] = []
+            for base, subdirs, files in os.walk(path):
+                subdirs[:] = [d for d in subdirs
+                              if not d.startswith(("_", "."))]
+                out.extend(os.path.join(base, f) for f in files
+                           if not f.startswith(("_", ".")))
+            return out
+        return hadoop_list_files(self.spark, path, strict=True)
 
     @contextlib.contextmanager
-    def _remote_mutation(self):
-        """One atomic multi-table mutation on a commit-log store:
-        acquire the advisory writer lease, snapshot the base version,
-        stage every ``_overwrite``/``_append`` as immutable uuid dirs,
-        then publish ONE commit (put-if-absent — racing writers lose
-        cleanly with StoreWriteConflict, never corrupt).  On failure the
-        staged dirs are deleted best-effort; leftovers are invisible
-        until vacuum() reaps them.  Reentrant: a mutation calling
-        another @_locked method (remove → _gc_orphans) joins the open
-        session and its changes ride the same commit."""
+    def _mutation_session(self):
+        """One atomic multi-table mutation: acquire the advisory writer
+        lease (heartbeated so a live multi-hour mutation is never
+        diagnosed stale), snapshot the base version, stage every
+        ``_overwrite``/``_append`` as immutable uuid dirs, then publish
+        ONE commit (put-if-absent — racing writers lose cleanly with
+        StoreWriteConflict, never corrupt).  On failure the staged dirs
+        are deleted best-effort; leftovers are invisible until vacuum()
+        reaps them.  Reentrant: a mutation calling another @_locked
+        method (remove → _gc_orphans) joins the open session and its
+        changes ride the same commit."""
+        import uuid as _uuid
+
         if self._staged is not None:
             yield                      # reentrant: join the open session
             return
-        self._log.acquire_lease()
+        owner = self._log.acquire_lease()
+        stop_hb = threading.Event()
+
+        def _heartbeat():
+            while not stop_hb.wait(900.0):
+                self._log.heartbeat(owner)
+        hb = threading.Thread(target=_heartbeat, daemon=True)
+        hb.start()
         snap = self._log.latest()
         if snap is not None:
-            self._base_version, self._base_tables = snap
+            self._base_version, self._base_tables = snap[0], snap[1]
         else:
             # first mutation on a log-less root: ADOPT any legacy
-            # plain-directory tables (e.g. written locally, now mounted
-            # remotely) as the base snapshot — the commit references
-            # them verbatim; vacuum only ever reaps c-* dirs, so
-            # adopted directories are never deleted
+            # plain-directory tables (written by the pre-log engine, or
+            # by external tools) as the base snapshot — the commit
+            # references them verbatim; vacuum reaps an adopted dir
+            # only once no retained snapshot references it
             self._base_version, self._base_tables = 0, {}
             for t in TABLES:
-                if hadoop_list_files(self.spark, self._path(t)):
+                if self._legacy_files(t):
                     self._base_tables[t] = [self._path(t)]
+                elif not _remote_scheme(self.root):
+                    # pre-unification crash artifacts (the old posix
+                    # rename-pair protocol): a completed ``.tmp`` (fully
+                    # written before any rename) or the ``.old``
+                    # pre-swap snapshot IS the table — adopt it instead
+                    # of silently dropping the data
+                    final = self._path(t)
+                    tmp, old = final + ".tmp", final + ".old"
+                    if os.path.isdir(tmp) and os.path.exists(
+                            os.path.join(tmp, "_SUCCESS")):
+                        self._base_tables[t] = [tmp]
+                    elif os.path.isdir(old):
+                        self._base_tables[t] = [old]
+        # the commit id is pre-generated so derived data written inside
+        # the session (manifest pins) can reference it BEFORE the
+        # commit: if this session loses the commit race, its id never
+        # appears in any published commit and the pins never match
+        self._commit_id = _uuid.uuid4().hex
         self._staged = {}
         try:
             yield
@@ -367,7 +299,8 @@ class SonarStore:
                 for t, st in self._staged.items():
                     base = [] if st["replace"] else tables.get(t, [])
                     tables[t] = base + st["dirs"]
-                self._log.commit(self._base_version, tables)
+                self._log.commit(self._base_version, tables,
+                                 commit_id=self._commit_id)
         except BaseException:
             for st in (self._staged or {}).values():
                 for d in st["dirs"]:
@@ -379,7 +312,9 @@ class SonarStore:
         finally:
             self._staged = None
             self._base_tables = {}
-            self._log.release_lease()
+            self._commit_id = None
+            stop_hb.set()
+            self._log.release_lease(owner)
 
     def _data_area(self, name: str) -> str:
         """Commit-log data dirs live under ``root/_data/<table>/`` —
@@ -391,10 +326,8 @@ class SonarStore:
 
     def _live_dirs(self, name: str) -> list[str] | None:
         """The committed (plus session-staged) data directories of
-        ``name`` on a commit-log store; None when the root is local or
-        the log holds no commit (legacy plain-directory layout)."""
-        if self._log is None:
-            return None
+        ``name``; None when the log holds no commit (legacy
+        plain-directory layout)."""
         if self._staged is not None:      # inside a mutation session
             dirs = list(self._base_tables.get(name, []))
             st = self._staged.get(name)
@@ -418,11 +351,9 @@ class SonarStore:
         the posix layout cannot avoid that (per-table swaps); the
         atomic multi-table commit makes fixing it one pin.  Dirs are
         immutable, so the pinned plan stays valid for the vacuum
-        retention window.  No-op on posix/legacy layouts; thread-local
-        so concurrent readers on one store handle don't share pins."""
-        if self._log is None:
-            yield
-            return
+        retention window.  No-op on legacy layouts (latest() is None);
+        thread-local so concurrent readers on one store handle don't
+        share pins."""
         prev = getattr(self._read_pin, "snap", None)
         self._read_pin.snap = self._log.latest()
         try:
@@ -623,24 +554,18 @@ class SonarStore:
         if (cls.version(root) == SCHEMA_VERSION
                 and os.path.exists(os.path.join(root, "VERSION"))):
             return SCHEMA_VERSION, SCHEMA_VERSION
-        with mutation_lock(root):
-            return cls._upgrade_locked(spark, root)
-
-    @classmethod
-    def _upgrade_locked(cls, spark: SparkSession, root: str) -> tuple[int, int]:
-        # heal any crashed table swap FIRST: migrations probe raw table
-        # paths, and a mid-swap crash must not make them conclude a
-        # table is absent (skipping the migration while VERSION bumps)
-        healer = cls(spark, root)
-        for t in TABLES:
-            healer._heal_locked(t)
         before = cls.version(root)
         if before > SCHEMA_VERSION:
             raise ValueError(
                 f"store schema version {before} is newer than this engine "
                 f"supports ({SCHEMA_VERSION}) — upgrade the engine, not the store")
+        store = cls(spark, root)
         for v in range(before + 1, SCHEMA_VERSION + 1):
-            _MIGRATIONS[v](spark, root)
+            # each migration is ONE atomic commit under the writer
+            # lease; the marker written after it makes an interrupted
+            # upgrade resume exactly where it stopped
+            with store._mutation_session():
+                _MIGRATIONS[v](store)
             cls._write_version(root, v)
         if before == SCHEMA_VERSION and not os.path.exists(os.path.join(root, "VERSION")):
             cls._write_version(root, SCHEMA_VERSION)
@@ -670,11 +595,8 @@ class SonarStore:
         Delta's OPTIMIZE ZORDER."""
         out = {}
         for t in TABLES:
-            if self._log is not None:
-                if not self._live_dirs(t):
-                    continue
-            elif not os.path.exists(self._path(t)):
-                continue
+            if not self._live_dirs(t):   # inside the session this is
+                continue                 # the adopted+staged dir list
             df = self.table(t)
             n = df.count()
             parts = max(1, n // rows_per_file)
@@ -701,13 +623,21 @@ class SonarStore:
             out["manifest_files"] = self.build_manifest("profiles")
         if "genomes" in out:
             out["genomes_manifest_files"] = self.build_manifest("genomes")
-        if self._log is not None:
-            # reap dirs superseded past the retention window and
-            # uncommitted garbage from crashed/conflicted writers (the
-            # VACUUM half of the reference's optimize,
-            # lib/sonardb.py:2090-2093)
-            out["vacuumed_dirs"] = self._log.vacuum(
-                {t: self._data_area(t) for t in TABLES})
+        # reap dirs superseded past the retention window and
+        # uncommitted garbage from crashed/conflicted writers (the
+        # VACUUM half of the reference's optimize,
+        # lib/sonardb.py:2090-2093).  legacy_paths: plain pre-log dirs
+        # (and pre-unification .old/.tmp crash artifacts) adopted into
+        # the log are reaped once no retained snapshot references them
+        # — without this a replaced 100 TB legacy table would strand a
+        # full stale copy forever
+        legacy = {}
+        for t in TABLES:
+            legacy[t] = self._path(t)
+            legacy[f"{t}.old"] = self._path(t) + ".old"
+            legacy[f"{t}.tmp"] = self._path(t) + ".tmp"
+        out["vacuumed_dirs"] = self._log.vacuum(
+            {t: self._data_area(t) for t in TABLES}, legacy_paths=legacy)
         return out
 
     # -- file-skipping manifest (beyond-parity scale feature) -------------
@@ -783,21 +713,29 @@ class SonarStore:
                 man = man.unionByName(surviving)
         mpath = os.path.join(self.root, "manifests", table)
         man.coalesce(1).write.mode("overwrite").parquet(mpath)
-        if self._log is not None:
-            # pin the manifest to the commit version whose IMMUTABLE
-            # dir set it covered: while that version is still latest,
-            # the manifest's own file column IS the complete live file
-            # set and match-time pruning needs ZERO listing calls.
-            # Mid-session (optimize) the pin is the version about to be
-            # published; if that commit loses the race the pin simply
-            # never matches — fallback to listing, never wrong rows.
-            import json as _json
+        # pin the manifest to the UNIQUE id of the commit whose
+        # IMMUTABLE dir set it covered: while that commit is still the
+        # log's latest, the manifest's own file column IS the complete
+        # live file set and match-time pruning needs ZERO listing
+        # calls.  Mid-session (ingest/optimize) the pin is the
+        # session's pre-generated commit id; if this session LOSES the
+        # commit race, a racing winner publishes the same version
+        # NUMBER but a different id, so the loser's pin (covering its
+        # now-deleted staged dirs) can never satisfy
+        # _manifest_current_files — pinning to the version number had
+        # exactly that hole (round-6 review, high).
+        import json as _json
 
-            v = (self._base_version + 1 if self._staged is not None
-                 else (self._log.latest() or (0, {}))[0])
+        if self._staged is not None:
+            v, cid = self._base_version + 1, self._commit_id
+        else:
+            snap = self._log.latest()
+            v, cid = (snap[0], snap[2]) if snap is not None else (0, None)
+        if cid is not None:
             self._log.fs.write_bytes(
                 f"{mpath}.meta.json",
-                _json.dumps({"commit_version": v}).encode())
+                _json.dumps({"commit_version": v,
+                             "commit_id": cid}).encode())
         try:
             # row count from the written footers — no second Spark job
             import pyarrow.dataset as ds
@@ -831,23 +769,34 @@ class SonarStore:
             return hadoop_list_files(self.spark, self._path(table))
         out = []
         for d in dirs:
-            out.extend(hadoop_list_files(self.spark, d))
+            if not _remote_scheme(d) and not _remote_scheme(self.root):
+                # local fast path over log dirs too: os.walk, no py4j
+                for base, subdirs, files in os.walk(d):
+                    subdirs[:] = [s for s in subdirs
+                                  if not s.startswith(("_", "."))]
+                    out.extend(os.path.join(base, f) for f in files
+                               if not f.startswith(("_", ".")))
+            else:
+                out.extend(hadoop_list_files(self.spark, d))
         return out
 
     def _manifest_current_files(self, table: str) -> bool:
-        """True when the manifest's pinned commit version is still the
-        log's latest — the manifest's file column is then the COMPLETE
+        """True when the manifest's pinned commit ID is the commit the
+        read resolves — the manifest's file column is then the COMPLETE
         live file set (dirs are immutable), so pruning needs no listing
-        at all.  False on local roots, log-less layouts, unpinned
-        manifests, or any read failure (fallback: list)."""
-        if self._log is None:
-            return False
+        at all.  False on log-less layouts, unpinned manifests, or any
+        read failure (fallback: list).  The pin compares commit IDs,
+        never version numbers: a manifest written inside a mutation
+        that lost the commit race pins an id no published commit ever
+        carries, while the winner's same-NUMBERED commit would have
+        satisfied a version-number pin and resolved the loser's
+        deleted/uncommitted file set (round-6 review, high)."""
         meta = f"{os.path.join(self.root, 'manifests', table)}.meta.json"
         try:
             import json as _json
 
             pinned = _json.loads(
-                self._log.fs.read_bytes(meta).decode())["commit_version"]
+                self._log.fs.read_bytes(meta).decode())["commit_id"]
             # compare against the SAME snapshot _live_dirs resolves —
             # under read_snapshot() that is the pinned version, and a
             # manifest rebuilt for a newer commit must NOT shortcut a
@@ -857,7 +806,8 @@ class SonarStore:
                 snap = self._log.latest()
         except Exception:  # noqa: BLE001 — no pin / unreadable: list
             return False
-        return snap is not None and snap[0] == pinned
+        return (snap is not None and pinned is not None
+                and snap[2] == pinned)
 
     def pruned_table(self, table: str, bloom_col: str,
                      tokens: list[str]) -> DataFrame:
@@ -956,19 +906,13 @@ class SonarStore:
         return os.path.join(self.root, table)
 
     def history(self) -> list[dict]:
-        """Commit history of a log-structured store (newest last):
-        version, commit time, per-table dir counts.  Empty on posix
-        stores (their swap protocol retains only one `.old` snapshot —
-        MVCC history is a commit-log feature)."""
-        if self._log is None:
-            return []
+        """Commit history of the store (newest last): version, commit
+        time, per-table dir counts.  Empty on legacy (pre-log) layouts
+        until their first mutation adopts them."""
         out = []
         for v in self._log.versions():
             try:
-                import json as _json
-
-                raw = _json.loads(self._log.fs.read_bytes(
-                    self._log._commit_path(v)).decode())
+                raw = self._log.read_commit(v)
             except Exception:  # noqa: BLE001 — vacuumed under us
                 continue
             out.append({"version": v,
@@ -978,14 +922,12 @@ class SonarStore:
         return out
 
     def table_at(self, name: str, version: int) -> DataFrame:
-        """Time travel on a commit-log store: ``name`` as of commit
-        ``version`` (Delta's ``VERSION AS OF``).  Valid while vacuum
-        retention still holds that version's dirs (vacuum defaults keep
-        the last 2 versions and an age floor)."""
-        if self._log is None:
-            raise ValueError(
-                "time travel needs the commit-log layout (remote-scheme "
-                "roots); posix stores retain no version history")
+        """Time travel: ``name`` as of commit ``version`` (Delta's
+        ``VERSION AS OF``) — on ANY root since the round-7 protocol
+        unification.  Valid while vacuum retention still holds that
+        version's dirs (vacuum defaults keep the last 2 versions and an
+        age floor).  Raises ValueError for a version never committed or
+        vacuumed past retention."""
         dirs = self._log.snapshot(version).get(name, [])
         if not dirs:
             return self.spark.createDataFrame([], _SCHEMAS[name])
@@ -996,78 +938,80 @@ class SonarStore:
         return self._project(name, df)
 
     def table(self, name: str) -> DataFrame:
+        """The current table: resolve the live directory set from the
+        newest commit (old-snapshot-or-new — a concurrent writer's
+        staged dirs are invisible until its atomic commit rename
+        lands).  Dirs read separately + unioned: an adopted legacy dir
+        may carry the date_month partition column that log-written dirs
+        don't.  A log-less root falls back to the LEGACY plain-layout
+        read: the final dir, else a pre-unification crash artifact
+        (completed ``.tmp`` / ``.old`` snapshot), else empty — with the
+        strict-listing guard so a transient FS failure raises
+        StoreReadError instead of silently reporting 0 rows."""
         path = self._path(name)
-        if _remote_scheme(self.root):
-            # commit-log read path: resolve the live directory set from
-            # the newest commit (old-snapshot-or-new — a concurrent
-            # writer's staged dirs are invisible until its atomic
-            # commit rename lands).  Dirs read separately + unioned:
-            # an adopted legacy dir may carry the date_month partition
-            # column that log-written dirs don't.
-            try:
-                dirs = self._live_dirs(name)
-            except Exception as exc:  # noqa: BLE001 — unreachable mount
-                raise StoreReadError(
-                    f"commit log of {self.root} unreadable (filesystem "
-                    f"error, NOT a confirmed-absent store): {exc}") from exc
-            if dirs is not None:
-                if not dirs:
-                    return self.spark.createDataFrame([], _SCHEMAS[name])
-                frames = [self.spark.read.parquet(d) for d in dirs]
-                df = frames[0]
-                for f in frames[1:]:
-                    df = df.unionByName(f, allowMissingColumns=True)
-                return self._project(name, df)
-            # legacy plain-directory remote layout (no commit log): a
-            # missing/unreadable table is simply empty-or-raise, with
-            # no .old-snapshot semantics to honor
-            try:
-                return self._project(name, self.spark.read.parquet(path))
-            except Exception:  # noqa: BLE001
-                # strict listing: only a CONFIRMED-absent path may fall
-                # through to the empty table — a transient FS outage
-                # (listing also failing) raises StoreReadError instead
-                # of silently returning 0 rows (round-5 review, medium)
-                if hadoop_list_files(self.spark, path, strict=True):
-                    raise StoreReadError(
-                        f"table '{name}' at {path} holds data files but "
-                        f"could not be read")
+        try:
+            dirs = self._live_dirs(name)
+        except Exception as exc:  # noqa: BLE001 — unreachable mount
+            raise StoreReadError(
+                f"commit log of {self.root} unreadable (filesystem "
+                f"error, NOT a confirmed-absent store): {exc}") from exc
+        if dirs is not None:
+            if not dirs:
                 return self.spark.createDataFrame([], _SCHEMAS[name])
-        # bounded re-resolution: a writer's swap can move the path
-        # between our existence check and the parquet read; the read
-        # error must NOT be mistaken for an empty table (the
-        # cross-process stress caught exactly that: a reader landing
-        # in the rename window got the empty-table fallback, breaking
-        # the old-or-new contract) — re-resolve and fall through to
-        # the .old snapshot instead
-        for _ in range(5):
-            if not os.path.exists(path):
-                self._heal(name)
-            if not os.path.exists(path):
-                return self._read_mid_swap(name)
-            try:
-                df = self.spark.read.parquet(path)
-            except Exception:
-                # EITHER the dir holds no data files (a legitimately
-                # emptied table) OR a writer's swap renamed the dir
-                # away between our existence check and the read.  Only
-                # a CONTENT probe can tell them apart — the path may
-                # already exist again (the swap's second rename), and
-                # treating that as "empty" returned a 0-row table to a
-                # concurrent reader (caught by tools/stress_store_procs)
-                if self._dir_has_data(path):
-                    continue      # swap in flight / just landed: re-read
-                if os.path.exists(path):
-                    return self.spark.createDataFrame([], _SCHEMAS[name])
-                continue          # path vanished mid-read: resolve again
+            frames = [self.spark.read.parquet(d) for d in dirs]
+            df = frames[0]
+            for f in frames[1:]:
+                df = df.unionByName(f, allowMissingColumns=True)
             return self._project(name, df)
-        return self._read_mid_swap(name)
+        # legacy plain-directory layout (no commit yet)
+        if not _remote_scheme(self.root):
+            if os.path.isdir(path):
+                try:
+                    return self._project(name, self.spark.read.parquet(path))
+                except Exception:  # noqa: BLE001
+                    # a pre-unification mid-swap artifact may pair a
+                    # torn final dir with an intact .old pre-swap
+                    # snapshot — serve the snapshot, never empty
+                    if os.path.isdir(path + ".old"):
+                        try:
+                            return self._project(
+                                name,
+                                self.spark.read.parquet(path + ".old"))
+                        except Exception:  # noqa: BLE001
+                            pass
+                    if self._dir_has_data(path):
+                        raise StoreReadError(
+                            f"table '{name}' at {path} holds data files "
+                            f"but could not be read")
+                    return self.spark.createDataFrame([], _SCHEMAS[name])
+            tmp, old = path + ".tmp", path + ".old"
+            for cand in (tmp if os.path.exists(
+                    os.path.join(tmp, "_SUCCESS")) else None, old):
+                if cand and os.path.isdir(cand):
+                    try:
+                        return self._project(
+                            name, self.spark.read.parquet(cand))
+                    except Exception:  # noqa: BLE001 — empty artifact
+                        continue
+            return self.spark.createDataFrame([], _SCHEMAS[name])
+        try:
+            return self._project(name, self.spark.read.parquet(path))
+        except Exception:  # noqa: BLE001
+            # strict listing: only a CONFIRMED-absent path may fall
+            # through to the empty table — a transient FS outage
+            # (listing also failing) raises StoreReadError instead
+            # of silently returning 0 rows (round-5 review, medium)
+            if hadoop_list_files(self.spark, path, strict=True):
+                raise StoreReadError(
+                    f"table '{name}' at {path} holds data files but "
+                    f"could not be read")
+            return self.spark.createDataFrame([], _SCHEMAS[name])
 
     @staticmethod
     def _dir_has_data(path: str) -> bool:
         """True if the directory tree holds any data file (anything not
         an underscore/dot marker like _SUCCESS) — distinguishes an
-        emptied table from a mid-swap read failure."""
+        emptied table from an unreadable data-bearing one."""
         for base, _dirs, files in os.walk(path):
             for f in files:
                 if not f.startswith(("_", ".")):
@@ -1079,163 +1023,20 @@ class SonarStore:
             df = df.drop("date_month")
         return df.select(*[f.name for f in _SCHEMAS[name].fields])
 
-    def _read_mid_swap(self, name: str) -> DataFrame:
-        """The table path is absent and ``_heal`` declined (a live
-        writer holds the lease mid-swap).  The module contract says a
-        concurrent reader sees the OLD or the NEW table, never a
-        half-written or empty one — so serve the ``.old`` directory
-        (the pre-swap snapshot the writer moved aside) and only report
-        an empty table when there is no swap evidence at all (a table
-        that genuinely never existed).  A brief retry covers the
-        instant the writer's final rename lands and ``.old`` vanishes.
-        Caveat of a plain-filesystem store: the returned snapshot
-        plan reads ``.old`` lazily, so actions on it must run before
-        the writer's cleanup — the same transient-snapshot semantics
-        any non-MVCC file store has."""
-        path = self._path(name)
-        old, tmp = path + ".old", path + ".tmp"
-        deadline = time.time() + 5.0
-        while not os.path.exists(path):
-            if os.path.isdir(old):
-                try:
-                    return self._project(name, self.spark.read.parquet(old))
-                except Exception:  # noqa: BLE001 — swap completed under us
-                    pass
-            elif not os.path.isdir(tmp):
-                # no final, no old, no tmp: the table never existed
-                break
-            if not os.path.exists(os.path.join(self.root, ".lock")):
-                # no live writer: nothing will complete this swap —
-                # heal (now unblocked) instead of waiting out the clock
-                self._heal(name)
-                break
-            if time.time() > deadline:
-                break
-            time.sleep(0.05)
-        if os.path.exists(path):
-            try:
-                return self._project(name, self.spark.read.parquet(path))
-            except Exception:  # noqa: BLE001
-                # final read failed with the dir present: prefer the
-                # pre-swap snapshot if one survives, and if the dir is
-                # data-bearing but persistently unreadable (torn footer,
-                # external corruption) RAISE — a silent 0-row result is
-                # the one outcome the module contract forbids
-                if os.path.isdir(old):
-                    try:
-                        return self._project(
-                            name, self.spark.read.parquet(old))
-                    except Exception:  # noqa: BLE001
-                        pass
-                if self._dir_has_data(path):
-                    raise StoreReadError(
-                        f"table '{name}' at {path} holds data files but "
-                        f"could not be read after retries")
-        return self.spark.createDataFrame([], _SCHEMAS[name])
-
-    def _layout(self, name: str, df: DataFrame):
-        """Physical layout per table (the scale story made real):
-        genomes partition by month(date) so date predicates prune
-        directories; seqhash-keyed tables cluster files by seqhash so
-        the essence join and ingest anti-joins co-locate (plain parquet
-        can't persist bucket metadata — repartition-on-write keeps each
-        file seqhash-local, a metastore/Delta deployment would declare
-        CLUSTERED BY instead)."""
-        if name == "genomes":
-            df = df.withColumn("date_month", F.date_format("date", "yyyy-MM"))
-            return df, ["date_month"]
-        return df.repartition(max(1, df.rdd.getNumPartitions() // 4 or 1), "seqhash"), []
-
-    def _heal(self, name: str) -> None:
-        """Repair a crash between ``_overwrite``'s rename pair: if the
-        table path is absent but a COMPLETE ``.tmp`` (fully written
-        before any rename) or the ``.old`` copy survives, restore it —
-        never treat a mid-swap table as empty.
-
-        Runs under a NON-BLOCKING lease acquire: when a live writer
-        holds the lock, the "crash window" is actually an in-progress
-        swap that the writer itself will complete — healing then would
-        steal its tmp dir out from under its rename.  Rename races
-        between two healing readers are likewise excluded because only
-        the lease holder heals; residual rename errors (a release
-        racing the acquire) are tolerated, not fatal for a read."""
-        final = self._path(name)
-        tmp, old = final + ".tmp", final + ".old"
-        if os.path.exists(final) or not (os.path.isdir(tmp) or os.path.isdir(old)):
-            return
-        if _lock_key(self.root) in _HELD_LOCKS:
-            self._heal_locked(name)       # we ARE the writer: reentrant
-            return
-        with try_mutation_lock(self.root) as held:
-            if not held:
-                return                    # live writer mid-swap: leave it
-            self._heal_locked(name)
-
-    def _heal_locked(self, name: str) -> None:
-        """The repair itself; caller must hold the mutation lease."""
-        import shutil
-
-        final = self._path(name)
-        tmp, old = final + ".tmp", final + ".old"
-        try:
-            if not os.path.exists(final):
-                if os.path.isdir(tmp) and os.path.exists(
-                        os.path.join(tmp, "_SUCCESS")):
-                    os.rename(tmp, final)
-                elif os.path.isdir(old):
-                    os.rename(old, final)
-        except OSError:
-            pass                          # raced a release: re-read below
-        shutil.rmtree(old, ignore_errors=True)
-
     def _overwrite(self, name: str, df: DataFrame, shape: bool = True) -> None:
-        """Copy-on-write table replace (write tmp → rename pair) so a
-        failed job never truncates the table: the old data is moved
-        aside, not deleted, until the new copy is in place (the crash
-        window between the renames heals via ``_heal`` on next read —
-        the same pattern as the streaming sketch store's compaction).
-
-        The ``.old`` snapshot is RETAINED after a successful swap (it
-        is cleared at the START of the next overwrite, and by heal /
-        table drops): a concurrent reader that resolved the pre-swap
-        snapshot mid-swap (``_read_mid_swap``) holds a lazy plan over
-        ``.old``, and deleting it the instant the swap lands would
-        fail that reader's action with FileNotFoundException instead
-        of the promised old-or-new semantics.  Retention costs one
-        extra table copy between consecutive rewrites — the poor
-        man's MVCC version retention a plain-filesystem store needs;
-        a snapshot can still break if TWO overwrites complete before
-        the reader's action runs (documented transient-snapshot
-        limit)."""
-        import shutil
-
-        if self._log is not None:     # commit-log root: stage a replace
-            self._stage_write(name, df, replace=True, shape=shape)
-            return
-        final = self._path(name)
-        tmp, old = final + ".tmp", final + ".old"
-        shutil.rmtree(tmp, ignore_errors=True)
-        # shape=False: the caller pre-shaped the frame (optimize()'s
-        # profile clustering) — _layout's repartition would undo it
-        out, parts = self._layout(name, df) if shape else (df, [])
-        w = out.write.mode("overwrite")
-        if parts:
-            w = w.partitionBy(*parts)
-        w.parquet(tmp)
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(final):
-            os.rename(final, old)
-        os.rename(tmp, final)
+        """Copy-on-write table replace: stage ``df`` as a fresh
+        immutable uuid dir recorded as a REPLACE in the open mutation
+        session; the atomic commit publishes it together with every
+        other table the mutation touched.  The superseded dirs stay on
+        disk for the vacuum retention window — real MVCC snapshots, so
+        a concurrent reader's lazy plan over the old version keeps
+        working (what the pre-unification ``.old`` rename-pair protocol
+        only approximated)."""
+        self._stage_write(name, df, replace=True, shape=shape)
 
     def _append(self, name: str, df: DataFrame) -> None:
-        if self._log is not None:     # commit-log root: stage an append
-            self._stage_write(name, df, replace=False)
-            return
-        out, parts = self._layout(name, df)
-        w = out.write.mode("append")
-        if parts:
-            w = w.partitionBy(*parts)
-        w.parquet(self._path(name))
+        self._stage_write(name, df, replace=False)
+
 
     # -- ingest (add) -----------------------------------------------------
 
@@ -1402,17 +1203,16 @@ class SonarStore:
             # replaced accessions may have orphaned their old seqhash
             # rows (reference delete-then-add GCs, lib/sonardb.py:1470)
             self._gc_orphans()
-        if self._log is not None:
-            # commit-log stores keep existing manifests CURRENT through
-            # ingest: the incremental build reuses every surviving row
-            # (immutable dirs) and scans only this batch's new dirs, so
-            # the zero-listing pinned-manifest match path stays hot
-            # instead of falling back to listing until the next
-            # optimize().  Absent manifests are not created here —
-            # opting into manifests stays an optimize()-time decision.
-            for t in ("profiles", "genomes"):
-                if self._manifest(t) is not None:
-                    report[f"manifest_files_{t}"] = self.build_manifest(t)
+        # keep existing manifests CURRENT through ingest: the
+        # incremental build reuses every surviving row (immutable dirs)
+        # and scans only this batch's new dirs, so the zero-listing
+        # pinned-manifest match path stays hot instead of falling back
+        # to listing until the next optimize().  Absent manifests are
+        # not created here — opting into manifests stays an
+        # optimize()-time decision.
+        for t in ("profiles", "genomes"):
+            if self._manifest(t) is not None:
+                report[f"manifest_files_{t}"] = self.build_manifest(t)
         pre.unpersist()
         return report
 
@@ -1506,20 +1306,21 @@ class SonarStore:
         # A10 — database size (reference pretty-prints the sqlite file
         # size, sonar.py:933-939; here the sum over table files, listed
         # via the Hadoop FS API so it works on any scheme)
-        if self._log is not None:
-            dirs = [d for t in TABLES for d in (self._live_dirs(t) or [])]
+        snap = self._log.latest()
+        if snap is not None:
+            dirs = [d for t in TABLES for d in snap[1].get(t, [])]
             row["db_size_bytes"] = sum(
                 size for d in dirs
                 for _p, size in hadoop_list_files(
                     self.spark, d, include_hidden=True, with_size=True))
-            snap = self._log.latest()
-            row["commit_version"] = snap[0] if snap else 0
+            row["commit_version"] = snap[0]
             return row
         row["db_size_bytes"] = sum(
             size for t in TABLES
             for _p, size in hadoop_list_files(
                 self.spark, self._path(t), include_hidden=True,
                 with_size=True))
+        row["commit_version"] = 0
         return row
 
     # -- query ------------------------------------------------------------
@@ -1565,7 +1366,15 @@ class SonarStore:
                 profiles = self.table("profiles")
             return build_essence(genomes, profiles)
         path = self._path("genomes")
-        if date_specs and os.path.exists(path):
+        # the raw-plain-path month prune applies ONLY to the legacy
+        # pre-log layout (where the plain dir IS the table and carries
+        # the date_month hive partitioning): on a log-bearing store the
+        # plain dir — if it still exists at all — is a superseded
+        # adopted copy, and reading it would serve stale rows; there
+        # the genomes manifest's per-file date min/max subsumes month
+        # pruning
+        if (date_specs and os.path.exists(path)
+                and self._live_dirs("genomes") is None):
             months = self._months_of(date_specs)
             raw = self.table("genomes")
             if months is not None:
@@ -1595,29 +1404,38 @@ class SonarStore:
                              self._match_genomes(query, resolved)),
                 self.sublineage_map).run(query, resolved_lineages=resolved)
 
-    def match_at(self, query: MatchQuery, version: int) -> DataFrame:
-        """Time-travel match on a commit-log store: the full match
-        semantics evaluated against commit ``version``'s snapshot
-        (reproduce last month's screen exactly, audit what a query
-        returned before a delete).  Pins the whole multi-table plan —
-        wildcard expansion included — to that version; manifest pruning
-        only engages when the manifest is pinned to the same version."""
-        if self._log is None:
-            raise ValueError(
-                "time travel needs the commit-log layout (remote-scheme "
-                "roots); posix stores retain no version history")
-        snap = (version, self._log.snapshot(version))
+    @contextlib.contextmanager
+    def at_version(self, version: int):
+        """Pin EVERY table resolution inside the block to commit
+        ``version`` (Delta's ``VERSION AS OF`` as a context): match,
+        restore, VCF export — any multi-table plan — reproduces the
+        store exactly as that commit published it.  Raises ValueError
+        for a version never committed or vacuumed past retention.
+        Thread-local, nestable (inner pin wins, outer restored)."""
+        info = self._log.read_commit(version)
         prev = getattr(self._read_pin, "snap", None)
-        self._read_pin.snap = snap
+        self._read_pin.snap = (version, info.get("tables", {}),
+                               info.get("id"))
         try:
+            yield
+        finally:
+            self._read_pin.snap = prev
+
+    def match_at(self, query: MatchQuery, version: int) -> DataFrame:
+        """Time-travel match — on ANY root since the round-7 protocol
+        unification: the full match semantics evaluated against commit
+        ``version``'s snapshot (reproduce last month's screen exactly,
+        audit what a query returned before a delete).  Pins the whole
+        multi-table plan — wildcard expansion included — to that
+        version; manifest pruning only engages when the manifest is
+        pinned to the same commit id."""
+        with self.at_version(version):
             resolved = self._resolved_lineages(query)
             return MatchEngine(
                 self.essence(query.dates or None,
                              self._match_profiles(query),
                              self._match_genomes(query, resolved)),
                 self.sublineage_map).run(query, resolved_lineages=resolved)
-        finally:
-            self._read_pin.snap = prev
 
     def _resolved_lineages(self, query: MatchQuery) -> tuple | None:
         """``%``-wildcard expansion + sublineage closure resolved ONCE
@@ -1805,22 +1623,20 @@ class SonarStore:
         return names
 
 
-def _migrate_to_2(spark: SparkSession, root: str) -> None:
-    """v1 → v2: conform ``genomes`` to the canonical schema and rewrite
-    it into the date_month-partitioned layout.
+def _migrate_to_2(store: "SonarStore") -> None:
+    """v1 → v2: conform ``genomes`` to the canonical schema.
 
     Covers the same ground as the reference's only shipped migration
     (lib/migrate/4.sql: ALTER TABLE genome ADD submission_date + view
-    rebuild): columns missing from old stores appear as typed nulls,
-    string-typed date columns are cast to DateType, and the physical
-    rewrite gives old stores the partition pruning new stores get at
-    write time. Other tables' schemas have never changed — they pass
-    through untouched."""
-    path = os.path.join(root, "genomes")
+    rebuild): columns missing from old stores appear as typed nulls and
+    string-typed date columns are cast to DateType.  Runs inside an
+    open mutation session (one commit); reads the legacy plain path
+    directly — pre-v2 stores predate the commit log by construction."""
+    path = os.path.join(store.root, "genomes")
     if not os.path.exists(path):
         return
     try:
-        df = spark.read.parquet(path)
+        df = store.spark.read.parquet(path)
     except Exception:
         return
     have = dict(df.dtypes)
@@ -1830,23 +1646,21 @@ def _migrate_to_2(spark: SparkSession, root: str) -> None:
             cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-    store = SonarStore(spark, root)
     store._overwrite("genomes", df.select(*cols))
 
 
-def _migrate_to_3(spark: SparkSession, root: str) -> None:
+def _migrate_to_3(store: "SonarStore") -> None:
     """v2 → v3: backfill the profiles table's bloom fingerprint columns
     from the stored token arrays (one pass, pure codegen)."""
-    path = os.path.join(root, "profiles")
+    path = os.path.join(store.root, "profiles")
     if not os.path.exists(path):
         return
     try:
-        df = spark.read.parquet(path)
+        df = store.spark.read.parquet(path)
     except Exception:
         return
     if "dna_bloom" in df.columns:
         return
-    store = SonarStore(spark, root)
     store._overwrite("profiles", df.select(
         "seqhash", "dna_profile", "aa_profile", "fs_profile",
         P.token_bloom("dna_profile").alias("dna_bloom"),

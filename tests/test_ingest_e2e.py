@@ -295,17 +295,21 @@ def test_within_batch_conflict_rejected(store, spark):
         store.add_fasta_df(ok)
 
 
-def test_physical_layout_and_partition_pruning(store):
-    """Genomes are hive-partitioned by month(date); a dated match
-    derives the month filter so the scan prunes partitions."""
+def test_physical_layout_and_date_pruning(store):
+    """Post-unification physical layout: genomes live as immutable
+    commit-log dirs (no hive partitioning — file statistics subsume
+    it, the Delta/Iceberg trade); a dated match still answers
+    correctly, and once a genomes manifest exists its per-file date
+    min/max skips files for dated queries."""
     import os
-    root = os.path.join(store.root, "genomes")
-    parts = [d for d in os.listdir(root) if d.startswith("date_month=")]
-    assert any("2021-01" in d for d in parts), parts
+    dirs = store._live_dirs("genomes")
+    assert dirs and all(os.sep + "_data" + os.sep in d or "/_data/" in d
+                        for d in dirs), dirs
     res = store.match(MatchQuery(dates=["2021-01-01:2021-01-31"]))
     assert {r["accession"] for r in res.collect()} == {"NC_045512.2", "test2"}
+    # the date predicate reaches the parquet scan (row-group pruning)
     plan = res._jdf.queryExecution().executedPlan().toString()
-    assert "date_month" in plan, "month partition filter not derived"
+    assert "PushedFilters" in plan and "date" in plan
 
 
 def test_remove_with_orphan_gc(store):

@@ -44,9 +44,11 @@ def test_v1_store_upgrades_on_open(spark, tmp_path):
     assert set(rows) == {"ACC1", "ACC2", "ACC3"}
     assert str(rows["ACC1"]["date"]) == "2021-01-15"
     assert rows["ACC3"]["date"] is None
-    # physical rewrite: genomes now partitioned by date_month
-    parts = os.listdir(os.path.join(root, "genomes"))
-    assert any(p.startswith("date_month=") for p in parts)
+    # the physical rewrite is a commit: the migrated genomes live in
+    # the log, superseding the legacy plain dir
+    assert len(st.history()) >= 1
+    assert st._live_dirs("genomes")
+    assert all("_data/genomes/c-" in d for d in st._live_dirs("genomes"))
 
 
 def test_upgrade_is_idempotent(spark, tmp_path):
@@ -72,207 +74,146 @@ def test_newer_store_is_refused(spark, tmp_path):
         SonarStore.upgrade(spark, root)
 
 
-def test_mutation_lock_excludes_second_writer(tmp_path):
-    """A held lease makes a second writer time out; release frees it;
-    a stale lease is broken."""
+def test_lease_excludes_second_writer(spark, tmp_path):
+    """The commit-log writer lease on a LOCAL root: a held lease makes
+    a second acquirer time out; release frees it; a stale lease
+    (backdated mtime — a dead holder that stopped heartbeating) is
+    broken by the rename-rendezvous protocol."""
     import os
     import time
 
-    import pytest
+    from covsonar_spark.commitlog import CommitLog
 
-    from covsonar_spark.store import mutation_lock
-
-    root = str(tmp_path)
-    with mutation_lock(root):
-        assert os.path.isdir(os.path.join(root, ".lock"))
-        with pytest.raises(TimeoutError):
-            with mutation_lock(root, timeout=0.5):
-                pass
-    # released
-    with mutation_lock(root, timeout=0.5):
-        pass
-    # stale lease: backdate the lock dir and break it
-    os.mkdir(os.path.join(root, ".lock"))
+    root = str(tmp_path / "db")
+    os.makedirs(root)
+    log = CommitLog(spark, root)
+    owner = log.acquire_lease()
+    with pytest.raises(TimeoutError):
+        log.acquire_lease(timeout=0.5)
+    log.release_lease(owner)
+    o2 = log.acquire_lease(timeout=0.5)
+    # stale lease: backdate the lock file and break it
+    lock = os.path.join(root, "_log", "LOCK")
     old = time.time() - 10_000
-    os.utime(os.path.join(root, ".lock"), (old, old))
-    with mutation_lock(root, timeout=5, lease_timeout=3600):
-        pass
+    os.utime(lock, (old, old))
+    o3 = log.acquire_lease(timeout=5, lease_timeout=3600)
+    assert o3 != o2
+    log.release_lease(o3)
 
 
-def test_overwrite_crash_window_heals(spark, tmp_path):
-    """Simulate a crash between _overwrite's renames: table path absent,
-    .old present -> table() restores it instead of reporting empty."""
+def test_heartbeat_keeps_long_mutation_alive(spark, tmp_path):
+    """A holder that heartbeats is never diagnosed stale, even when
+    the lock's original mtime is ancient; heartbeat() refuses to touch
+    a lock owned by someone else."""
     import os
+    import time
 
-    from covsonar_spark.store import SonarStore
+    from covsonar_spark.commitlog import CommitLog
 
-    root = str(tmp_path / "store")
-    store = SonarStore.open(spark, root)
-    schema = SonarStore(spark, root).table("genomes").schema
-    row = tuple("v" if not f.nullable else None for f in schema.fields)
-    df = spark.createDataFrame([row], schema)
-    store._overwrite("genomes", df)
-    assert store.table("genomes").count() == 1
-    # crash window: final moved aside, new copy not yet swapped in
-    os.rename(store._path("genomes"), store._path("genomes") + ".old")
-    assert store.table("genomes").count() == 1      # healed from .old
-    assert os.path.exists(store._path("genomes"))
-    assert not os.path.exists(store._path("genomes") + ".old")
-
-
-def test_reader_sees_old_snapshot_while_writer_holds_lease(spark, tmp_path):
-    """A reader must not steal a live writer's in-progress swap AND
-    must not see an empty table: with the lease held by 'another
-    writer' and the table mid-swap (final moved to .old), table()
-    serves the .old pre-swap snapshot — the module contract is old or
-    new, never half-written or empty."""
-    import os
-
-    from covsonar_spark.store import SonarStore, _lock_key, mutation_lock
-
-    root = str(tmp_path / "store")
-    store = SonarStore.open(spark, root)
-    schema = store.table("genomes").schema
-    row = tuple("v" if not f.nullable else None for f in schema.fields)
-    store._overwrite("genomes", spark.createDataFrame([row], schema))
-    os.rename(store._path("genomes"), store._path("genomes") + ".old")
-    with mutation_lock(root):
-        # simulate: some OTHER process holds the lease (we do, but the
-        # reader path can't tell) — emulate a foreign holder by
-        # removing our ownership key
-        from covsonar_spark import store as store_mod
-        store_mod._HELD_LOCKS.discard(_lock_key(root))
-        try:
-            # pre-swap snapshot served, swap not stolen
-            assert store.table("genomes").count() == 1
-            assert os.path.isdir(store._path("genomes") + ".old")
-            assert not os.path.isdir(store._path("genomes"))
-        finally:
-            store_mod._HELD_LOCKS.add(_lock_key(root))
-    # lease released: next read heals the crashed swap for real
-    assert store.table("genomes").count() == 1
-    assert os.path.isdir(store._path("genomes"))
+    root = str(tmp_path / "db")
+    os.makedirs(root)
+    log = CommitLog(spark, root)
+    owner = log.acquire_lease()
+    lock = os.path.join(root, "_log", "LOCK")
+    old = time.time() - 10_000
+    os.utime(lock, (old, old))
+    assert log.heartbeat(owner)            # refreshes mtime
+    assert time.time() - os.path.getmtime(lock) < 60
+    assert not log.heartbeat("not-the-owner")
+    log.release_lease(owner)
 
 
-def test_held_locks_are_thread_scoped(spark, tmp_path):
-    """A reader in a DIFFERENT thread of the writer's process must not
-    pass the we-are-the-writer reentrancy check: it takes the foreign
-    -reader path (serves the .old snapshot, never renames) while the
-    writer thread holds the lease."""
-    import os
-    import threading
-
-    from covsonar_spark.store import SonarStore, mutation_lock
-
-    root = str(tmp_path / "store")
-    store = SonarStore.open(spark, root)
-    schema = store.table("genomes").schema
-    row = tuple("v" if not f.nullable else None for f in schema.fields)
-    store._overwrite("genomes", spark.createDataFrame([row], schema))
-    os.rename(store._path("genomes"), store._path("genomes") + ".old")
-    result: dict = {}
-    with mutation_lock(root):          # this thread is the writer
-        def reader():
-            result["n"] = store.table("genomes").count()
-            result["stole"] = os.path.isdir(store._path("genomes"))
-        t = threading.Thread(target=reader)
-        t.start()
-        t.join(timeout=60)
-    assert result["n"] == 1            # old snapshot, not empty
-    assert not result["stole"]         # and no rename happened
-    # after release the swap heals
-    assert store.table("genomes").count() == 1
-
-
-def test_upgrade_fast_path_skips_lock(spark, tmp_path):
-    """A current store opens read-only even while a writer holds the
-    lease (the lock-free upgrade fast path)."""
-    from covsonar_spark.store import SonarStore, mutation_lock
-
-    root = str(tmp_path / "store")
-    SonarStore.open(spark, root)              # writes VERSION marker
-    with mutation_lock(root):
-        st = SonarStore.open(spark, root)     # must not block or raise
-        assert st.table("genomes").count() == 0
-
-
-def test_reader_snapshot_survives_swap_completion(spark, tmp_path):
-    """The race the .old retention closes: a reader resolves the
-    pre-swap snapshot while the writer is mid-swap; the writer then
-    COMPLETES the swap; the reader's (lazy) action must still succeed
-    against the retained .old instead of FileNotFoundException."""
+def test_legacy_crash_artifacts_read_and_adopt(spark, tmp_path):
+    """Pre-unification crash artifacts (the old posix rename-pair
+    protocol): a store left with the final dir missing and only the
+    ``.old`` pre-swap snapshot must (a) READ as that snapshot, never
+    empty, and (b) be ADOPTED into the commit log by the first
+    mutation so the data survives."""
     import os
     import shutil
 
-    from covsonar_spark.store import SonarStore, _lock_key, mutation_lock
-
     root = str(tmp_path / "store")
     store = SonarStore.open(spark, root)
     schema = store.table("genomes").schema
     row = tuple("v" if not f.nullable else None for f in schema.fields)
-    df1 = spark.createDataFrame([row], schema)
-    store._overwrite("genomes", df1)
-    final = store._path("genomes")
-    tmp_dir, old = final + ".tmp", final + ".old"
-    # stage the new version like _overwrite does, then freeze mid-swap
-    shutil.copytree(final, tmp_dir)
-    os.rename(final, old)
-    with mutation_lock(root):
-        from covsonar_spark import store as store_mod
-        store_mod._HELD_LOCKS.discard(_lock_key(root))
-        try:
-            snapshot = store.table("genomes")     # resolves .old lazily
-        finally:
-            store_mod._HELD_LOCKS.add(_lock_key(root))
-        os.rename(tmp_dir, final)                 # writer completes swap
-        # .old retained (no post-swap rmtree) -> the snapshot still reads
-        assert snapshot.count() == 1
-        assert os.path.isdir(old)
+    df = spark.createDataFrame([row], schema)
+    df.write.parquet(store._path("genomes"))        # legacy plain layout
+    assert store.table("genomes").count() == 1
+    # simulate the pre-unification crash window: final moved to .old
+    os.rename(store._path("genomes"), store._path("genomes") + ".old")
+    assert store.table("genomes").count() == 1      # served from .old
+    # first mutation adopts the artifact; subsequent reads resolve the log
+    store.update_metadata(spark.createDataFrame(
+        [(row[0], "LAB")], "accession string, lab string"))
+    assert store.table("genomes").where("lab = 'LAB'").count() == 1
+    assert [h["version"] for h in store.history()] == [1]
+    # a completed .tmp (fully written, _SUCCESS present) adopts too
+    root2 = str(tmp_path / "store2")
+    store2 = SonarStore.open(spark, root2)
+    df.write.parquet(store2._path("genomes") + ".tmp")
+    assert os.path.exists(
+        os.path.join(store2._path("genomes") + ".tmp", "_SUCCESS"))
+    assert store2.table("genomes").count() == 1
+    store2.update_metadata(spark.createDataFrame(
+        [(row[0], "LAB2")], "accession string, lab string"))
+    assert store2.table("genomes").where("lab = 'LAB2'").count() == 1
+    shutil.rmtree(root2)
 
 
-def test_read_race_with_swap_is_not_empty(spark, tmp_path, monkeypatch):
-    """A swap landing between table()'s existence check and its
-    parquet read must NOT surface as an empty table (the empty-dir
-    fallback is only for dirs that truly hold no data files) — caught
-    live by tools/stress_store_procs.py: a reader process landing in
-    the rename window got 0 rows.  Deterministic replay: the first
-    read attempt throws like Spark does when the dir vanished mid-
-    listing; the dir has data, so table() must re-resolve and return
-    the rows."""
-    from covsonar_spark.store import SonarStore
-
+def test_reader_snapshot_survives_writer_commit(spark, tmp_path):
+    """Real MVCC (what the pre-unification .old retention only
+    approximated): a reader's lazy plan pinned to version N still
+    executes after a writer publishes N+1, because superseded dirs
+    stay on disk for the vacuum retention window."""
     root = str(tmp_path / "store")
     store = SonarStore.open(spark, root)
     schema = store.table("genomes").schema
     row = tuple("v" if not f.nullable else None for f in schema.fields)
-    store._overwrite("genomes", spark.createDataFrame([row], schema))
+    with store._mutation_session():
+        store._overwrite("genomes", spark.createDataFrame([row], schema))
+    snapshot = store.table("genomes")               # lazy plan over v1
+    with store._mutation_session():
+        store._overwrite("genomes", spark.createDataFrame([], schema))
+    assert snapshot.count() == 1                    # v1 dirs retained
+    assert store.table("genomes").count() == 0      # v2 is current
 
-    real_reader = spark.read
-    calls = {"n": 0}
 
-    class FlakyReader:
-        def parquet(self, path):
-            calls["n"] += 1
-            if calls["n"] == 1:
-                raise Exception("[PATH_NOT_FOUND] swap moved the dir")
-            return real_reader.parquet(path)
+def test_unreadable_databearing_legacy_dir_raises(spark, tmp_path):
+    """A legacy table dir that holds data files but cannot be read
+    surfaces as StoreReadError — never a silent empty table."""
+    import os
 
-        def __getattr__(self, a):
-            return getattr(real_reader, a)
+    from covsonar_spark.store import StoreReadError
 
-    monkeypatch.setattr(type(spark), "read",
-                        property(lambda self: FlakyReader()))
-    assert store.table("genomes").count() == 1      # retried, not empty
-    assert calls["n"] >= 2
+    root = str(tmp_path / "store")
+    store = SonarStore.open(spark, root)
+    gdir = store._path("genomes")
+    os.makedirs(gdir)
+    with open(os.path.join(gdir, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"not parquet at all")
+    with pytest.raises(StoreReadError, match="could not be read"):
+        store.table("genomes").count()
+
+
+def test_upgrade_fast_path_skips_lease(spark, tmp_path):
+    """A current store opens read-only even while a writer holds the
+    lease (the lease-free upgrade fast path)."""
+    root = str(tmp_path / "store")
+    SonarStore.open(spark, root)              # writes VERSION marker
+    log_owner = SonarStore(spark, root)._log.acquire_lease()
+    try:
+        st = SonarStore.open(spark, root)     # must not block or raise
+        assert st.table("genomes").count() == 0
+    finally:
+        SonarStore(spark, root)._log.release_lease(log_owner)
 
 
 def test_emptied_table_still_reads_empty(spark, tmp_path):
     """The legitimate empty case stays intact: a table overwritten
-    with zero rows (dir holds only _SUCCESS) reads as 0 rows."""
-    from covsonar_spark.store import SonarStore
-
+    with zero rows reads as 0 rows."""
     root = str(tmp_path / "store")
     store = SonarStore.open(spark, root)
     schema = store.table("genomes").schema
-    store._overwrite("genomes", spark.createDataFrame([], schema))
+    with store._mutation_session():
+        store._overwrite("genomes", spark.createDataFrame([], schema))
     assert store.table("genomes").count() == 0

@@ -106,16 +106,19 @@ def test_match_end_to_end_on_viewfs(spark, tmp_path):
     assert stv.table("dna_variants").count() == 0
 
 
-def test_commitlog_adopts_legacy_layout(spark, tmp_path):
-    """First mutation on a remote root holding plain table directories
-    (written locally, mounted remotely): the commit-log protocol adopts
-    them as version-1 base, optimize() compacts into log-managed dirs,
-    and match results are unchanged."""
+@pytest.mark.parametrize("scheme", ["viewfs", "local"])
+def test_commitlog_adopts_legacy_layout(spark, tmp_path, scheme):
+    """First mutation on a root holding plain table directories: the
+    commit-log protocol adopts them as version-1 base, optimize()
+    compacts into log-managed dirs, and match results are unchanged —
+    on a remote mount AND (round 7, unified protocol) a plain local
+    path."""
     from covsonar_spark.operators.match import MatchQuery
 
     root = str(tmp_path / "db")
     _write_clustered_store(spark, root, n=16)
-    uri = _mount(spark, "vtestmut", root)
+    uri = _mount(spark, f"vtestmut{scheme}", root) \
+        if scheme == "viewfs" else root
     stv = SonarStore(spark, uri)
     q = MatchQuery(lineages=["L.1"])
     before = sorted(r["accession"] for r in stv.match(q).collect())
@@ -195,7 +198,7 @@ def test_commitlog_conflict_and_reader_isolation(spark, tmp_path):
     writer = SonarStore(spark, uri)
     reader = SonarStore(spark, uri)
     n_before = reader.table("genomes").count()
-    with writer._remote_mutation():
+    with writer._mutation_session():
         writer._overwrite("genomes", writer.table("genomes").limit(2))
         # writer sees its own staged state; the reader handle does not
         assert writer.table("genomes").count() == 2
@@ -216,7 +219,7 @@ def test_commitlog_vacuum_reaps_garbage(spark, tmp_path):
 
     # simulate a crash: stage a write, then abort before commit
     with pytest.raises(RuntimeError, match="boom"):
-        with stv._remote_mutation():
+        with stv._mutation_session():
             stv._append("genomes", stv.table("genomes").limit(1))
             raise RuntimeError("boom")
     assert stv.table("genomes").count() == n   # nothing published
@@ -326,7 +329,7 @@ def test_incremental_manifest_build(spark, tmp_path, monkeypatch):
               datetime.date(2022, 9, 1 + i), None, None, None, None,
               None, None, None, None, None, None, None, None, None,
               None) for i in range(6)]
-    with stv._remote_mutation():
+    with stv._mutation_session():
         stv._append("genomes", spark.createDataFrame(
             extra, schema=_SCHEMAS["genomes"]))
 
@@ -407,10 +410,14 @@ def test_time_travel_and_history(spark, tmp_path):
     assert old.count() == n1
     assert old.where(F.col("lab").isNotNull()).count() == 0   # pre-update
 
+    # round-7 unification: a LOCAL handle on the same directory sees
+    # the same commit log — identical history, identical time travel
+    # (pre-unification it refused; one protocol everywhere now)
     st_local = SonarStore(spark, root)
-    assert st_local.history() == []
-    with pytest.raises(ValueError, match="commit-log"):
-        st_local.table_at("genomes", 1)
+    assert [h["version"] for h in st_local.history()] == [1, 2]
+    assert st_local.table_at("genomes", 1).count() == n1
+    with pytest.raises(ValueError, match="not found"):
+        st_local.table_at("genomes", 99)
 
 
 def test_pushdown_survives_commitlog_union(spark, tmp_path):
@@ -424,7 +431,7 @@ def test_pushdown_survives_commitlog_union(spark, tmp_path):
     uri = _mount(spark, "vtestpd", root)
     stv = SonarStore(spark, uri)
     stv.optimize(rows_per_file=6)
-    with stv._remote_mutation():                # second live dir
+    with stv._mutation_session():                # second live dir
         stv._append("genomes", stv.table_at("genomes", 1).limit(4))
     dirs = stv._live_dirs("genomes")
     assert len(dirs) >= 2
@@ -437,18 +444,21 @@ def test_pushdown_survives_commitlog_union(spark, tmp_path):
     assert all("EqualTo(lineage,L.2)" in p for p in pushed), pushed
 
 
-def test_commitlog_model_fuzz(spark, tmp_path):
+@pytest.mark.parametrize("scheme", ["viewfs", "local"])
+def test_commitlog_model_fuzz(spark, tmp_path, scheme):
     """Model-based fuzz: a random sequence of append / overwrite /
     filter-rewrite mutations applied through the commit-log protocol
     must leave table() equal to an in-memory Python model after EVERY
     commit, with one version per mutation and old versions readable
-    until vacuumed."""
+    until vacuumed — identical behavior on remote and local roots
+    (round 7: one protocol everywhere)."""
     import random
 
     rng = random.Random(20260815)
     root = str(tmp_path / "db")
     os.makedirs(root, exist_ok=True)
-    uri = _mount(spark, "vtestfuzz", root)
+    uri = _mount(spark, f"vtestfuzz{scheme}", root) \
+        if scheme == "viewfs" else root
     st = SonarStore(spark, uri)
 
     schema = "seqhash string, dna_profile array<string>, " \
@@ -464,7 +474,7 @@ def test_commitlog_model_fuzz(spark, tmp_path):
 
     for step in range(8):
         op = rng.choice(["append", "append", "overwrite", "rewrite"])
-        with st._remote_mutation():
+        with st._mutation_session():
             if op == "append":
                 rows = [(f"h{next_id + i}", step) for i in range(rng.randint(1, 4))]
                 next_id += len(rows)
@@ -554,5 +564,6 @@ def test_match_at_version(spark, tmp_path):
     assert sorted(r["accession"] for r in
                   st.match_at(q_lit, 1).collect()) == v1_rows
 
-    with pytest.raises(ValueError, match="commit-log"):
-        SonarStore(spark, root).match_at(q, 1)
+    # round-7 unification: the LOCAL handle time-travels the same log
+    assert sorted(r["accession"] for r in
+                  SonarStore(spark, root).match_at(q, 1).collect()) == v1_rows

@@ -148,7 +148,7 @@ def child_killstage(backing: str, marker: str) -> None:
 
     spark = _spark("log-stress-killstage", backing)
     st = _open(spark)
-    real_commit = store_mod.SonarStore._remote_mutation
+    real_commit = store_mod.SonarStore._mutation_session
 
     orig_stage = store_mod.SonarStore._stage_write
 

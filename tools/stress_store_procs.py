@@ -1,25 +1,33 @@
-"""Cross-PROCESS store stress (VERDICT r3 #5): the single-writer lease
-and old-or-new swap contract (store.py mutation_lock/_overwrite/_heal)
-exercised by real OS processes, not threads — including a genuine
-``kill -9`` between ``_overwrite``'s two renames.
+"""Cross-PROCESS store stress on the UNIFIED commit-log protocol
+(round 7: local posix roots mutate through commitlog.py like every
+other scheme) — real OS processes, not threads, including a genuine
+``kill -9`` inside the commit protocol's crash windows.
 
-Three phases, each with its own child process(es), each child a full
-Python+Spark process (``local[4]``, its own JVM):
+Phases, each child a full Python+Spark process (``local[4]``, its own
+JVM) unless noted:
 
 1. reader-under-writer — a reader process hammers ``table("genomes")``
    (count + a full-scan aggregate) while the parent runs back-to-back
    overwrite mutations (update_metadata). Contract: every read sees a
-   complete table generation — exactly N rows, never 0, never partial.
+   complete committed generation — exactly N rows, never 0, never
+   partial (MVCC: superseded dirs are retained, so no transient errors
+   are expected at all).
 2. competing writers — two writer processes each apply K sequential
-   metadata updates to DISJOINT columns under the lease. Contract: no
-   lost update — the final table holds BOTH writers' last values.
-3. kill -9 mid-swap — a writer child patches the store module's
-   ``os.rename`` to drop a marker and hang AFTER ``rename(final, old)``
-   (the worst crash window: the table path does not exist); the parent
-   SIGKILLs it there, verifies a reader process still serves the
-   ``.old`` snapshot (old-or-new, never empty), breaks the dead
-   writer's stale lease the way a recovering deployment would, and
-   verifies ``_heal`` restores the table for the next writer.
+   metadata updates to DISJOINT columns; the advisory lease serializes
+   them and the commit race arbitrates any residue. Contract: no lost
+   update — the final table holds BOTH writers' last values and the
+   log is a linear version sequence.
+3. kill -9 BEFORE the commit rename — a writer child stages its dirs
+   then hangs right before publishing; the parent SIGKILLs it there.
+   Contract: NOTHING is published (reader sees the pre-crash table),
+   the dead writer's lease is breakable, the staged garbage is
+   invisible and vacuum() reaps it, and the store mutates again.
+4. kill -9 AFTER the commit rename — the mutation IS the published
+   state the instant the rename lands. Contract: a fresh reader sees
+   the new table even though the writer never returned.
+5. two-process stale-lease break race (no Spark) — both children
+   diagnose the same stale LOCK; the rename-rendezvous break must let
+   AT MOST ONE acquire.
 
 Usage:
     python tools/stress_store_procs.py              # orchestrate all
@@ -30,7 +38,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import signal
 import subprocess
 import sys
@@ -98,9 +105,9 @@ def child_reader(root: str, seconds: float) -> None:
             # full-scan aggregate: real file reads, not footer counts
             n_acc = df.select("accession").distinct().count()
         except Exception:  # noqa: BLE001
-            # a swap landed between this plan's file listing and its
-            # scan: a VISIBLE, retryable error is within contract
-            # (old-or-new or an error — never a silently wrong result)
+            # under MVCC a read should never fail while retention
+            # holds; count (expect 0) but don't hard-fail on a single
+            # vacuum-race transient
             transients += 1
             continue
         if n != N_GENOMES or n_acc != N_GENOMES:
@@ -120,7 +127,7 @@ def child_writer(root: str, col: str, k: int) -> None:
     for i in range(k):
         # updates are LITERAL rows (the caller's own data), not a read
         # of the live table: deriving an update from an un-leased read
-        # races the competing writer's swap by construction — that is a
+        # races the competing writer by construction — that is a
         # caller bug, not a store one
         upd = spark.createDataFrame(
             [(a, f"{col}-v{i}-{a}") for a in accs],
@@ -129,28 +136,89 @@ def child_writer(root: str, col: str, k: int) -> None:
     print(json.dumps({"ok": True, "col": col, "last": k - 1}))
 
 
-def child_killswap(root: str, marker: str) -> None:
-    """Run one overwrite mutation but hang (to be SIGKILLed) right
-    after ``os.rename(final, old)`` — the window where the table path
-    is gone and only ``.old`` + ``.tmp`` exist."""
-    import covsonar_spark.store as store_mod
+def child_killcommit(root: str, marker: str, when: str) -> None:
+    """Run one overwrite mutation but hang (to be SIGKILLed) either
+    right BEFORE the commit rename (when=pre: staged-but-unpublished,
+    the mutation must vanish) or right AFTER it (when=post: the
+    mutation is durable even though the writer never returns)."""
+    from covsonar_spark import commitlog
     from pyspark.sql import functions as F
 
-    real_rename = os.rename
+    real_rename = commitlog.LocalFS.rename_no_replace
 
-    def rename_hook(src, dst):
-        real_rename(src, dst)
-        if dst.endswith("genomes.old"):
+    def hook(self, src, dst):
+        if "/_log/v" in dst and when == "pre":
             with open(marker, "w") as fh:
-                fh.write("mid-swap\n")
+                fh.write("pre-commit\n")
             time.sleep(600)          # parent kills us here
+        ok = real_rename(self, src, dst)
+        if "/_log/v" in dst and when == "post" and ok:
+            with open(marker, "w") as fh:
+                fh.write("post-commit\n")
+            time.sleep(600)          # parent kills us here
+        return ok
 
-    spark = _spark("store-stress-killswap")
+    commitlog.LocalFS.rename_no_replace = hook
+    spark = _spark("store-stress-killcommit")
     st = _open(spark, root)
-    store_mod.os.rename = rename_hook
-    upd = st.table("genomes").select(
-        "accession", F.lit("doomed").alias("zip"))
+    upd = spark.createDataFrame(
+        [(f"ACC{i:04d}", "doomed" if when == "pre" else "landed")
+         for i in range(N_GENOMES)],
+        "accession string, zip string")
     st.update_metadata(upd)          # never returns
+
+
+def child_postcrash_read(root: str) -> None:
+    spark = _spark("store-stress-postread")
+    st = _open(spark, root)
+    df = st.table("genomes")
+    rows = df.select("accession", "technology", "zip") \
+        .orderBy("accession").collect()
+    zips = sorted({r["zip"] for r in rows})
+    print(json.dumps({"ok": True, "n": len(rows),
+                      "sample_acc": rows[0]["accession"],
+                      "sample": rows[0]["technology"],
+                      "zips": zips}))
+
+
+def child_recover(root: str) -> None:
+    """Operator-style recovery after a dead writer: break the stale
+    lease (delete — the holder is provably dead here), vacuum the
+    staged garbage, then prove the store mutates again."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    spark = _spark("store-stress-recover")
+    st = _open(spark, root)
+    shutil.rmtree(os.path.join(root, "_log", "LOCK"), ignore_errors=True)
+    try:
+        os.remove(os.path.join(root, "_log", "LOCK"))
+    except OSError:
+        pass
+    n = st.table("genomes").count()
+    garbage = st._log.vacuum({t: st._data_area(t) for t in
+                              ("genomes", "sequences", "profiles",
+                               "dna_variants", "prot_variants")},
+                             retain_last=2, min_age_s=0.0)
+    upd = st.table("genomes").select(
+        "accession", F.lit("healed").alias("zip"))
+    st.update_metadata(upd)                # proves the lease is free again
+    n2 = st.table("genomes").where(F.col("zip") == "healed").count()
+    print(json.dumps({"ok": n == n2 == N_GENOMES, "n": n,
+                      "vacuumed": garbage}))
+
+
+def child_breaker(root: str) -> None:
+    """Try to break + acquire a stale lease; report win/lose."""
+    from covsonar_spark.commitlog import CommitLog
+
+    log = CommitLog(None, root)
+    try:
+        owner = log.acquire_lease(timeout=3.0, lease_timeout=3600.0)
+        print(json.dumps({"won": True, "owner": owner}))
+    except TimeoutError:
+        print(json.dumps({"won": False}))
 
 
 # ------------------------------------------------------------ orchestration
@@ -190,9 +258,13 @@ def orchestrate(root: str) -> None:
     res = json.loads(out.strip().splitlines()[-1])
     assert reader.returncode == 0 and res["ok"], f"reader violation: {res}"
     assert res["reads"] >= 5, f"reader starved: {res}"
-    print(f"   reader: {res['reads']} clean reads across {i} overwrites")
+    assert res["transient_errors"] == 0, \
+        f"MVCC reads must never fail mid-retention: {res}"
+    print(f"   reader: {res['reads']} clean reads across {i} overwrites, "
+          f"0 transients")
 
     print("== phase 2: two competing writer processes", flush=True)
+    v_before = st._log.latest()[0]
     w1 = _run_child("writer", root, "zip", str(K_UPDATES), wait=False)
     w2 = _run_child("writer", root, "lab", str(K_UPDATES), wait=False)
     for w, col in ((w1, "zip"), (w2, "lab")):
@@ -204,69 +276,84 @@ def orchestrate(root: str) -> None:
     n_lab = final.where(F.col("lab").startswith(f"lab-{last}")).count()
     assert n_zip == N_GENOMES, f"lost zip updates: {n_zip}/{N_GENOMES}"
     assert n_lab == N_GENOMES, f"lost lab updates: {n_lab}/{N_GENOMES}"
-    print(f"   both writers' final values present on all {N_GENOMES} rows")
+    vs = st._log.versions()
+    assert vs == list(range(vs[0], vs[-1] + 1)), f"non-linear log: {vs}"
+    assert st._log.latest()[0] == v_before + 2 * K_UPDATES, \
+        "writer commits lost or duplicated"
+    print(f"   both writers' final values present on all {N_GENOMES} rows; "
+          f"linear log through v{vs[-1]}")
 
-    print("== phase 3: kill -9 between the swap renames", flush=True)
+    print("== phase 3: kill -9 BEFORE the commit rename", flush=True)
     pre = {r["accession"]: r["technology"]
            for r in final.select("accession", "technology").collect()}
-    marker = os.path.join(root, "MIDSWAP_MARKER")
-    killer = _run_child("killswap", root, marker, wait=False)
-    for _ in range(1200):
+    v_pre_kill = st._log.latest()[0]
+    marker = os.path.join(root, "PRECOMMIT_MARKER")
+    killer = _run_child("killcommit", root, marker, "pre", wait=False)
+    for _ in range(1800):
         if os.path.exists(marker):
             break
         time.sleep(0.1)
     else:
         killer.kill()
-        raise AssertionError("killswap child never reached mid-swap")
+        raise AssertionError("killcommit child never reached the window")
     os.kill(killer.pid, signal.SIGKILL)
     killer.wait(timeout=60)
-    gpath = os.path.join(root, "genomes")
-    assert not os.path.exists(gpath), "child died before the crash window?"
-    assert os.path.isdir(gpath + ".old"), "no .old snapshot at crash"
+    assert st._log.latest()[0] == v_pre_kill, "phantom commit after kill"
 
-    # a fresh READER process must still see the pre-crash table (the
-    # dead writer's lease is young, so heal defers and .old serves)
     rc, res = _run_child("postcrash_read", root)
     assert rc == 0 and res["ok"] and res["n"] == N_GENOMES, res
+    assert "doomed" not in res["zips"], \
+        f"unpublished staged data visible: {res}"
     assert res["sample"] == pre[res["sample_acc"]], \
-        f"mid-swap read not the pre-crash snapshot: {res}"
-    print("   post-kill reader served the .old snapshot")
+        f"post-kill read not the pre-crash snapshot: {res}"
+    print("   nothing published; reader served the last commit")
 
-    # recovery: break the dead writer's stale lease (what an operator/
-    # lease timeout does), then the next open heals the table
-    shutil.rmtree(os.path.join(root, ".lock"), ignore_errors=True)
-    rc, res = _run_child("postcrash_heal", root)
-    assert rc == 0 and res["ok"] and res["n"] == N_GENOMES, res
-    assert os.path.isdir(gpath), "table not restored by heal"
-    print("   heal restored the table; store mutable again")
+    rc, res = _run_child("recover", root)
+    assert rc == 0 and res["ok"], res
+    assert res["vacuumed"] >= 1, f"staged garbage not reaped: {res}"
+    print(f"   recovery: lease broken, {res['vacuumed']} staged dir(s) "
+          f"vacuumed, store mutable again")
+
+    print("== phase 4: kill -9 AFTER the commit rename", flush=True)
+    v_now = st._log.latest()[0]
+    marker2 = os.path.join(root, "POSTCOMMIT_MARKER")
+    killer = _run_child("killcommit", root, marker2, "post", wait=False)
+    for _ in range(1800):
+        if os.path.exists(marker2):
+            break
+        time.sleep(0.1)
+    else:
+        killer.kill()
+        raise AssertionError("killcommit(post) never reached the window")
+    os.kill(killer.pid, signal.SIGKILL)
+    killer.wait(timeout=60)
+    assert st._log.latest()[0] == v_now + 1, "commit rename not durable"
+    rc, res = _run_child("postcrash_read", root)
+    assert rc == 0 and res["n"] == N_GENOMES and res["zips"] == ["landed"], \
+        f"published mutation not visible: {res}"
+    print("   commit durable the instant the rename landed")
+    # free the dead writer's lease for cleanliness
+    try:
+        os.remove(os.path.join(root, "_log", "LOCK"))
+    except OSError:
+        pass
+
+    print("== phase 5: two-process stale-break race", flush=True)
+    from covsonar_spark.commitlog import CommitLog
+    log = CommitLog(None, root)
+    log.acquire_lease()
+    lock = os.path.join(root, "_log", "LOCK")
+    old_t = time.time() - 10_000
+    os.utime(lock, (old_t, old_t))       # the holder is "dead"
+    b1 = _run_child("breaker", root, wait=False)
+    b2 = _run_child("breaker", root, wait=False)
+    wins = []
+    for b in (b1, b2):
+        out, _ = b.communicate(timeout=120)
+        wins.append(json.loads(out.strip().splitlines()[-1])["won"])
+    assert sum(wins) == 1, f"stale-break race: {sum(wins)} acquirers won"
+    print("   exactly one breaker acquired the stale lease")
     print("ALL PHASES PASS")
-
-
-def child_postcrash_read(root: str) -> None:
-    spark = _spark("store-stress-postread")
-    st = _open(spark, root)
-    df = st.table("genomes")
-    rows = df.select("accession", "technology").orderBy("accession").collect()
-    print(json.dumps({"ok": True, "n": len(rows),
-                      "sample_acc": rows[0]["accession"],
-                      "sample": rows[0]["technology"]}))
-
-
-def child_postcrash_heal(root: str) -> None:
-    from pyspark.sql import functions as F
-
-    spark = _spark("store-stress-heal")
-    st = _open(spark, root)
-    n = st.table("genomes").count()        # triggers _heal under the lease
-    # crash artifacts resolved BEFORE any new mutation (.old is
-    # legitimately re-created by the next overwrite's retention)
-    healed_clean = not os.path.isdir(os.path.join(root, "genomes.old"))
-    upd = st.table("genomes").select(
-        "accession", F.lit("healed").alias("zip"))
-    st.update_metadata(upd)                # proves the lease is free again
-    n2 = st.table("genomes").where(F.col("zip") == "healed").count()
-    print(json.dumps({"ok": n == n2 and healed_clean, "n": n,
-                      "healed_clean": healed_clean}))
 
 
 def main() -> None:
@@ -279,12 +366,14 @@ def main() -> None:
         child_reader(sys.argv[2], float(sys.argv[3]))
     elif phase == "writer":
         child_writer(sys.argv[2], sys.argv[3], int(sys.argv[4]))
-    elif phase == "killswap":
-        child_killswap(sys.argv[2], sys.argv[3])
+    elif phase == "killcommit":
+        child_killcommit(sys.argv[2], sys.argv[3], sys.argv[4])
     elif phase == "postcrash_read":
         child_postcrash_read(sys.argv[2])
-    elif phase == "postcrash_heal":
-        child_postcrash_heal(sys.argv[2])
+    elif phase == "recover":
+        child_recover(sys.argv[2])
+    elif phase == "breaker":
+        child_breaker(sys.argv[2])
     else:
         raise SystemExit(f"unknown phase {phase}")
 
