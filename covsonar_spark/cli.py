@@ -254,6 +254,29 @@ def cmd_history(spark, args):
         print(f"version {h['version']}	{ts}	{tables}")
 
 
+def cmd_vacuum(spark, args):
+    """Reap data dirs no retained commit references (uncommitted
+    garbage from crashed/conflicted writers, versions past retention,
+    superseded adopted legacy dirs) — the standalone version of the
+    GC optimize() performs; --retain/--min-age-hours bound how far
+    back `--at-version` time travel keeps working."""
+    from covsonar_spark.store import TABLES
+
+    st = _store(spark, args)
+    legacy = {}
+    for t in TABLES:
+        legacy[t] = st._path(t)
+        legacy[f"{t}.old"] = st._path(t) + ".old"
+        legacy[f"{t}.tmp"] = st._path(t) + ".tmp"
+    n = st._log.vacuum({t: st._data_area(t) for t in TABLES},
+                       retain_last=args.retain,
+                       min_age_s=args.min_age_hours * 3600.0,
+                       legacy_paths=legacy)
+    print(f"vacuumed {n} unreferenced data dir(s) "
+          f"(retained last {max(args.retain, 1)} version(s))",
+          file=sys.stderr)
+
+
 def cmd_db_upgrade(spark, args):
     from covsonar_spark.store import SonarStore
 
@@ -469,6 +492,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("history")
     common(sp)
     sp.set_defaults(fn=cmd_history)
+
+    sp = sub.add_parser("vacuum")
+    common(sp)
+    sp.add_argument("--retain", type=int, default=2,
+                    help="keep the last N versions time-travelable "
+                         "(default 2; the latest is always kept)")
+    sp.add_argument("--min-age-hours", type=float, default=1.0,
+                    help="never delete anything younger than this "
+                         "(default 1h; guards in-flight writers and "
+                         "pinned readers)")
+    sp.set_defaults(fn=cmd_vacuum)
 
     sp = sub.add_parser(
         "update-lineage-info",

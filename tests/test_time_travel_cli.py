@@ -103,3 +103,30 @@ def test_at_unknown_version_fails_cleanly(spark, db):
     st = SonarStore.open(spark, db)
     with pytest.raises(ValueError, match="not found"):
         st.match_at(MatchQuery(), 999)
+
+
+def test_vacuum_cli_bounds_time_travel(spark, tmp_path):
+    """`vacuum --retain 1 --min-age-hours 0` reaps superseded versions'
+    data dirs; the latest version stays fully readable and older
+    versions stop being time-travelable (their commit files age out on
+    the same floor)."""
+    d = str(tmp_path / "vac_db")
+    main(["add", "--db", d, "--ref", f"{REF}/lib/ref.fna",
+          "--gff", f"{REF}/lib/ref.gff3",
+          "-f", f"{REF}/test/test.fasta"], spark=spark)       # v1
+    main(["update", "--db", d, "--pangolin",
+          f"{REF}/test/test_pangolin.csv"], spark=spark)      # v2
+    err = io.StringIO()
+    real = sys.stderr
+    sys.stderr = err
+    try:
+        main(["vacuum", "--db", d, "--retain", "1",
+              "--min-age-hours", "0"], spark=spark)
+    finally:
+        sys.stderr = real
+    assert "vacuumed" in err.getvalue()
+    from covsonar_spark.store import SonarStore
+
+    st = SonarStore.open(spark, d)
+    assert [h["version"] for h in st.history()] == [2]
+    assert st.table("genomes").count() == 3                   # latest intact
