@@ -259,19 +259,12 @@ def cmd_vacuum(spark, args):
     garbage from crashed/conflicted writers, versions past retention,
     superseded adopted legacy dirs) — the standalone version of the
     GC optimize() performs; --retain/--min-age-hours bound how far
-    back `--at-version` time travel keeps working."""
-    from covsonar_spark.store import TABLES
-
+    back `--at-version` time travel keeps working.  Runs under the
+    writer lease (SonarStore.vacuum) so it can never reap a concurrent
+    in-flight mutation's freshly staged dirs."""
     st = _store(spark, args)
-    legacy = {}
-    for t in TABLES:
-        legacy[t] = st._path(t)
-        legacy[f"{t}.old"] = st._path(t) + ".old"
-        legacy[f"{t}.tmp"] = st._path(t) + ".tmp"
-    n = st._log.vacuum({t: st._data_area(t) for t in TABLES},
-                       retain_last=args.retain,
-                       min_age_s=args.min_age_hours * 3600.0,
-                       legacy_paths=legacy)
+    n = st.vacuum(retain_last=args.retain,
+                  min_age_s=args.min_age_hours * 3600.0)
     print(f"vacuumed {n} unreferenced data dir(s) "
           f"(retained last {max(args.retain, 1)} version(s))",
           file=sys.stderr)

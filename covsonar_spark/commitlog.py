@@ -97,6 +97,11 @@ class LocalFS:
     table() call — that must cost microseconds of os.* work, not py4j
     round-trips into the JVM."""
 
+    def __init__(self):
+        # per-directory hardlink-support probe cache (exFAT / some
+        # SMB / FUSE mounts have no os.link) — one probe per store
+        self._link_ok: dict[str, bool] = {}
+
     @staticmethod
     def _p(path: str) -> str:
         if path.startswith("file://"):
@@ -148,16 +153,91 @@ class LocalFS:
     def rename_no_replace(self, src: str, dst: str) -> bool:
         """put-if-absent for FILES: hardlink (atomic, fails on an
         existing destination) then unlink the source — posix has no
-        rename-without-replace syscall exposed to Python."""
+        rename-without-replace syscall exposed to Python.  Filesystems
+        without hardlinks (exFAT, some SMB/FUSE mounts — where the
+        pre-unification swap protocol used to work) fall back to a
+        mkdir-mutex emulation, probed once per directory."""
         src, dst = self._p(src), self._p(dst)
+        if not self._supports_link(os.path.dirname(dst)):
+            return self._rename_no_replace_gated(src, dst)
         try:
             os.link(src, dst)
         except FileExistsError:
             return False
         except FileNotFoundError:
             return False          # another renamer took src first
-        os.unlink(src)
+        try:
+            os.unlink(src)
+        except OSError:
+            pass   # dst IS published; the stray src hardlink is tmp
+            #        garbage vacuum reaps — failing the commit here
+            #        would delete staged dirs a live commit references
         return True
+
+    def _supports_link(self, d: str) -> bool:
+        got = self._link_ok.get(d)
+        if got is not None:
+            return got
+        probe = os.path.join(d, f".lnkprobe-{uuid.uuid4().hex[:8]}")
+        ok = True     # probe inconclusive → let os.link surface errors
+        try:
+            with open(probe, "wb"):
+                pass
+            try:
+                os.link(probe, probe + ".l")
+                os.unlink(probe + ".l")
+            except OSError:
+                ok = False
+        except OSError:
+            pass
+        finally:
+            try:
+                os.unlink(probe)
+            except OSError:
+                pass
+        self._link_ok[d] = ok
+        return ok
+
+    def _rename_no_replace_gated(self, src: str, dst: str) -> bool:
+        """Hardlink-less fallback: ``os.mkdir`` is atomic put-if-absent
+        on every filesystem Python runs on, so a mutex dir gates an
+        exists-check + ``os.replace``.  A holder that died inside the
+        (milliseconds-long) critical section is broken after 60 s —
+        rmdir+retry, where the re-mkdir race is again decided by mkdir
+        atomicity.  Weaker than the hardlink path only in that window;
+        these mounts previously had NO working commit path at all."""
+        gate = dst + ".gate"
+        deadline = time.time() + 30.0
+        while True:
+            try:
+                os.mkdir(gate)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(gate) > 60.0:
+                        os.rmdir(gate)
+                        continue
+                except OSError:
+                    continue      # gate released/broken under us: retry
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"rename gate stuck (holder died?): {gate}")
+                time.sleep(0.05)
+            except FileNotFoundError:
+                return False      # parent vanished: nothing to publish
+        try:
+            if os.path.exists(dst):
+                return False
+            try:
+                os.replace(src, dst)
+            except FileNotFoundError:
+                return False      # another renamer took src first
+            return True
+        finally:
+            try:
+                os.rmdir(gate)
+            except OSError:
+                pass
 
     def list_names(self, path: str) -> list[str]:
         p = self._p(path)

@@ -154,6 +154,33 @@ def hadoop_list_files(spark: SparkSession, path: str,
     return out
 
 
+def _walk_visible_files(path: str, missing_ok: bool = True) -> list[str]:
+    """Local-posix recursive file listing with Spark's hidden-path rule
+    and STRICT error semantics: any OSError during traversal raises
+    (``os.walk`` swallows them by default — here that would silently
+    drop a table from an adopted base snapshot, or files from a pruned
+    read's listing, turning a transient EACCES into permanently missing
+    rows).  A confirmed-absent root returns ``[]`` when ``missing_ok``
+    (a legacy table that was never written); a missing COMMITTED data
+    dir is corruption/lost-retention and raises instead."""
+    if not os.path.isdir(path):
+        if missing_ok:
+            return []
+        raise StoreReadError(
+            f"committed data directory missing: {path} (corruption, or "
+            f"vacuumed past this reader's snapshot retention)")
+
+    def _raise(err: OSError):
+        raise err
+
+    out: list[str] = []
+    for base, subdirs, files in os.walk(path, onerror=_raise):
+        subdirs[:] = [d for d in subdirs if not d.startswith(("_", "."))]
+        out.extend(os.path.join(base, f) for f in files
+                   if not f.startswith(("_", ".")))
+    return out
+
+
 def _locked(fn):
     """Decorator: run a mutating SonarStore method inside the store's
     single-writer commit-log mutation session (advisory lease +
@@ -212,6 +239,16 @@ class SonarStore:
         self._base_tables: dict[str, list[str]] = {}
         self._commit_id: str | None = None   # pre-generated session id
         self._read_pin = threading.local()   # read_snapshot() pin
+        # the mutation session is THREAD-SCOPED: only the opening
+        # thread plus helpers it explicitly enrolls (_enrolled — the
+        # ingest append/paranoid pool) resolve the staged view or may
+        # stage writes.  Any other thread keeps reading the committed
+        # snapshot (a concurrent reader must never observe uncommitted
+        # dirs that a lost commit race then deletes), and a second
+        # writer thread serializes on _session_mutex instead of
+        # silently joining a foreign session.
+        self._session_tids: set[int] = set()
+        self._session_mutex = threading.Lock()
 
     # -- commit-log mutation session (every root) ---------------------------
 
@@ -223,15 +260,11 @@ class SonarStore:
         every later read, permanently (round-6 review, medium)."""
         path = self._path(table)
         if not _remote_scheme(self.root):
-            # os.walk with Spark's hidden-path rule; never raises for a
-            # confirmed-absent dir and os errors surface naturally
-            out: list[str] = []
-            for base, subdirs, files in os.walk(path):
-                subdirs[:] = [d for d in subdirs
-                              if not d.startswith(("_", "."))]
-                out.extend(os.path.join(base, f) for f in files
-                           if not f.startswith(("_", ".")))
-            return out
+            # strict local walk: confirmed-absent → [], any OSError
+            # raises (bare os.walk swallows them, which would drop the
+            # table from the adopted snapshot exactly like the remote
+            # non-strict listing this guard replaced)
+            return _walk_visible_files(path, missing_ok=True)
         return hadoop_list_files(self.spark, path, strict=True)
 
     @contextlib.contextmanager
@@ -243,15 +276,24 @@ class SonarStore:
         ONE commit (put-if-absent — racing writers lose cleanly with
         StoreWriteConflict, never corrupt).  On failure the staged dirs
         are deleted best-effort; leftovers are invisible until vacuum()
-        reaps them.  Reentrant: a mutation calling another @_locked
-        method (remove → _gc_orphans) joins the open session and its
-        changes ride the same commit."""
+        reaps them.  Reentrant WITHIN the session's threads: a mutation
+        calling another @_locked method (remove → _gc_orphans) joins
+        the open session and its changes ride the same commit; a
+        DIFFERENT thread opening a session serializes on the in-process
+        session mutex (plus the cross-process lease) instead of
+        silently riding a foreign commit."""
         import uuid as _uuid
 
-        if self._staged is not None:
+        if (self._staged is not None
+                and threading.get_ident() in self._session_tids):
             yield                      # reentrant: join the open session
             return
-        owner = self._log.acquire_lease()
+        self._session_mutex.acquire()
+        try:
+            owner = self._log.acquire_lease()
+        except BaseException:
+            self._session_mutex.release()
+            raise
         stop_hb = threading.Event()
 
         def _heartbeat():
@@ -290,6 +332,7 @@ class SonarStore:
         # commit: if this session loses the commit race, its id never
         # appears in any published commit and the pins never match
         self._commit_id = _uuid.uuid4().hex
+        self._session_tids = {threading.get_ident()}
         self._staged = {}
         try:
             yield
@@ -313,8 +356,10 @@ class SonarStore:
             self._staged = None
             self._base_tables = {}
             self._commit_id = None
+            self._session_tids = set()
             stop_hb.set()
             self._log.release_lease(owner)
+            self._session_mutex.release()
 
     def _data_area(self, name: str) -> str:
         """Commit-log data dirs live under ``root/_data/<table>/`` —
@@ -324,11 +369,39 @@ class SonarStore:
         double-reading log-managed files."""
         return f"{self.root.rstrip('/')}/_data/{name}"
 
+    def _in_session(self) -> bool:
+        """True when the CALLING THREAD belongs to the open mutation
+        session (opener or an ``_enrolled`` helper).  Other threads of
+        the same handle keep resolving the committed snapshot — they
+        must never observe staged dirs that a lost commit race then
+        deletes."""
+        return (self._staged is not None
+                and threading.get_ident() in self._session_tids)
+
+    def _enrolled(self, fn):
+        """Wrap ``fn`` so the pool thread that executes it is enrolled
+        in the open mutation session for the duration: its reads
+        resolve the session view (ingest's paranoid round-trip reads
+        the dna_variants rows staged moments earlier) and its writes
+        may stage.  Threads never enrolled — a concurrent reader on a
+        shared handle — keep the committed snapshot."""
+        def run(*args, **kwargs):
+            tid = threading.get_ident()
+            fresh = tid not in self._session_tids
+            if fresh:
+                self._session_tids.add(tid)
+            try:
+                return fn(*args, **kwargs)
+            finally:
+                if fresh:
+                    self._session_tids.discard(tid)
+        return run
+
     def _live_dirs(self, name: str) -> list[str] | None:
         """The committed (plus session-staged) data directories of
         ``name``; None when the log holds no commit (legacy
         plain-directory layout)."""
-        if self._staged is not None:      # inside a mutation session
+        if self._in_session():            # inside a mutation session
             dirs = list(self._base_tables.get(name, []))
             st = self._staged.get(name)
             if st is not None:
@@ -353,9 +426,14 @@ class SonarStore:
         immutable, so the pinned plan stays valid for the vacuum
         retention window.  No-op on legacy layouts (latest() is None);
         thread-local so concurrent readers on one store handle don't
-        share pins."""
+        share pins.  An ENCLOSING pin (``at_version`` time travel, or
+        an outer read_snapshot) is preserved, never clobbered — a
+        ``var2vcf --at-version`` export must keep reading the pinned
+        historical commit through export_vcf's own read_snapshot, not
+        silently jump to latest."""
         prev = getattr(self._read_pin, "snap", None)
-        self._read_pin.snap = self._log.latest()
+        self._read_pin.snap = prev if prev is not None else \
+            self._log.latest()
         try:
             yield
         finally:
@@ -367,11 +445,12 @@ class SonarStore:
         the open mutation session (commit-log protocol write path)."""
         import uuid as _uuid
 
-        if self._staged is None:
+        if not self._in_session():
             raise RuntimeError(
                 "commit-log table writes must run inside a mutation "
-                "session (@_locked method) — direct _overwrite/_append "
-                "outside one would publish nothing")
+                "session (@_locked method, on the session's own threads "
+                "— see _enrolled) — direct _overwrite/_append outside "
+                "one would publish nothing")
         out = df
         if shape and name != "genomes":
             out = df.repartition(
@@ -511,7 +590,15 @@ class SonarStore:
         if os.path.exists(vf):
             with open(vf) as fh:
                 return int(fh.read().strip())
-        has_tables = any(os.path.exists(os.path.join(root, t)) for t in TABLES)
+        # a marker-less store that crashed mid-swap under the OLD posix
+        # protocol (only ``.old`` / completed ``.tmp`` artifacts left)
+        # is still a pre-versioning store — missing it here would skip
+        # every migration while the artifact gets adopted unmigrated
+        has_tables = any(
+            os.path.exists(os.path.join(root, t))
+            or os.path.isdir(os.path.join(root, t + ".old"))
+            or os.path.exists(os.path.join(root, t + ".tmp", "_SUCCESS"))
+            for t in TABLES)
         return 1 if has_tables else SCHEMA_VERSION
 
     @classmethod
@@ -631,14 +718,39 @@ class SonarStore:
         # the log are reaped once no retained snapshot references them
         # — without this a replaced 100 TB legacy table would strand a
         # full stale copy forever
+        out["vacuumed_dirs"] = self._log.vacuum(
+            {t: self._data_area(t) for t in TABLES},
+            legacy_paths=self._legacy_vacuum_paths())
+        return out
+
+    def _legacy_vacuum_paths(self) -> dict[str, str]:
+        """Every pre-log location an adopted table may still live at —
+        the plain dir plus the pre-unification ``.old``/``.tmp`` crash
+        artifacts — built in ONE place so optimize() and the standalone
+        vacuum can never drift on what counts as reapable."""
         legacy = {}
         for t in TABLES:
             legacy[t] = self._path(t)
             legacy[f"{t}.old"] = self._path(t) + ".old"
             legacy[f"{t}.tmp"] = self._path(t) + ".tmp"
-        out["vacuumed_dirs"] = self._log.vacuum(
-            {t: self._data_area(t) for t in TABLES}, legacy_paths=legacy)
-        return out
+        return legacy
+
+    def vacuum(self, retain_last: int = 2,
+               min_age_s: float = 3600.0) -> int:
+        """Standalone GC: reap data dirs no retained commit references
+        (uncommitted garbage from crashed/conflicted writers, versions
+        past retention, superseded adopted legacy dirs).  Runs inside a
+        mutation session — which stages nothing and therefore commits
+        nothing — purely to HOLD THE WRITER LEASE: an unleased vacuum
+        could reap a concurrent in-flight mutation's staged dirs once
+        they out-age the min-age floor (multi-hour mutations are
+        exactly why lease holders heartbeat), and that mutation would
+        then publish a snapshot referencing deleted dirs."""
+        with self._mutation_session():
+            return self._log.vacuum(
+                {t: self._data_area(t) for t in TABLES},
+                retain_last=retain_last, min_age_s=min_age_s,
+                legacy_paths=self._legacy_vacuum_paths())
 
     # -- file-skipping manifest (beyond-parity scale feature) -------------
 
@@ -726,7 +838,7 @@ class SonarStore:
         # exactly that hole (round-6 review, high).
         import json as _json
 
-        if self._staged is not None:
+        if self._in_session():
             v, cid = self._base_version + 1, self._commit_id
         else:
             snap = self._log.latest()
@@ -756,26 +868,21 @@ class SonarStore:
         dirs = self._live_dirs(table)
         if dirs is None:
             if not _remote_scheme(self.root):
-                # local fast path: os.scandir walk with the same
-                # hidden rule — no py4j per-file round-trips (the
-                # round-5 verdict's listing-cliff note)
-                out: list[str] = []
-                for base, subdirs, files in os.walk(self._path(table)):
-                    subdirs[:] = [d for d in subdirs
-                                  if not d.startswith(("_", "."))]
-                    out.extend(os.path.join(base, f) for f in files
-                               if not f.startswith(("_", ".")))
-                return out
+                # local fast path: os.scandir walk, no py4j per-file
+                # round-trips (the round-5 verdict's listing-cliff
+                # note) — strict, so an FS error fails the pruned read
+                # instead of silently omitting that dir's rows
+                return _walk_visible_files(self._path(table),
+                                           missing_ok=True)
             return hadoop_list_files(self.spark, self._path(table))
         out = []
         for d in dirs:
             if not _remote_scheme(d) and not _remote_scheme(self.root):
-                # local fast path over log dirs too: os.walk, no py4j
-                for base, subdirs, files in os.walk(d):
-                    subdirs[:] = [s for s in subdirs
-                                  if not s.startswith(("_", "."))]
-                    out.extend(os.path.join(base, f) for f in files
-                               if not f.startswith(("_", ".")))
+                # local fast path over log dirs too; a COMMITTED dir
+                # that fails to list (or is gone) raises — these files
+                # feed the pruned==unpruned contract, where a silent
+                # omission means silently missing rows
+                out.extend(_walk_visible_files(d, missing_ok=False))
             else:
                 out.extend(hadoop_list_files(self.spark, d))
         return out
@@ -989,10 +1096,19 @@ class SonarStore:
                     os.path.join(tmp, "_SUCCESS")) else None, old):
                 if cand and os.path.isdir(cand):
                     try:
-                        return self._project(
-                            name, self.spark.read.parquet(cand))
-                    except Exception:  # noqa: BLE001 — empty artifact
+                        raw = self.spark.read.parquet(cand)
+                    except Exception:  # noqa: BLE001 — empty/torn artifact
                         continue
+                    try:
+                        return self._project(name, raw)
+                    except Exception as exc:  # noqa: BLE001
+                        # readable artifact, pre-current SCHEMA: raising
+                        # beats silently serving an empty table for data
+                        # that is sitting right there
+                        raise StoreReadError(
+                            f"table '{name}' crash artifact at {cand} has "
+                            f"a pre-current schema — run db-upgrade on "
+                            f"{self.root}") from exc
             return self.spark.createDataFrame([], _SCHEMAS[name])
         try:
             return self._project(name, self.spark.read.parquet(path))
@@ -1168,7 +1284,12 @@ class SonarStore:
 
         report = {"errors": {r["seqhash"]: r["error"] for r in errors}}
         with _cf.ThreadPoolExecutor(max_workers=len(append_jobs) + 1) as pool:
-            futs = {t: pool.submit(self._append, t, df)
+            # pool threads are ENROLLED in the open mutation session:
+            # the appends stage into it and the paranoid round-trip
+            # reads the session view (the dna_variants rows staged a
+            # moment earlier); un-enrolled threads on this handle keep
+            # the committed snapshot
+            futs = {t: pool.submit(self._enrolled(self._append), t, df)
                     for t, df in append_jobs.items()}
             paranoid_fut = None
             if paranoid:
@@ -1179,7 +1300,8 @@ class SonarStore:
                     check = check.where(
                         ~F.col("seqhash").isin(list(bad_hashes)))
                 futs.pop("dna_variants").result()   # paranoid's input table
-                paranoid_fut = pool.submit(paranoid_check, self, check)
+                paranoid_fut = pool.submit(
+                    self._enrolled(paranoid_check), self, check)
             # report counts run on the main thread against the cached
             # `pre` while the appends stream in the background
             report.update(
@@ -1428,14 +1550,10 @@ class SonarStore:
         audit what a query returned before a delete).  Pins the whole
         multi-table plan — wildcard expansion included — to that
         version; manifest pruning only engages when the manifest is
-        pinned to the same commit id."""
+        pinned to the same commit id.  Delegates to :meth:`match` —
+        its read_snapshot preserves the enclosing at_version pin."""
         with self.at_version(version):
-            resolved = self._resolved_lineages(query)
-            return MatchEngine(
-                self.essence(query.dates or None,
-                             self._match_profiles(query),
-                             self._match_genomes(query, resolved)),
-                self.sublineage_map).run(query, resolved_lineages=resolved)
+            return self.match(query)
 
     def _resolved_lineages(self, query: MatchQuery) -> tuple | None:
         """``%``-wildcard expansion + sublineage closure resolved ONCE
@@ -1623,6 +1741,23 @@ class SonarStore:
         return names
 
 
+def _session_table_raw(store: "SonarStore", table: str):
+    """``table`` as the OPEN mutation session resolves it — the base
+    snapshot, which on a first mutation is the adopted legacy layout
+    INCLUDING crash artifacts (a completed ``.tmp`` or ``.old`` from
+    the pre-unification posix swap).  Migrations must read this view,
+    not probe the plain path: a v1 store that died mid-swap (final dir
+    absent, ``.old`` intact) would otherwise be skipped while VERSION
+    still bumps — a permanently unmigrated store reported as upgraded.
+    Returns None only for a CONFIRMED-empty table; a read failure
+    raises, aborting the upgrade before its version marker is written
+    (the stepwise upgrade resumes there on the next run)."""
+    dirs = store._live_dirs(table)
+    if not dirs:
+        return None
+    return store.spark.read.parquet(*dirs)
+
+
 def _migrate_to_2(store: "SonarStore") -> None:
     """v1 → v2: conform ``genomes`` to the canonical schema.
 
@@ -1630,14 +1765,10 @@ def _migrate_to_2(store: "SonarStore") -> None:
     (lib/migrate/4.sql: ALTER TABLE genome ADD submission_date + view
     rebuild): columns missing from old stores appear as typed nulls and
     string-typed date columns are cast to DateType.  Runs inside an
-    open mutation session (one commit); reads the legacy plain path
-    directly — pre-v2 stores predate the commit log by construction."""
-    path = os.path.join(store.root, "genomes")
-    if not os.path.exists(path):
-        return
-    try:
-        df = store.spark.read.parquet(path)
-    except Exception:
+    open mutation session (one commit) and reads the session's adopted
+    base snapshot — see :func:`_session_table_raw`."""
+    df = _session_table_raw(store, "genomes")
+    if df is None:
         return
     have = dict(df.dtypes)
     cols = []
@@ -1651,13 +1782,10 @@ def _migrate_to_2(store: "SonarStore") -> None:
 
 def _migrate_to_3(store: "SonarStore") -> None:
     """v2 → v3: backfill the profiles table's bloom fingerprint columns
-    from the stored token arrays (one pass, pure codegen)."""
-    path = os.path.join(store.root, "profiles")
-    if not os.path.exists(path):
-        return
-    try:
-        df = store.spark.read.parquet(path)
-    except Exception:
+    from the stored token arrays (one pass, pure codegen).  Reads the
+    session's adopted base snapshot — see :func:`_session_table_raw`."""
+    df = _session_table_raw(store, "profiles")
+    if df is None:
         return
     if "dna_bloom" in df.columns:
         return

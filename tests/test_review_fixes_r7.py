@@ -1,0 +1,210 @@
+"""Round-7 review fixes, pinned by tests:
+
+1. read_snapshot() preserves an enclosing at_version() pin (var2vcf
+   --at-version used to silently export latest).
+2. Local listings are STRICT: an OSError inside os.walk raises instead
+   of silently dropping files (adoption + pruned-read listing).
+3. Migrations read the session's ADOPTED base snapshot, so a v1 store
+   that crashed mid-swap under the old posix protocol still migrates
+   (it used to be skipped while VERSION bumped).
+4. The mutation session is thread-scoped: un-enrolled reader threads
+   resolve the committed snapshot, never another thread's staged dirs;
+   a second writer thread serializes instead of joining.
+5. Standalone vacuum holds the writer lease (cannot reap a concurrent
+   mutation's staged dirs).
+6. LocalFS.rename_no_replace falls back to a mkdir-gated emulation on
+   filesystems without hardlinks.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+import pytest
+
+from covsonar_spark.store import (SCHEMA_VERSION, SonarStore,
+                                  StoreReadError, _walk_visible_files)
+
+
+def _one_row(spark, store):
+    schema = store.table("genomes").schema
+    row = tuple("v" if not f.nullable else None for f in schema.fields)
+    return spark.createDataFrame([row], schema), row, schema
+
+
+# -- 1. at_version pin survives read_snapshot ---------------------------
+
+def test_read_snapshot_preserves_at_version_pin(spark, tmp_path):
+    root = str(tmp_path / "db")
+    store = SonarStore.open(spark, root)
+    df, row, schema = _one_row(spark, store)
+    with store._mutation_session():
+        store._overwrite("genomes", df)                    # v1: 1 row
+    with store._mutation_session():
+        store._overwrite("genomes", spark.createDataFrame([], schema))
+    assert store.table("genomes").count() == 0             # v2 current
+    with store.at_version(1):
+        # the nested read_snapshot (what export_vcf opens) must keep
+        # resolving the pinned v1, not jump to latest
+        with store.read_snapshot():
+            assert store.table("genomes").count() == 1
+
+
+# -- 2. strict local walks ----------------------------------------------
+
+def test_walk_visible_files_raises_on_listing_error(tmp_path, monkeypatch):
+    root = tmp_path / "t"
+    (root / "boom_sub").mkdir(parents=True)
+    with open(root / "a.parquet", "wb") as fh:
+        fh.write(b"x")
+    real_scandir = os.scandir
+
+    def bad_scandir(p="."):
+        if "boom_sub" in str(p):
+            raise OSError(13, "Permission denied", str(p))
+        return real_scandir(p)
+
+    monkeypatch.setattr(os, "scandir", bad_scandir)
+    with pytest.raises(OSError, match="Permission denied"):
+        _walk_visible_files(str(root))
+    # sanity: bare os.walk would have swallowed it — the exact hazard
+    assert [f for _, _, fs in os.walk(str(root)) for f in fs] == ["a.parquet"]
+
+
+def test_walk_visible_files_missing_dir_semantics(tmp_path):
+    absent = str(tmp_path / "never")
+    assert _walk_visible_files(absent, missing_ok=True) == []
+    with pytest.raises(StoreReadError, match="missing"):
+        _walk_visible_files(absent, missing_ok=False)
+
+
+# -- 3. migrations see the adopted crash artifact ------------------------
+
+def test_mid_swap_crashed_v1_store_still_migrates(spark, tmp_path):
+    """v1 store that died between the old protocol's renames: final
+    genomes dir absent, .old intact.  upgrade() must MIGRATE the
+    adopted snapshot (typed dates, submission_date present), not skip
+    it while bumping VERSION."""
+    root = str(tmp_path / "db")
+    os.makedirs(root)
+    rows = [("ACC1", "d1", "hashA", "B.1.1.7", "2021-01-15")]
+    spark.createDataFrame(
+        rows, "accession: string, description: string, seqhash: string, "
+              "lineage: string, date: string") \
+        .coalesce(1).write.parquet(os.path.join(root, "genomes.old"))
+    assert not os.path.exists(os.path.join(root, "genomes"))
+
+    st = SonarStore.open(spark, root)          # runs stepwise upgrade
+    assert SonarStore.version(root) == SCHEMA_VERSION
+    g = st.table("genomes")
+    assert "submission_date" in g.columns
+    assert dict(g.dtypes)["date"] == "date"
+    got = g.collect()
+    assert len(got) == 1 and str(got[0]["date"]) == "2021-01-15"
+
+
+# -- 4. thread-scoped mutation session -----------------------------------
+
+def test_reader_thread_never_sees_staged_dirs(spark, tmp_path):
+    root = str(tmp_path / "db")
+    store = SonarStore.open(spark, root)
+    df, _, _ = _one_row(spark, store)
+    seen: dict = {}
+    with store._mutation_session():
+        store._overwrite("genomes", df)        # staged, uncommitted
+
+        def read():
+            seen["n"] = store.table("genomes").count()
+            seen["in_session"] = store._in_session()
+        t = threading.Thread(target=read)
+        t.start()
+        t.join()
+        # the un-enrolled thread resolves the committed snapshot (empty
+        # store), not this session's staged dir
+        assert seen == {"n": 0, "in_session": False}
+        # ... while the session's own thread reads its staged view
+        assert store.table("genomes").count() == 1
+    assert store.table("genomes").count() == 1  # now committed
+
+
+def test_second_writer_thread_serializes_not_joins(spark, tmp_path):
+    """Two threads mutating one handle produce TWO commits in sequence
+    — the second used to silently join the first's open session."""
+    root = str(tmp_path / "db")
+    store = SonarStore.open(spark, root)
+    df, row, _ = _one_row(spark, store)
+    order: list = []
+
+    def writer(tag):
+        with store._mutation_session():
+            order.append(("start", tag))
+            time.sleep(0.3)
+            store.update_metadata(spark.createDataFrame(
+                [(row[0], tag)], "accession string, lab string"))
+            order.append(("end", tag))
+
+    with store._mutation_session():
+        store._overwrite("genomes", df)        # v1
+    threads = [threading.Thread(target=writer, args=(t,))
+               for t in ("A", "B")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # strictly serialized: start/end pairs never interleave
+    assert order[0][0] == "start" and order[1] == ("end", order[0][1])
+    assert [h["version"] for h in store.history()] == [1, 2, 3]
+
+
+# -- 5. standalone vacuum holds the writer lease --------------------------
+
+def test_vacuum_waits_for_inflight_mutation(spark, tmp_path):
+    """vacuum(min_age_s=0) issued during another handle's open mutation
+    must block on the lease until the mutation commits — an unleased
+    GC would reap the mutation's staged (age>floor, uncommitted) dirs."""
+    root = str(tmp_path / "db")
+    a = SonarStore.open(spark, root)
+    b = SonarStore.open(spark, root)
+    df, _, _ = _one_row(spark, a)
+    reaped: dict = {}
+
+    def gc():
+        reaped["n"] = b.vacuum(retain_last=1, min_age_s=0.0)
+
+    with a._mutation_session():
+        a._overwrite("genomes", df)            # staged, uncommitted
+        t = threading.Thread(target=gc)
+        t.start()
+        time.sleep(1.0)
+        assert t.is_alive()                    # blocked on the lease
+    t.join(timeout=30)
+    assert not t.is_alive()
+    # the staged dir was committed before vacuum could run
+    assert a.table("genomes").count() == 1
+    assert reaped["n"] == 0
+
+
+# -- 6. hardlink-less rename fallback -------------------------------------
+
+def test_localfs_rename_gated_fallback(tmp_path):
+    from covsonar_spark.commitlog import LocalFS
+
+    fs = LocalFS()
+    d = str(tmp_path)
+    fs._link_ok[d] = False                     # simulate exFAT/SMB
+    src1, src2, dst = (os.path.join(d, n) for n in ("s1", "s2", "dst"))
+    for s in (src1, src2):
+        with open(s, "w") as fh:
+            fh.write(s)
+    assert fs.rename_no_replace(src1, dst) is True
+    assert not os.path.exists(src1)
+    assert fs.rename_no_replace(src2, dst) is False     # dst taken
+    assert open(dst).read().endswith("s1")
+    assert not os.path.exists(dst + ".gate")            # gate released
+    # a stale gate from a crashed holder is broken, not fatal
+    os.mkdir(dst + "2.gate")
+    old = time.time() - 3600
+    os.utime(dst + "2.gate", (old, old))
+    assert fs.rename_no_replace(src2, dst + "2") is True

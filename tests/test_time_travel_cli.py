@@ -82,18 +82,33 @@ def test_history_and_at_version_roundtrip(spark, db, tmp_path):
                 if ln.startswith("version ")]) == 3
 
 
-def test_var2vcf_at_version(spark, db, tmp_path):
+def test_var2vcf_at_version(spark, tmp_path):
+    """Pin an export to a version OLDER than latest: the time-travel
+    VCF must equal the live export captured before the delete (and so
+    still carry the deleted sample), while the live post-delete export
+    must not.  Pinning latest would be tautological — it could not
+    detect export_vcf's read_snapshot ignoring the at_version pin."""
+    d = str(tmp_path / "vcf_tt_db")
+    main(["add", "--db", d, "--ref", f"{REF}/lib/ref.fna",
+          "--gff", f"{REF}/lib/ref.gff3",
+          "-f", f"{REF}/test/test.fasta", f"{REF}/test/test2.fasta"],
+         spark=spark)                                          # v1
     out_pre = str(tmp_path / "pre.vcf")
+    out_post = str(tmp_path / "post.vcf")
     out_tt = str(tmp_path / "tt.vcf")
-    hist = _capture(spark, "history", "--db", db)
-    v_now = int([ln for ln in hist.splitlines()
-                 if ln.startswith("version ")][-1].split("\t")[0].split()[1])
-    main(["var2vcf", "--db", db, "-o", out_pre], spark=spark)
-    main(["var2vcf", "--db", db, "-o", out_tt,
-          "--at-version", str(v_now)], spark=spark)
-    pre = [ln for ln in open(out_pre) if not ln.startswith("##")]
-    tt = [ln for ln in open(out_tt) if not ln.startswith("##")]
-    assert pre == tt
+    main(["var2vcf", "--db", d, "-o", out_pre], spark=spark)
+    main(["remove", "--db", d, "--acc", "test1"], spark=spark)  # v2
+    main(["var2vcf", "--db", d, "-o", out_post], spark=spark)
+    main(["var2vcf", "--db", d, "-o", out_tt,
+          "--at-version", "1"], spark=spark)
+
+    def body(p):
+        return [ln for ln in open(p) if not ln.startswith("##")]
+
+    pre, post, tt = body(out_pre), body(out_post), body(out_tt)
+    assert "test1" in pre[0] and "test1" not in post[0]  # header columns
+    assert tt == pre                 # pinned == the pre-delete screen
+    assert tt != post
 
 
 def test_at_unknown_version_fails_cleanly(spark, db):
