@@ -241,7 +241,7 @@ def cmd_history(spark, args):
     import datetime as _dt
 
     st = _store(spark, args)
-    hist = st.history()
+    hist = st.history(limit=getattr(args, "limit", None))
     if not hist:
         print("no commit history (legacy layout: run a mutation or "
               "`optimize` to adopt the store into the commit log)",
@@ -483,6 +483,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_db_upgrade)
 
     sp = sub.add_parser("history")
+    sp.add_argument("--limit", type=int, default=None,
+                    help="show only the newest N commits (reads only "
+                         "those commit files)")
     common(sp)
     sp.set_defaults(fn=cmd_history)
 

@@ -1012,12 +1012,18 @@ class SonarStore:
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
-    def history(self) -> list[dict]:
+    def history(self, limit: int | None = None) -> list[dict]:
         """Commit history of the store (newest last): version, commit
         time, per-table dir counts.  Empty on legacy (pre-log) layouts
-        until their first mutation adopts them."""
+        until their first mutation adopts them.  ``limit`` returns only
+        the newest n commits while READING only those commit files — a
+        10k-commit log must not cost 10k object reads to show the last
+        20 (one listing bounds it either way)."""
+        vs = self._log.versions()
+        if limit is not None:
+            vs = vs[len(vs) - max(limit, 0):]
         out = []
-        for v in self._log.versions():
+        for v in vs:
             try:
                 raw = self._log.read_commit(v)
             except Exception:  # noqa: BLE001 — vacuumed under us

@@ -186,6 +186,25 @@ def test_vacuum_waits_for_inflight_mutation(spark, tmp_path):
     assert reaped["n"] == 0
 
 
+# -- history(limit=) reads only the requested commit files ----------------
+
+def test_history_limit_bounds_reads(spark, tmp_path):
+    root = str(tmp_path / "db")
+    store = SonarStore.open(spark, root)
+    df, row, _ = _one_row(spark, store)
+    with store._mutation_session():
+        store._overwrite("genomes", df)                       # v1
+    for lab in ("L1", "L2"):                                  # v2, v3
+        store.update_metadata(spark.createDataFrame(
+            [(row[0], lab)], "accession string, lab string"))
+    calls: list = []
+    real = store._log.read_commit
+    store._log.read_commit = lambda v: (calls.append(v), real(v))[1]
+    assert [h["version"] for h in store.history(limit=2)] == [2, 3]
+    assert sorted(calls) == [2, 3]                # v1 never opened
+    store._log.read_commit = real
+
+
 # -- 6. hardlink-less rename fallback -------------------------------------
 
 def test_localfs_rename_gated_fallback(tmp_path):
