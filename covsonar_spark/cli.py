@@ -482,8 +482,14 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.set_defaults(fn=cmd_db_upgrade)
 
+    def _positive_int(v):
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError("--limit must be >= 1")
+        return n
+
     sp = sub.add_parser("history")
-    sp.add_argument("--limit", type=int, default=None,
+    sp.add_argument("--limit", type=_positive_int, default=None,
                     help="show only the newest N commits (reads only "
                          "those commit files)")
     common(sp)

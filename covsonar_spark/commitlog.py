@@ -180,9 +180,11 @@ class LocalFS:
             return got
         probe = os.path.join(d, f".lnkprobe-{uuid.uuid4().hex[:8]}")
         ok = True     # probe inconclusive → let os.link surface errors
+        conclusive = False
         try:
             with open(probe, "wb"):
                 pass
+            conclusive = True
             try:
                 os.link(probe, probe + ".l")
                 os.unlink(probe + ".l")
@@ -195,17 +197,25 @@ class LocalFS:
                 os.unlink(probe)
             except OSError:
                 pass
-        self._link_ok[d] = ok
+        if conclusive:
+            # an INCONCLUSIVE probe (couldn't even create the probe
+            # file — transient EIO) is never cached: caching True there
+            # would permanently disable the fallback on a mount that
+            # needs it
+            self._link_ok[d] = ok
         return ok
 
     def _rename_no_replace_gated(self, src: str, dst: str) -> bool:
         """Hardlink-less fallback: ``os.mkdir`` is atomic put-if-absent
         on every filesystem Python runs on, so a mutex dir gates an
         exists-check + ``os.replace``.  A holder that died inside the
-        (milliseconds-long) critical section is broken after 60 s —
-        rmdir+retry, where the re-mkdir race is again decided by mkdir
-        atomicity.  Weaker than the hardlink path only in that window;
-        these mounts previously had NO working commit path at all."""
+        (milliseconds-long) critical section is broken once the gate is
+        10 s old — rmdir+retry, where the re-mkdir race is again
+        decided by mkdir atomicity; the 30 s wait deadline exceeds the
+        break threshold so a freshly-crashed holder's gate always
+        self-heals instead of timing out callers.  Weaker than the
+        hardlink path only in that window; these mounts previously had
+        NO working commit path at all."""
         gate = dst + ".gate"
         deadline = time.time() + 30.0
         while True:
@@ -214,7 +224,7 @@ class LocalFS:
                 break
             except FileExistsError:
                 try:
-                    if time.time() - os.path.getmtime(gate) > 60.0:
+                    if time.time() - os.path.getmtime(gate) > 10.0:
                         os.rmdir(gate)
                         continue
                 except OSError:
@@ -607,7 +617,14 @@ class CommitLog:
                 continue
             self.fs.delete(p, recursive=False)
         for name in self.fs.list_names(self.log_dir):
-            if ".tmp-" in name or ".wr-" in name:
+            # .tmp-/.wr- : torn staged writes; .gate : mkdir-mutex dirs
+            # leaked by a holder that died mid-critical-section on a
+            # hardlink-less mount; .lnkprobe- : probe files leaked
+            # between create and unlink.  All honor the min-age floor
+            # so a LIVE gate/probe is never deleted.
+            if (".tmp-" in name or ".wr-" in name
+                    or name.endswith(".gate")
+                    or name.startswith(".lnkprobe-")):
                 path = f"{self.log_dir}/{name}"
                 try:
                     if now - self.fs.mtime(path) >= min_age_s:

@@ -162,8 +162,21 @@ def _walk_visible_files(path: str, missing_ok: bool = True) -> list[str]:
     read's listing, turning a transient EACCES into permanently missing
     rows).  A confirmed-absent root returns ``[]`` when ``missing_ok``
     (a legacy table that was never written); a missing COMMITTED data
-    dir is corruption/lost-retention and raises instead."""
-    if not os.path.isdir(path):
+    dir is corruption/lost-retention and raises instead.  The root
+    probe is an explicit os.stat so only FileNotFoundError /
+    NotADirectoryError count as confirmed-absent — os.path.isdir
+    swallows EVERY OSError into False, which would re-conflate a
+    root-level ESTALE/EIO with absence.  ``file://`` URIs are stripped
+    to their posix path (same rule as LocalFS._p)."""
+    import stat as _stat
+
+    if path.startswith("file://"):
+        path = "/" + path[len("file://"):].lstrip("/")
+    try:
+        is_dir = _stat.S_ISDIR(os.stat(path).st_mode)
+    except (FileNotFoundError, NotADirectoryError):
+        is_dir = False
+    if not is_dir:
         if missing_ok:
             return []
         raise StoreReadError(
@@ -220,6 +233,13 @@ class SonarStore:
                  cds_list: list[CDS] | None = None,
                  sublineage_map: dict[str, list[str]] | None = None):
         self.spark = spark
+        if root.startswith("file://"):
+            # normalize an explicit file:// URI to its posix path ONCE:
+            # the local branch runs on os.* primitives, which treat the
+            # URI as a literal relative path ("./file:/…") — every
+            # downstream path join, walk, and commit-dir record then
+            # agrees on one spelling
+            root = "/" + root[len("file://"):].lstrip("/")
         self.root = root
         self.ref_seq = ref_seq
         self.cds_list = cds_list or []
@@ -288,77 +308,86 @@ class SonarStore:
                 and threading.get_ident() in self._session_tids):
             yield                      # reentrant: join the open session
             return
+        # EVERYTHING after the mutex acquire runs under one finally:
+        # an exception anywhere — lease acquisition, the strict legacy
+        # adoption walk, even heartbeat startup — must release the
+        # mutex, stop the heartbeat, and drop the lease, or every
+        # later mutation on this handle deadlocks and other processes
+        # can never break the orphaned (still-heartbeating) lease
         self._session_mutex.acquire()
+        owner: str | None = None
+        stop_hb: threading.Event | None = None
         try:
             owner = self._log.acquire_lease()
-        except BaseException:
-            self._session_mutex.release()
-            raise
-        stop_hb = threading.Event()
+            stop_hb = threading.Event()
+            hb_stop = stop_hb
 
-        def _heartbeat():
-            while not stop_hb.wait(900.0):
-                self._log.heartbeat(owner)
-        hb = threading.Thread(target=_heartbeat, daemon=True)
-        hb.start()
-        snap = self._log.latest()
-        if snap is not None:
-            self._base_version, self._base_tables = snap[0], snap[1]
-        else:
-            # first mutation on a log-less root: ADOPT any legacy
-            # plain-directory tables (written by the pre-log engine, or
-            # by external tools) as the base snapshot — the commit
-            # references them verbatim; vacuum reaps an adopted dir
-            # only once no retained snapshot references it
-            self._base_version, self._base_tables = 0, {}
-            for t in TABLES:
-                if self._legacy_files(t):
-                    self._base_tables[t] = [self._path(t)]
-                elif not _remote_scheme(self.root):
-                    # pre-unification crash artifacts (the old posix
-                    # rename-pair protocol): a completed ``.tmp`` (fully
-                    # written before any rename) or the ``.old``
-                    # pre-swap snapshot IS the table — adopt it instead
-                    # of silently dropping the data
-                    final = self._path(t)
-                    tmp, old = final + ".tmp", final + ".old"
-                    if os.path.isdir(tmp) and os.path.exists(
-                            os.path.join(tmp, "_SUCCESS")):
-                        self._base_tables[t] = [tmp]
-                    elif os.path.isdir(old):
-                        self._base_tables[t] = [old]
-        # the commit id is pre-generated so derived data written inside
-        # the session (manifest pins) can reference it BEFORE the
-        # commit: if this session loses the commit race, its id never
-        # appears in any published commit and the pins never match
-        self._commit_id = _uuid.uuid4().hex
-        self._session_tids = {threading.get_ident()}
-        self._staged = {}
-        try:
-            yield
-            if self._staged:
-                tables = {t: list(dirs) for t, dirs in
-                          self._base_tables.items()}
-                for t, st in self._staged.items():
-                    base = [] if st["replace"] else tables.get(t, [])
-                    tables[t] = base + st["dirs"]
-                self._log.commit(self._base_version, tables,
-                                 commit_id=self._commit_id)
-        except BaseException:
-            for st in (self._staged or {}).values():
-                for d in st["dirs"]:
-                    try:
-                        self._log.fs.delete(d)
-                    except Exception:  # noqa: BLE001 — vacuum reaps later
-                        pass
-            raise
+            def _heartbeat():
+                while not hb_stop.wait(900.0):
+                    self._log.heartbeat(owner)
+            hb = threading.Thread(target=_heartbeat, daemon=True)
+            hb.start()
+            snap = self._log.latest()
+            if snap is not None:
+                self._base_version, self._base_tables = snap[0], snap[1]
+            else:
+                # first mutation on a log-less root: ADOPT any legacy
+                # plain-directory tables (written by the pre-log engine,
+                # or by external tools) as the base snapshot — the commit
+                # references them verbatim; vacuum reaps an adopted dir
+                # only once no retained snapshot references it
+                self._base_version, self._base_tables = 0, {}
+                for t in TABLES:
+                    if self._legacy_files(t):
+                        self._base_tables[t] = [self._path(t)]
+                    elif not _remote_scheme(self.root):
+                        # pre-unification crash artifacts (the old posix
+                        # rename-pair protocol): a completed ``.tmp``
+                        # (fully written before any rename) or the
+                        # ``.old`` pre-swap snapshot IS the table —
+                        # adopt it instead of silently dropping the data
+                        final = self._path(t)
+                        tmp, old = final + ".tmp", final + ".old"
+                        if os.path.isdir(tmp) and os.path.exists(
+                                os.path.join(tmp, "_SUCCESS")):
+                            self._base_tables[t] = [tmp]
+                        elif os.path.isdir(old):
+                            self._base_tables[t] = [old]
+            # the commit id is pre-generated so derived data written
+            # inside the session (manifest pins) can reference it BEFORE
+            # the commit: if this session loses the commit race, its id
+            # never appears in any published commit and the pins never
+            # match
+            self._commit_id = _uuid.uuid4().hex
+            self._session_tids = {threading.get_ident()}
+            self._staged = {}
+            try:
+                yield
+                if self._staged:
+                    tables = {t: list(dirs) for t, dirs in
+                              self._base_tables.items()}
+                    for t, st in self._staged.items():
+                        base = [] if st["replace"] else tables.get(t, [])
+                        tables[t] = base + st["dirs"]
+                    self._log.commit(self._base_version, tables,
+                                     commit_id=self._commit_id)
+            except BaseException:
+                for st in (self._staged or {}).values():
+                    for d in st["dirs"]:
+                        try:
+                            self._log.fs.delete(d)
+                        except Exception:  # noqa: BLE001 — vacuum reaps
+                            pass
+                raise
         finally:
             self._staged = None
             self._base_tables = {}
             self._commit_id = None
             self._session_tids = set()
-            stop_hb.set()
-            self._log.release_lease(owner)
+            if stop_hb is not None:
+                stop_hb.set()
+            if owner is not None:
+                self._log.release_lease(owner)
             self._session_mutex.release()
 
     def _data_area(self, name: str) -> str:
@@ -1021,7 +1050,9 @@ class SonarStore:
         20 (one listing bounds it either way)."""
         vs = self._log.versions()
         if limit is not None:
-            vs = vs[len(vs) - max(limit, 0):]
+            # clamp, never wrap: limit > len must return everything,
+            # not a negative-index slice of the tail
+            vs = vs[max(len(vs) - max(limit, 0), 0):]
         out = []
         for v in vs:
             try:

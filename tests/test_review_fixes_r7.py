@@ -186,6 +186,97 @@ def test_vacuum_waits_for_inflight_mutation(spark, tmp_path):
     assert reaped["n"] == 0
 
 
+# -- second-pass fixes -----------------------------------------------------
+
+def test_session_mutex_released_when_setup_raises(spark, tmp_path,
+                                                  monkeypatch):
+    """An exception DURING session setup (e.g. the strict adoption walk
+    raising on a transient FS error) must release the in-process mutex
+    and the lease — else every later mutation deadlocks and the
+    orphaned heartbeat keeps the lease unbreakable forever."""
+    root = str(tmp_path / "db")
+    store = SonarStore.open(spark, root)
+    df, _, _ = _one_row(spark, store)
+
+    monkeypatch.setattr(
+        store, "_legacy_files",
+        lambda t: (_ for _ in ()).throw(StoreReadError("transient")))
+    with pytest.raises(StoreReadError, match="transient"):
+        with store._mutation_session():
+            pass  # pragma: no cover — setup raises first
+    monkeypatch.undo()
+    # the handle recovered: mutex + lease are free, mutation succeeds
+    with store._mutation_session():
+        store._overwrite("genomes", df)
+    assert store.table("genomes").count() == 1
+
+
+def test_walk_visible_files_strips_file_uri(spark, tmp_path):
+    d = tmp_path / "t"
+    d.mkdir()
+    with open(d / "a.parquet", "wb") as fh:
+        fh.write(b"x")
+    assert _walk_visible_files(f"file://{d}") == [str(d / "a.parquet")]
+
+
+def test_history_limit_clamps_not_wraps(spark, tmp_path):
+    root = str(tmp_path / "db")
+    store = SonarStore.open(spark, root)
+    df, _, _ = _one_row(spark, store)
+    with store._mutation_session():
+        store._overwrite("genomes", df)                        # v1 only
+    assert [h["version"] for h in store.history(limit=4)] == [1]
+    assert store.history(limit=0) == []
+
+
+def test_link_probe_inconclusive_not_cached(tmp_path, monkeypatch):
+    """A probe that cannot even create its file must not cache
+    link-supported=True — a later probe on a healthy mount must get to
+    re-decide."""
+    from covsonar_spark.commitlog import LocalFS
+
+    fs = LocalFS()
+    d = str(tmp_path)
+    real_open = open
+
+    def bad_open(path, *a, **k):
+        if ".lnkprobe-" in str(path):
+            raise OSError(5, "I/O error", str(path))
+        return real_open(path, *a, **k)
+
+    import builtins
+    monkeypatch.setattr(builtins, "open", bad_open)
+    assert fs._supports_link(d) is True        # inconclusive default
+    monkeypatch.undo()
+    assert d not in fs._link_ok                # NOT cached
+    assert fs._supports_link(d) is True        # real probe: links work
+    assert fs._link_ok[d] is True              # conclusive → cached
+
+
+def test_vacuum_reaps_leaked_gates_and_probes(spark, tmp_path):
+    import os as _os
+    import time as _time
+
+    from covsonar_spark.commitlog import CommitLog
+
+    root = str(tmp_path / "db")
+    log = CommitLog(spark, root)
+    log.commit(0, {"genomes": []})
+    log_dir = _os.path.join(root, "_log")
+    for leak in ("v1.json.gate", ".lnkprobe-dead"):
+        p = _os.path.join(log_dir, leak)
+        (_os.mkdir if leak.endswith(".gate") else
+         lambda q: open(q, "w").close())(p)
+        old = _time.time() - 7200
+        _os.utime(p, (old, old))
+    fresh_gate = _os.path.join(log_dir, "v2.json.gate")
+    _os.mkdir(fresh_gate)                       # young: min-age-protected
+    log.vacuum({}, retain_last=1, min_age_s=3600)
+    assert not _os.path.exists(_os.path.join(log_dir, "v1.json.gate"))
+    assert not _os.path.exists(_os.path.join(log_dir, ".lnkprobe-dead"))
+    assert _os.path.exists(fresh_gate)
+
+
 # -- history(limit=) reads only the requested commit files ----------------
 
 def test_history_limit_bounds_reads(spark, tmp_path):
