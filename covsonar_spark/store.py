@@ -154,6 +154,17 @@ def hadoop_list_files(spark: SparkSession, path: str,
     return out
 
 
+def _normalize_root(root: str) -> str:
+    """An explicit ``file://`` URI normalizes to its posix path ONCE,
+    at every root entry point (open/upgrade/version/__init__): the
+    local branch runs on os.* primitives, which would treat the URI as
+    a literal relative path (``./file:/…``) — every downstream path
+    join, walk, and commit-dir record must agree on one spelling."""
+    if root.startswith("file://"):
+        return "/" + root[len("file://"):].lstrip("/")
+    return root
+
+
 def _walk_visible_files(path: str, missing_ok: bool = True) -> list[str]:
     """Local-posix recursive file listing with Spark's hidden-path rule
     and STRICT error semantics: any OSError during traversal raises
@@ -233,14 +244,7 @@ class SonarStore:
                  cds_list: list[CDS] | None = None,
                  sublineage_map: dict[str, list[str]] | None = None):
         self.spark = spark
-        if root.startswith("file://"):
-            # normalize an explicit file:// URI to its posix path ONCE:
-            # the local branch runs on os.* primitives, which treat the
-            # URI as a literal relative path ("./file:/…") — every
-            # downstream path join, walk, and commit-dir record then
-            # agrees on one spelling
-            root = "/" + root[len("file://"):].lstrip("/")
-        self.root = root
+        self.root = _normalize_root(root)
         self.ref_seq = ref_seq
         self.cds_list = cds_list or []
         self.sublineage_map = sublineage_map or {}
@@ -520,6 +524,7 @@ class SonarStore:
         if _remote_scheme(root):
             return cls._open_remote(spark, root, ref_path, gff_path,
                                     lineage_tsv)
+        root = _normalize_root(root)
         assets = os.path.join(root, "assets")
         os.makedirs(assets, exist_ok=True)
         for src, name in ((ref_path, "ref.fna"), (gff_path, "ref.gff3"),
@@ -615,6 +620,7 @@ class SonarStore:
             has_tables = any(
                 fs.exists(f"{root.rstrip('/')}/{t}") for t in TABLES)
             return 1 if has_tables else SCHEMA_VERSION
+        root = _normalize_root(root)
         vf = os.path.join(root, "VERSION")
         if os.path.exists(vf):
             with open(vf) as fh:
@@ -663,6 +669,7 @@ class SonarStore:
             if not fs.exists(vf):
                 fs.write_bytes(vf, f"{SCHEMA_VERSION}\n".encode())
             return before, SCHEMA_VERSION
+        root = _normalize_root(root)
         os.makedirs(root, exist_ok=True)
         # lock-free fast path: a current store with its marker present
         # needs no migration and no marker write — read-only flows

@@ -219,6 +219,24 @@ def test_walk_visible_files_strips_file_uri(spark, tmp_path):
     assert _walk_visible_files(f"file://{d}") == [str(d / "a.parquet")]
 
 
+def test_file_uri_root_normalizes_to_posix_path(spark, tmp_path):
+    """A file:// root works end-to-end and its data lands at the posix
+    path — os.* primitives would otherwise treat the URI as a literal
+    relative path ('./file:/…')."""
+    posix_root = str(tmp_path / "db")
+    store = SonarStore.open(spark, f"file://{posix_root}")
+    assert store.root == posix_root
+    df, _, _ = _one_row(spark, store)
+    with store._mutation_session():
+        store._overwrite("genomes", df)
+    assert store.table("genomes").count() == 1
+    assert os.path.isdir(os.path.join(posix_root, "_log"))
+    assert not os.path.exists("file:")          # no literal URI dir
+    # the same store reopens through the plain path
+    assert SonarStore.open(spark, posix_root) \
+        .table("genomes").count() == 1
+
+
 def test_history_limit_clamps_not_wraps(spark, tmp_path):
     root = str(tmp_path / "db")
     store = SonarStore.open(spark, root)
