@@ -187,9 +187,16 @@ class LocalFS:
             conclusive = True
             try:
                 os.link(probe, probe + ".l")
-                os.unlink(probe + ".l")
             except OSError:
-                ok = False
+                ok = False    # conclusive: this mount has no hardlinks
+            else:
+                try:
+                    os.unlink(probe + ".l")
+                except OSError:
+                    pass      # links WORK (os.link succeeded); the
+                    #           leaked .lnkprobe-*.l is vacuum fodder —
+                    #           a failed cleanup must not misclassify a
+                    #           healthy mount as hardlink-less
         except OSError:
             pass
         finally:
@@ -210,21 +217,27 @@ class LocalFS:
         on every filesystem Python runs on, so a mutex dir gates an
         exists-check + ``os.replace``.  A holder that died inside the
         (milliseconds-long) critical section is broken once the gate is
-        10 s old — rmdir+retry, where the re-mkdir race is again
-        decided by mkdir atomicity; the 30 s wait deadline exceeds the
-        break threshold so a freshly-crashed holder's gate always
-        self-heals instead of timing out callers.  Weaker than the
-        hardlink path only in that window; these mounts previously had
-        NO working commit path at all."""
+        60 s old — rmdir+retry, where the re-mkdir race is again
+        decided by mkdir atomicity — and the 120 s wait deadline
+        EXCEEDS the break threshold so a freshly-crashed holder's gate
+        always self-heals within one wait instead of timing out every
+        caller.  The break threshold is deliberately generous: breaking
+        a LIVE holder's gate would let two writers into the critical
+        section where the second ``os.replace`` silently clobbers the
+        first's published commit, so only a holder stalled 4+ orders of
+        magnitude past its expected critical-section time (or a >60 s
+        client/server mtime skew) is ever presumed dead.  Weaker than
+        the hardlink path only in that window; these mounts previously
+        had NO working commit path at all."""
         gate = dst + ".gate"
-        deadline = time.time() + 30.0
+        deadline = time.time() + 120.0
         while True:
             try:
                 os.mkdir(gate)
                 break
             except FileExistsError:
                 try:
-                    if time.time() - os.path.getmtime(gate) > 10.0:
+                    if time.time() - os.path.getmtime(gate) > 60.0:
                         os.rmdir(gate)
                         continue
                 except OSError:

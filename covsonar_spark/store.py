@@ -155,14 +155,25 @@ def hadoop_list_files(spark: SparkSession, path: str,
 
 
 def _normalize_root(root: str) -> str:
-    """An explicit ``file://`` URI normalizes to its posix path ONCE,
-    at every root entry point (open/upgrade/version/__init__): the
-    local branch runs on os.* primitives, which would treat the URI as
-    a literal relative path (``./file:/…``) — every downstream path
-    join, walk, and commit-dir record must agree on one spelling."""
-    if root.startswith("file://"):
-        return "/" + root[len("file://"):].lstrip("/")
-    return root
+    """An explicit ``file:`` URI normalizes to its posix path ONCE, at
+    every root entry point (open/upgrade/version/__init__): the local
+    branch runs on os.* primitives, which would treat the URI as a
+    literal relative path (``./file:/…``) — every downstream path
+    join, walk, and commit-dir record must agree on one spelling.
+    urlparse handles all three spellings (``file:/p``, ``file:///p``,
+    ``file://localhost/p``) — a naive ``file://`` prefix strip missed
+    the single-slash form Hadoop's ``Path.toString`` emits and folded
+    an authority into the path."""
+    if not root.startswith("file:"):
+        return root
+    from urllib.parse import urlparse
+
+    u = urlparse(root)
+    if u.netloc not in ("", "localhost"):
+        raise ValueError(
+            f"file: URI with a non-local authority {u.netloc!r} cannot "
+            f"be a local store root: {root!r}")
+    return u.path or "/"
 
 
 def _walk_visible_files(path: str, missing_ok: bool = True) -> list[str]:
@@ -177,12 +188,11 @@ def _walk_visible_files(path: str, missing_ok: bool = True) -> list[str]:
     probe is an explicit os.stat so only FileNotFoundError /
     NotADirectoryError count as confirmed-absent — os.path.isdir
     swallows EVERY OSError into False, which would re-conflate a
-    root-level ESTALE/EIO with absence.  ``file://`` URIs are stripped
-    to their posix path (same rule as LocalFS._p)."""
+    root-level ESTALE/EIO with absence.  ``file:`` URIs normalize to
+    their posix path (one helper, one rule)."""
     import stat as _stat
 
-    if path.startswith("file://"):
-        path = "/" + path[len("file://"):].lstrip("/")
+    path = _normalize_root(path)
     try:
         is_dir = _stat.S_ISDIR(os.stat(path).st_mode)
     except (FileNotFoundError, NotADirectoryError):
@@ -253,7 +263,7 @@ class SonarStore:
         # local stores get history/time travel too)
         from covsonar_spark.commitlog import CommitLog
 
-        self._log = CommitLog(spark, root)
+        self._log = CommitLog(spark, self.root)
         # mutation-session state: staged dir lists per table, applied
         # over the base snapshot at commit time; the lock serializes
         # staging from ingest's concurrent append threads
@@ -391,7 +401,14 @@ class SonarStore:
             if stop_hb is not None:
                 stop_hb.set()
             if owner is not None:
-                self._log.release_lease(owner)
+                try:
+                    self._log.release_lease(owner)
+                except Exception:  # noqa: BLE001 — a py4j/FS hiccup
+                    # here must not skip the mutex release below (the
+                    # deadlock this finally exists to prevent) nor mask
+                    # the body's exception; the unreleased lease goes
+                    # stale and is broken by the next writer
+                    pass
             self._session_mutex.release()
 
     def _data_area(self, name: str) -> str:

@@ -232,9 +232,17 @@ def test_file_uri_root_normalizes_to_posix_path(spark, tmp_path):
     assert store.table("genomes").count() == 1
     assert os.path.isdir(os.path.join(posix_root, "_log"))
     assert not os.path.exists("file:")          # no literal URI dir
-    # the same store reopens through the plain path
+    # the same store reopens through the plain path and through the
+    # OTHER URI spellings (single-slash as Hadoop's Path.toString
+    # emits, and an explicit localhost authority)
     assert SonarStore.open(spark, posix_root) \
         .table("genomes").count() == 1
+    assert SonarStore.open(spark, f"file:{posix_root}") \
+        .table("genomes").count() == 1
+    assert SonarStore.open(spark, f"file://localhost{posix_root}") \
+        .table("genomes").count() == 1
+    with pytest.raises(ValueError, match="non-local authority"):
+        SonarStore.open(spark, "file://otherhost/data/db")
 
 
 def test_history_limit_clamps_not_wraps(spark, tmp_path):

@@ -60,14 +60,16 @@ def test_threaded_readers_see_only_committed_states(spark, tmp_path):
         except Exception as exc:  # noqa: BLE001
             writer_errors.append(f"writer {round_no} raised: {exc!r}")
 
-    # two CONCURRENT writer threads per round — they must serialize on
-    # the session mutex + lease, each producing its own commit
-    for rnd in range(1, N_WRITER_ROUNDS + 1, 2):
-        pair = [threading.Thread(target=writer, args=(r,))
-                for r in (rnd, min(rnd + 1, N_WRITER_ROUNDS))]
-        for t in pair:
+    # CONCURRENT writer threads in pairs (a trailing odd round runs
+    # alone) — they must serialize on the session mutex + lease, each
+    # round producing exactly ONE commit
+    rounds = list(range(1, N_WRITER_ROUNDS + 1))
+    for i in range(0, len(rounds), 2):
+        batch = [threading.Thread(target=writer, args=(r,))
+                 for r in rounds[i:i + 2]]
+        for t in batch:
             t.start()
-        for t in pair:
+        for t in batch:
             t.join()
     stop.set()
     for t in readers:
