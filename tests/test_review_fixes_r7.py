@@ -324,6 +324,38 @@ def test_history_limit_bounds_reads(spark, tmp_path):
 
 # -- 6. hardlink-less rename fallback -------------------------------------
 
+def test_gated_rename_race_one_winner(tmp_path):
+    """Many threads racing the hardlink-less fallback to publish the
+    same destination: exactly ONE wins per destination, the published
+    content is one loser-free complete payload, and no gate dir is
+    left behind."""
+    import threading as _th
+
+    from covsonar_spark.commitlog import LocalFS
+
+    fs = LocalFS()
+    d = str(tmp_path)
+    fs._link_ok[d] = False
+    for rnd in range(6):
+        dst = os.path.join(d, f"commit-{rnd}")
+        wins: list[str] = []
+
+        def racer(i, dst=dst, wins=wins):
+            src = f"{dst}.src-{i}"
+            with open(src, "w") as fh:
+                fh.write(f"payload-{i}")
+            if fs.rename_no_replace(src, dst):
+                wins.append(f"payload-{i}")
+        ts = [_th.Thread(target=racer, args=(i,)) for i in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert len(wins) == 1, wins
+        assert open(dst).read() == wins[0]      # winner's payload, whole
+        assert not os.path.exists(dst + ".gate")
+
+
 def test_localfs_rename_gated_fallback(tmp_path):
     from covsonar_spark.commitlog import LocalFS
 
