@@ -226,8 +226,8 @@ def agg_histogram(spark, sf_dir):
         o.crossJoin(F.broadcast(bounds))
         .withColumn("bin", F.when(F.col("hi") == F.col("lo"), F.lit(0))
             .otherwise(F.least(
-                F.floor((F.col("o_totalprice") - F.col("lo")) / w).cast("int"),
-                F.lit(N_BINS - 1))))
+                F.floor((F.col("o_totalprice") - F.col("lo")) / w),
+                F.lit(N_BINS - 1).cast("bigint"))))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"),
              F.round(F.min("o_totalprice"), 2).alias("bin_min"),
@@ -265,7 +265,7 @@ def window_navigation(spark, sf_dir, events_fn):
     wspec = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     per_row = (
         ev.select("user_id", "event_id", "ts_us", "value")
-        .withColumn("quartile", F.ntile(4).over(wspec))
+        .withColumn("quartile", F.ntile(4).over(wspec).cast("bigint"))
         .withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(wspec))
         .withColumn("cd", F.cume_dist().over(wspec))
     )

@@ -1724,7 +1724,7 @@ def hybrid_search_rrf(spark, sf_dir):
 
     lex = textstats.bm25_scores(docs, _HYBRID_TERMS)
     w_lex = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-    lex_top = lex.withColumn("r_lex", F.row_number().over(w_lex)) \
+    lex_top = lex.withColumn("r_lex", F.row_number().over(w_lex).cast("bigint")) \
                  .where(F.col("r_lex") <= 50)
 
     from covsonar_spark.functions import vectors as V
@@ -1732,7 +1732,7 @@ def hybrid_search_rrf(spark, sf_dir):
     vec = emb.select(F.col("vec_id").alias("doc_id"),
                      V.cosine_rounded(F.col("embedding"), q, 6).alias("cosine"))
     w_vec = Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
-    vec_top = vec.withColumn("r_vec", F.row_number().over(w_vec)) \
+    vec_top = vec.withColumn("r_vec", F.row_number().over(w_vec).cast("bigint")) \
                  .where(F.col("r_vec") <= 50)
 
     rrf = (F.when(F.col("r_lex").isNotNull(), 1.0 / (60 + F.col("r_lex"))).otherwise(0.0)
