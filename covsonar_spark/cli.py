@@ -264,7 +264,8 @@ def cmd_vacuum(spark, args):
     in-flight mutation's freshly staged dirs."""
     st = _store(spark, args)
     n = st.vacuum(retain_last=args.retain,
-                  min_age_s=args.min_age_hours * 3600.0)
+                  min_age_s=args.min_age_hours * 3600.0,
+                  lease_wait=args.wait)
     print(f"vacuumed {n} unreferenced data dir(s) "
           f"(retained last {max(args.retain, 1)} version(s))",
           file=sys.stderr)
@@ -504,6 +505,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="never delete anything younger than this "
                          "(default 1h; guards in-flight writers and "
                          "pinned readers)")
+    sp.add_argument("--wait", type=float, default=None,
+                    help="seconds to wait for the writer lease "
+                         "(default outlasts the lease staleness "
+                         "threshold so GC succeeds on first try even "
+                         "right after a writer crash)")
     sp.set_defaults(fn=cmd_vacuum)
 
     sp = sub.add_parser(

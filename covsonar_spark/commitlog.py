@@ -212,42 +212,90 @@ class LocalFS:
             self._link_ok[d] = ok
         return ok
 
+    @staticmethod
+    def _gate_owner(gate: str) -> str | None:
+        """The holder token stamped inside a gate dir, or None when
+        the gate is unstamped (holder died between mkdir and stamp, or
+        the stamp write failed)."""
+        try:
+            with open(os.path.join(gate, "owner")) as fh:
+                return fh.read() or None
+        except OSError:
+            return None
+
     def _rename_no_replace_gated(self, src: str, dst: str) -> bool:
         """Hardlink-less fallback: ``os.mkdir`` is atomic put-if-absent
         on every filesystem Python runs on, so a mutex dir gates an
         exists-check + ``os.replace``.  A holder that died inside the
         (milliseconds-long) critical section is broken once the gate is
-        60 s old — rmdir+retry, where the re-mkdir race is again
-        decided by mkdir atomicity — and the 120 s wait deadline
-        EXCEEDS the break threshold so a freshly-crashed holder's gate
-        always self-heals within one wait instead of timing out every
-        caller.  The break threshold is deliberately generous: breaking
-        a LIVE holder's gate would let two writers into the critical
-        section where the second ``os.replace`` silently clobbers the
-        first's published commit, so only a holder stalled 4+ orders of
-        magnitude past its expected critical-section time (or a >60 s
-        client/server mtime skew) is ever presumed dead.  Weaker than
-        the hardlink path only in that window; these mounts previously
-        had NO working commit path at all."""
+        60 s old, and the 120 s wait deadline EXCEEDS the break
+        threshold so a freshly-crashed holder's gate always self-heals
+        within one wait instead of timing out every caller.
+
+        Breaking is ATOMIC: the breaker renames the gate to a unique
+        ``.broken-<uuid>`` name, so of any set of concurrent breakers
+        exactly one succeeds (the rmdir+retry break this replaced let a
+        losing breaker delete the winner's freshly re-created LIVE
+        gate, putting two writers inside the critical section where the
+        second ``os.replace`` silently clobbers the first's published
+        commit).  Holders stamp their identity inside the gate; the
+        breaker re-reads it after the rename and RESTORES a gate whose
+        owner changed between diagnosis and break (a fresh holder
+        replaced the stale one mid-break) — the same rename-rendezvous
+        + owner-check protocol :meth:`CommitLog.acquire_lease` uses.
+
+        The break threshold is deliberately generous: only a holder
+        stalled 4+ orders of magnitude past its expected critical-
+        section time (or a >60 s client/server mtime skew) is ever
+        presumed dead.  Weaker than the hardlink path only in that
+        window; these mounts previously had NO working commit path."""
         gate = dst + ".gate"
         deadline = time.time() + 120.0
+        my = uuid.uuid4().hex
+        stamped = False
         while True:
             try:
                 os.mkdir(gate)
-                break
             except FileExistsError:
                 try:
-                    if time.time() - os.path.getmtime(gate) > 60.0:
-                        os.rmdir(gate)
-                        continue
+                    stale_owner = self._gate_owner(gate)
+                    age = time.time() - os.path.getmtime(gate)
                 except OSError:
                     continue      # gate released/broken under us: retry
+                if age > 60.0:
+                    broken = f"{gate}.broken-{uuid.uuid4().hex[:8]}"
+                    try:
+                        os.rename(gate, broken)
+                    except OSError:
+                        continue  # lost the break race, or released
+                    if self._gate_owner(broken) != stale_owner:
+                        # we displaced a FRESH gate that replaced the
+                        # stale one between diagnosis and rename: put
+                        # it back (failure means yet another holder
+                        # mkdir'd meanwhile — drop the displaced copy,
+                        # the same residual window acquire_lease has)
+                        try:
+                            os.rename(broken, gate)
+                        except OSError:
+                            shutil.rmtree(broken, ignore_errors=True)
+                    else:
+                        shutil.rmtree(broken, ignore_errors=True)
+                    continue
                 if time.time() > deadline:
                     raise TimeoutError(
                         f"rename gate stuck (holder died?): {gate}")
                 time.sleep(0.05)
             except FileNotFoundError:
                 return False      # parent vanished: nothing to publish
+            else:
+                try:
+                    with open(os.path.join(gate, "owner"), "w") as fh:
+                        fh.write(my)
+                    stamped = True
+                except OSError:
+                    pass   # unstamped gate still mutually excludes; it
+                    #        just can't be told apart mid-break
+                break
         try:
             if os.path.exists(dst):
                 return False
@@ -258,7 +306,13 @@ class LocalFS:
             return True
         finally:
             try:
-                os.rmdir(gate)
+                # release only OUR gate: after a (wrongful) break +
+                # re-mkdir the gate at this path belongs to someone
+                # else, and removing it would unprotect THEIR critical
+                # section
+                cur = self._gate_owner(gate)
+                if cur == my or (not stamped and cur is None):
+                    shutil.rmtree(gate, ignore_errors=True)
             except OSError:
                 pass
 
@@ -637,11 +691,15 @@ class CommitLog:
             # so a LIVE gate/probe is never deleted.
             if (".tmp-" in name or ".wr-" in name
                     or name.endswith(".gate")
+                    or ".gate.broken-" in name
                     or name.startswith(".lnkprobe-")):
+                # gates (and broken-away gates) are DIRS holding an
+                # owner stamp — recursive delete
+                recursive = ".gate" in name
                 path = f"{self.log_dir}/{name}"
                 try:
                     if now - self.fs.mtime(path) >= min_age_s:
-                        self.fs.delete(path, recursive=False)
+                        self.fs.delete(path, recursive=recursive)
                 except Exception:  # noqa: BLE001
                     continue
         return removed

@@ -705,54 +705,111 @@ def _kmeans_assign_pass(df: DataFrame, cents, vec_col: str, id_col: str,
     return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(gen, schema=schema)
 
 
+# per-task block-size ceiling for the within-cluster dense kernel: an
+# 8192×8192 float64 cell is ~512 MB of dot matrix — bounded regardless
+# of how skewed the cluster sizes are
+CLUSTER_BLOCK_CAP = 8192
+
+
 def semantic_dedup_pairs(df: DataFrame, k: int = 8, iters: int = 2,
                          threshold: float = 0.4, vec_col: str = "embedding",
-                         id_col: str = "vec_id") -> DataFrame:
+                         id_col: str = "vec_id",
+                         max_cluster_block: int = CLUSTER_BLOCK_CAP) -> DataFrame:
     """SemDedup: k-means to LOCALIZE near-duplicates, then exact cosine
     pairs only WITHIN each cluster — the composition that turns the
     O(n²) all-pairs problem into k independent O((n/k)²) problems.
 
     Scale shape: ``kmeans_assign`` (zero vector shuffles, driver-held
-    model) labels every vector; ONE shuffle co-locates each cluster
-    (groupBy(cid) → applyInPandas), and the pairwise kernel runs
-    block-vectorized per cluster with the same sequential-fold cosine
-    as ``cosine_pairs_exact``. Recall trade-off is explicit and
-    testable: exactly the cross-cluster pairs are lost relative to the
-    exact baseline (asserted in tests) — the SemDedup bargain: at 100 TB
+    model) labels every vector; ONE fact shuffle co-locates the pair
+    cells (groupBy → applyInPandas), and the pairwise kernel runs
+    block-vectorized with the same sequential-fold cosine as
+    ``cosine_pairs_exact``. Recall trade-off is explicit and testable:
+    exactly the cross-cluster pairs are lost relative to the exact
+    baseline (asserted in tests) — the SemDedup bargain: at 100 TB
     with k ~ corpus/4096 the within-cluster quadratic is tractable and
-    near-duplicates overwhelmingly share a cluster."""
+    near-duplicates overwhelmingly share a cluster.
+
+    Per-cluster state is CAPPED: real embedding corpora skew (a
+    near-constant-embedding subpopulation lands in one cluster), and a
+    one-task-per-cluster kernel builds an n²-float64 matrix for its
+    largest cluster — a 200k-row cluster is a 320 GB matrix.  Clusters
+    above ``max_cluster_block`` rows are split into the triangular
+    sub-block grid ``_cosine_pairs_grid`` uses (s = ceil(n/cap) salted
+    blocks, each unordered pair meets in exactly one (ci, cj) cell), so
+    per-task memory is O(cap²) however degenerate the clustering —
+    and the hot cluster's quadratic parallelizes across its cells
+    instead of serializing in one task.  Cold clusters (s = 1) collapse
+    to a single diagonal cell: the uncapped plan.  The bipartite cell
+    kernel folds dimensions left-to-right exactly like the old full-
+    matrix kernel, so emitted cosines are bit-identical (asserted by a
+    capped-vs-uncapped equality test on a skewed corpus).  Cluster
+    sizes come from a map-side-combined count broadcast back onto the
+    fact — no extra fact shuffle."""
     assigned = kmeans_assign(df, k=k, iters=iters,
                              vec_col=vec_col, id_col=id_col)
     with_cid = df.select(id_col, vec_col).join(
         assigned.select(id_col, "cid"), id_col)
 
-    def pairs(pdf):
+    sizes = with_cid.groupBy("cid").agg(F.greatest(
+        F.lit(1),
+        F.ceil(F.count(F.lit(1)) / F.lit(max_cluster_block))
+    ).cast("int").alias("_s"))
+    base = (with_cid.join(F.broadcast(sizes), "cid")
+            .select(F.col("cid"),
+                    F.col(id_col).cast("long").alias("_id"),
+                    F.col(vec_col).alias("_v"), F.col("_s"))
+            .withColumn("_blk", F.pmod(
+                F.xxhash64(F.lit("semdedup-grid"), F.col("_id")),
+                F.col("_s")).cast("int")))
+    side_a = base.select(
+        "cid", "_id", "_v", F.col("_blk").alias("ci"),
+        F.explode(F.sequence(F.col("_blk"), F.col("_s") - 1)).alias("cj"),
+        F.lit(0).alias("role"))
+    side_b = base.where(F.col("_blk") > 0).select(
+        "cid", "_id", "_v",
+        F.explode(F.sequence(F.lit(0), F.col("_blk") - 1)).alias("ci"),
+        F.col("_blk").alias("cj"), F.lit(1).alias("role"))
+
+    def score_cell(key, pdf):
         import numpy as np
         import pandas as pd
 
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cid": [],
-                                 "cosine": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cid": "int64",
-                 "cosine": "float64"})
-        A = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
-        cid = int(pdf["cid"].iloc[0])
-        dot = np.zeros((n, n))
-        na2 = np.zeros(n)
-        for i in range(A.shape[1]):                # sequential per dimension
-            dot += A[:, i:i + 1] * A[:, i][None, :]
+        cid, ci, cj = (int(x) for x in key)
+        a = pdf[pdf["role"] == 0]
+        bb = a if ci == cj else pdf[pdf["role"] == 1]
+        if not len(a) or not len(bb):
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "cid": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        A = np.array([list(v) for v in a["_v"]], dtype=np.float64)
+        B = np.array([list(v) for v in bb["_v"]], dtype=np.float64)
+        a_ids = a["_id"].to_numpy(dtype=np.int64)
+        b_ids = bb["_id"].to_numpy(dtype=np.int64)
+        dot = np.zeros((len(A), len(B)))
+        na2 = np.zeros(len(A))
+        nb2 = np.zeros(len(B))
+        for i in range(A.shape[1]):            # sequential: l-to-r fold
+            dot += A[:, i:i + 1] * B[:, i]
             na2 += A[:, i] * A[:, i]
-        nrm = np.sqrt(na2)
-        cos = np.round(dot / (nrm[:, None] * nrm[None, :]), 4)
-        ii, jj = np.nonzero((cos >= threshold) & (ids[:, None] < ids[None, :]))
-        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj],
+            nb2 += B[:, i] * B[:, i]
+        cos = np.round(dot / (np.sqrt(na2)[:, None] * np.sqrt(nb2)[None, :]), 4)
+        if ci == cj:
+            ii, jj = np.nonzero((cos >= threshold)
+                                & (a_ids[:, None] < b_ids[None, :]))
+            lo, hi = a_ids[ii], b_ids[jj]
+        else:
+            # cross-block: each unordered pair lives in exactly this
+            # cell — keep every hit, normalized to (min, max)
+            ii, jj = np.nonzero(cos >= threshold)
+            lo = np.minimum(a_ids[ii], b_ids[jj])
+            hi = np.maximum(a_ids[ii], b_ids[jj])
+        return pd.DataFrame({"id_a": lo, "id_b": hi,
                              "cid": np.full(len(ii), cid, dtype=np.int64),
                              "cosine": cos[ii, jj]})
 
-    return with_cid.groupBy("cid").applyInPandas(
-        pairs, schema="id_a long, id_b long, cid long, cosine double")
+    return side_a.unionByName(side_b).groupBy("cid", "ci", "cj").applyInPandas(
+        score_cell, schema="id_a long, id_b long, cid long, cosine double")
 
 
 # ---------------------------------------------------------------------------

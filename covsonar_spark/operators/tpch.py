@@ -68,14 +68,24 @@ def q2_min_cost_supplier(spark, sf_dir):
     total on the fact: hash-partitioning on l_partkey alone satisfies
     both the (l_partkey, l_suppkey) groupBy's clustering (subset key)
     and the window's partitionBy(l_partkey) — asserted in
-    tests/test_plan_audit.py; part/supplier dims broadcast."""
+    tests/test_plan_audit.py; part/supplier dims broadcast.
+
+    The part slice prunes the fact BEFORE the shuffle: a broadcast
+    left-semi join on the filtered p_partkey set keeps only the ~few-%
+    of lineitem rows whose partkey survives, so the repartition/groupBy
+    never shuffles rows the final broadcast join would discard (at
+    100× the unpruned plan shuffles the FULL fact for a small slice).
+    Semantics unchanged — both the catalog min and the window min are
+    per-partkey, so dropping whole partkeys early is exact."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").where(
         (F.col("p_type") == "LARGE") & (F.col("p_size") >= 40))
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     catalog = (
-        li.repartition(F.col("l_partkey"))
+        li.join(F.broadcast(part.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"), "left_semi")
+        .repartition(F.col("l_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.round(F.min(_dec("l_extendedprice")).cast("double"), 2).alias("supply_cost"))
     )

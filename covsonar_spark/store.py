@@ -302,7 +302,7 @@ class SonarStore:
         return hadoop_list_files(self.spark, path, strict=True)
 
     @contextlib.contextmanager
-    def _mutation_session(self):
+    def _mutation_session(self, lease_wait: float | None = None):
         """One atomic multi-table mutation: acquire the advisory writer
         lease (heartbeated so a live multi-hour mutation is never
         diagnosed stale), snapshot the base version, stage every
@@ -328,11 +328,19 @@ class SonarStore:
         # mutex, stop the heartbeat, and drop the lease, or every
         # later mutation on this handle deadlocks and other processes
         # can never break the orphaned (still-heartbeating) lease
-        self._session_mutex.acquire()
+        wait = 600.0 if lease_wait is None else lease_wait
+        if not self._session_mutex.acquire(timeout=wait):
+            # symmetric with the cross-process lease timeout below: a
+            # wedged writer THREAD on this handle must fail other
+            # threads with the same diagnostic a wedged writer PROCESS
+            # gives other processes, not block them forever
+            raise TimeoutError(
+                f"another thread holds this handle's mutation session "
+                f"(waited {wait:.0f}s)")
         owner: str | None = None
         stop_hb: threading.Event | None = None
         try:
-            owner = self._log.acquire_lease()
+            owner = self._log.acquire_lease(timeout=wait)
             stop_hb = threading.Event()
             hb_stop = stop_hb
 
@@ -789,7 +797,8 @@ class SonarStore:
         return legacy
 
     def vacuum(self, retain_last: int = 2,
-               min_age_s: float = 3600.0) -> int:
+               min_age_s: float = 3600.0,
+               lease_wait: float | None = None) -> int:
         """Standalone GC: reap data dirs no retained commit references
         (uncommitted garbage from crashed/conflicted writers, versions
         past retention, superseded adopted legacy dirs).  Runs inside a
@@ -798,8 +807,16 @@ class SonarStore:
         could reap a concurrent in-flight mutation's staged dirs once
         they out-age the min-age floor (multi-hour mutations are
         exactly why lease holders heartbeat), and that mutation would
-        then publish a snapshot referencing deleted dirs."""
-        with self._mutation_session():
+        then publish a snapshot referencing deleted dirs.
+
+        ``lease_wait`` defaults to OUTLASTING the lease staleness
+        threshold (3600s) plus the default acquire wait: a crashed
+        writer's lease only becomes breakable after 3600s of mtime age,
+        and post-crash GC is vacuum's primary job — a 600s wait would
+        TimeoutError for up to ~50 minutes after every writer crash."""
+        if lease_wait is None:
+            lease_wait = 3600.0 + 600.0
+        with self._mutation_session(lease_wait=lease_wait):
             return self._log.vacuum(
                 {t: self._data_area(t) for t in TABLES},
                 retain_last=retain_last, min_age_s=min_age_s,

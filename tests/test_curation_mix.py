@@ -122,6 +122,42 @@ def test_semantic_dedup_is_within_cluster_subset_of_exact(spark, emb):
     assert sem == same_cluster
 
 
+def test_semantic_dedup_skewed_cluster_cap_bit_identical(spark):
+    """Skewed clustering (one cluster holds ~95% of the corpus — the
+    near-constant-embedding subpopulation case): the capped kernel
+    sub-blocks the hot cluster into the triangular grid instead of
+    building one n² matrix in one task, and emits the EXACT same
+    (id_a, id_b, cid, cosine) rows as the uncapped path — the bipartite
+    cell fold is bit-identical to the full-matrix fold."""
+    import numpy as np
+
+    from covsonar_spark.operators.similarity import semantic_dedup_pairs
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(570):          # hot subpopulation: tiny jitter
+        v = (np.array([1.0, 0.0, 0.0, 0.0])
+             + rng.normal(0, 0.01, 4)).round(3)
+        rows.append((i, [float(x) for x in v]))
+    for i in range(570, 600):     # scattered tail
+        v = rng.normal(0, 1.0, 4).round(3)
+        rows.append((i, [float(x) for x in v]))
+    skew = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").repartition(8)
+    kw = dict(k=4, iters=2, threshold=0.6)
+    # cap 64 forces s = ceil(570/64) = 9 sub-blocks on the hot cluster
+    capped = sorted((r["id_a"], r["id_b"], r["cid"], r["cosine"])
+                    for r in semantic_dedup_pairs(
+                        skew, max_cluster_block=64, **kw).collect())
+    uncapped = sorted((r["id_a"], r["id_b"], r["cid"], r["cosine"])
+                      for r in semantic_dedup_pairs(
+                          skew, max_cluster_block=10**9, **kw).collect())
+    assert capped == uncapped
+    assert len(capped) > 10_000   # the hot cluster really is quadratic
+    # no duplicate pair emissions across cells
+    assert len({(a, b) for a, b, _, _ in capped}) == len(capped)
+
+
 def test_quality_gate_keeps_top_three_quarters(spark, docs):
     from covsonar_spark.operators.textstats import quality, quality_gate
 

@@ -139,6 +139,16 @@ def test_q2_catalog_and_window_share_one_shuffle(spark, registry):
     assert len(non_broadcast) <= 2, non_broadcast
     assert "Window" in tree
     assert "SortMergeJoin" not in tree
+    # the part-slice semi-join prunes the fact BELOW the aggregate:
+    # in top-down print, the first (partial) HashAggregate appears
+    # above a broadcast LeftSemi join on the lineitem branch, so the
+    # repartition/groupBy never shuffles partkeys the slice discards
+    lines = tree.splitlines()
+    first_agg = next(i for i, l in enumerate(lines)
+                     if "HashAggregate" in l)
+    semis = [i for i, l in enumerate(lines)
+             if "BroadcastHashJoin" in l and "LeftSemi" in l]
+    assert any(s > first_agg for s in semis), (first_agg, semis)
 
 
 def test_q10_aggregates_fact_before_reporting_join(spark, registry):
@@ -563,3 +573,73 @@ def test_match_engine_lineage_semijoin_identical(spark, monkeypatch):
     assert "LeftSemi" in _plan(plan_df)
     after = sorted(r["accession"] for r in plan_df.collect())
     assert after == before and before
+
+
+# --- registry-wide invariant sweep (round 8) ------------------------------
+
+# Rows whose plan legitimately contains a BroadcastNestedLoopJoin: every
+# one broadcasts a SCALAR or tiny derived frame (a corpus-wide average,
+# a quantile threshold, a one-row vocab size) where no equi-key exists —
+# the broadcast side is O(1) rows by construction.  Derived by
+# tools/plan_sweep.py; a NEW name appearing here must be justified the
+# same way before being added.
+BNLJ_ALLOWED = {
+    "q22_global_sales", "basket_association_rules", "text_bigram_lm",
+    "agg_histogram", "hybrid_search_rrf", "graph_triangles",
+    "sample_dsir", "text_tfidf_topk", "text_quality_gate",
+    "text_pmi_collocations", "sketch_histogram_quantile",
+    "skew_diagnose", "dedup_substring", "dq_constraint_audit",
+}
+
+_WIDE = ("lineitem", "orders", "documents", "events")
+
+
+def _scan_reads(plan):
+    """[(table, set(cols))] for every parquet FileScan in the plan."""
+    import re
+    out = []
+    for m in re.finditer(
+            r"Location:.*?\[([^\]]*)\][\s\S]*?ReadSchema: struct<([^>]*)>",
+            plan):
+        tm = re.search(r"/(\w+)\.parquet", m.group(1))
+        if tm:
+            out.append((tm.group(1),
+                        {c.split(":")[0].strip()
+                         for c in m.group(2).split(",") if c.strip()}))
+    return out
+
+
+def test_registry_plan_invariants_sweep(spark, registry):
+    """Every registry plan, four invariants the per-query audits above
+    don't cover row-by-row (a silent plan regression — lost pushdown,
+    new cartesian — would pass the value-correctness gates):
+
+      1. no CartesianProduct anywhere;
+      2. BroadcastNestedLoopJoin only on the scalar-broadcast allowlist;
+      3. every scan of a WIDE fact table (lineitem/orders/documents/
+         events) is column-pruned — a scan reading every column for a
+         narrower projection means pruning silently broke;
+      4. no SortMergeJoin keyed on the always-tiny nation/region dims
+         (25/5 rows at ANY scale factor — those joins must broadcast).
+    """
+    full = {t: set(spark.read.parquet(f"{SF}/{t}.parquet").columns)
+            for t in _WIDE}
+    bad = {}
+    for name, (fn, _sql) in registry.items():
+        plan = _plan(fn(spark, SF))
+        row = []
+        if "CartesianProduct" in plan:
+            row.append("cartesian")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            row.append("bnlj")
+        unpruned = [t for t, cols in _scan_reads(plan)
+                    if t in full and cols >= full[t]]
+        if unpruned:
+            row.append(f"unpruned:{sorted(set(unpruned))}")
+        if any("SortMergeJoin" in l
+               and ("n_nationkey" in l or "r_regionkey" in l)
+               for l in plan.splitlines()):
+            row.append("smj_on_tiny_dim")
+        if row:
+            bad[name] = row
+    assert not bad, bad
