@@ -25,11 +25,14 @@ path); everything else uses :class:`HadoopFS`.
 
 Protocol:
 
-  * ``root/_log/v<20-digit>.json`` — commit N: a FULL snapshot mapping
-    each table to its ordered list of live data directories, plus a
-    unique commit ``id`` (uuid).  Snapshots are tiny (tens of entries);
-    a production evolution would checkpoint + delta like Delta, same
-    read semantics.
+  * ``root/_log/v<20-digit>.json`` — commit N: either a CHECKPOINT (a
+    full snapshot mapping each table to its ordered list of live data
+    directories) or a DELTA (only the touched tables — an append is
+    just the appended dirs — plus a pointer to the checkpoint it chains
+    from), each with a unique commit ``id`` (uuid).  A checkpoint is
+    written at least every ``CHECKPOINT_INTERVAL`` commits, bounding
+    both per-commit metadata bytes on long-lived stores and any
+    resolution's read fan-in (Delta Lake's checkpoint+delta shape).
   * writers stage new uuid-named directories under ``root/_data/``,
     then publish ONE commit covering every staged table — multi-table
     ingest is atomic, which a per-table swap protocol never had.
@@ -39,10 +42,11 @@ Protocol:
     garbage for :meth:`vacuum`).  Readers only ever open fully-renamed
     commit files, so a torn commit is unobservable.
   * readers resolve the newest commit in O(1) object reads through the
-    ``_log/_last`` hint (re-written after every commit; stale hints are
-    healed by probing forward, a missing/torn hint falls back to
-    listing) — resolving a 10k-commit log costs two reads, not a 10k
-    listing.
+    ``_log/_last`` hint, which embeds the fully RESOLVED snapshot
+    (re-written after every commit; lagging hints are healed by
+    probing/reading forward, a missing/torn hint falls back to listing
+    + a checkpoint-chain walk) — resolving a 10k-commit log costs one
+    read, not a 10k listing.
   * the commit ``id`` is what derived data (the file-skipping
     manifests) pins itself to: a manifest built inside a mutation that
     LOST the commit race carries an id no published commit ever has, so
@@ -77,6 +81,28 @@ LOG_DIR = "_log"
 LOCK_NAME = "LOCK"
 HINT_NAME = "_last"
 
+# a full snapshot ("checkpoint") commit is written at least every this
+# many commits; the ones between carry table DELTAS.  Bounds both the
+# per-commit metadata bytes on wide stores (a delta holds only touched
+# tables — an append is just the appended dirs) and the read fan-in of
+# any resolution (checkpoint + at most interval-1 deltas).
+CHECKPOINT_INTERVAL = 10
+
+
+class Snapshot(tuple):
+    """``(version, tables, id)`` — a plain 3-tuple for the existing
+    unpack/index sites — plus a ``checkpoint`` attribute (the version
+    of the full-snapshot commit this resolution chains from) so
+    committers can decide full-vs-delta without a second read."""
+
+    checkpoint: int | None
+
+    def __new__(cls, version: int, tables: dict, cid: str | None,
+                checkpoint: int | None):
+        s = super().__new__(cls, (version, tables, cid))
+        s.checkpoint = checkpoint
+        return s
+
 
 def is_remote(path: str) -> bool:
     """True when ``path`` lives on a non-local filesystem scheme
@@ -89,6 +115,16 @@ def is_remote(path: str) -> bool:
 class StoreWriteConflict(RuntimeError):
     """Another writer committed first; the mutation must be retried
     against the new snapshot (optimistic concurrency, Delta-style)."""
+
+
+class StoreCommitIndeterminate(RuntimeError):
+    """The commit publish errored in a way that leaves its outcome
+    UNKNOWN (an object-store PUT that timed out — it may still land).
+    The mutation session must NOT delete its staged data dirs: if the
+    commit did land, a published snapshot references them.  Unclaimed
+    dirs are reaped by vacuum once they out-age its floor; a commit
+    still in flight past that floor is outside the protocol's
+    assumptions (documented on :meth:`CommitLog.commit`)."""
 
 
 class LocalFS:
@@ -223,6 +259,16 @@ class LocalFS:
         except OSError:
             return None
 
+    def _gate_state(self, gate: str) -> tuple[str | None, bool]:
+        """(owner, is_stale) of a gate dir.  Staleness reads the OWNER
+        STAMP's mtime when the gate is stamped (the stamp is written
+        once, right after mkdir, and never touched again) and the dir
+        mtime otherwise — so a claim dir appearing next to the gate
+        never refreshes it.  OSError propagates (gate vanished)."""
+        owner = self._gate_owner(gate)
+        ref = os.path.join(gate, "owner") if owner is not None else gate
+        return owner, (time.time() - os.path.getmtime(ref)) > 60.0
+
     def _rename_no_replace_gated(self, src: str, dst: str) -> bool:
         """Hardlink-less fallback: ``os.mkdir`` is atomic put-if-absent
         on every filesystem Python runs on, so a mutex dir gates an
@@ -232,17 +278,25 @@ class LocalFS:
         threshold so a freshly-crashed holder's gate always self-heals
         within one wait instead of timing out every caller.
 
-        Breaking is ATOMIC: the breaker renames the gate to a unique
-        ``.broken-<uuid>`` name, so of any set of concurrent breakers
-        exactly one succeeds (the rmdir+retry break this replaced let a
-        losing breaker delete the winner's freshly re-created LIVE
-        gate, putting two writers inside the critical section where the
-        second ``os.replace`` silently clobbers the first's published
-        commit).  Holders stamp their identity inside the gate; the
-        breaker re-reads it after the rename and RESTORES a gate whose
-        owner changed between diagnosis and break (a fresh holder
-        replaced the stale one mid-break) — the same rename-rendezvous
-        + owner-check protocol :meth:`CommitLog.acquire_lease` uses.
+        Breaking is CLAIM-ARBITRATED: breakers race ``os.mkdir`` of the
+        fixed sibling ``<gate>.claim`` dir — put-if-absent again, so of
+        any set of concurrent breakers exactly one proceeds.  The claim
+        winner re-verifies, UNDER the claim, that the gate at the path
+        is still the generation it diagnosed (same owner stamp) and
+        still stale; only then does it remove the gate.  Because only
+        the claim winner (or the gate's own holder) ever removes a
+        gate, the gate generation cannot change while the claim is
+        held — a wrongful claim (the stale gate was released and a
+        fresh one created between diagnosis and claim) fails the
+        re-verify and is revoked WITHOUT touching the live gate.  This
+        replaces two earlier designs that each let two writers into the
+        critical section: rmdir+retry (a losing breaker deleted the
+        winner's fresh gate) and rename-to-unique+restore (the restore
+        gap let a third writer mkdir while the live gate was renamed
+        away).  A claim whose owner died mid-break is itself GC'd once
+        60 s old (claims are empty dirs, removed with plain rmdir); the
+        delete/re-mkdir race on that path needs a dead holder AND a
+        dead claimer AND a sub-millisecond third race to matter.
 
         The break threshold is deliberately generous: only a holder
         stalled 4+ orders of magnitude past its expected critical-
@@ -250,6 +304,7 @@ class LocalFS:
         presumed dead.  Weaker than the hardlink path only in that
         window; these mounts previously had NO working commit path."""
         gate = dst + ".gate"
+        claim = gate + ".claim"
         deadline = time.time() + 120.0
         my = uuid.uuid4().hex
         stamped = False
@@ -258,29 +313,41 @@ class LocalFS:
                 os.mkdir(gate)
             except FileExistsError:
                 try:
-                    stale_owner = self._gate_owner(gate)
-                    age = time.time() - os.path.getmtime(gate)
+                    stale_owner, is_stale = self._gate_state(gate)
                 except OSError:
                     continue      # gate released/broken under us: retry
-                if age > 60.0:
-                    broken = f"{gate}.broken-{uuid.uuid4().hex[:8]}"
+                if is_stale:
                     try:
-                        os.rename(gate, broken)
-                    except OSError:
-                        continue  # lost the break race, or released
-                    if self._gate_owner(broken) != stale_owner:
-                        # we displaced a FRESH gate that replaced the
-                        # stale one between diagnosis and rename: put
-                        # it back (failure means yet another holder
-                        # mkdir'd meanwhile — drop the displaced copy,
-                        # the same residual window acquire_lease has)
+                        os.mkdir(claim)
+                    except FileExistsError:
+                        # another breaker holds the claim; GC one whose
+                        # owner died between claim and removal
                         try:
-                            os.rename(broken, gate)
+                            if (time.time()
+                                    - os.path.getmtime(claim)) > 60.0:
+                                os.rmdir(claim)
                         except OSError:
-                            shutil.rmtree(broken, ignore_errors=True)
+                            pass
+                        # fall through to the wait/deadline path below
+                    except (FileNotFoundError, NotADirectoryError):
+                        return False    # parent vanished mid-publish
                     else:
-                        shutil.rmtree(broken, ignore_errors=True)
-                    continue
+                        try:
+                            # re-verify the SAME generation, under the
+                            # claim: a fresh gate (new owner, or young
+                            # unstamped) must be left alone
+                            try:
+                                cur, still = self._gate_state(gate)
+                            except OSError:
+                                continue        # gate released: retry
+                            if cur == stale_owner and still:
+                                shutil.rmtree(gate, ignore_errors=True)
+                            continue
+                        finally:
+                            try:
+                                os.rmdir(claim)
+                            except OSError:
+                                pass
                 if time.time() > deadline:
                     raise TimeoutError(
                         f"rename gate stuck (holder died?): {gate}")
@@ -398,13 +465,29 @@ class HadoopFS:
 
 
 class CommitLog:
-    """The versioned snapshot log of one store root."""
+    """The versioned snapshot log of one store root.
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``fs`` is the pluggable LogStore seam (Delta's ``LogStore``
+    analogue): any object with the :class:`LocalFS` surface —
+    ``exists / mkdirs / delete / mtime / touch / write_bytes /
+    read_bytes / rename_no_replace / list_names``.  The ONE semantic
+    the protocol's correctness rests on: ``rename_no_replace`` must be
+    put-if-absent — of any set of concurrent callers targeting one
+    destination, at most one returns True and the destination ends up
+    with exactly that caller's complete payload.  It may return False
+    (definitively lost) or RAISE (outcome unknown — commit() then
+    decides by reading the slot back, see StoreCommitIndeterminate).
+    A DynamoDB/S3-conditional-put implementation must provide exactly
+    that; tests/test_logstore_contract.py is the executable contract."""
+
+    def __init__(self, spark: SparkSession, root: str, fs=None):
         self.root = root.rstrip("/")
         self.log_dir = f"{self.root}/{LOG_DIR}"
-        self.fs = LocalFS() if not is_remote(root) \
-            else HadoopFS(spark, root)
+        if fs is not None:
+            self.fs = fs
+        else:
+            self.fs = LocalFS() if not is_remote(root) \
+                else HadoopFS(spark, root)
 
     # -- read side ----------------------------------------------------
 
@@ -418,14 +501,16 @@ class CommitLog:
                     continue
         return sorted(out)
 
-    def latest(self) -> tuple[int, dict, str | None] | None:
-        """(version, {table: [data dir, …]}, commit id) of the newest
-        commit, or None when the log holds no commit (fresh / legacy
-        store).  The ``_last`` hint makes this O(1) object reads on the
-        hot path (every table() resolution); a missing, torn, or
-        vacuumed-past hint falls back to a listing, and the listing
-        path retries once on a commit deleted between list and read (an
-        aggressive vacuum of superseded versions)."""
+    def latest(self) -> Snapshot | None:
+        """:class:`Snapshot` of the newest commit, or None when the log
+        holds no commit (fresh / legacy store).  The ``_last`` hint —
+        which carries the RESOLVED table snapshot, not just a version
+        number — makes this O(1) object reads on the hot path (every
+        table() resolution); a missing, torn, or lagging hint is healed
+        by probing/reading forward (deltas apply on top of the hinted
+        tables), and a hint that can't anchor resolution falls back to
+        a listing + checkpoint-chain walk, retried once on a commit
+        deleted between list and read (an aggressive vacuum)."""
         got = self._latest_hinted()
         if got is not None:
             return got
@@ -434,44 +519,147 @@ class CommitLog:
             if not vs:
                 return None
             try:
-                raw = self.fs.read_bytes(self._commit_path(vs[-1]))
-            except Exception:  # noqa: BLE001 — racing vacuum: re-list
+                info = self.resolve(vs[-1])
+            except ValueError:     # racing vacuum: re-list
                 time.sleep(0.05)
                 continue
-            snap = json.loads(raw.decode())
-            return vs[-1], snap.get("tables", {}), snap.get("id")
+            return Snapshot(vs[-1], info.get("tables", {}),
+                            info.get("id"), info.get("checkpoint"))
         raise RuntimeError(f"commit log unreadable at {self.log_dir}")
 
-    def _latest_hinted(self) -> tuple[int, dict, str | None] | None:
+    def _latest_hinted(self) -> Snapshot | None:
         """Resolve the newest commit through the ``_last`` hint: read
-        the hint (1), probe FORWARD past any staleness (exists() calls
-        — a hint can only lag, never lead, because it is written after
-        the commit rename), read the commit (2).  Any anomaly — no
-        hint, torn json, the hinted version vacuumed away — returns
-        None and the caller lists instead."""
+        the hint (1 read — it embeds the full resolved snapshot), probe
+        FORWARD past any staleness (exists() calls — a hint can only
+        lag, never lead, because it is written after the commit
+        rename), and roll the hinted tables forward through any newer
+        commits (full replaces, delta applies).  Any anomaly — no hint,
+        torn json, a pre-checkpoint hint without tables, a commit
+        vacuumed under us — returns None and the caller lists."""
         try:
-            hinted = int(json.loads(self.fs.read_bytes(
-                f"{self.log_dir}/{HINT_NAME}").decode())["version"])
+            hint = json.loads(self.fs.read_bytes(
+                f"{self.log_dir}/{HINT_NAME}").decode())
+            hinted = int(hint["version"])
         except Exception:  # noqa: BLE001 — absent/torn hint: list
             return None
-        if hinted < 1:
+        if hinted < 1 or "tables" not in hint:
             return None
+        tables = hint["tables"]
+        cid = hint.get("id")
+        cp = hint.get("checkpoint")
         v = hinted
         while self.fs.exists(self._commit_path(v + 1)):
+            try:
+                raw = json.loads(self.fs.read_bytes(
+                    self._commit_path(v + 1)).decode())
+            except Exception:  # noqa: BLE001 — vacuumed under us: list
+                return None
+            tables = self._apply(tables, raw)
+            cid = raw.get("id")
+            cp = raw.get("checkpoint",
+                         v + 1 if "tables" in raw else cp)
             v += 1
-        try:
-            snap = json.loads(self.fs.read_bytes(
-                self._commit_path(v)).decode())
-        except Exception:  # noqa: BLE001 — vacuumed under us: list
-            return None
-        return v, snap.get("tables", {}), snap.get("id")
+        return Snapshot(v, tables, cid, cp)
+
+    @staticmethod
+    def _apply(tables: dict, raw: dict) -> dict:
+        """Roll ``tables`` forward through one commit json: a full
+        commit replaces the map; a delta sets/appends/deletes the
+        touched tables only."""
+        if "tables" in raw:
+            return dict(raw["tables"])
+        out = dict(tables)
+        d = raw.get("delta", {})
+        for t, dirs in d.get("set", {}).items():
+            out[t] = list(dirs)
+        for t, dirs in d.get("add", {}).items():
+            out[t] = list(out.get(t, [])) + list(dirs)
+        for t in d.get("del", []):
+            out.pop(t, None)
+        return out
 
     def snapshot(self, version: int) -> dict:
-        return self.read_commit(version).get("tables", {})
+        return self.resolve(version).get("tables", {})
+
+    def resolve(self, version: int) -> dict:
+        """The commit info of ``version`` with its table snapshot fully
+        RECONSTRUCTED: a checkpoint commit is returned as-is; a delta
+        commit reads its anchoring checkpoint and rolls forward through
+        the intermediate deltas (at most ``CHECKPOINT_INTERVAL`` reads
+        by construction).  Raises ValueError when the version was never
+        committed, or its chain was vacuumed past retention."""
+        raw = self.read_commit(version)
+        if "tables" in raw:
+            raw.setdefault("checkpoint", version)
+            return raw
+        cp = raw.get("checkpoint")
+        if not isinstance(cp, int) or not 0 < cp < version:
+            raise ValueError(
+                f"commit version {version} under {self.log_dir} is a "
+                f"delta with an unusable checkpoint pointer {cp!r}")
+        tables = self.read_commit(cp).get("tables", {})
+        for v in range(cp + 1, version):
+            tables = self._apply(tables, self.read_commit(v))
+        tables = self._apply(tables, raw)    # already read: no re-read
+        return {"version": version, "id": raw.get("id"),
+                "committed_at": raw.get("committed_at"),
+                "checkpoint": cp, "tables": tables}
+
+    def resolve_range(self, versions: list[int]) -> dict[int, dict]:
+        """Resolved commit info for each of ``versions`` in ONE forward
+        walk: read the oldest one's checkpoint, then roll a single
+        table map through every commit up to the newest, snapshotting
+        at each requested version.  Total reads = (newest - checkpoint
+        + 1) ≤ len(span) + CHECKPOINT_INTERVAL — the history(limit=n)
+        path must never cost O(log length) reads.  Versions whose
+        commit file is gone (racing vacuum) are silently omitted."""
+        want = sorted(set(versions))
+        if not want:
+            return {}
+        try:
+            lo = self.resolve(want[0])
+        except ValueError:
+            # oldest wanted version already vacuumed: drop leading
+            # victims one by one (bounded by len(want))
+            return self.resolve_range(want[1:])
+        out = {want[0]: lo}
+        tables = lo["tables"]
+        wanted = set(want[1:])
+        broken = False          # an intermediate read failed: the
+        #                         rolled map is stale until a full
+        #                         commit (or a per-version resolve)
+        #                         re-anchors it
+        for v in range(want[0] + 1, want[-1] + 1):
+            try:
+                raw = self.read_commit(v)
+            except ValueError:
+                broken = True
+                continue
+            if broken and "tables" not in raw:
+                if v in wanted:
+                    try:
+                        out[v] = self.resolve(v)
+                        tables = out[v]["tables"]   # re-anchored
+                        broken = False
+                    except ValueError:
+                        pass
+                continue
+            broken = False
+            tables = self._apply(tables, raw)
+            if v in wanted:
+                out[v] = {"version": v, "id": raw.get("id"),
+                          "committed_at": raw.get("committed_at"),
+                          "checkpoint": raw.get(
+                              "checkpoint",
+                              v if "tables" in raw else None),
+                          "tables": tables}
+        return out
 
     def read_commit(self, version: int) -> dict:
-        """The full commit json of ``version``; raises when that
-        version was never committed or its commit file was vacuumed."""
+        """The RAW commit json of ``version`` (a delta commit comes
+        back as written — use :meth:`resolve` for the reconstructed
+        snapshot); raises when that version was never committed or its
+        commit file was vacuumed."""
         try:
             raw = self.fs.read_bytes(self._commit_path(version))
         except Exception as exc:  # noqa: BLE001
@@ -487,22 +675,68 @@ class CommitLog:
         return f"{self.log_dir}/v{version:020d}.json"
 
     def commit(self, base_version: int, tables: dict,
-               commit_id: str | None = None) -> int:
+               commit_id: str | None = None,
+               base_tables: dict | None = None,
+               base_checkpoint: int | None = None) -> int:
         """Publish ``tables`` as version ``base_version + 1``.  Raises
         :class:`StoreWriteConflict` when that version already exists —
         exactly one of any set of racing committers wins.  ``commit_id``
         (pre-generated by the mutation session so derived data written
         BEFORE the commit can pin itself to it) defaults to a fresh
-        uuid; it must never be reused across commits."""
+        uuid; it must never be reused across commits.
+
+        With ``base_tables`` + ``base_checkpoint`` (the snapshot the
+        mutation read, straight off :meth:`latest`'s return) the commit
+        is written as a DELTA — only the touched tables, appends as the
+        appended dirs alone — unless ``CHECKPOINT_INTERVAL`` commits
+        have passed since the anchoring checkpoint, in which case a
+        fresh full snapshot is written.  Without them (first commit,
+        legacy adoption, direct callers) a full snapshot is written —
+        always safe, just bigger.  Either way the ``_last`` hint gets
+        the fully RESOLVED snapshot, so hot-path readers stay O(1)."""
         new_v = base_version + 1
         cid = commit_id or uuid.uuid4().hex
-        body = json.dumps({"version": new_v, "id": cid,
-                           "committed_at": time.time(),
-                           "tables": tables}, indent=1).encode()
+        body = {"version": new_v, "id": cid, "committed_at": time.time()}
+        checkpoint = new_v
+        if (base_tables is not None and isinstance(base_checkpoint, int)
+                and 0 < base_checkpoint <= base_version
+                and new_v - base_checkpoint < CHECKPOINT_INTERVAL):
+            delta = self._diff(base_tables, tables)
+            body["checkpoint"] = checkpoint = base_checkpoint
+            body["delta"] = delta
+        else:
+            body["checkpoint"] = new_v
+            body["tables"] = tables
+        raw = json.dumps(body, indent=1).encode()
         self.fs.mkdirs(self.log_dir)
         tmp = f"{self._commit_path(new_v)}.tmp-{uuid.uuid4().hex[:8]}"
-        self.fs.write_bytes(tmp, body, overwrite=True)
-        if not self.fs.rename_no_replace(tmp, self._commit_path(new_v)):
+        self.fs.write_bytes(tmp, raw, overwrite=True)
+        try:
+            won = self.fs.rename_no_replace(tmp, self._commit_path(new_v))
+        except Exception as exc:  # noqa: BLE001
+            # INDETERMINATE publish (an object-store conditional PUT
+            # that timed out after possibly landing).  A False here
+            # would be catastrophic: the session would raise conflict
+            # and delete staged dirs a PUBLISHED commit references.
+            # Decide by reading the slot back — OUR id there means the
+            # rename landed before the error
+            won = None
+            for _ in range(3):
+                try:
+                    won = json.loads(self.fs.read_bytes(
+                        self._commit_path(new_v)).decode()
+                    ).get("id") == cid
+                    break
+                except Exception:  # noqa: BLE001 — nothing readable yet
+                    time.sleep(0.2)
+            if won is None:
+                raise StoreCommitIndeterminate(
+                    f"commit of version {new_v} under {self.log_dir} "
+                    f"failed indeterminately ({exc!r}) and the slot "
+                    f"stayed unreadable: the publish may still land — "
+                    f"staged data must be left for vacuum, not deleted"
+                ) from exc
+        if not won:
             self.fs.delete(tmp, recursive=False)
             raise StoreWriteConflict(
                 f"version {new_v} was committed concurrently under "
@@ -510,13 +744,39 @@ class CommitLog:
         try:
             # best-effort hint refresh: readers heal a stale hint by
             # probing forward, so a crash here (or two winners writing
-            # out of order) costs exists() probes, never correctness
+            # out of order) costs extra reads, never correctness
             self.fs.write_bytes(
                 f"{self.log_dir}/{HINT_NAME}",
-                json.dumps({"version": new_v}).encode(), overwrite=True)
+                json.dumps({"version": new_v, "id": cid,
+                            "checkpoint": checkpoint,
+                            "tables": tables}).encode(), overwrite=True)
         except Exception:  # noqa: BLE001
             pass
         return new_v
+
+    @staticmethod
+    def _diff(base: dict, tables: dict) -> dict:
+        """Minimal delta turning ``base`` into ``tables``: an untouched
+        table is absent; a pure append carries only the appended dirs;
+        anything else carries the table's full new list."""
+        set_, add, del_ = {}, {}, []
+        for t, dirs in tables.items():
+            b = base.get(t)
+            if b == dirs:
+                continue
+            if b and len(dirs) > len(b) and dirs[:len(b)] == b:
+                add[t] = dirs[len(b):]
+            else:
+                set_[t] = dirs
+        del_ = [t for t in base if t not in tables]
+        out = {}
+        if set_:
+            out["set"] = set_
+        if add:
+            out["add"] = add
+        if del_:
+            out["del"] = del_
+        return out
 
     # -- advisory writer lease -----------------------------------------
 
@@ -565,13 +825,31 @@ class CommitLog:
             except Exception:  # noqa: BLE001 — released between checks
                 continue
             if age > lease_timeout:
+                try:
+                    # re-read the age IMMEDIATELY before the break: the
+                    # diagnosis above may be an iteration old, and a
+                    # wrongful break of a freshly-acquired lock opens
+                    # the (advisory-only, but avoidable) restore gap
+                    if (time.time()
+                            - self.fs.mtime(lock)) <= lease_timeout:
+                        continue
+                except Exception:  # noqa: BLE001 — released: retry
+                    continue
                 if self.fs.rename_no_replace(lock, breaking):
+                    fresh = False
+                    try:
+                        # a fresh mtime proves a live lock was displaced
+                        # even when its owner record is unreadable
+                        fresh = (time.time() - self.fs.mtime(breaking)
+                                 ) <= lease_timeout
+                    except Exception:  # noqa: BLE001
+                        pass
                     try:
                         cur = json.loads(self.fs.read_bytes(
                             breaking).decode()).get("owner")
                     except Exception:  # noqa: BLE001
                         cur = stale_owner
-                    if cur != stale_owner:
+                    if fresh or cur != stale_owner:
                         # we displaced a FRESH lock that replaced the
                         # stale one between check and rename: restore it
                         if not self.fs.rename_no_replace(breaking, lock):
@@ -640,8 +918,19 @@ class CommitLog:
         keep_vs = vs[-retain_last:] if vs else []
         live: set[str] = set()          # uuid dir basenames
         live_full: set[str] = set()     # full dir paths (legacy adoptions)
+        # a retained DELTA commit resolves through its checkpoint chain,
+        # so every commit file back to the oldest retained version's
+        # checkpoint must outlive it (metadata outlives the data it
+        # resolves) — that extends json retention by at most
+        # CHECKPOINT_INTERVAL tiny files, never data dirs
+        cp_keep = keep_vs[0] if keep_vs else 0
         for v in keep_vs:
-            for dirs in self.snapshot(v).values():
+            info = self.resolve(v)
+            if v == keep_vs[0]:
+                cp = info.get("checkpoint")
+                if isinstance(cp, int) and 0 < cp < cp_keep:
+                    cp_keep = cp
+            for dirs in info.get("tables", {}).values():
                 for d in dirs:
                     d = d.rstrip("/")
                     live.add(d.rsplit("/", 1)[-1])
@@ -676,6 +965,8 @@ class CommitLog:
             if self.fs.delete(path):
                 removed += 1
         for v in vs[:-retain_last]:
+            if v >= cp_keep:
+                continue      # part of a retained version's delta chain
             p = self._commit_path(v)
             try:
                 if now - self.fs.mtime(p) < min_age_s:
@@ -684,17 +975,16 @@ class CommitLog:
                 continue
             self.fs.delete(p, recursive=False)
         for name in self.fs.list_names(self.log_dir):
-            # .tmp-/.wr- : torn staged writes; .gate : mkdir-mutex dirs
-            # leaked by a holder that died mid-critical-section on a
-            # hardlink-less mount; .lnkprobe- : probe files leaked
-            # between create and unlink.  All honor the min-age floor
-            # so a LIVE gate/probe is never deleted.
+            # .tmp-/.wr- : torn staged writes; .gate/.gate.claim :
+            # mkdir-mutex dirs leaked by a holder (or breaker) that
+            # died mid-critical-section on a hardlink-less mount;
+            # .lnkprobe- : probe files leaked between create and
+            # unlink.  All honor the min-age floor so a LIVE
+            # gate/claim/probe is never deleted.
             if (".tmp-" in name or ".wr-" in name
-                    or name.endswith(".gate")
-                    or ".gate.broken-" in name
+                    or ".gate" in name
                     or name.startswith(".lnkprobe-")):
-                # gates (and broken-away gates) are DIRS holding an
-                # owner stamp — recursive delete
+                # gates are DIRS holding an owner stamp — recursive
                 recursive = ".gate" in name
                 path = f"{self.log_dir}/{name}"
                 try:

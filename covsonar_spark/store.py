@@ -271,6 +271,7 @@ class SonarStore:
         self._staged_lock = threading.Lock()
         self._base_version: int = 0
         self._base_tables: dict[str, list[str]] = {}
+        self._base_checkpoint: int | None = None
         self._commit_id: str | None = None   # pre-generated session id
         self._read_pin = threading.local()   # read_snapshot() pin
         # the mutation session is THREAD-SCOPED: only the opening
@@ -352,6 +353,7 @@ class SonarStore:
             snap = self._log.latest()
             if snap is not None:
                 self._base_version, self._base_tables = snap[0], snap[1]
+                self._base_checkpoint = getattr(snap, "checkpoint", None)
             else:
                 # first mutation on a log-less root: ADOPT any legacy
                 # plain-directory tables (written by the pre-log engine,
@@ -359,6 +361,7 @@ class SonarStore:
                 # references them verbatim; vacuum reaps an adopted dir
                 # only once no retained snapshot references it
                 self._base_version, self._base_tables = 0, {}
+                self._base_checkpoint = None    # first commit: full
                 for t in TABLES:
                     if self._legacy_files(t):
                         self._base_tables[t] = [self._path(t)]
@@ -391,19 +394,29 @@ class SonarStore:
                     for t, st in self._staged.items():
                         base = [] if st["replace"] else tables.get(t, [])
                         tables[t] = base + st["dirs"]
-                    self._log.commit(self._base_version, tables,
-                                     commit_id=self._commit_id)
-            except BaseException:
-                for st in (self._staged or {}).values():
-                    for d in st["dirs"]:
-                        try:
-                            self._log.fs.delete(d)
-                        except Exception:  # noqa: BLE001 — vacuum reaps
-                            pass
+                    self._log.commit(
+                        self._base_version, tables,
+                        commit_id=self._commit_id,
+                        base_tables=self._base_tables,
+                        base_checkpoint=self._base_checkpoint)
+            except BaseException as exc:
+                from covsonar_spark.commitlog import \
+                    StoreCommitIndeterminate
+                if not isinstance(exc, StoreCommitIndeterminate):
+                    # an INDETERMINATE publish may still land — deleting
+                    # the staged dirs would dangle a published snapshot;
+                    # vacuum's min-age floor reaps them iff it never does
+                    for st in (self._staged or {}).values():
+                        for d in st["dirs"]:
+                            try:
+                                self._log.fs.delete(d)
+                            except Exception:  # noqa: BLE001 — vacuum
+                                pass
                 raise
         finally:
             self._staged = None
             self._base_tables = {}
+            self._base_checkpoint = None
             self._commit_id = None
             self._session_tids = set()
             if stop_hb is not None:
@@ -1094,16 +1107,19 @@ class SonarStore:
             # clamp, never wrap: limit > len must return everything,
             # not a negative-index slice of the tail
             vs = vs[max(len(vs) - max(limit, 0), 0):]
+        # one forward walk resolves delta commits through their shared
+        # checkpoint chain: reads ≤ limit + CHECKPOINT_INTERVAL, never
+        # O(log length)
+        resolved = self._log.resolve_range(vs)
         out = []
         for v in vs:
-            try:
-                raw = self._log.read_commit(v)
-            except Exception:  # noqa: BLE001 — vacuumed under us
+            info = resolved.get(v)
+            if info is None:           # vacuumed under us
                 continue
             out.append({"version": v,
-                        "committed_at": raw.get("committed_at"),
+                        "committed_at": info.get("committed_at"),
                         "tables": {t: len(d) for t, d in
-                                   raw.get("tables", {}).items()}})
+                                   info.get("tables", {}).items()}})
         return out
 
     def table_at(self, name: str, version: int) -> DataFrame:
@@ -1612,7 +1628,7 @@ class SonarStore:
         store exactly as that commit published it.  Raises ValueError
         for a version never committed or vacuumed past retention.
         Thread-local, nestable (inner pin wins, outer restored)."""
-        info = self._log.read_commit(version)
+        info = self._log.resolve(version)
         prev = getattr(self._read_pin, "snap", None)
         self._read_pin.snap = (version, info.get("tables", {}),
                                info.get("id"))

@@ -186,3 +186,209 @@ def test_vacuum_keeps_latest_commit_always(tmp_path):
     log.vacuum({}, retain_last=0, min_age_s=0.0)   # clamped to 1
     assert log.versions() == [v]
     assert log.latest()[0] == v
+
+
+# -- round-8 checkpoint + delta compaction ----------------------------------
+
+def _chain(log, n, model=None, v=0, cp=None):
+    """Drive n commits the way the store does: thread base_tables +
+    base_checkpoint from each latest() into the next commit.  Mutation
+    mix: append a dir to t1 every commit, replace t2 every 3rd, drop/
+    re-add t3 every 7th.  Returns (version, model_history dict)."""
+    model = dict(model or {})
+    hist = {}
+    for i in range(n):
+        snap = log.latest()
+        base_tables = dict(snap[1]) if snap else {}
+        base_cp = getattr(snap, "checkpoint", None) if snap else None
+        model = {t: list(d) for t, d in base_tables.items()}
+        model.setdefault("t1", [])
+        model["t1"] = model["t1"] + [f"{log.root}/_data/t1/c-{v + i}"]
+        if i % 3 == 2:
+            model["t2"] = [f"{log.root}/_data/t2/c-{v + i}"]
+        if i % 7 == 6:
+            model.pop("t3", None)
+        elif i % 7 == 3:
+            model["t3"] = [f"{log.root}/_data/t3/c-{v + i}"]
+        new_v = log.commit(snap[0] if snap else 0, model,
+                           base_tables=base_tables if snap else None,
+                           base_checkpoint=base_cp)
+        hist[new_v] = {t: list(d) for t, d in model.items()}
+    return hist
+
+
+def test_checkpoint_cadence_and_delta_bodies(tmp_path):
+    """v1 is a full snapshot; the next CHECKPOINT_INTERVAL-1 commits
+    are deltas chaining to it; then a fresh full snapshot — and an
+    append-only delta carries ONLY the appended dirs, so per-commit
+    metadata bytes stay bounded however long the log and however wide
+    the store."""
+    from covsonar_spark.commitlog import CHECKPOINT_INTERVAL as CI
+
+    log = _log(tmp_path)
+    hist = _chain(log, 2 * CI + 3)
+    fulls = [v for v in sorted(hist)
+             if "tables" in log.read_commit(v)]
+    assert fulls == [1, CI + 1, 2 * CI + 1]
+    # delta bodies: the pure-append commits carry only the new t1 dir
+    raw = log.read_commit(2)
+    assert "tables" not in raw and raw["checkpoint"] == 1
+    assert set(raw["delta"]) == {"add"}
+    assert list(raw["delta"]["add"]) == ["t1"]
+    assert len(raw["delta"]["add"]["t1"]) == 1
+    # a replace shows up as "set", a drop as "del"
+    assert "set" in log.read_commit(3)["delta"]          # i=2 → t2
+    assert "del" in log.read_commit(7)["delta"]          # i=6 → t3
+
+
+def test_resolve_reconstructs_every_version(tmp_path):
+    """resolve(v) equals the independently-maintained model at EVERY
+    version, full or delta — and snapshot()/latest() agree with it."""
+    log = _log(tmp_path)
+    hist = _chain(log, 17)
+    for v, want in hist.items():
+        assert log.resolve(v)["tables"] == want, v
+        assert log.snapshot(v) == want
+    newest = max(hist)
+    got = log.latest()
+    assert got[0] == newest and got[1] == hist[newest]
+    assert got.checkpoint == ((newest - 1) // 10) * 10 + 1
+
+
+def test_latest_stays_o1_reads_on_checkpointed_log(tmp_path):
+    """The _last hint embeds the resolved snapshot: resolving the
+    newest commit of a long delta-compacted log costs ONE read (the
+    hint), never a chain walk or a listing."""
+    log = _log(tmp_path)
+    hist = _chain(log, 25)
+    counter = CountingFS(log.fs)
+    log.fs = counter
+    got = log.latest()
+    assert got[0] == 25 and got[1] == hist[25]
+    assert counter.lists == 0
+    assert counter.reads <= 1, counter.reads
+    # a LAGGING hint (crash between rename and hint write) heals by
+    # reading only the missing suffix
+    log.fs = counter.inner
+    log.fs.write_bytes(
+        f"{log.log_dir}/_last",
+        json.dumps({"version": 23, "id": "x",
+                    "checkpoint": 21,
+                    "tables": log.resolve(23)["tables"]}).encode())
+    counter = CountingFS(log.fs)
+    log.fs = counter
+    got = log.latest()
+    assert got[0] == 25 and got[1] == hist[25]
+    assert counter.reads <= 3 and counter.lists == 0
+
+
+def test_legacy_version_only_hint_falls_back(tmp_path):
+    """A pre-r8 hint ({"version": n} without tables) can't anchor a
+    delta roll-forward: latest() falls back to the listing + chain
+    walk and still answers correctly."""
+    log = _log(tmp_path)
+    hist = _chain(log, 13)
+    log.fs.write_bytes(f"{log.log_dir}/_last",
+                       json.dumps({"version": 13}).encode())
+    got = log.latest()
+    assert got[0] == 13 and got[1] == hist[13]
+
+
+def test_resolve_range_reads_are_bounded(tmp_path):
+    """history(limit=n)'s resolver walks ONE chain for all requested
+    versions: reads ≤ span + CHECKPOINT_INTERVAL even when every
+    requested version is a delta."""
+    log = _log(tmp_path)
+    hist = _chain(log, 28)
+    counter = CountingFS(log.fs)
+    log.fs = counter
+    got = log.resolve_range([26, 27, 28])
+    assert set(got) == {26, 27, 28}
+    for v in got:
+        assert got[v]["tables"] == hist[v]
+    # chain: checkpoint 21 + deltas 22..28 (+1 raw re-read of 26)
+    assert counter.reads <= 10, counter.reads
+    assert counter.lists == 0
+
+
+def test_vacuum_keeps_retained_versions_delta_chains(tmp_path):
+    """Commit-file GC never deletes a file a retained delta still
+    chains through: after vacuum, every retained version still
+    resolves — and the chain files older than the oldest retained
+    version's checkpoint ARE deleted."""
+    log = _log(tmp_path)
+    hist = _chain(log, 25)           # checkpoints at 1, 11, 21
+    log.vacuum({}, retain_last=2, min_age_s=0.0)
+    vs = log.versions()
+    assert vs[0] == 21 and vs[-1] == 25    # 24's chain starts at 21
+    for v in (24, 25):
+        assert log.resolve(v)["tables"] == hist[v]
+    # the hint survived; latest still one read
+    counter = CountingFS(log.fs)
+    log.fs = counter
+    assert log.latest()[0] == 25
+    assert counter.reads <= 1
+    # resolving a vacuumed version fails loudly, not wrongly
+    with pytest.raises(ValueError):
+        log.resolve(12)
+
+
+def test_direct_commit_without_base_stays_full(tmp_path):
+    """Callers that don't thread base_tables (first commit, adoption,
+    tests, external tools) always get full snapshots — the pre-r8
+    behavior, still valid."""
+    log = _log(tmp_path)
+    v = log.commit(0, {"t": ["a"]})
+    v = log.commit(v, {"t": ["a", "b"]})
+    for ver in (1, 2):
+        assert "tables" in log.read_commit(ver)
+    assert log.latest()[1] == {"t": ["a", "b"]}
+
+
+def test_10k_commit_log_bounded_metadata_and_o1_reads(tmp_path):
+    """Round-8 done-criterion: a 10k-commit log (the long-lived
+    frequently-updated store the all-full-snapshot design degraded on)
+    keeps per-commit metadata bytes BOUNDED — every delta commit stays
+    tiny regardless of log length, full snapshots appear exactly every
+    CHECKPOINT_INTERVAL commits — while latest() still resolves in ≤1
+    read and a bounded-window history resolve stays O(window)."""
+    from covsonar_spark.commitlog import CHECKPOINT_INTERVAL as CI
+
+    log = _log(tmp_path)
+    n = 10_000
+    snap = None
+    for i in range(n):
+        snap = log.latest()
+        base = dict(snap[1]) if snap else {}
+        cp = getattr(snap, "checkpoint", None) if snap else None
+        # optimized-store shape: compact dir lists (replace, not
+        # unbounded append) — dir-list growth is a table property
+        # optimize() owns, not a log property
+        tables = {"genomes": [f"{log.root}/_data/genomes/c-{i}"],
+                  "profiles": [f"{log.root}/_data/profiles/c-{i}"]}
+        log.commit(snap[0] if snap else 0, tables,
+                   base_tables=base if snap else None,
+                   base_checkpoint=cp)
+    sizes = {}
+    fulls = 0
+    for v in (1, 2, CI, CI + 1, n // 2, n - 1, n):
+        raw = log.fs.read_bytes(log._commit_path(v))
+        sizes[v] = len(raw)
+        if "\"tables\"" in raw.decode():
+            fulls += 1
+    # deltas stay small at any depth; fulls only at the cadence
+    for v, s in sizes.items():
+        if (v - 1) % CI == 0:
+            continue
+        assert s < 600, (v, s)
+    assert fulls == sum(1 for v in sizes if (v - 1) % CI == 0)
+    counter = CountingFS(log.fs)
+    log.fs = counter
+    got = log.latest()
+    assert got[0] == n
+    assert counter.reads <= 1 and counter.lists == 0
+    counter.reads = 0
+    got = log.resolve_range(list(range(n - 4, n + 1)))
+    assert len(got) == 5
+    assert counter.reads <= 5 + CI + 1, counter.reads
+    assert counter.lists == 0

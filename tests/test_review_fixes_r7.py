@@ -318,7 +318,11 @@ def test_history_limit_bounds_reads(spark, tmp_path):
     real = store._log.read_commit
     store._log.read_commit = lambda v: (calls.append(v), real(v))[1]
     assert [h["version"] for h in store.history(limit=2)] == [2, 3]
-    assert sorted(calls) == [2, 3]                # v1 never opened
+    # reads bounded by limit + the checkpoint chain (v2 is a DELTA
+    # since round 8, so resolving it opens its v1 checkpoint once) —
+    # never O(log length); the pure-log bound on a long checkpointed
+    # history is pinned in test_commitlog_unit.py
+    assert sorted(set(calls)) == [1, 2, 3] and len(calls) <= 4
     store._log.read_commit = real
 
 

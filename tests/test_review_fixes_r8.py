@@ -27,10 +27,12 @@ from covsonar_spark.commitlog import CommitLog, LocalFS
 def _stale_gate(d: str, dst_name: str, owner: str | None = "dead"):
     gate = os.path.join(d, dst_name + ".gate")
     os.mkdir(gate)
-    if owner is not None:
-        with open(os.path.join(gate, "owner"), "w") as fh:
-            fh.write(owner)
     old = time.time() - 3600
+    if owner is not None:
+        stamp = os.path.join(gate, "owner")
+        with open(stamp, "w") as fh:
+            fh.write(owner)
+        os.utime(stamp, (old, old))   # staleness reads the stamp mtime
     os.utime(gate, (old, old))
     return gate
 
@@ -82,46 +84,52 @@ def test_gate_break_unstamped_stale_gate(tmp_path):
     assert not os.path.exists(os.path.join(d, "c1.gate"))
 
 
-def test_gate_break_restores_fresh_gate(tmp_path, monkeypatch):
-    """When the owner read during diagnosis disagrees with the owner
-    found inside the renamed-away gate (a fresh holder replaced the
-    stale gate mid-break), the breaker RESTORES the gate instead of
-    destroying it, then re-diagnoses.  Simulated by making the first
-    owner read return a stale generation's token."""
+def test_gate_break_wrongful_claim_is_revoked(tmp_path, monkeypatch):
+    """When the generation re-verify under the claim disagrees with
+    the diagnosis (the gate the breaker observed stale was replaced
+    between diagnosis and claim), the claim is REVOKED without
+    touching the gate at the path; the breaker then re-diagnoses the
+    real generation.  Simulated by making the first state read return
+    a previous generation's owner."""
+    import shutil as _sh
+
     fs = LocalFS()
     d = str(tmp_path)
     fs._link_ok[d] = False
-    gate = _stale_gate(d, "c2", owner="live-holder")
+    gate = _stale_gate(d, "c2", owner="dead-2")
+    # back-date the owner stamp too: staleness reads the stamp's mtime
+    old = time.time() - 3600
+    os.utime(os.path.join(gate, "owner"), (old, old))
     src = os.path.join(d, "s2")
     with open(src, "w") as fh:
         fh.write("x")
 
-    real_owner = LocalFS._gate_owner
+    real_state = LocalFS._gate_state
     reads = {"n": 0}
-    restores: list[tuple[str, str]] = []
 
-    def fake_owner(path):
+    def fake_state(self, path):
         reads["n"] += 1
         if reads["n"] == 1:
-            return "previous-generation"    # stale diagnosis read
-        return real_owner(path)
+            return "previous-generation", True    # stale diagnosis
+        return real_state(self, path)
 
-    real_rename = os.rename
+    rmtrees: list[str] = []
+    real_rmtree = _sh.rmtree
 
-    def spy_rename(a, b):
-        if a.count(".broken-") and b.endswith(".gate"):
-            restores.append((a, b))
-        real_rename(a, b)
+    def spy_rmtree(path, *a, **kw):
+        rmtrees.append(path)
+        return real_rmtree(path, *a, **kw)
 
-    monkeypatch.setattr(LocalFS, "_gate_owner",
-                        staticmethod(fake_owner))
-    monkeypatch.setattr(os, "rename", spy_rename)
+    monkeypatch.setattr(LocalFS, "_gate_state", fake_state)
+    monkeypatch.setattr(_sh, "rmtree", spy_rmtree)
     assert fs.rename_no_replace(src, os.path.join(d, "c2")) is True
-    # one restore happened (mismatched owner → put the gate back),
-    # then the re-diagnosis broke the genuinely-stale gate
-    assert len(restores) == 1, restores
-    assert restores[0][1] == gate
+    # first claim verified against a mismatched generation → revoked
+    # with NO rmtree; the second claim (real diagnosis) broke the gate;
+    # the final rmtree is the holder's own release
+    assert reads["n"] >= 3
+    assert [p for p in rmtrees if p.endswith(".gate")] == [gate, gate]
     assert not os.path.exists(gate)
+    assert not os.path.exists(gate + ".claim")
 
 
 def test_gate_release_spares_foreign_gate(tmp_path):
@@ -158,11 +166,11 @@ def test_gate_release_spares_foreign_gate(tmp_path):
     assert LocalFS._gate_owner(gate) == "foreign-holder"
 
 
-def test_vacuum_reaps_stamped_gates_and_broken_debris(tmp_path, spark):
+def test_vacuum_reaps_stamped_gates_and_claim_debris(tmp_path, spark):
     """Gates now hold an owner file (a DIR, not empty) and a breaker
-    that dies between rename and rmtree leaves a ``.gate.broken-*``
-    dir; vacuum reaps both once past the min-age floor, and spares a
-    LIVE (young) gate."""
+    that dies between claim and removal leaves a ``.gate.claim`` dir;
+    vacuum reaps both once past the min-age floor, and spares a LIVE
+    (young) gate."""
     root = str(tmp_path / "store")
     log = CommitLog(spark, root)
     log.fs.mkdirs(log.log_dir)
@@ -173,16 +181,14 @@ def test_vacuum_reaps_stamped_gates_and_broken_debris(tmp_path, spark):
     with open(os.path.join(stale, "owner"), "w") as fh:
         fh.write("dead")
     os.utime(stale, (old, old))
-    broken = os.path.join(log.log_dir, "v1.json.gate.broken-abcd1234")
-    os.mkdir(broken)
-    with open(os.path.join(broken, "owner"), "w") as fh:
-        fh.write("dead")
-    os.utime(broken, (old, old))
+    claim = os.path.join(log.log_dir, "v1.json.gate.claim")
+    os.mkdir(claim)
+    os.utime(claim, (old, old))
     live = os.path.join(log.log_dir, "v2.json.gate")
     os.mkdir(live)
     log.vacuum({}, retain_last=2, min_age_s=3600.0)
     assert not os.path.exists(stale)
-    assert not os.path.exists(broken)
+    assert not os.path.exists(claim)
     assert os.path.exists(live)                      # under min-age
     os.rmdir(live)
 

@@ -231,7 +231,11 @@ def test_commitlog_vacuum_reaps_garbage(spark, tmp_path):
         retain_last=1, min_age_s=0.0)
     assert removed >= 1                        # superseded dirs reaped
     assert stv.table("genomes").count() == n   # live data intact
-    assert len(stv._log.versions()) == 1
+    # the retained v3 is a DELTA chaining to the v1 checkpoint
+    # (round-8 compaction): its chain's commit FILES survive GC and v3
+    # keeps resolving; the reap above was the superseded DATA dirs
+    assert stv._log.versions()[-1] == 3
+    assert stv._log.resolve(3)["tables"] is not None
 
 
 def test_remote_fs_failure_raises_not_empty(spark, tmp_path):

@@ -75,8 +75,12 @@ def test_match_at_equals_materialized_history(spark, tmp_path, seed):
     history = [(st._log.latest()[0], _materialize(st))]
     removed_pool: list[int] = []
 
-    for _step in range(5):
-        op = rng.choice(["append", "relabel", "remove", "readd", "optimize"])
+    # 12 steps so the log crosses the v11 checkpoint boundary: the
+    # tail of history resolves through DELTA commits chained to a
+    # checkpoint, not just full snapshots (round-8 compaction)
+    for _step in range(12):
+        op = rng.choice(["append", "relabel", "remove", "readd",
+                         "optimize", "vacuum"])
         if op == "append":
             new = []
             for _ in range(rng.randint(1, 3)):
@@ -107,6 +111,17 @@ def test_match_at_equals_materialized_history(spark, tmp_path, seed):
                 g, p = frames([i])
                 st._append("genomes", g)
                 st._append("profiles", p)
+        elif op == "vacuum":
+            # GC is a first-class mutation class: retention must keep
+            # every surviving version's DELTA CHAIN resolvable while
+            # reaping older data — and must drop vacuumed versions
+            # from the model (their dirs may be gone)
+            keep = rng.randint(2, 4)
+            st.vacuum(retain_last=keep, min_age_s=0.0)
+            latest_v = st._log.latest()[0]
+            history = [(v, m) for v, m in history
+                       if v > latest_v - keep]
+            continue              # vacuum publishes no commit
         else:
             st.optimize(rows_per_file=50)
         history.append((st._log.latest()[0], _materialize(st)))
