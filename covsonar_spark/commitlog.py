@@ -80,6 +80,7 @@ from pyspark.sql import SparkSession
 LOG_DIR = "_log"
 LOCK_NAME = "LOCK"
 HINT_NAME = "_last"
+FLOOR_NAME = "_floor"
 
 # a full snapshot ("checkpoint") commit is written at least every this
 # many commits; the ones between carry table DELTAS.  Bounds both the
@@ -186,6 +187,9 @@ class LocalFS:
         with open(self._p(path), "rb") as fh:
             return fh.read()
 
+    # write_bytes already publishes via tmp + os.replace — atomic
+    write_bytes_atomic = write_bytes
+
     def rename_no_replace(self, src: str, dst: str) -> bool:
         """put-if-absent for FILES: hardlink (atomic, fails on an
         existing destination) then unlink the source — posix has no
@@ -278,25 +282,28 @@ class LocalFS:
         threshold so a freshly-crashed holder's gate always self-heals
         within one wait instead of timing out every caller.
 
-        Breaking is CLAIM-ARBITRATED: breakers race ``os.mkdir`` of the
-        fixed sibling ``<gate>.claim`` dir — put-if-absent again, so of
-        any set of concurrent breakers exactly one proceeds.  The claim
-        winner re-verifies, UNDER the claim, that the gate at the path
-        is still the generation it diagnosed (same owner stamp) and
-        still stale; only then does it remove the gate.  Because only
-        the claim winner (or the gate's own holder) ever removes a
-        gate, the gate generation cannot change while the claim is
-        held — a wrongful claim (the stale gate was released and a
-        fresh one created between diagnosis and claim) fails the
-        re-verify and is revoked WITHOUT touching the live gate.  This
-        replaces two earlier designs that each let two writers into the
-        critical section: rmdir+retry (a losing breaker deleted the
-        winner's fresh gate) and rename-to-unique+restore (the restore
-        gap let a third writer mkdir while the live gate was renamed
-        away).  A claim whose owner died mid-break is itself GC'd once
-        60 s old (claims are empty dirs, removed with plain rmdir); the
-        delete/re-mkdir race on that path needs a dead holder AND a
-        dead claimer AND a sub-millisecond third race to matter.
+        Breaking is CLAIM-ARBITRATED with OWNERSHIP TAKEOVER: breakers
+        race ``os.mkdir`` of the fixed sibling ``<gate>.claim`` dir —
+        put-if-absent again, so of any set of concurrent breakers
+        exactly one proceeds.  The claim winner re-verifies, UNDER the
+        claim, that the gate at the path is still the generation it
+        diagnosed (same owner stamp) and still stale; only then does
+        it atomically REWRITE the owner stamp to its own identity and
+        enter the critical section as the gate's new holder.  The gate
+        is never removed-and-recreated by a breaker, so there is no
+        absence window for a third writer to mkdir through; a wrongful
+        claim (the stale gate was released and a fresh one created
+        between diagnosis and claim) fails the re-verify and is
+        revoked WITHOUT touching the live gate.  This replaces two
+        earlier designs that each let two writers into the critical
+        section: rmdir+retry (a losing breaker deleted the winner's
+        fresh gate) and rename-to-unique+restore (the restore gap let
+        a third writer mkdir while the live gate was renamed away).
+        The only residual overlap is the documented one: a LIVE holder
+        stalled past the 60 s threshold finishing concurrently with
+        its usurper.  A claim whose owner died mid-break is itself
+        GC'd once 60 s old (claims are empty dirs, removed with plain
+        rmdir).
 
         The break threshold is deliberately generous: only a holder
         stalled 4+ orders of magnitude past its expected critical-
@@ -332,6 +339,7 @@ class LocalFS:
                     except (FileNotFoundError, NotADirectoryError):
                         return False    # parent vanished mid-publish
                     else:
+                        took_over = False
                         try:
                             # re-verify the SAME generation, under the
                             # claim: a fresh gate (new owner, or young
@@ -341,13 +349,34 @@ class LocalFS:
                             except OSError:
                                 continue        # gate released: retry
                             if cur == stale_owner and still:
-                                shutil.rmtree(gate, ignore_errors=True)
-                            continue
+                                # TAKE OVER the dead holder's gate by
+                                # atomically rewriting the owner stamp
+                                # to our identity (fresh mtime, so
+                                # other breakers see a live gate) —
+                                # the gate is never absent, so no
+                                # third writer can slip in through
+                                # mkdir the way a remove+recreate
+                                # break would allow
+                                try:
+                                    t = os.path.join(
+                                        gate, f".o-{my[:12]}")
+                                    with open(t, "w") as fh:
+                                        fh.write(my)
+                                    os.replace(
+                                        t, os.path.join(gate, "owner"))
+                                except OSError:
+                                    continue    # gate vanished: retry
+                                stamped = True
+                                took_over = True
+                            else:
+                                continue
                         finally:
                             try:
                                 os.rmdir(claim)
                             except OSError:
                                 pass
+                        if took_over:
+                            break   # into the critical section as owner
                 if time.time() > deadline:
                     raise TimeoutError(
                         f"rename gate stuck (holder died?): {gate}")
@@ -449,6 +478,22 @@ class HadoopFS:
         finally:
             inp.close()
 
+    def write_bytes_atomic(self, path: str, data: bytes) -> None:
+        """Tear-free overwrite for reader-visible mutable files (the
+        ``_last`` hint, the ``_floor`` marker): write a tmp name fully,
+        delete the old file, rename into place.  ``fs.create`` in place
+        would expose a truncated/partial file for the whole write —
+        and the hint now carries a full table snapshot, so that window
+        is no longer negligible.  The delete→rename gap shows ABSENCE,
+        which every reader handles (hint: listing fallback; floor:
+        default 1); a loser of a concurrent rename just drops its tmp
+        (its hint/floor value is immediately superseded anyway)."""
+        tmp = f"{path}.wr-{uuid.uuid4().hex[:8]}"
+        self.write_bytes(tmp, data, overwrite=True)
+        self.fs.delete(self._Path(path), False)
+        if not self.fs.rename(self._Path(tmp), self._Path(path)):
+            self.fs.delete(self._Path(tmp), False)
+
     def rename_no_replace(self, src: str, dst: str) -> bool:
         """Atomic publish: Hadoop's contract returns False when ``dst``
         exists (HDFS, viewfs, RawLocalFileSystem) — the put-if-absent
@@ -544,6 +589,16 @@ class CommitLog:
             return None
         if hinted < 1 or "tables" not in hint:
             return None
+        if not self.fs.exists(self._commit_path(hinted)):
+            # the hinted version was vacuumed away: a hint can lag far
+            # behind head when committers crash between the commit
+            # rename and the hint write, and vacuum may then reap the
+            # hinted commit — trusting the embedded snapshot would
+            # serve a stale (possibly data-reaped) version AND let a
+            # mutation re-publish a vacuumed version number.  One
+            # exists() probe keeps the fast path honest; the listing
+            # fallback resolves the real head
+            return None
         tables = hint["tables"]
         cid = hint.get("id")
         cp = hint.get("checkpoint")
@@ -581,13 +636,36 @@ class CommitLog:
     def snapshot(self, version: int) -> dict:
         return self.resolve(version).get("tables", {})
 
-    def resolve(self, version: int) -> dict:
+    def data_floor(self) -> int:
+        """The oldest version whose DATA dirs the last vacuum's
+        retention still guarantees.  Versions below it may keep chain
+        METADATA on disk (their commit files anchor retained deltas)
+        but are not time-travelable — their data dirs may be reaped —
+        so :meth:`resolve` refuses them instead of handing out paths
+        that fail (or silently skip files) mid-read.  Monotonic:
+        vacuum only ever raises it."""
+        try:
+            return int(json.loads(self.fs.read_bytes(
+                f"{self.log_dir}/{FLOOR_NAME}").decode())["min_version"])
+        except Exception:  # noqa: BLE001 — never vacuumed / torn
+            return 1
+
+    def resolve(self, version: int, _check_floor: bool = True) -> dict:
         """The commit info of ``version`` with its table snapshot fully
         RECONSTRUCTED: a checkpoint commit is returned as-is; a delta
         commit reads its anchoring checkpoint and rolls forward through
         the intermediate deltas (at most ``CHECKPOINT_INTERVAL`` reads
         by construction).  Raises ValueError when the version was never
-        committed, or its chain was vacuumed past retention."""
+        committed, its chain was vacuumed past retention, or it is
+        below the :meth:`data_floor` (commit file kept only as chain
+        metadata — its data dirs are not retained)."""
+        if _check_floor and version < self.data_floor():
+            raise ValueError(
+                f"commit version {version} under {self.log_dir} is "
+                f"below the vacuum retention floor "
+                f"({self.data_floor()}): its data dirs are no longer "
+                f"guaranteed (commit file kept only to anchor newer "
+                f"deltas)")
         raw = self.read_commit(version)
         if "tables" in raw:
             raw.setdefault("checkpoint", version)
@@ -605,7 +683,8 @@ class CommitLog:
                 "committed_at": raw.get("committed_at"),
                 "checkpoint": cp, "tables": tables}
 
-    def resolve_range(self, versions: list[int]) -> dict[int, dict]:
+    def resolve_range(self, versions: list[int],
+                      _check_floor: bool = True) -> dict[int, dict]:
         """Resolved commit info for each of ``versions`` in ONE forward
         walk: read the oldest one's checkpoint, then roll a single
         table map through every commit up to the newest, snapshotting
@@ -617,11 +696,11 @@ class CommitLog:
         if not want:
             return {}
         try:
-            lo = self.resolve(want[0])
+            lo = self.resolve(want[0], _check_floor)
         except ValueError:
             # oldest wanted version already vacuumed: drop leading
             # victims one by one (bounded by len(want))
-            return self.resolve_range(want[1:])
+            return self.resolve_range(want[1:], _check_floor)
         out = {want[0]: lo}
         tables = lo["tables"]
         wanted = set(want[1:])
@@ -638,7 +717,7 @@ class CommitLog:
             if broken and "tables" not in raw:
                 if v in wanted:
                     try:
-                        out[v] = self.resolve(v)
+                        out[v] = self.resolve(v, _check_floor)
                         tables = out[v]["tables"]   # re-anchored
                         broken = False
                     except ValueError:
@@ -745,14 +824,25 @@ class CommitLog:
             # best-effort hint refresh: readers heal a stale hint by
             # probing forward, so a crash here (or two winners writing
             # out of order) costs extra reads, never correctness
-            self.fs.write_bytes(
+            self._write_marker(
                 f"{self.log_dir}/{HINT_NAME}",
                 json.dumps({"version": new_v, "id": cid,
                             "checkpoint": checkpoint,
-                            "tables": tables}).encode(), overwrite=True)
+                            "tables": tables}).encode())
         except Exception:  # noqa: BLE001
             pass
         return new_v
+
+    def _write_marker(self, path: str, data: bytes) -> None:
+        """Publish a reader-visible mutable marker (hint/floor)
+        tear-free where the backend supports it; plain overwrite on
+        injected backends without the helper (readers tolerate both
+        torn and absent markers)."""
+        writer = getattr(self.fs, "write_bytes_atomic", None)
+        if writer is not None:
+            writer(path, data)
+        else:
+            self.fs.write_bytes(path, data, overwrite=True)
 
     @staticmethod
     def _diff(base: dict, tables: dict) -> dict:
@@ -925,7 +1015,9 @@ class CommitLog:
         # CHECKPOINT_INTERVAL tiny files, never data dirs
         cp_keep = keep_vs[0] if keep_vs else 0
         for v in keep_vs:
-            info = self.resolve(v)
+            # floor-unchecked: vacuum itself resolves versions at the
+            # floor boundary for the live set
+            info = self.resolve(v, _check_floor=False)
             if v == keep_vs[0]:
                 cp = info.get("checkpoint")
                 if isinstance(cp, int) and 0 < cp < cp_keep:
@@ -935,8 +1027,26 @@ class CommitLog:
                     d = d.rstrip("/")
                     live.add(d.rsplit("/", 1)[-1])
                     live_full.add(d)
-        removed = 0
+        # what do SUB-retention versions still reference?  Needed to
+        # decide whether this vacuum actually breaks their time travel:
+        # deleting uncommitted garbage (a crashed writer's staged dirs,
+        # referenced by NO version) or deleting nothing (everything
+        # under the min-age floor — optimize()'s hourly-floor GC after
+        # every mutation is exactly this) must NOT raise the retention
+        # floor, or routine maintenance would silently disable time
+        # travel to perfectly intact versions
+        old_live: set[str] = set()
+        old_live_full: set[str] = set()
+        for info in self.resolve_range(vs[:-retain_last],
+                                       _check_floor=False).values():
+            for dirs in info.get("tables", {}).values():
+                for d in dirs:
+                    d = d.rstrip("/")
+                    old_live.add(d.rsplit("/", 1)[-1])
+                    old_live_full.add(d)
+        # PLAN the data-dir deletions first …
         now = time.time()
+        plan: list[tuple[str, bool]] = []     # (path, breaks_old_version)
         for table, area in tables_root.items():
             for name in self.fs.list_names(area):
                 if not name.startswith("c-"):
@@ -949,8 +1059,7 @@ class CommitLog:
                         continue
                 except Exception:  # noqa: BLE001 — vanished under us
                     continue
-                if self.fs.delete(path):
-                    removed += 1
+                plan.append((path, name in old_live))
         for table, path in (legacy_paths or {}).items():
             path = path.rstrip("/")
             if not keep_vs or path in live_full:
@@ -962,6 +1071,23 @@ class CommitLog:
                     continue
             except Exception:  # noqa: BLE001
                 continue
+            plan.append((path, path in old_live_full))
+        # … publish the retention floor BEFORE executing any deletion
+        # that breaks a sub-retention version (readers must refuse
+        # sub-floor time travel from the instant its data stops being
+        # guaranteed; monotonic max — a later vacuum with a larger
+        # retain window cannot resurrect data an earlier one reaped) …
+        if keep_vs and any(breaks for _p, breaks in plan):
+            floor = max(self.data_floor(), keep_vs[0])
+            try:
+                self._write_marker(
+                    f"{self.log_dir}/{FLOOR_NAME}",
+                    json.dumps({"min_version": floor}).encode())
+            except Exception:  # noqa: BLE001 — advisory: a missing
+                pass           # floor only widens what resolve allows
+        # … then execute
+        removed = 0
+        for path, _breaks in plan:
             if self.fs.delete(path):
                 removed += 1
         for v in vs[:-retain_last]:

@@ -650,6 +650,17 @@ def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
     each fixpoint makes Spark's partial-agg order and the oracle's
     single-threaded order agree bit-for-bit. An empty cluster keeps
     its previous centroid."""
+    cents = _kmeans_fit(df, k, iters, vec_col, id_col)
+    return (_kmeans_assign_pass(df, cents, vec_col, id_col, with_dist=True)
+            .select(id_col, "cid", "dist2"))
+
+
+def _kmeans_fit(df: DataFrame, k: int, iters: int,
+                vec_col: str, id_col: str) -> list[list[float]]:
+    """Lloyd iterations → the trained centroid list (a driver-side
+    model artifact).  Shared by ``kmeans_assign`` and
+    ``semantic_dedup_pairs`` so the dedup path can run ONE labeling
+    pass that keeps the vectors instead of joining labels back."""
     init = _centroids(df, k, vec_col, id_col)
     cents = [list(map(float, c)) for _, c in init]
     k = min(k, len(cents))    # tables smaller than k shrink the model
@@ -661,8 +672,7 @@ def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
               for i in range(dim)])
         new = {r["cid"]: [r[f"m{i}"] for i in range(dim)] for r in stats.collect()}
         cents = [new.get(c, cents[c]) for c in range(k)]
-    return (_kmeans_assign_pass(df, cents, vec_col, id_col, with_dist=True)
-            .select(id_col, "cid", "dist2"))
+    return cents
 
 
 def _kmeans_assign_pass(df: DataFrame, cents, vec_col: str, id_col: str,
@@ -744,11 +754,15 @@ def semantic_dedup_pairs(df: DataFrame, k: int = 8, iters: int = 2,
     matrix kernel, so emitted cosines are bit-identical (asserted by a
     capped-vs-uncapped equality test on a skewed corpus).  Cluster
     sizes come from a map-side-combined count broadcast back onto the
-    fact — no extra fact shuffle."""
-    assigned = kmeans_assign(df, k=k, iters=iters,
-                             vec_col=vec_col, id_col=id_col)
-    with_cid = df.select(id_col, vec_col).join(
-        assigned.select(id_col, "cid"), id_col)
+    fact — no extra fact shuffle.
+
+    Labeling is ONE vector-carrying mapInPandas pass over the trained
+    centroids (``_kmeans_fit``'s driver-side model): the earlier shape
+    — ``kmeans_assign`` then a big-big join of labels back onto the
+    fact — paid a full extra scan + assign pass AND a two-sided
+    shuffle join for data the assign pass already had in hand."""
+    cents = _kmeans_fit(df, k, iters, vec_col, id_col)
+    with_cid = _kmeans_assign_pass(df, cents, vec_col, id_col)
 
     sizes = with_cid.groupBy("cid").agg(F.greatest(
         F.lit(1),

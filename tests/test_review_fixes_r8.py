@@ -124,10 +124,11 @@ def test_gate_break_wrongful_claim_is_revoked(tmp_path, monkeypatch):
     monkeypatch.setattr(_sh, "rmtree", spy_rmtree)
     assert fs.rename_no_replace(src, os.path.join(d, "c2")) is True
     # first claim verified against a mismatched generation → revoked
-    # with NO rmtree; the second claim (real diagnosis) broke the gate;
-    # the final rmtree is the holder's own release
+    # with NO removal; the second claim (real diagnosis) TOOK OVER the
+    # gate by rewriting its owner stamp — the only rmtree of the gate
+    # is the new owner's release at the end of its critical section
     assert reads["n"] >= 3
-    assert [p for p in rmtrees if p.endswith(".gate")] == [gate, gate]
+    assert [p for p in rmtrees if p.endswith(".gate")] == [gate]
     assert not os.path.exists(gate)
     assert not os.path.exists(gate + ".claim")
 

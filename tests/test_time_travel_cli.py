@@ -143,10 +143,11 @@ def test_vacuum_cli_bounds_time_travel(spark, tmp_path):
     from covsonar_spark.store import SonarStore
 
     st = SonarStore.open(spark, d)
-    # v2 is a DELTA commit chaining to the v1 checkpoint (round-8
-    # compaction), so v1's tiny commit FILE must outlive retention for
-    # v2 to stay resolvable — its data dirs are reaped regardless
-    # (Delta's DESCRIBE HISTORY shows the same: log entries outlive
-    # the vacuumed data they reference)
-    assert [h["version"] for h in st.history()] == [1, 2]
+    # v1's tiny commit FILE survives as v2's delta-chain anchor
+    # (round-8 compaction), but v1 itself is below the retention
+    # FLOOR vacuum published — history() hides it and time travel to
+    # it refuses cleanly (its data dirs are reaped)
+    assert [h["version"] for h in st.history()] == [2]
+    with pytest.raises(ValueError, match="retention floor"):
+        st.table_at("genomes", 1)
     assert st.table("genomes").count() == 3                   # latest intact
