@@ -134,6 +134,10 @@ class LocalFS:
     table() call — that must cost microseconds of os.* work, not py4j
     round-trips into the JVM."""
 
+    # marker files (hint/floor) publish via tmp + os.replace: never
+    # absent mid-rewrite, so readers may treat absence as definitive
+    ATOMIC_MARKERS = True
+
     def __init__(self):
         # per-directory hardlink-support probe cache (exFAT / some
         # SMB / FUSE mounts have no os.link) — one probe per store
@@ -299,10 +303,14 @@ class LocalFS:
         section: rmdir+retry (a losing breaker deleted the winner's
         fresh gate) and rename-to-unique+restore (the restore gap let
         a third writer mkdir while the live gate was renamed away).
-        The only residual overlap is the documented one: a LIVE holder
-        stalled past the 60 s threshold finishing concurrently with
-        its usurper.  A claim whose owner died mid-break is itself
-        GC'd once 60 s old (claims are empty dirs, removed with plain
+        Holders in turn never release a gate while a claim is
+        outstanding, so the takeover target cannot vanish (or be
+        replaced by an innocent fresh gate) between the claim winner's
+        re-verify and its stamp rewrite.  The only residual overlap is
+        the documented one: a LIVE holder stalled past the 60 s
+        threshold finishing concurrently with its usurper's critical
+        section.  A claim whose owner died mid-break is itself GC'd
+        once 60 s old (claims are empty dirs, removed with plain
         rmdir).
 
         The break threshold is deliberately generous: only a holder
@@ -402,12 +410,19 @@ class LocalFS:
             return True
         finally:
             try:
-                # release only OUR gate: after a (wrongful) break +
-                # re-mkdir the gate at this path belongs to someone
-                # else, and removing it would unprotect THEIR critical
-                # section
+                # release only OUR gate: after a takeover the gate at
+                # this path belongs to someone else, and removing it
+                # would unprotect THEIR critical section.  An
+                # outstanding CLAIM also blocks removal — a breaker
+                # diagnosed us stale and is mid-takeover; removing the
+                # gate under it would let a third writer mkdir while
+                # the usurper believes it holds the mutex (the usurper
+                # takes over and releases the gate itself; a claim
+                # whose breaker died ages out and the next breaker
+                # takes the gate over)
                 cur = self._gate_owner(gate)
-                if cur == my or (not stamped and cur is None):
+                if ((cur == my or (not stamped and cur is None))
+                        and not os.path.exists(claim)):
                     shutil.rmtree(gate, ignore_errors=True)
             except OSError:
                 pass
@@ -643,12 +658,38 @@ class CommitLog:
         but are not time-travelable — their data dirs may be reaped —
         so :meth:`resolve` refuses them instead of handing out paths
         that fail (or silently skip files) mid-read.  Monotonic:
-        vacuum only ever raises it."""
-        try:
-            return int(json.loads(self.fs.read_bytes(
-                f"{self.log_dir}/{FLOOR_NAME}").decode())["min_version"])
-        except Exception:  # noqa: BLE001 — never vacuumed / torn
-            return 1
+        vacuum only ever raises it.
+
+        Fails SAFE, not open: genuine absence (a store never floor-
+        vacuumed) reads as 1, confirmed by an exists() probe and
+        retried — the marker rewrite on some backends has a sub-ms
+        delete→rename absence window, and a transient FS error must
+        not silently re-allow time travel to reaped versions — while a
+        persistently unreadable-but-present marker raises instead of
+        defaulting."""
+        path = f"{self.log_dir}/{FLOOR_NAME}"
+        last_exc: Exception | None = None
+        for _ in range(3):
+            try:
+                if not self.fs.exists(path):
+                    # only backends whose marker rewrite has a
+                    # delete→rename gap need the re-probe; LocalFS
+                    # publishes markers atomically, so absence there
+                    # is definitive (no 20 ms tax on fresh stores)
+                    if getattr(self.fs, "ATOMIC_MARKERS", False):
+                        return 1
+                    time.sleep(0.02)      # rewrite absence window
+                    if not self.fs.exists(path):
+                        return 1
+                return int(json.loads(
+                    self.fs.read_bytes(path).decode())["min_version"])
+            except Exception as exc:  # noqa: BLE001 — torn/transient
+                last_exc = exc
+                time.sleep(0.05)
+        raise RuntimeError(
+            f"retention floor marker {path} is present but unreadable "
+            f"— refusing to default (time travel could resolve reaped "
+            f"data)") from last_exc
 
     def resolve(self, version: int, _check_floor: bool = True) -> dict:
         """The commit info of ``version`` with its table snapshot fully
@@ -659,13 +700,13 @@ class CommitLog:
         committed, its chain was vacuumed past retention, or it is
         below the :meth:`data_floor` (commit file kept only as chain
         metadata — its data dirs are not retained)."""
-        if _check_floor and version < self.data_floor():
+        floor = self.data_floor() if _check_floor else 0
+        if version < floor:
             raise ValueError(
                 f"commit version {version} under {self.log_dir} is "
-                f"below the vacuum retention floor "
-                f"({self.data_floor()}): its data dirs are no longer "
-                f"guaranteed (commit file kept only to anchor newer "
-                f"deltas)")
+                f"below the vacuum retention floor ({floor}): its "
+                f"data dirs are no longer guaranteed (commit file "
+                f"kept only to anchor newer deltas)")
         raw = self.read_commit(version)
         if "tables" in raw:
             raw.setdefault("checkpoint", version)
@@ -1027,26 +1068,10 @@ class CommitLog:
                     d = d.rstrip("/")
                     live.add(d.rsplit("/", 1)[-1])
                     live_full.add(d)
-        # what do SUB-retention versions still reference?  Needed to
-        # decide whether this vacuum actually breaks their time travel:
-        # deleting uncommitted garbage (a crashed writer's staged dirs,
-        # referenced by NO version) or deleting nothing (everything
-        # under the min-age floor — optimize()'s hourly-floor GC after
-        # every mutation is exactly this) must NOT raise the retention
-        # floor, or routine maintenance would silently disable time
-        # travel to perfectly intact versions
-        old_live: set[str] = set()
-        old_live_full: set[str] = set()
-        for info in self.resolve_range(vs[:-retain_last],
-                                       _check_floor=False).values():
-            for dirs in info.get("tables", {}).values():
-                for d in dirs:
-                    d = d.rstrip("/")
-                    old_live.add(d.rsplit("/", 1)[-1])
-                    old_live_full.add(d)
-        # PLAN the data-dir deletions first …
+        # PLAN the data-dir deletions first (one listing per area plus
+        # mtime probes) …
         now = time.time()
-        plan: list[tuple[str, bool]] = []     # (path, breaks_old_version)
+        candidates: list[tuple[str, str]] = []     # (path, reference key)
         for table, area in tables_root.items():
             for name in self.fs.list_names(area):
                 if not name.startswith("c-"):
@@ -1059,7 +1084,7 @@ class CommitLog:
                         continue
                 except Exception:  # noqa: BLE001 — vanished under us
                     continue
-                plan.append((path, name in old_live))
+                candidates.append((path, name))
         for table, path in (legacy_paths or {}).items():
             path = path.rstrip("/")
             if not keep_vs or path in live_full:
@@ -1071,23 +1096,46 @@ class CommitLog:
                     continue
             except Exception:  # noqa: BLE001
                 continue
-            plan.append((path, path in old_live_full))
-        # … publish the retention floor BEFORE executing any deletion
-        # that breaks a sub-retention version (readers must refuse
-        # sub-floor time travel from the instant its data stops being
-        # guaranteed; monotonic max — a later vacuum with a larger
-        # retain window cannot resurrect data an earlier one reaped) …
-        if keep_vs and any(breaks for _p, breaks in plan):
-            floor = max(self.data_floor(), keep_vs[0])
+            candidates.append((path, path))
+        # … then, ONLY if something is deletable, resolve what the
+        # SUB-retention versions still reference (optimize()'s after-
+        # every-mutation vacuum usually plans nothing, and must not
+        # pay a chain walk — nor may it raise the floor: deleting
+        # uncommitted garbage or deleting nothing leaves time travel
+        # to intact versions working).  Each reference key maps to the
+        # HIGHEST sub-retention version using it, so the floor rises
+        # exactly past the versions this plan actually breaks — not
+        # blindly to the retention boundary
+        old_ref: dict[str, int] = {}
+        if candidates and keep_vs:
+            for v, info in self.resolve_range(
+                    vs[:-retain_last], _check_floor=False).items():
+                for dirs in info.get("tables", {}).values():
+                    for d in dirs:
+                        d = d.rstrip("/")
+                        for key in (d.rsplit("/", 1)[-1], d):
+                            old_ref[key] = max(old_ref.get(key, 0), v)
+        broken = max((old_ref.get(key, 0) for _p, key in candidates),
+                     default=0)
+        if broken and keep_vs:
+            # publish the floor BEFORE executing any breaking deletion:
+            # readers must refuse sub-floor time travel from the
+            # instant its data stops being guaranteed (monotonic max —
+            # a later vacuum cannot resurrect reaped data)
+            floor = max(self.data_floor(), broken + 1)
             try:
                 self._write_marker(
                     f"{self.log_dir}/{FLOOR_NAME}",
                     json.dumps({"min_version": floor}).encode())
-            except Exception:  # noqa: BLE001 — advisory: a missing
-                pass           # floor only widens what resolve allows
+            except Exception:  # noqa: BLE001
+                # fail CLOSED: without a published floor, deleting a
+                # referenced dir would leave time travel resolving
+                # reaped data — keep only the pure-garbage deletions
+                candidates = [(p, k) for p, k in candidates
+                              if old_ref.get(k, 0) == 0]
         # … then execute
         removed = 0
-        for path, _breaks in plan:
+        for path, _key in candidates:
             if self.fs.delete(path):
                 removed += 1
         for v in vs[:-retain_last]:

@@ -392,3 +392,106 @@ def test_10k_commit_log_bounded_metadata_and_o1_reads(tmp_path):
     assert len(got) == 5
     assert counter.reads <= 5 + CI + 1, counter.reads
     assert counter.lists == 0
+
+
+# -- round-8 second review pass: retention-floor precision ------------------
+
+def _replace_chain(log, n):
+    """n commits, each REPLACING table t1's single dir (d1, d2, …) —
+    real dirs on disk so vacuum's mtime checks engage."""
+    snap = None
+    for i in range(1, n + 1):
+        snap = log.latest()
+        base = dict(snap[1]) if snap else {}
+        cp = getattr(snap, "checkpoint", None) if snap else None
+        d = f"{log.root}/_data/t1/c-{i:04d}"
+        os.makedirs(d, exist_ok=True)
+        log.commit(snap[0] if snap else 0, {"t1": [d]},
+                   base_tables=base if snap else None,
+                   base_checkpoint=cp)
+    return [f"{log.root}/_data/t1/c-{i:04d}" for i in range(1, n + 1)]
+
+
+def test_floor_rises_exactly_past_broken_versions(tmp_path):
+    """Vacuum raises the retention floor only past the versions whose
+    data it ACTUALLY deletes: sub-retention versions whose dirs are
+    still min-age-protected stay time-travelable."""
+    log = _log(tmp_path)
+    dirs = _replace_chain(log, 5)            # v1..v5 → d1..d5
+    old = time.time() - 7200
+    for d in dirs[:2]:                       # age ONLY d1, d2
+        os.utime(d, (old, old))
+    log.vacuum({"t1": f"{log.root}/_data/t1"},
+               retain_last=2, min_age_s=3600.0)
+    assert not os.path.exists(dirs[0]) and not os.path.exists(dirs[1])
+    assert os.path.exists(dirs[2])           # min-age protected
+    assert log.data_floor() == 3             # past v2, NOT to keep_vs[0]
+    assert log.resolve(3)["tables"] == {"t1": [dirs[2]]}
+    with pytest.raises(ValueError, match="retention floor"):
+        log.resolve(2)
+    # the next vacuum that reaps d3 moves the floor past v3
+    os.utime(dirs[2], (old, old))
+    log.vacuum({"t1": f"{log.root}/_data/t1"},
+               retain_last=2, min_age_s=3600.0)
+    assert log.data_floor() == 4
+    with pytest.raises(ValueError, match="retention floor"):
+        log.resolve(3)
+
+
+def test_garbage_only_vacuum_leaves_floor_alone(tmp_path):
+    """Reaping uncommitted garbage (a crashed writer's staged dir,
+    referenced by NO version) or reaping nothing must not move the
+    floor — optimize() vacuums after every mutation."""
+    log = _log(tmp_path)
+    dirs = _replace_chain(log, 4)
+    garbage = f"{log.root}/_data/t1/c-garbage"
+    os.makedirs(garbage)
+    old = time.time() - 7200
+    os.utime(garbage, (old, old))
+    assert log.vacuum({"t1": f"{log.root}/_data/t1"},
+                      retain_last=2, min_age_s=3600.0) == 1
+    assert not os.path.exists(garbage)
+    assert log.data_floor() == 1             # nothing referenced died
+    assert log.resolve(1)["tables"] == {"t1": [dirs[0]]}
+    # a no-op vacuum (everything young) is also floor-neutral
+    log.vacuum({"t1": f"{log.root}/_data/t1"},
+               retain_last=2, min_age_s=3600.0)
+    assert log.data_floor() == 1
+
+
+def test_floor_publish_failure_drops_breaking_deletions(tmp_path,
+                                                        monkeypatch):
+    """Fail CLOSED: when the floor marker can't be written, vacuum
+    keeps the deletions that would break sub-retention versions and
+    reaps only pure garbage."""
+    log = _log(tmp_path)
+    dirs = _replace_chain(log, 4)
+    garbage = f"{log.root}/_data/t1/c-garbage"
+    os.makedirs(garbage)
+    old = time.time() - 7200
+    for d in (dirs[0], dirs[1], garbage):
+        os.utime(d, (old, old))
+    monkeypatch.setattr(
+        log, "_write_marker",
+        lambda *a, **kw: (_ for _ in ()).throw(OSError("fs down")))
+    removed = log.vacuum({"t1": f"{log.root}/_data/t1"},
+                         retain_last=2, min_age_s=3600.0)
+    assert removed == 1                      # only the garbage dir
+    assert os.path.exists(dirs[0]) and os.path.exists(dirs[1])
+    assert not os.path.exists(garbage)
+    assert log.data_floor() == 1
+    assert log.resolve(1)["tables"] == {"t1": [dirs[0]]}
+
+
+def test_unreadable_floor_marker_fails_safe(tmp_path):
+    """A PRESENT but unreadable floor marker raises instead of
+    defaulting to 1 (defaulting would re-allow time travel to reaped
+    versions); a genuinely absent marker reads as 1."""
+    log = _log(tmp_path)
+    _replace_chain(log, 2)
+    assert log.data_floor() == 1
+    log.fs.write_bytes(f"{log.log_dir}/_floor", b"{torn garbage")
+    with pytest.raises(RuntimeError, match="unreadable"):
+        log.data_floor()
+    with pytest.raises(RuntimeError):
+        log.resolve(1)                       # floor check fails safe
