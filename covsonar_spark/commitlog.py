@@ -134,10 +134,6 @@ class LocalFS:
     table() call — that must cost microseconds of os.* work, not py4j
     round-trips into the JVM."""
 
-    # marker files (hint/floor) publish via tmp + os.replace: never
-    # absent mid-rewrite, so readers may treat absence as definitive
-    ATOMIC_MARKERS = True
-
     def __init__(self):
         # per-directory hardlink-support probe cache (exFAT / some
         # SMB / FUSE mounts have no os.link) — one probe per store
@@ -409,23 +405,32 @@ class LocalFS:
                 return False      # another renamer took src first
             return True
         finally:
+            # release THROUGH the claim: holders and breakers contend
+            # on the same put-if-absent mkdir, so the ownership check
+            # below is not check-then-act — while we hold the claim no
+            # breaker can take the gate over, and while a breaker
+            # holds it we leave the gate alone (the usurper releases
+            # it at the end of its own critical section; a claim whose
+            # breaker died ages out and the next breaker takes over).
+            # Without this, a breaker claiming between our owner check
+            # and our rmtree could be left gate-less mid-critical-
+            # section, letting a third writer mkdir in.
             try:
-                # release only OUR gate: after a takeover the gate at
-                # this path belongs to someone else, and removing it
-                # would unprotect THEIR critical section.  An
-                # outstanding CLAIM also blocks removal — a breaker
-                # diagnosed us stale and is mid-takeover; removing the
-                # gate under it would let a third writer mkdir while
-                # the usurper believes it holds the mutex (the usurper
-                # takes over and releases the gate itself; a claim
-                # whose breaker died ages out and the next breaker
-                # takes the gate over)
-                cur = self._gate_owner(gate)
-                if ((cur == my or (not stamped and cur is None))
-                        and not os.path.exists(claim)):
-                    shutil.rmtree(gate, ignore_errors=True)
+                os.mkdir(claim)
             except OSError:
-                pass
+                pass    # breaker active (or leaked claim): not ours
+            else:
+                try:
+                    cur = self._gate_owner(gate)
+                    if cur == my or (not stamped and cur is None):
+                        shutil.rmtree(gate, ignore_errors=True)
+                except OSError:
+                    pass
+                finally:
+                    try:
+                        os.rmdir(claim)
+                    except OSError:
+                        pass
 
     def list_names(self, path: str) -> list[str]:
         p = self._p(path)
@@ -658,38 +663,42 @@ class CommitLog:
         but are not time-travelable — their data dirs may be reaped —
         so :meth:`resolve` refuses them instead of handing out paths
         that fail (or silently skip files) mid-read.  Monotonic:
-        vacuum only ever raises it.
+        vacuum only ever raises it.  The floor is a single number —
+        the smallest version ABOVE every version vacuum has broken —
+        so an intact min-age-protected version sitting BELOW a higher
+        broken one is conservatively refused too (safe direction:
+        blocks readable data, never serves reaped data).
 
-        Fails SAFE, not open: genuine absence (a store never floor-
-        vacuumed) reads as 1, confirmed by an exists() probe and
-        retried — the marker rewrite on some backends has a sub-ms
-        delete→rename absence window, and a transient FS error must
-        not silently re-allow time travel to reaped versions — while a
-        persistently unreadable-but-present marker raises instead of
-        defaulting."""
+        Fails SAFE, not open.  The floor is rewritten IN PLACE (never
+        delete→rename), so after the first floor-raising vacuum the
+        marker is never absent: genuine absence (a store never floor-
+        vacuumed) reads as 1 only after an exists() confirmation, and
+        a marker that is present but torn/unreadable — or whose
+        absence cannot be confirmed through a transient FS error —
+        RAISES instead of defaulting, because defaulting would
+        re-allow time travel to reaped versions.  (Vacuum repairs a
+        torn marker pessimistically, see :meth:`vacuum`.)"""
         path = f"{self.log_dir}/{FLOOR_NAME}"
         last_exc: Exception | None = None
-        for _ in range(3):
+        for attempt in range(3):
             try:
-                if not self.fs.exists(path):
-                    # only backends whose marker rewrite has a
-                    # delete→rename gap need the re-probe; LocalFS
-                    # publishes markers atomically, so absence there
-                    # is definitive (no 20 ms tax on fresh stores)
-                    if getattr(self.fs, "ATOMIC_MARKERS", False):
-                        return 1
-                    time.sleep(0.02)      # rewrite absence window
-                    if not self.fs.exists(path):
-                        return 1
+                # read-first: the common present-marker case costs ONE
+                # round trip; only the failure path probes existence
                 return int(json.loads(
                     self.fs.read_bytes(path).decode())["min_version"])
-            except Exception as exc:  # noqa: BLE001 — torn/transient
+            except Exception as exc:  # noqa: BLE001
                 last_exc = exc
-                time.sleep(0.05)
+                try:
+                    if not self.fs.exists(path):
+                        return 1      # confirmed absent: never vacuumed
+                except Exception:  # noqa: BLE001 — can't confirm: retry
+                    pass
+                if attempt < 2:
+                    time.sleep(0.05)
         raise RuntimeError(
-            f"retention floor marker {path} is present but unreadable "
-            f"— refusing to default (time travel could resolve reaped "
-            f"data)") from last_exc
+            f"retention floor marker {path} is unreadable and its "
+            f"absence cannot be confirmed — refusing to default (time "
+            f"travel could resolve reaped data)") from last_exc
 
     def resolve(self, version: int, _check_floor: bool = True) -> dict:
         """The commit info of ``version`` with its table snapshot fully
@@ -725,20 +734,26 @@ class CommitLog:
                 "checkpoint": cp, "tables": tables}
 
     def resolve_range(self, versions: list[int],
-                      _check_floor: bool = True) -> dict[int, dict]:
+                      _check_floor: bool = True,
+                      strict: bool = False) -> dict[int, dict]:
         """Resolved commit info for each of ``versions`` in ONE forward
         walk: read the oldest one's checkpoint, then roll a single
         table map through every commit up to the newest, snapshotting
         at each requested version.  Total reads = (newest - checkpoint
         + 1) ≤ len(span) + CHECKPOINT_INTERVAL — the history(limit=n)
         path must never cost O(log length) reads.  Versions whose
-        commit file is gone (racing vacuum) are silently omitted."""
+        commit file is gone (racing vacuum) are silently omitted —
+        unless ``strict``, which re-raises instead: vacuum's garbage
+        classification must never mistake "couldn't read the version
+        that references this dir" for "no version references it"."""
         want = sorted(set(versions))
         if not want:
             return {}
         try:
             lo = self.resolve(want[0], _check_floor)
         except ValueError:
+            if strict:
+                raise
             # oldest wanted version already vacuumed: drop leading
             # victims one by one (bounded by len(want))
             return self.resolve_range(want[1:], _check_floor)
@@ -753,6 +768,8 @@ class CommitLog:
             try:
                 raw = self.read_commit(v)
             except ValueError:
+                if strict:
+                    raise
                 broken = True
                 continue
             if broken and "tables" not in raw:
@@ -875,10 +892,13 @@ class CommitLog:
         return new_v
 
     def _write_marker(self, path: str, data: bytes) -> None:
-        """Publish a reader-visible mutable marker (hint/floor)
-        tear-free where the backend supports it; plain overwrite on
-        injected backends without the helper (readers tolerate both
-        torn and absent markers)."""
+        """Publish the ``_last`` HINT tear-free where the backend
+        supports it; plain overwrite on injected backends without the
+        helper.  Hint readers tolerate both torn and absent markers
+        (they fall back to listing).  The FLOOR marker deliberately
+        does NOT use this: its rewrite must never pass through an
+        absent state (absence reads as "no floor"), so it is written
+        in place and a torn read fails CLOSED in data_floor()."""
         writer = getattr(self.fs, "write_bytes_atomic", None)
         if writer is not None:
             writer(path, data)
@@ -1107,32 +1127,64 @@ class CommitLog:
         # exactly past the versions this plan actually breaks — not
         # blindly to the retention boundary
         old_ref: dict[str, int] = {}
+        walk_unknown = False
         if candidates and keep_vs:
-            for v, info in self.resolve_range(
-                    vs[:-retain_last], _check_floor=False).items():
+            try:
+                rng = self.resolve_range(vs[:-retain_last],
+                                         _check_floor=False, strict=True)
+            except Exception:  # noqa: BLE001 — transient read failure:
+                # the walk is STRICT because a silently-omitted version
+                # would make its dirs look like pure garbage; with an
+                # incomplete map we must assume every candidate may be
+                # referenced
+                walk_unknown = True
+                rng = {}
+            for v, info in rng.items():
                 for dirs in info.get("tables", {}).values():
                     for d in dirs:
                         d = d.rstrip("/")
                         for key in (d.rsplit("/", 1)[-1], d):
                             old_ref[key] = max(old_ref.get(key, 0), v)
-        broken = max((old_ref.get(key, 0) for _p, key in candidates),
-                     default=0)
+        if walk_unknown:
+            broken = keep_vs[0] - 1      # conservative: floor to the
+            #                              retention boundary, making
+            #                              EVERY candidate deletable
+        else:
+            broken = max((old_ref.get(key, 0) for _p, key in candidates),
+                         default=0)
         if broken and keep_vs:
             # publish the floor BEFORE executing any breaking deletion:
             # readers must refuse sub-floor time travel from the
             # instant its data stops being guaranteed (monotonic max —
             # a later vacuum cannot resurrect reaped data)
-            floor = max(self.data_floor(), broken + 1)
             try:
-                self._write_marker(
+                old_floor = self.data_floor()
+            except RuntimeError:
+                # torn/unreadable marker: repair PESSIMISTICALLY to the
+                # newest version (monotonicity bounds any prior floor
+                # by it) — older-but-intact versions lose time travel,
+                # but refusing to repair would brick GC forever (vacuum
+                # is the only writer of the marker)
+                old_floor = vs[-1] if vs else 1
+            floor = max(old_floor, broken + 1)
+            try:
+                # IN PLACE, never delete→rename: after the first
+                # floor-raising vacuum the marker must never be absent
+                # (absence reads as "no floor"); a torn in-place write
+                # degrades to data_floor() failing CLOSED instead
+                self.fs.write_bytes(
                     f"{self.log_dir}/{FLOOR_NAME}",
-                    json.dumps({"min_version": floor}).encode())
+                    json.dumps({"min_version": floor}).encode(),
+                    overwrite=True)
             except Exception:  # noqa: BLE001
                 # fail CLOSED: without a published floor, deleting a
                 # referenced dir would leave time travel resolving
-                # reaped data — keep only the pure-garbage deletions
-                candidates = [(p, k) for p, k in candidates
-                              if old_ref.get(k, 0) == 0]
+                # reaped data — keep only the provably-pure-garbage
+                # deletions (none at all when the chain walk failed:
+                # nothing is provable then)
+                candidates = [] if walk_unknown else [
+                    (p, k) for p, k in candidates
+                    if old_ref.get(k, 0) == 0]
         # … then execute
         removed = 0
         for path, _key in candidates:

@@ -471,9 +471,14 @@ def test_floor_publish_failure_drops_breaking_deletions(tmp_path,
     old = time.time() - 7200
     for d in (dirs[0], dirs[1], garbage):
         os.utime(d, (old, old))
-    monkeypatch.setattr(
-        log, "_write_marker",
-        lambda *a, **kw: (_ for _ in ()).throw(OSError("fs down")))
+    real_wb = log.fs.write_bytes
+
+    def wb(path, data, overwrite=True):
+        if path.endswith("_floor"):
+            raise OSError("fs down")
+        return real_wb(path, data, overwrite)
+
+    monkeypatch.setattr(log.fs, "write_bytes", wb)
     removed = log.vacuum({"t1": f"{log.root}/_data/t1"},
                          retain_last=2, min_age_s=3600.0)
     assert removed == 1                      # only the garbage dir

@@ -39,8 +39,6 @@ class MemObjectFS:
       * "lost_call" — the call raises and nothing lands
     """
 
-    ATOMIC_MARKERS = True      # lock-held dict swap: never absent/torn
-
     def __init__(self):
         self._lock = threading.RLock()
         self._obj: dict[str, bytes] = {}
