@@ -135,8 +135,11 @@ def scrub_pii(df: DataFrame, text_col: str = "text",
     for name, tag in [("email", "<EMAIL>"), ("phone", "<PHONE>"),
                       ("ipv4", "<IP>")]:
         pat = PII_PATTERNS[name]
+        # bigint, not int: DuckDB counts are 64-bit and width parity
+        # keeps the cross-engine audit exact (tools/type_audit.py)
         out = out.withColumn(f"n_{name}",
-                             F.size(F.regexp_extract_all("_t", F.lit(pat), F.lit(0)))) \
+                             F.size(F.regexp_extract_all(
+                                 "_t", F.lit(pat), F.lit(0))).cast("long")) \
                  .withColumn("_t", F.regexp_replace("_t", pat, tag))
     return out.select(id_col, F.col("_t").alias("scrubbed"),
                       "n_email", "n_phone", "n_ipv4")

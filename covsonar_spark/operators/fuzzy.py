@@ -78,7 +78,8 @@ def join_fuzzy_levenshtein(spark, sf_dir):
              .union(block(lambda c: F.substring(c, -1, 1)))
              .distinct())
     return (
-        cands.withColumn("dist", F.levenshtein("name", "name2"))
+        # bigint for cross-engine width parity (tools/type_audit.py)
+        cands.withColumn("dist", F.levenshtein("name", "name2").cast("long"))
         .where(F.col("dist") <= MAX_DIST)
         .orderBy("name", "name2")
     )

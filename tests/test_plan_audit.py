@@ -643,3 +643,14 @@ def test_registry_plan_invariants_sweep(spark, registry):
         if row:
             bad[name] = row
     assert not bad, bad
+
+
+def test_semantic_dedup_single_pass_labeling_no_fact_join(spark, registry):
+    """Round-8 shape: cluster labels come from ONE vector-carrying
+    assign pass over the driver-held centroids — there is no big-big
+    label join (the old shape shuffled the fact on both sides of a
+    SortMergeJoin to re-attach labels the assign pass already had);
+    the only join is the broadcast of the tiny per-cluster size frame."""
+    plan = _plan(registry["dedup_semantic"][0](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
