@@ -26,12 +26,15 @@ Scale notes (100 TB):
   * per-iteration rounding to 6 decimals pins the float trajectory,
     which is what makes an ITERATIVE algorithm value-checkable against
     the chained-CTE DuckDB oracle (same trick as embed_kmeans);
-  * triangle counting orders each edge (a<b) so every triangle is
-    counted exactly once, and joins edges-to-edges before the final
-    membership semi-join — the standard two-hop + closure check;
-    at scale the wedge join is the shuffle to watch: it is quadratic
-    in per-node degree, so high-degree nodes should be capped or
-    sampled (noted, not needed at this density).
+  * triangle counting degree-orients each edge and sums adjacency
+    intersections, so the wedge set is never materialized; the
+    adjacency attach joins are broadcast only while the O(|E|) array
+    payload fits ADJ_BCAST_MAX_BYTES (two executor copies), else they
+    hash-partition with a semi prefilter on the probe key — the
+    orientation bound (out-degree ≤ O(√E)) keeps that shuffle sane;
+  * trade_edges broadcasts only the always-25-row nation projections;
+    customer/supplier joins are AQE-sized (they grow with scale
+    factor — a forced hint would mean a multi-GB build at 100×).
 """
 
 from __future__ import annotations
@@ -53,8 +56,12 @@ PR_ITERS = 3
 
 
 def trade_edges(spark, sf_dir) -> DataFrame:
-    """cust-nation -> supp-nation revenue edges: one pass over lineitem
-    with broadcast dims; self-loops dropped."""
+    """cust-nation -> supp-nation revenue edges: one pass over lineitem;
+    self-loops dropped.  Only the always-25-row nation projections carry
+    a broadcast HINT; customer and supplier grow linearly with scale
+    factor, so their join strategy is delegated to AQE (same convention
+    as q5, operators/tpch.py) — at sf0.1 AQE broadcasts them anyway, at
+    100 TB it sizes a shuffle join instead of OOMing a forced build."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -64,8 +71,8 @@ def trade_edges(spark, sf_dir) -> DataFrame:
     sn = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("dst"))
     return (
         li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(s.select("s_suppkey", "s_nationkey"), li.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(cn), c.c_nationkey == F.col("ck"))
         .join(F.broadcast(sn), s.s_nationkey == F.col("sk"))
         .where(F.col("src") != F.col("dst"))
@@ -175,54 +182,96 @@ def copurchase_edges(spark, sf_dir) -> DataFrame:
     )
 
 
-def graph_triangles(spark, sf_dir):
-    """Global triangle census of the co-purchase graph: DEGREE
-    orientation + adjacency intersection.  Edges are re-oriented from
-    the lower-(degree, id) endpoint to the higher (out-degree ≤ O(√E),
-    the standard answer to power-law hubs where value-order a<b<c
-    explodes on the hot node), then each triangle is counted once via
-    Σ over oriented edges (u,v) of |out(u) ∩ out(v)| — the wedge set
-    (Σ d²/4 rows, ~40M at sf0.1) is never materialized or shuffled."""
-    from covsonar_spark.operators.dedup import _persist_scoped
+# Adjacency broadcast gate.  adj is |V| ROWS but its array payload
+# totals |E| int64 entries, and the intersect stage pins TWO copies on
+# every executor (nu and nv sides) — so the gate is derived from BYTES,
+# the exact convention of similarity.KNN_BCAST_MAX_BYTES.  Below the
+# gate, broadcasting keeps the intersect map-side over the cached edge
+# partitions; above it, an O(|E|)-payload broadcast OOMs the driver
+# long before executors feel it, so the plan falls back to
+# hash-partitioned joins (see _tri_count).
+ADJ_BCAST_MAX_BYTES = 128 << 20
 
-    e = _persist_scoped("tri_edges", copurchase_edges(spark, sf_dir))
-    # degree table is |V| rows — always broadcast; the wedge stage then
-    # runs entirely map-side over the cached edge partitions.  At edge
-    # counts past broadcast reach, the closure semi-join falls back to
-    # a hash-partitioned join with a bloom prefilter on (v,w) — the
-    # orientation bound on wedge count is what keeps THAT shuffle sane.
+
+def adj_bcast_fits(n_edges: int, n_nodes: int) -> bool:
+    """True when TWO broadcast copies of the oriented adjacency (one
+    int64 neighbor entry per edge + per-source key/array overhead)
+    stay under ``ADJ_BCAST_MAX_BYTES``."""
+    return 2 * (n_edges * 8 + n_nodes * 24) <= ADJ_BCAST_MAX_BYTES
+
+
+def oriented_adjacency(e: DataFrame):
+    """(oriented, adj) for an undirected (a<b) edge list: edges
+    re-oriented from the lower-(degree, id) endpoint to the higher
+    (out-degree ≤ O(√E), the standard answer to power-law hubs where
+    value-order a<b<c explodes on the hot node), plus the sorted
+    out-neighbor arrays of the oriented graph."""
     deg = (e.select(F.col("a").alias("v")).union(e.select("b"))
            .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
     # rank packed into one BIGINT (deg << 32 | id): a single long compare
     # stays inside whole-stage codegen, unlike per-row struct ordering
     rank = F.expr("shiftleft(d, 32) + v")
     degr = deg.select("v", rank.alias("r"))
+    # the degree table IS |V| rows with a scalar payload — broadcasting
+    # it is always right (unlike adj, whose payload is O(|E|))
     ranked = (e.join(F.broadcast(degr.select(F.col("v").alias("a"), F.col("r").alias("ra"))), "a")
                .join(F.broadcast(degr.select(F.col("v").alias("b"), F.col("r").alias("rb"))), "b"))
     a_first = F.col("ra") < F.col("rb")
-    oriented = _persist_scoped("tri_oriented", ranked.select(
+    oriented = ranked.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    ))
-    # adjacency-intersection form: never materializes the wedge set.
-    # For oriented edge (u,v), |out(u) ∩ out(v)| counts exactly the
-    # triangles whose two lowest-rank vertices are u,v — so the sum
-    # over edges counts each triangle once.  out-arrays are sorted,
-    # |V|-bounded, and broadcast; the per-edge intersect replaces a
-    # 40M-row wedge shuffle + semi-join probe with vectorized array
-    # work inside the edge scan (measured ~2x on sf0.1).
-    adj = oriented.groupBy("u").agg(F.array_sort(F.collect_list("v")).alias("nb"))
-    tri_count = (
-        oriented
-        .join(F.broadcast(adj.select(F.col("u"), F.col("nb").alias("nu"))), "u")
-        .join(F.broadcast(adj.select(F.col("u").alias("v"), F.col("nb").alias("nv"))), "v")
-        .select(F.size(F.array_intersect("nu", "nv")).alias("c"))
-        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_triangles"))
     )
-    nodes = e.select(F.col("a").alias("v")).union(e.select("b")).distinct()
+    adj = oriented.groupBy("u").agg(F.array_sort(F.collect_list("v")).alias("nb"))
+    return oriented, adj
+
+
+def _tri_count(oriented: DataFrame, adj: DataFrame, broadcast: bool) -> DataFrame:
+    """Σ over oriented edges (u,v) of |out(u) ∩ out(v)| — counts each
+    triangle exactly once (at its two lowest-rank vertices) and never
+    materializes the wedge set (Σ d²/4 rows, ~40M at sf0.1).
+
+    ``broadcast=True``: adj rides to every executor and the intersect
+    runs map-side over the edge scan (measured ~2x vs the wedge
+    shuffle + semi-join probe at sf0.1).  ``broadcast=False`` — the
+    100 TB path: both attach joins hash-partition on their key, and
+    the v-side adjacency is prefiltered with a semi-join on the probe
+    key so array payloads only ride the shuffle for sources that
+    actually appear as some edge's head (every adj key appears as a
+    tail by construction, so the u side needs no filter)."""
+    nu = adj.select(F.col("u"), F.col("nb").alias("nu"))
+    nv = adj.select(F.col("u").alias("v"), F.col("nb").alias("nv"))
+    if broadcast:
+        nu, nv = F.broadcast(nu), F.broadcast(nv)
+    else:
+        nv = nv.join(oriented.select("v").distinct(), "v", "left_semi")
     return (
-        nodes.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
-            e.agg(F.count(F.lit(1)).alias("n_edges"))).crossJoin(tri_count)
+        oriented.join(nu, "u").join(nv, "v")
+        .select(F.size(F.array_intersect("nu", "nv")).alias("c"))
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles"))
+    )
+
+
+def graph_triangles(spark, sf_dir):
+    """Global triangle census of the co-purchase graph: DEGREE
+    orientation + adjacency intersection (see oriented_adjacency /
+    _tri_count).  |V| and |E| are counted eagerly off the persisted
+    edge list — the census needs them for its output row anyway, and
+    they feed ``adj_bcast_fits``, which picks broadcast vs
+    hash-partitioned attach joins for the adjacency."""
+    from covsonar_spark.operators.dedup import _persist_scoped
+
+    e = _persist_scoped("tri_edges", copurchase_edges(spark, sf_dir))
+    oriented, adj = oriented_adjacency(e)
+    oriented = _persist_scoped("tri_oriented", oriented)
+    n_edges = e.count()
+    n_nodes = (e.select(F.col("a").alias("v")).union(e.select("b"))
+               .distinct().count())
+    tri = _tri_count(oriented, adj,
+                     broadcast=adj_bcast_fits(n_edges, n_nodes))
+    return tri.select(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.col("n_triangles"),
     )
 
 

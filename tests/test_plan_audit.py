@@ -585,7 +585,7 @@ def test_match_engine_lineage_semijoin_identical(spark, monkeypatch):
 # same way before being added.
 BNLJ_ALLOWED = {
     "q22_global_sales", "basket_association_rules", "text_bigram_lm",
-    "agg_histogram", "hybrid_search_rrf", "graph_triangles",
+    "agg_histogram", "hybrid_search_rrf",
     "sample_dsir", "text_tfidf_topk", "text_quality_gate",
     "text_pmi_collocations", "sketch_histogram_quantile",
     "skew_diagnose", "dedup_substring", "dq_constraint_audit",
