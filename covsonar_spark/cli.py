@@ -509,7 +509,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="seconds to wait for the writer lease "
                          "(default outlasts the lease staleness "
                          "threshold so GC succeeds on first try even "
-                         "right after a writer crash)")
+                         "right after a writer crash; against a LIVE "
+                         "writer the lease stays heartbeat-fresh and "
+                         "vacuum blocks the full wait — a periodic "
+                         "stderr line reports which case you are in)")
     sp.set_defaults(fn=cmd_vacuum)
 
     sp = sub.add_parser(

@@ -71,6 +71,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import sys
 import time
 import uuid
 from urllib.parse import urlparse
@@ -953,6 +954,12 @@ class CommitLog:
         breaking = f"{lock}.breaking"
         self.fs.mkdirs(self.log_dir)
         deadline = time.time() + timeout
+        # long waits (vacuum defaults to outlasting the staleness
+        # threshold) are silent otherwise — surface WHY we're waiting
+        # so an operator can tell post-crash healing (lock aging toward
+        # breakable) from waiting out a live long mutation (heartbeats
+        # keep the mtime fresh, so the wait never succeeds early)
+        next_note = time.time() + 30.0
         owner = uuid.uuid4().hex
         me = json.dumps({"owner": owner, "at": time.time()}).encode()
         while True:
@@ -975,6 +982,18 @@ class CommitLog:
                     self.fs.read_bytes(lock).decode()).get("owner")
             except Exception:  # noqa: BLE001 — released between checks
                 continue
+            if time.time() >= next_note:
+                next_note = time.time() + 30.0
+                state = (
+                    f"holder heartbeated {age:.0f}s ago (LIVE writer — "
+                    f"waiting for it to finish; it only becomes "
+                    f"breakable after {lease_timeout:.0f}s of silence)"
+                    if age <= lease_timeout else
+                    f"lock is {age:.0f}s stale — breaking it")
+                sys.stderr.write(
+                    f"[covsonar_spark] waiting on writer lease {lock}: "
+                    f"{state}; {max(0.0, deadline - time.time()):.0f}s "
+                    f"left before TimeoutError\n")
             if age > lease_timeout:
                 try:
                     # re-read the age IMMEDIATELY before the break: the
@@ -1011,7 +1030,11 @@ class CommitLog:
             if time.time() > deadline:
                 raise TimeoutError(
                     f"another writer holds the store lease {lock} "
-                    f"(held {age:.0f}s; waited {timeout:.0f}s)")
+                    f"(held {age:.0f}s; waited {timeout:.0f}s"
+                    + (" — holder is heartbeating, i.e. a LIVE "
+                       "mutation, not a crash; retry after it "
+                       "finishes or raise the wait"
+                       if age <= lease_timeout else "") + ")")
             time.sleep(0.2)
 
     def heartbeat(self, owner: str) -> bool:

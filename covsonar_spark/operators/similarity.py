@@ -760,9 +760,16 @@ def semantic_dedup_pairs(df: DataFrame, k: int = 8, iters: int = 2,
     centroids (``_kmeans_fit``'s driver-side model): the earlier shape
     — ``kmeans_assign`` then a big-big join of labels back onto the
     fact — paid a full extra scan + assign pass AND a two-sided
-    shuffle join for data the assign pass already had in hand."""
+    shuffle join for data the assign pass already had in hand.  The
+    labeled frame is persisted before the size aggregate: broadcasting
+    ``sizes`` materializes the count in its own job, and without the
+    persist that job AND the main pair job would each re-run the full
+    scan + assign pass through the Python workers."""
+    from covsonar_spark.operators.dedup import _persist_scoped
+
     cents = _kmeans_fit(df, k, iters, vec_col, id_col)
-    with_cid = _kmeans_assign_pass(df, cents, vec_col, id_col)
+    with_cid = _persist_scoped(
+        "semdedup_with_cid", _kmeans_assign_pass(df, cents, vec_col, id_col))
 
     sizes = with_cid.groupBy("cid").agg(F.greatest(
         F.lit(1),

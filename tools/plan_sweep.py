@@ -11,10 +11,14 @@ allowlists the CI test pins.
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
 
-sys.path.insert(0, "/root/repo")
+# derive the repo root from this file (ab_query.py convention) — a
+# hardcoded path would silently import another checkout's package when
+# the sweep runs from a pinned A/B worktree
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 WIDE = ("lineitem", "orders", "documents", "events")
