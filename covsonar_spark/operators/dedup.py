@@ -136,7 +136,8 @@ def _jaccard(a: Column, b: Column) -> Column:
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         k: int = 3, threshold: float = 0.5,
-                        max_shingle_df: int | None = None) -> DataFrame:
+                        max_shingle_df: int | None = None,
+                        stop_shingle_df_frac: float | None = None) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs via an inverted-index
     similarity self-join — the scale-correct exact algorithm:
 
@@ -166,6 +167,20 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     per-task state stays ~cap postings.  Cold shingles (s = 1) pay
     nothing beyond the plan change; the pre-round-2 policy of dropping
     hot shingles (which silently underestimated J) is gone.
+
+    ``stop_shingle_df_frac`` (OFF by default) is the orthogonal knob
+    for when the CANDIDATE COUNT itself is the problem: a shingle
+    present in frac·N documents contributes ~(frac·N)²/2 true
+    co-occurring pairs — the salted split spreads that work losslessly
+    but cannot shrink it (sf1 triage: a saturated shingle vocabulary
+    grew Σ C(df,2) 90× for 10× data).  With the knob on, shingles with
+    document frequency > frac·N are dropped from the UNIVERSE before
+    indexing — the standard stop-shingle rule — and per-set sizes are
+    recomputed over the filtered universe, so the emitted values are
+    exact Jaccard over the reduced shingle space (a declared semantic
+    change, never a silent underestimate: original sizes with filtered
+    intersections would deflate J).  Candidate pairs are then bounded
+    by Σ_{df ≤ frac·N} C(df,2).
     """
     sh = shingle_sets(df, text_col, id_col, k)
     inv = (
@@ -174,6 +189,20 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         .select(F.col(id_col), F.col("n_sh"), F.xxhash64("s").alias("shingle"))
     )
     inv = _persist_scoped("jaccard_inv", inv)
+    if stop_shingle_df_frac is not None:
+        from pyspark.sql import Window
+
+        ceiling = stop_shingle_df_frac * df.count()
+        # the stop list is tiny by construction (at most
+        # total_postings / ceiling shingles can breach the ceiling) —
+        # broadcast it into an anti-join; set sizes are then recomputed
+        # over the filtered universe with one window shuffle on doc id
+        hot = (inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+               .where(F.col("df") > ceiling).select("shingle"))
+        inv = (inv.join(F.broadcast(hot), "shingle", "left_anti")
+               .withColumn("n_sh", F.count(F.lit(1)).over(
+                   Window.partitionBy(id_col))))
+        inv = _persist_scoped("jaccard_inv_stopped", inv)
     if max_shingle_df is None:
         a = inv.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
         b = inv.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")

@@ -56,3 +56,61 @@ def test_prefix_index_is_smaller(spark, docs):
     pref = inv.join(dfreq, "shingle").withColumn("rnk", F.row_number().over(w)) \
               .where(F.col("rnk") <= plen).count()
     assert pref < full * 0.45
+
+def test_stop_shingle_frac_one_is_identity(spark, docs):
+    """frac=1.0 means the ceiling is N itself — no shingle can exceed
+    it, so the knob engaged at its loosest setting must return the
+    exact default result (pairs AND values)."""
+    sub = docs.limit(150)
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(sub, threshold=0.3).collect()}
+    stopped = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in ngram_jaccard_pairs(
+                   sub, threshold=0.3, stop_shingle_df_frac=1.0).collect()}
+    assert exact and stopped == exact
+
+
+def test_stop_shingle_bounds_candidates_and_matches_oracle(spark):
+    """A corpus where one stop shingle appears in EVERY document (the
+    saturated-vocabulary blowup): with the knob on, (1) the candidate
+    pair count drops to the sum over surviving shingles of C(df,2),
+    and (2) every emitted Jaccard equals a Python oracle computed over
+    the FILTERED shingle universe."""
+    from itertools import combinations
+
+    # 40 docs; all share the phrase "the common boiler plate line";
+    # duplicates share a distinctive tail
+    rows = []
+    for i in range(40):
+        tail = f"unique tail {i} " * 3 if i % 4 else "shared dup tail marker here"
+        rows.append((i, f"the common boiler plate line {tail}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    frac = 0.5
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(
+               df, threshold=0.2, stop_shingle_df_frac=frac).collect()}
+
+    # python oracle over the filtered universe
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[j:j + 3]) for j in range(max(1, len(w) - 2))}
+
+    sets = {i: shingles(t) for i, t in rows}
+    from collections import Counter
+    dfreq = Counter(s for ss in sets.values() for s in ss)
+    ceiling = frac * len(rows)
+    kept = {i: {s for s in ss if dfreq[s] <= ceiling}
+            for i, ss in sets.items()}
+    want = {}
+    n_candidates = 0
+    for a, b in combinations(sorted(kept), 2):
+        inter = len(kept[a] & kept[b])
+        if inter:
+            n_candidates += 1
+            j = round(inter / (len(kept[a]) + len(kept[b]) - inter), 4)
+            if j >= 0.2:
+                want[(a, b)] = j
+    assert got == want and want
+    # the stop shingles covered every pair: without the knob every
+    # C(40,2)=780 pair is a candidate; with it only tail-sharing ones
+    assert n_candidates < 100
