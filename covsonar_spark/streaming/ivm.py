@@ -60,6 +60,8 @@ class StreamingJoinView:
         # directory (crash-heal is for dead processes; a live swap in
         # THIS process is visible through this lock)
         self._swap_lock = threading.Lock()
+        # per-generation persisted dim frames (see _dim_as_of)
+        self._dim_cache: dict[int, DataFrame] = {}
         # bootstrap generation 0 (idempotent: overwrite)
         if not os.path.isdir(os.path.join(self._dim_path, "gen=0")):
             dim.write.mode("overwrite").parquet(
@@ -73,10 +75,30 @@ class StreamingJoinView:
         return max(gens)
 
     def _dim_as_of(self, gen: int) -> DataFrame:
+        """Dimension state as of generation ``gen``, persisted per gen:
+        every fact batch joins (and broadcast-builds) the same dim
+        frame, so re-listing + re-reading the generation dirs per
+        batch is pure fixed overhead.  The cache is invalidated
+        whenever the generation dirs can change (update_dim swaps, heal
+        restores) — a persisted frame over a dir that was swapped
+        underneath it could serve mixed generations."""
+        got = self._dim_cache.get(gen)
+        if got is not None:
+            return got
         paths = [os.path.join(self._dim_path, f"gen={g}")
                  for g in range(gen + 1)
                  if os.path.isdir(os.path.join(self._dim_path, f"gen={g}"))]
-        return self.spark.read.parquet(*paths)
+        df = self.spark.read.parquet(*paths).persist()
+        self._dim_cache[gen] = df
+        return df
+
+    def _invalidate_dim_cache(self) -> None:
+        for df in self._dim_cache.values():
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — session teardown races
+                pass
+        self._dim_cache.clear()
 
     def _batch_gen(self, batch_id: int) -> int | None:
         """The dim generation a previously-written fact batch joined
@@ -114,20 +136,27 @@ class StreamingJoinView:
         # the whole batch until both land, overwrite semantics)
         import concurrent.futures as _cf
 
+        # both jobs consume ΔA — persist it so the upstream batch plan
+        # (at scale: an arbitrary source scan) computes once, not once
+        # per sink; scoped to this batch, dropped before returning
+        delta_fact = delta_fact.persist()
         view_df = delta_fact.join(self._dim_as_of(gen), self.on)
-        with _cf.ThreadPoolExecutor(max_workers=2) as pool:
-            futs = [
-                pool.submit(
-                    lambda: view_df.write.mode("overwrite").parquet(
-                        os.path.join(self._view_path,
-                                     f"batch={batch_id}_g{gen}"))),
-                pool.submit(
-                    lambda: delta_fact.write.mode("overwrite").parquet(
-                        os.path.join(self._fact_path,
-                                     f"batch={batch_id}"))),
-            ]
-            for f in futs:
-                f.result()
+        try:
+            with _cf.ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [
+                    pool.submit(
+                        lambda: view_df.write.mode("overwrite").parquet(
+                            os.path.join(self._view_path,
+                                         f"batch={batch_id}_g{gen}"))),
+                    pool.submit(
+                        lambda: delta_fact.write.mode("overwrite").parquet(
+                            os.path.join(self._fact_path,
+                                         f"batch={batch_id}"))),
+                ]
+                for f in futs:
+                    f.result()
+        finally:
+            delta_fact.unpersist()
 
     def _heal_dim_swaps(self) -> None:
         """Recover a crash between the two renames of a dim-generation
@@ -151,6 +180,8 @@ class StreamingJoinView:
                     shutil.rmtree(trash, ignore_errors=True)
                 else:
                     os.rename(trash, committed)
+                    # a restored generation changes what the dirs hold
+                    self._invalidate_dim_cache()
 
     def _gen_of_tag(self, tag: str) -> int | None:
         for e in os.listdir(self._dim_path):
@@ -207,6 +238,8 @@ class StreamingJoinView:
                 os.rename(gen_dir, trash)
             os.rename(tmp_dir, gen_dir)
             shutil.rmtree(trash, ignore_errors=True)
+            # cached frames may span the swapped generation dir
+            self._invalidate_dim_cache()
         if os.path.isdir(self._fact_path):
             pinned = self._pinned_gens()
             old_batches = [
