@@ -1,0 +1,271 @@
+"""Conditional-put LogStore backend: a compare-and-set COORDINATOR in
+front of a dumb object store — the production shape for running the
+commit log on raw object storage (Delta's S3DynamoDBLogStore analogue;
+the reference needs none of this because its store is one local SQLite
+file, /root/reference/lib/db.sqlite).
+
+Why it exists: the commit protocol's single correctness primitive is
+``rename_no_replace`` = put-if-absent (CommitLog docstring).  Posix
+gives it via hardlink/mkdir; HDFS via rename-no-overwrite; raw S3-style
+object storage gives NO such primitive (blind PUTs last-writer-win), so
+an external CAS arbiter must own the decision of who publishes each
+log slot.  This module provides
+
+  * :class:`SQLiteCoordinator` — a local stand-in for that arbiter
+    with TRUE compare-and-set semantics (the INSERT-if-absent races
+    through SQLite's own cross-process locking, exactly the
+    DynamoDB ``attribute_not_exists(path)`` conditional put);
+  * :class:`CasObjectFS` — the LogStore built from (coordinator +
+    payload store): every plain operation delegates to the payload
+    store; ``rename_no_replace`` claims the destination slot in the
+    coordinator first and only the claim winner copies bytes.
+
+Crash anatomy (the part blind PUTs get wrong): a writer can die AFTER
+winning the claim but BEFORE its payload lands.  The claim row records
+the source payload path, so ANY later reader/writer that touches the
+slot completes the copy itself (``_reconcile``) — the exact
+"fix-the-log-on-read" rule S3DynamoDBLogStore documents.  Until a
+claim is complete the source payload must stay alive; the session
+layer already guarantees that (StoreCommitIndeterminate: staged work
+is never deleted while an outcome is unknown).
+
+What a production DynamoDB/S3-conditional-write backend must provide
+(tests/test_logstore_contract.py is the executable contract, run
+parametrized over this class):
+
+  1. a conditional put that atomically claims one key for one caller
+     (DynamoDB ``PutItem`` with ``attribute_not_exists``, or S3
+     ``If-None-Match: *`` conditional PUT — in the latter case the
+     payload IS the claim and reconciliation disappears);
+  2. claim rows carrying (dst, src, complete) so crashed publishes
+     are completable by any observer;
+  3. read/list paths that reconcile incomplete claims before
+     answering (or readers may miss a committed version);
+  4. failures with unknown outcome surfaced as exceptions — commit()
+     resolves them by reading the slot back (lost-ack self-heal).
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+import threading
+import time
+
+
+class SQLiteCoordinator:
+    """Cross-process CAS arbiter: one row per published log path.
+
+    ``claim`` is the conditional put: INSERT with path as PRIMARY KEY —
+    SQLite serializes writers across processes, so of any set of
+    concurrent claimers exactly one inserts.  A row is (path, src,
+    complete); ``complete=0`` means the payload copy may not have
+    landed and ``src`` is where to copy it from."""
+
+    def __init__(self, db_path: str):
+        self.db_path = db_path
+        self._local = threading.local()
+        with self._conn() as c:
+            c.execute(
+                "CREATE TABLE IF NOT EXISTS slots ("
+                " path TEXT PRIMARY KEY,"
+                " src TEXT NOT NULL,"
+                " complete INTEGER NOT NULL DEFAULT 0,"
+                " at REAL NOT NULL)")
+
+    def _conn(self) -> sqlite3.Connection:
+        # one connection per thread: sqlite3 objects are not shareable
+        # across threads, and the store's helper threads (heartbeat,
+        # parallel committers in tests) all reach the coordinator
+        c = getattr(self._local, "conn", None)
+        if c is None:
+            c = sqlite3.connect(self.db_path, timeout=60.0,
+                                isolation_level=None)  # autocommit
+            c.execute("PRAGMA journal_mode=WAL")
+            c.execute("PRAGMA busy_timeout=60000")
+            self._local.conn = c
+        return c
+
+    def claim(self, dst: str, src: str) -> bool:
+        """True iff THIS call claimed ``dst`` (the CAS)."""
+        cur = self._conn().execute(
+            "INSERT OR IGNORE INTO slots(path, src, complete, at)"
+            " VALUES (?, ?, 0, ?)", (dst, src, time.time()))
+        return cur.rowcount == 1
+
+    def mark_complete(self, dst: str) -> None:
+        self._conn().execute(
+            "UPDATE slots SET complete = 1 WHERE path = ?", (dst,))
+
+    def get(self, dst: str):
+        """(src, complete) for a claimed path, or None."""
+        row = self._conn().execute(
+            "SELECT src, complete FROM slots WHERE path = ?",
+            (dst,)).fetchone()
+        return None if row is None else (row[0], bool(row[1]))
+
+    def incomplete_under(self, prefix: str):
+        """[(dst, src)] of incomplete claims at or under ``prefix``."""
+        pre = prefix.rstrip("/")
+        return self._conn().execute(
+            "SELECT path, src FROM slots WHERE complete = 0"
+            " AND (path = ? OR path LIKE ?)",
+            (pre, pre + "/%")).fetchall()
+
+    def forget(self, path: str, recursive: bool = False) -> None:
+        """Release claims when their objects are deleted, so the slot
+        (a lease lock, a broken gate) can be claimed again."""
+        pre = path.rstrip("/")
+        if recursive:
+            self._conn().execute(
+                "DELETE FROM slots WHERE path = ? OR path LIKE ?",
+                (pre, pre + "/%"))
+        else:
+            self._conn().execute(
+                "DELETE FROM slots WHERE path = ?", (pre,))
+
+    def incomplete_claiming_src(self, src: str, recursive: bool):
+        """[(dst, src)] of incomplete claims whose SOURCE is ``src``
+        (or lives under it, when recursive)."""
+        pre = src.rstrip("/")
+        if recursive:
+            return self._conn().execute(
+                "SELECT path, src FROM slots WHERE complete = 0"
+                " AND (src = ? OR src LIKE ?)",
+                (pre, pre + "/%")).fetchall()
+        return self._conn().execute(
+            "SELECT path, src FROM slots WHERE complete = 0 AND src = ?",
+            (pre,)).fetchall()
+
+
+class CasObjectFS:
+    """LogStore over (CAS coordinator + payload object store).
+
+    ``base`` is any object with the LogStore surface whose plain
+    write/read/list/delete work like an object store (blind PUTs are
+    fine — LocalFS, or the adversarial in-memory fake in tests);
+    ``coord`` arbitrates every ``rename_no_replace``.  ``fail`` mirrors
+    the contract fake's injection hooks (consumed one rename at a
+    time): "lost_call" raises before anything happens, "lost_ack"
+    raises after the publish fully landed, "crash_after_claim" raises
+    between the claim and the payload copy — the crash window unique
+    to the coordinator shape, healed by reconciliation-on-read."""
+
+    def __init__(self, base, coord: SQLiteCoordinator):
+        self.base = base
+        self.coord = coord
+        self.fail: list[str] = []
+
+    # -- reconciliation ------------------------------------------------
+
+    def _complete(self, dst: str, src: str) -> None:
+        """Finish a crashed publish: copy src -> dst in the payload
+        store, then mark the claim complete.  Idempotent — concurrent
+        completers blind-PUT identical bytes (the claim fixed WHOSE
+        payload wins when it was made, so every completer copies the
+        same source)."""
+        try:
+            data = self.base.read_bytes(src)
+        except FileNotFoundError:
+            # source vanished: if the payload already landed this is
+            # just a lost mark_complete — repair it; otherwise the
+            # claim is unreconcilable and stays (fail closed: the slot
+            # was won; inventing an empty winner would fork history)
+            if self.base.exists(dst):
+                self.coord.mark_complete(dst)
+            return
+        self.base.write_bytes(dst, data, overwrite=True)
+        self.coord.mark_complete(dst)
+
+    def _reconcile(self, prefix: str) -> None:
+        for dst, src in self.coord.incomplete_under(prefix):
+            self._complete(dst, src)
+
+    # -- plain surface (object-store semantics, reconciling reads) -----
+
+    def exists(self, path: str) -> bool:
+        if self.base.exists(path):
+            return True
+        self._reconcile(path)
+        return self.base.exists(path)
+
+    def mkdirs(self, path: str) -> None:
+        self.base.mkdirs(path)
+
+    def delete(self, path: str, recursive: bool = True) -> bool:
+        # deleting the SOURCE of an incomplete claim (vacuum GC'ing an
+        # aged .tmp- file from a writer that died between claim and
+        # copy) must not brick the claimed slot: the source is that
+        # slot's only payload, and with it gone the version would be
+        # forever unreadable AND unclaimable.  Complete the publish
+        # first — garbage collection doubles as the healer.
+        for dst, src in self.coord.incomplete_claiming_src(path, recursive):
+            self._complete(dst, src)
+        got = self.base.delete(path, recursive=recursive)
+        # release the claim so re-claimable slots (lease lock, gate
+        # rendezvous) work; a deleted-but-claimed path otherwise locks
+        # its name forever
+        self.coord.forget(path, recursive=recursive)
+        return got
+
+    def mtime(self, path: str) -> float:
+        try:
+            return self.base.mtime(path)
+        except FileNotFoundError:
+            self._reconcile(path)
+            return self.base.mtime(path)
+
+    def touch(self, path: str) -> None:
+        self.base.touch(path)
+
+    def write_bytes(self, path: str, data: bytes,
+                    overwrite: bool = True) -> None:
+        self.base.write_bytes(path, data, overwrite=overwrite)
+
+    def read_bytes(self, path: str) -> bytes:
+        try:
+            return self.base.read_bytes(path)
+        except FileNotFoundError:
+            self._reconcile(path)
+            return self.base.read_bytes(path)
+
+    def list_names(self, path: str):
+        self._reconcile(path)
+        return self.base.list_names(path)
+
+    # -- the conditional put -------------------------------------------
+
+    def rename_no_replace(self, src: str, dst: str) -> bool:
+        mode = self.fail.pop(0) if self.fail else None
+        if mode == "lost_call":
+            raise TimeoutError("injected: call lost before the claim")
+        if not self.base.exists(src):
+            return False          # another renamer consumed src first
+        if not self.coord.claim(dst, src):
+            # slot already claimed: complete a crashed winner's copy
+            # before reporting the loss, so the loser's read-back sees
+            # the winner's payload, not a hole
+            got = self.coord.get(dst)
+            if got is not None and not got[1]:
+                self._complete(dst, got[0])
+            return False
+        if mode == "crash_after_claim":
+            raise TimeoutError("injected: died between claim and copy")
+        self._complete(dst, src)
+        self.base.delete(src, recursive=False)
+        if mode == "lost_ack":
+            raise TimeoutError("injected: publish landed, ack lost")
+        return True
+
+
+def local_cas_logstore(root: str):
+    """The deployable local composition: payload bytes on the local
+    filesystem, claims in ``<root>/_log/.cas.sqlite`` — a single-box
+    stand-in wired exactly like the S3+DynamoDB deployment (swap the
+    two constructor arguments for the real adapters)."""
+    from covsonar_spark.commitlog import LOG_DIR, LocalFS
+
+    base = LocalFS()
+    base.mkdirs(f"{root}/{LOG_DIR}")
+    return CasObjectFS(base, SQLiteCoordinator(
+        os.path.join(root, LOG_DIR, ".cas.sqlite")))

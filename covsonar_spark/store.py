@@ -260,10 +260,20 @@ class SonarStore:
         self.sublineage_map = sublineage_map or {}
         # every root — local posix or remote scheme — mutates through
         # the same commit log (round 7 unification: one protocol, and
-        # local stores get history/time travel too)
+        # local stores get history/time travel too).  SONAR_LOGSTORE=cas
+        # swaps in the coordinator-arbitrated backend (logstore.py — the
+        # S3+DynamoDB deployment shape on local parts): same protocol,
+        # conditional puts decided by a CAS table instead of hardlink/
+        # mkdir atomicity.  Env-selected so the cross-process stress
+        # (tools/stress_store_procs.py) runs unmodified over it.
         from covsonar_spark.commitlog import CommitLog
 
-        self._log = CommitLog(spark, self.root)
+        fs = None
+        if (os.environ.get("SONAR_LOGSTORE") == "cas"
+                and not _remote_scheme(self.root)):
+            from covsonar_spark.logstore import local_cas_logstore
+            fs = local_cas_logstore(self.root)
+        self._log = CommitLog(spark, self.root, fs=fs)
         # mutation-session state: staged dir lists per table, applied
         # over the base snapshot at commit time; the lock serializes
         # staging from ingest's concurrent append threads

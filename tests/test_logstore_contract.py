@@ -113,16 +113,35 @@ class MemObjectFS:
                            for k in self._obj if k.startswith(pre)})
 
 
+@pytest.fixture(params=["mem", "cas"])
+def make_fs(request, tmp_path):
+    """Factory for the LogStore under test: the adversarial in-memory
+    fake, or the real conditional-put backend (logstore.CasObjectFS —
+    SQLite CAS coordinator over the same fake as its payload store, so
+    the payload layer stays an object store with NO atomic rename).
+    Both expose the same ``fail`` injection hooks."""
+
+    def factory():
+        mem = MemObjectFS()
+        if request.param == "mem":
+            return mem
+        from covsonar_spark.logstore import CasObjectFS, SQLiteCoordinator
+        return CasObjectFS(
+            mem, SQLiteCoordinator(str(tmp_path / "cas.sqlite")))
+
+    return factory
+
+
 def _mklog(fs) -> CommitLog:
     return CommitLog(None, "mem://store", fs=fs)
 
 
-def test_concurrent_committers_exactly_one_winner():
+def test_concurrent_committers_exactly_one_winner(make_fs):
     """8 threads race commit() of the same version: one returns, the
     rest raise StoreWriteConflict, the published commit is one
     complete loser-free body, and no loser's commit id ever appears
     in the log (the manifest-pinning invariant)."""
-    fs = MemObjectFS()
+    fs = make_fs()
     log = _mklog(fs)
     base = log.commit(0, {"t": ["d0"]})
     wins, losses = [], []
@@ -150,11 +169,11 @@ def test_concurrent_committers_exactly_one_winner():
     assert not ({f"cid-{i}" for i in losses} & published)
 
 
-def test_lost_ack_self_heals_to_win():
+def test_lost_ack_self_heals_to_win(make_fs):
     """The conditional put lands but the ack is lost: commit() reads
     the slot back, finds its own id, and reports the commit as WON —
     not a conflict, not an exception."""
-    fs = MemObjectFS()
+    fs = make_fs()
     log = _mklog(fs)
     v = log.commit(0, {"t": ["a"]})
     fs.fail = ["lost_ack"]
@@ -164,11 +183,11 @@ def test_lost_ack_self_heals_to_win():
     assert log.latest()[1] == {"t": ["a", "b"]}
 
 
-def test_lost_call_after_racing_winner_is_conflict():
+def test_lost_call_after_racing_winner_is_conflict(make_fs):
     """The call raises without landing AND another writer had already
     taken the version: the read-back finds the OTHER id → clean
     StoreWriteConflict, exactly as a plain False."""
-    fs = MemObjectFS()
+    fs = make_fs()
     log = _mklog(fs)
     v = log.commit(0, {"t": ["a"]})
     log.commit(v, {"t": ["a", "x"]}, commit_id="winner")   # slot taken
@@ -178,12 +197,12 @@ def test_lost_call_after_racing_winner_is_conflict():
     assert log.latest()[2] == "winner"
 
 
-def test_lost_call_empty_slot_is_indeterminate():
+def test_lost_call_empty_slot_is_indeterminate(make_fs):
     """The call raises, nothing landed, the slot stays unreadable:
     commit() raises StoreCommitIndeterminate (NOT conflict) so the
     session keeps its staged dirs for vacuum instead of deleting data
     a still-in-flight publish might reference."""
-    fs = MemObjectFS()
+    fs = make_fs()
     log = _mklog(fs)
     v = log.commit(0, {"t": ["a"]})
     fs.fail = ["lost_call"]
@@ -235,12 +254,12 @@ def test_session_keeps_staged_dirs_on_indeterminate(spark, tmp_path):
     st._log.commit = real_commit
 
 
-def test_full_protocol_runs_on_the_fake():
+def test_full_protocol_runs_on_the_fake(make_fs):
     """The whole read/write surface — chained delta commits,
     checkpoint cadence, O(1) hinted latest(), time-travel resolve,
     vacuum retention — works against the object-store fake, not just
     posix."""
-    fs = MemObjectFS()
+    fs = make_fs()
     log = _mklog(fs)
     snap = None
     model = {}
@@ -262,3 +281,120 @@ def test_full_protocol_runs_on_the_fake():
     log.vacuum({}, retain_last=2, min_age_s=0.0)
     assert log.versions()[0] == 21          # v22's checkpoint chain
     assert log.resolve(22)["tables"] == hist[22]
+
+
+# -- CAS-backend-specific windows (covsonar_spark/logstore.py) -------------
+
+def _mkcas(tmp_path, mem=None):
+    from covsonar_spark.logstore import CasObjectFS, SQLiteCoordinator
+    mem = mem or MemObjectFS()
+    coord = SQLiteCoordinator(str(tmp_path / "cas.sqlite"))
+    return mem, coord, CasObjectFS(mem, coord)
+
+
+def test_cas_crash_after_claim_self_heals_to_win(tmp_path):
+    """The coordinator-shape-specific crash window: the writer dies
+    AFTER winning the CAS claim but BEFORE its payload lands.  The
+    claim records the source, so commit()'s read-back reconciles the
+    copy itself and reports the commit as WON."""
+    _, _, fs = _mkcas(tmp_path)
+    log = _mklog(fs)
+    v = log.commit(0, {"t": ["a"]})
+    fs.fail = ["crash_after_claim"]
+    v2 = log.commit(v, {"t": ["a", "b"]}, commit_id="mine")
+    assert v2 == v + 1
+    assert log.resolve(v2)["id"] == "mine"
+    assert log.latest()[1] == {"t": ["a", "b"]}
+
+
+def test_cas_crashed_claim_healed_by_any_observer(tmp_path):
+    """A claim left incomplete by a crashed publisher is completed by
+    whichever OTHER party touches the slot first — a lister, a reader,
+    an exists() probe, or a losing renamer — through a fresh backend
+    instance (a different process in production)."""
+    mem, coord, fs = _mkcas(tmp_path)
+    fs.write_bytes("mem://s/dir/src1", b"payload-1")
+    fs.fail = ["crash_after_claim"]
+    with pytest.raises(TimeoutError):
+        fs.rename_no_replace("mem://s/dir/src1", "mem://s/dir/final")
+    assert not mem.exists("mem://s/dir/final")      # copy never landed
+    from covsonar_spark.logstore import CasObjectFS
+    other = CasObjectFS(mem, coord)                 # fresh observer
+    assert "final" in other.list_names("mem://s/dir")
+    assert other.read_bytes("mem://s/dir/final") == b"payload-1"
+    assert mem.exists("mem://s/dir/final")          # healed in the store
+    # and a loser racing the healed slot reports a clean False
+    other.write_bytes("mem://s/dir/src2", b"payload-2")
+    assert other.rename_no_replace("mem://s/dir/src2",
+                                   "mem://s/dir/final") is False
+    assert other.read_bytes("mem://s/dir/final") == b"payload-1"
+
+
+def test_cas_delete_releases_claim(tmp_path):
+    """delete() must release the CAS claim, or re-claimable slots (the
+    writer lease lock, the gate rendezvous) lock their name forever."""
+    _, _, fs = _mkcas(tmp_path)
+    for round_ in range(3):
+        fs.write_bytes("mem://s/tmp", f"gen-{round_}".encode())
+        assert fs.rename_no_replace("mem://s/tmp", "mem://s/LOCK") is True
+        assert fs.read_bytes("mem://s/LOCK") == f"gen-{round_}".encode()
+        fs.delete("mem://s/LOCK", recursive=False)
+
+
+def test_cas_cross_instance_single_winner(tmp_path):
+    """Two backend instances over the same coordinator db (two
+    processes in production): exactly one claim wins."""
+    mem, coord, a = _mkcas(tmp_path)
+    from covsonar_spark.logstore import CasObjectFS
+    b = CasObjectFS(mem, coord)
+    a.write_bytes("mem://s/ta", b"A")
+    b.write_bytes("mem://s/tb", b"B")
+    ra = a.rename_no_replace("mem://s/ta", "mem://s/v1.json")
+    rb = b.rename_no_replace("mem://s/tb", "mem://s/v1.json")
+    assert (ra, rb) in ((True, False), (False, True))
+    assert a.read_bytes("mem://s/v1.json") == (b"A" if ra else b"B")
+
+
+def test_cas_never_uses_payload_store_rename(tmp_path):
+    """The whole point of the backend: it must work on a payload store
+    with NO atomic-rename primitive at all.  Run a multi-commit
+    protocol exchange and assert the payload store's own
+    rename_no_replace was never consulted."""
+    mem, _, fs = _mkcas(tmp_path)
+    log = _mklog(fs)
+    snap = None
+    for i in range(12):
+        snap = log.latest()
+        base = dict(snap[1]) if snap else {}
+        tables = {**{t: list(d) for t, d in base.items()},
+                  "t": base.get("t", []) + [f"d{i}"]}
+        log.commit(snap[0] if snap else 0, tables,
+                   base_tables=base if snap else None,
+                   base_checkpoint=(getattr(snap, "checkpoint", None)
+                                    if snap else None))
+    assert log.latest()[0] == 12
+    log.vacuum({}, retain_last=2, min_age_s=0.0)
+    assert mem.renames == 0
+
+
+def test_cas_gc_of_claim_source_heals_not_bricks(tmp_path):
+    """Vacuum GC'ing an aged tmp file that is the SOURCE of an
+    incomplete claim must publish the slot first: with the source
+    blindly deleted, the claimed version would be forever unreadable
+    (read-back: Indeterminate) AND unclaimable (CAS taken) — a bricked
+    log.  delete() therefore completes the publish before removing the
+    source (GC doubles as the healer)."""
+    mem, coord, fs = _mkcas(tmp_path)
+    fs.write_bytes("mem://s/_log/v5.json.tmp-abc", b'{"id": "w1"}')
+    fs.fail = ["crash_after_claim"]
+    with pytest.raises(TimeoutError):
+        fs.rename_no_replace("mem://s/_log/v5.json.tmp-abc",
+                             "mem://s/_log/v5.json")
+    assert not mem.exists("mem://s/_log/v5.json")
+    # vacuum-style GC of the aged tmp
+    fs.delete("mem://s/_log/v5.json.tmp-abc", recursive=False)
+    assert fs.read_bytes("mem://s/_log/v5.json") == b'{"id": "w1"}'
+    # and the slot still refuses new claimants
+    fs.write_bytes("mem://s/_log/v5.json.tmp-zzz", b'{"id": "w2"}')
+    assert fs.rename_no_replace("mem://s/_log/v5.json.tmp-zzz",
+                                "mem://s/_log/v5.json") is False

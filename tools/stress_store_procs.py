@@ -141,26 +141,28 @@ def child_killcommit(root: str, marker: str, when: str) -> None:
     right BEFORE the commit rename (when=pre: staged-but-unpublished,
     the mutation must vanish) or right AFTER it (when=post: the
     mutation is durable even though the writer never returns)."""
-    from covsonar_spark import commitlog
-    from pyspark.sql import functions as F
+    spark = _spark("store-stress-killcommit")
+    st = _open(spark, root)
+    # hook the store's LIVE log fs INSTANCE (not LocalFS at class
+    # level) so the kill window works on any backend — including the
+    # SONAR_LOGSTORE=cas coordinator backend, whose rename never
+    # touches LocalFS
+    fsobj = st._log.fs
+    real_rename = fsobj.rename_no_replace
 
-    real_rename = commitlog.LocalFS.rename_no_replace
-
-    def hook(self, src, dst):
+    def hook(src, dst):
         if "/_log/v" in dst and when == "pre":
             with open(marker, "w") as fh:
                 fh.write("pre-commit\n")
             time.sleep(600)          # parent kills us here
-        ok = real_rename(self, src, dst)
+        ok = real_rename(src, dst)
         if "/_log/v" in dst and when == "post" and ok:
             with open(marker, "w") as fh:
                 fh.write("post-commit\n")
             time.sleep(600)          # parent kills us here
         return ok
 
-    commitlog.LocalFS.rename_no_replace = hook
-    spark = _spark("store-stress-killcommit")
-    st = _open(spark, root)
+    fsobj.rename_no_replace = hook
     upd = spark.createDataFrame(
         [(f"ACC{i:04d}", "doomed" if when == "pre" else "landed")
          for i in range(N_GENOMES)],
