@@ -962,7 +962,23 @@ class CommitLog:
         next_note = time.time() + 30.0
         owner = uuid.uuid4().hex
         me = json.dumps({"owner": owner, "at": time.time()}).encode()
+        age: float | None = None
         while True:
+            # deadline check at the TOP: every `continue` below (lock
+            # released/unreadable between probes) used to skip the
+            # bottom-of-loop check, so a lock that repeatedly failed to
+            # read (possible when a backend's claim outlives its
+            # object) spun forever instead of raising
+            if time.time() > deadline:
+                held = f"held {age:.0f}s; " if age is not None else ""
+                raise TimeoutError(
+                    f"another writer holds the store lease {lock} "
+                    f"({held}waited {timeout:.0f}s"
+                    + (" — holder is heartbeating, i.e. a LIVE "
+                       "mutation, not a crash; retry after it "
+                       "finishes or raise the wait"
+                       if age is not None and age <= lease_timeout
+                       else "") + ")")
             tmp = f"{lock}.tmp-{uuid.uuid4().hex[:8]}"
             self.fs.write_bytes(tmp, me, overwrite=True)
             if self.fs.rename_no_replace(tmp, lock):
@@ -1027,14 +1043,6 @@ class CommitLog:
                     else:
                         self.fs.delete(breaking, recursive=False)
                 continue
-            if time.time() > deadline:
-                raise TimeoutError(
-                    f"another writer holds the store lease {lock} "
-                    f"(held {age:.0f}s; waited {timeout:.0f}s"
-                    + (" — holder is heartbeating, i.e. a LIVE "
-                       "mutation, not a crash; retry after it "
-                       "finishes or raise the wait"
-                       if age <= lease_timeout else "") + ")")
             time.sleep(0.2)
 
     def heartbeat(self, owner: str) -> bool:

@@ -98,11 +98,36 @@ class SQLiteCoordinator:
             "UPDATE slots SET complete = 1 WHERE path = ?", (dst,))
 
     def get(self, dst: str):
-        """(src, complete) for a claimed path, or None."""
+        """(src, complete, at) for a claimed path, or None."""
         row = self._conn().execute(
-            "SELECT src, complete FROM slots WHERE path = ?",
+            "SELECT src, complete, at FROM slots WHERE path = ?",
             (dst,)).fetchone()
-        return None if row is None else (row[0], bool(row[1]))
+        return None if row is None else (row[0], bool(row[1]), row[2])
+
+    def reclaim(self, dst: str, src: str, old_at: float) -> bool:
+        """Atomically replace an ORPHANED claim (identified by its
+        ``at`` stamp) with a fresh incomplete claim for this caller.
+        One transaction: delete-if-still-that-claim + insert — of any
+        set of concurrent reclaimers of the same orphan, exactly one
+        succeeds (a plain forget-then-claim would let a second
+        reclaimer forget the first one's FRESH claim: two winners)."""
+        c = self._conn()
+        c.execute("BEGIN IMMEDIATE")
+        try:
+            cur = c.execute(
+                "DELETE FROM slots WHERE path = ? AND at = ?"
+                " AND complete = 1", (dst, old_at))
+            if cur.rowcount != 1:
+                c.execute("ROLLBACK")
+                return False
+            c.execute(
+                "INSERT INTO slots(path, src, complete, at)"
+                " VALUES (?, ?, 0, ?)", (dst, src, time.time()))
+            c.execute("COMMIT")
+            return True
+        except BaseException:
+            c.execute("ROLLBACK")
+            raise
 
     def incomplete_under(self, prefix: str):
         """[(dst, src)] of incomplete claims at or under ``prefix``."""
@@ -242,10 +267,24 @@ class CasObjectFS:
         if not self.base.exists(src):
             return False          # another renamer consumed src first
         if not self.coord.claim(dst, src):
-            # slot already claimed: complete a crashed winner's copy
-            # before reporting the loss, so the loser's read-back sees
-            # the winner's payload, not a hole
             got = self.coord.get(dst)
+            if got is not None and got[1] and not self.base.exists(dst):
+                # ORPHANED claim: completed long ago but its object was
+                # deleted out-of-band (an operator rm of the lease
+                # lock).  LocalFS semantics for that state are "slot
+                # free" (the file is simply gone) — match them: take
+                # the slot over with an atomic reclaim conditioned on
+                # the orphan's identity.  An INCOMPLETE claim is never
+                # treated as orphaned (its copy may still be
+                # completable from src — fail closed).
+                if self.coord.reclaim(dst, src, got[2]):
+                    self._complete(dst, src)
+                    self.base.delete(src, recursive=False)
+                    return True
+                got = self.coord.get(dst)
+            # slot claimed: complete a crashed winner's copy before
+            # reporting the loss, so the loser's read-back sees the
+            # winner's payload, not a hole
             if got is not None and not got[1]:
                 self._complete(dst, got[0])
             return False

@@ -398,3 +398,65 @@ def test_cas_gc_of_claim_source_heals_not_bricks(tmp_path):
     fs.write_bytes("mem://s/_log/v5.json.tmp-zzz", b'{"id": "w2"}')
     assert fs.rename_no_replace("mem://s/_log/v5.json.tmp-zzz",
                                 "mem://s/_log/v5.json") is False
+
+
+def test_cas_orphaned_complete_claim_is_reclaimable(tmp_path):
+    """An out-of-band delete of a published object (an operator rm of
+    the lease lock file, not through the fs seam) leaves a COMPLETE
+    claim with no object.  LocalFS semantics for that state are 'slot
+    free' — the CAS backend must match: the next renamer takes the
+    slot over (atomic reclaim), while concurrent reclaimers still get
+    exactly one winner."""
+    mem, coord, fs = _mkcas(tmp_path)
+    fs.write_bytes("mem://s/_log/LOCK.tmp-1", b"owner-1")
+    assert fs.rename_no_replace("mem://s/_log/LOCK.tmp-1",
+                                "mem://s/_log/LOCK") is True
+    # out-of-band removal: straight through the payload store
+    mem.delete("mem://s/_log/LOCK", recursive=False)
+    # concurrent re-acquirers race the orphan: exactly one wins
+    results = []
+    lock = threading.Lock()
+
+    def taker(i):
+        fs2 = __import__("covsonar_spark.logstore",
+                         fromlist=["CasObjectFS"]).CasObjectFS(mem, coord)
+        src = f"mem://s/_log/LOCK.tmp-{i + 2}"
+        fs2.write_bytes(src, f"owner-{i + 2}".encode())
+        ok = fs2.rename_no_replace(src, "mem://s/_log/LOCK")
+        with lock:
+            results.append((i, ok))
+
+    ts = [threading.Thread(target=taker, args=(i,)) for i in range(6)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    winners = [i for i, ok in results if ok]
+    assert len(winners) == 1, results
+    assert (fs.read_bytes("mem://s/_log/LOCK")
+            == f"owner-{winners[0] + 2}".encode())
+
+
+def test_lease_acquire_times_out_even_when_lock_unreadable(tmp_path):
+    """Liveness: a lock whose mtime/read keeps failing (claim outlives
+    its object mid-transition) must still hit the acquire deadline —
+    the retry `continue`s used to skip the deadline check and spin
+    forever."""
+    fs = MemObjectFS()
+    log = _mklog(fs)
+    o = log.acquire_lease()
+
+    real_mtime = fs.mtime
+
+    def flaky_mtime(path):
+        if path.endswith("LOCK"):
+            raise FileNotFoundError(path)
+        return real_mtime(path)
+
+    fs.mtime = flaky_mtime
+    t0 = time.time()
+    with pytest.raises(TimeoutError):
+        log.acquire_lease(timeout=1.5)
+    assert time.time() - t0 < 10.0
+    fs.mtime = real_mtime
+    log.release_lease(o)
