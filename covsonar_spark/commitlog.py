@@ -997,6 +997,11 @@ class CommitLog:
                 stale_owner = json.loads(
                     self.fs.read_bytes(lock).decode()).get("owner")
             except Exception:  # noqa: BLE001 — released between checks
+                # drop the stale reading: diagnostics (periodic note,
+                # timeout message) must not report a holder "held Ns /
+                # LIVE" from an earlier iteration when the lock has
+                # been unreadable ever since
+                age = None
                 continue
             if time.time() >= next_note:
                 next_note = time.time() + 30.0

@@ -129,25 +129,46 @@ class SQLiteCoordinator:
             c.execute("ROLLBACK")
             raise
 
+    @staticmethod
+    def _like_prefix(prefix: str) -> str:
+        """LIKE pattern matching strict descendants of ``prefix``,
+        with the LIKE metacharacters escaped — every store path
+        contains ``_log``, so an unescaped ``_`` wildcard silently
+        over-matches sibling trees (``Xlog`` for ``_log``) and a
+        recursive forget would release claims guarding unrelated
+        published objects."""
+        esc = (prefix.rstrip("/").replace("\\", "\\\\")
+               .replace("%", "\\%").replace("_", "\\_"))
+        return esc + "/%"
+
     def incomplete_under(self, prefix: str):
         """[(dst, src)] of incomplete claims at or under ``prefix``."""
         pre = prefix.rstrip("/")
         return self._conn().execute(
             "SELECT path, src FROM slots WHERE complete = 0"
-            " AND (path = ? OR path LIKE ?)",
-            (pre, pre + "/%")).fetchall()
+            " AND (path = ? OR path LIKE ? ESCAPE '\\')",
+            (pre, self._like_prefix(pre))).fetchall()
 
-    def forget(self, path: str, recursive: bool = False) -> None:
-        """Release claims when their objects are deleted, so the slot
-        (a lease lock, a broken gate) can be claimed again."""
+    def claims_under(self, path: str, recursive: bool):
+        """[(path, at)] of ALL claims at (or under, when recursive)
+        ``path`` — the identity snapshot a delete conditions its
+        releases on (see CasObjectFS.delete)."""
         pre = path.rstrip("/")
         if recursive:
-            self._conn().execute(
-                "DELETE FROM slots WHERE path = ? OR path LIKE ?",
-                (pre, pre + "/%"))
-        else:
-            self._conn().execute(
-                "DELETE FROM slots WHERE path = ?", (pre,))
+            return self._conn().execute(
+                "SELECT path, at FROM slots WHERE path = ?"
+                " OR path LIKE ? ESCAPE '\\'",
+                (pre, self._like_prefix(pre))).fetchall()
+        return self._conn().execute(
+            "SELECT path, at FROM slots WHERE path = ?", (pre,)).fetchall()
+
+    def forget_if(self, path: str, at: float) -> None:
+        """Release ONE claim only if it is still the identity observed
+        when the release was planned — an unconditioned forget races a
+        concurrent reclaim and erases the reclaimer's FRESH claim,
+        re-opening the slot for a third winner."""
+        self._conn().execute(
+            "DELETE FROM slots WHERE path = ? AND at = ?", (path, at))
 
     def incomplete_claiming_src(self, src: str, recursive: bool):
         """[(dst, src)] of incomplete claims whose SOURCE is ``src``
@@ -156,8 +177,8 @@ class SQLiteCoordinator:
         if recursive:
             return self._conn().execute(
                 "SELECT path, src FROM slots WHERE complete = 0"
-                " AND (src = ? OR src LIKE ?)",
-                (pre, pre + "/%")).fetchall()
+                " AND (src = ? OR src LIKE ? ESCAPE '\\')",
+                (pre, self._like_prefix(pre))).fetchall()
         return self._conn().execute(
             "SELECT path, src FROM slots WHERE complete = 0 AND src = ?",
             (pre,)).fetchall()
@@ -226,11 +247,19 @@ class CasObjectFS:
         # first — garbage collection doubles as the healer.
         for dst, src in self.coord.incomplete_claiming_src(path, recursive):
             self._complete(dst, src)
+        # snapshot the claim identities BEFORE deleting the objects:
+        # the release below must be conditioned on them.  In the window
+        # between base.delete and the release, a concurrent renamer can
+        # legitimately take the slot over (orphan reclaim — its
+        # precondition, object-missing, only holds post-base.delete);
+        # an UNCONDITIONED forget would then erase that reclaimer's
+        # fresh claim and let a third caller win too.  forget_if skips
+        # rows whose `at` stamp changed, so the reclaimer survives —
+        # the same identity-CAS discipline reclaim itself uses.
+        snap = self.coord.claims_under(path, recursive)
         got = self.base.delete(path, recursive=recursive)
-        # release the claim so re-claimable slots (lease lock, gate
-        # rendezvous) work; a deleted-but-claimed path otherwise locks
-        # its name forever
-        self.coord.forget(path, recursive=recursive)
+        for p, at in snap:
+            self.coord.forget_if(p, at)
         return got
 
     def mtime(self, path: str) -> float:

@@ -280,7 +280,14 @@ def graph_triangles(spark, sf_dir):
     _tri_count).  |V| and |E| are counted eagerly off the persisted
     edge list — the census needs them for its output row anyway, and
     they feed ``adj_bcast_fits``, which picks broadcast vs
-    hash-partitioned attach joins for the adjacency."""
+    hash-partitioned attach joins for the adjacency.
+
+    NOTE this makes DataFrame CONSTRUCTION run one census job (the
+    same convention as similarity.cosine_pairs_exact's auto mode,
+    which runs a count() without an n_rows hint): explain-only
+    consumers (tools/plan_sweep.py, the plan-audit sweep) execute that
+    job when they build this row's plan — memoized per edge frame, so
+    repeated builds in one session pay it once."""
     from covsonar_spark.operators.dedup import _persist_scoped
 
     e = _persist_scoped("tri_edges", copurchase_edges(spark, sf_dir))

@@ -82,23 +82,33 @@ class StreamingJoinView:
         whenever the generation dirs can change (update_dim swaps, heal
         restores) — a persisted frame over a dir that was swapped
         underneath it could serve mixed generations."""
-        got = self._dim_cache.get(gen)
-        if got is not None:
-            return got
-        paths = [os.path.join(self._dim_path, f"gen={g}")
-                 for g in range(gen + 1)
-                 if os.path.isdir(os.path.join(self._dim_path, f"gen={g}"))]
-        df = self.spark.read.parquet(*paths).persist()
-        self._dim_cache[gen] = df
-        return df
+        # cache get/insert under the swap lock: invalidation runs on
+        # the maintenance thread while this runs on the streaming
+        # thread — an unlocked insert mid-invalidation would either
+        # blow up the value iteration or escape the invalidation
+        with self._swap_lock:
+            got = self._dim_cache.get(gen)
+            if got is not None:
+                return got
+            paths = [os.path.join(self._dim_path, f"gen={g}")
+                     for g in range(gen + 1)
+                     if os.path.isdir(os.path.join(self._dim_path,
+                                                   f"gen={g}"))]
+            df = self.spark.read.parquet(*paths).persist()
+            self._dim_cache[gen] = df
+            return df
 
     def _invalidate_dim_cache(self) -> None:
-        for df in self._dim_cache.values():
+        # always called with _swap_lock held (update_dim's swap block,
+        # _heal_dim_swaps' scan); snapshot-then-clear keeps the slow
+        # py4j unpersist calls off the shared dict either way
+        frames = list(self._dim_cache.values())
+        self._dim_cache.clear()
+        for df in frames:
             try:
                 df.unpersist()
             except Exception:  # noqa: BLE001 — session teardown races
                 pass
-        self._dim_cache.clear()
 
     def _batch_gen(self, batch_id: int) -> int | None:
         """The dim generation a previously-written fact batch joined

@@ -460,3 +460,69 @@ def test_lease_acquire_times_out_even_when_lock_unreadable(tmp_path):
     assert time.time() - t0 < 10.0
     fs.mtime = real_mtime
     log.release_lease(o)
+
+
+def test_cas_delete_does_not_erase_concurrent_reclaim(tmp_path):
+    """The delete-vs-reclaim window (review finding): delete() removes
+    the object, a concurrent renamer legitimately reclaims the
+    now-orphaned slot, and delete()'s release then ran LAST.  The
+    release is conditioned on the claim identity observed BEFORE the
+    object deletion, so the reclaimer's fresh claim must survive — an
+    unconditioned forget erased it and let a third caller also win."""
+    mem, coord, fs = _mkcas(tmp_path)
+    fs.write_bytes("mem://s/_log/LOCK.tmp-a", b"A")
+    assert fs.rename_no_replace("mem://s/_log/LOCK.tmp-a",
+                                "mem://s/_log/LOCK") is True
+
+    # interleave: A's delete() with B's reclaim landing between the
+    # object removal and the claim release
+    real_base_delete = mem.delete
+    fsB = __import__("covsonar_spark.logstore",
+                     fromlist=["CasObjectFS"]).CasObjectFS(mem, coord)
+
+    state = {"done": False}
+
+    def delete_then_reclaim(path, recursive=True):
+        got = real_base_delete(path, recursive=recursive)
+        if path == "mem://s/_log/LOCK" and not state["done"]:
+            state["done"] = True
+            fsB.write_bytes("mem://s/_log/LOCK.tmp-b", b"B")
+            assert fsB.rename_no_replace("mem://s/_log/LOCK.tmp-b",
+                                         "mem://s/_log/LOCK") is True
+        return got
+
+    mem.delete = delete_then_reclaim
+    try:
+        fs.delete("mem://s/_log/LOCK", recursive=False)
+    finally:
+        mem.delete = real_base_delete
+    # B's claim and payload must have survived A's release...
+    assert fs.read_bytes("mem://s/_log/LOCK") == b"B"
+    # ...so a third caller LOSES instead of double-winning
+    fs.write_bytes("mem://s/_log/LOCK.tmp-c", b"C")
+    assert fs.rename_no_replace("mem://s/_log/LOCK.tmp-c",
+                                "mem://s/_log/LOCK") is False
+    assert fs.read_bytes("mem://s/_log/LOCK") == b"B"
+
+
+def test_cas_like_metacharacters_do_not_overmatch(tmp_path):
+    """Coordinator prefix queries escape LIKE metacharacters: every
+    store path contains ``_log``, so an unescaped ``_`` would make a
+    recursive release under ``.../_log`` also drop claims guarding a
+    sibling ``Xlog`` tree (review finding)."""
+    mem, coord, fs = _mkcas(tmp_path)
+    fs.write_bytes("mem://s/Xlog/t1", b"sib")
+    assert fs.rename_no_replace("mem://s/Xlog/t1",
+                                "mem://s/Xlog/v1.json") is True
+    fs.write_bytes("mem://s/_log/t2", b"own")
+    assert fs.rename_no_replace("mem://s/_log/t2",
+                                "mem://s/_log/v1.json") is True
+    # sibling claims are invisible to _log-prefixed queries
+    assert coord.claims_under("mem://s/_log", recursive=True) \
+        == [("mem://s/_log/v1.json",
+             coord.get("mem://s/_log/v1.json")[2])]
+    # recursive delete under _log releases ONLY _log claims
+    fs.delete("mem://s/_log", recursive=True)
+    assert coord.get("mem://s/_log/v1.json") is None
+    assert coord.get("mem://s/Xlog/v1.json") is not None
+    assert fs.read_bytes("mem://s/Xlog/v1.json") == b"sib"

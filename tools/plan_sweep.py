@@ -1,12 +1,18 @@
 """Registry-wide physical-plan invariant sweep (tooling twin of
 tests/test_plan_audit.py::test_registry_plan_invariants).
 
-Builds every registry query at sf0.01 WITHOUT executing it and reports,
+Builds every registry query at sf0.01 without collecting results and
+reports,
 per row: CartesianProduct / BroadcastNestedLoopJoin occurrences,
 unpruned wide-table scans (a FileScan reading every column of lineitem/
 orders/documents/events), and SortMergeJoins whose condition touches
 the always-tiny nation/region dims.  Run standalone to (re)derive the
 allowlists the CI test pins.
+
+Caveat: a few rows are inherently EAGER at construction (their gates
+need cardinalities — graph_triangles' census, similarity auto modes
+without an n_rows hint), so "building" them runs small jobs at the
+sweep's sf; their plans are still the audited artifact.
 """
 from __future__ import annotations
 
