@@ -90,6 +90,10 @@ FLOOR_NAME = "_floor"
 # any resolution (checkpoint + at most interval-1 deltas).
 CHECKPOINT_INTERVAL = 10
 
+# seconds between lease-wait diagnostic lines on stderr (module-level
+# so tests can shrink it instead of sleeping 30s)
+LEASE_NOTE_INTERVAL = 30.0
+
 
 class Snapshot(tuple):
     """``(version, tables, id)`` — a plain 3-tuple for the existing
@@ -959,7 +963,7 @@ class CommitLog:
         # so an operator can tell post-crash healing (lock aging toward
         # breakable) from waiting out a live long mutation (heartbeats
         # keep the mtime fresh, so the wait never succeeds early)
-        next_note = time.time() + 30.0
+        next_note = time.time() + LEASE_NOTE_INTERVAL
         owner = uuid.uuid4().hex
         me = json.dumps({"owner": owner, "at": time.time()}).encode()
         age: float | None = None
@@ -1004,7 +1008,7 @@ class CommitLog:
                 age = None
                 continue
             if time.time() >= next_note:
-                next_note = time.time() + 30.0
+                next_note = time.time() + LEASE_NOTE_INTERVAL
                 state = (
                     f"holder heartbeated {age:.0f}s ago (LIVE writer — "
                     f"waiting for it to finish; it only becomes "

@@ -500,3 +500,25 @@ def test_unreadable_floor_marker_fails_safe(tmp_path):
         log.data_floor()
     with pytest.raises(RuntimeError):
         log.resolve(1)                       # floor check fails safe
+
+
+def test_lease_wait_diagnostic_lines(tmp_path, monkeypatch, capsys):
+    """While acquire_lease waits it periodically reports WHY on stderr:
+    a live (heartbeat-fresh) holder is named as such, and the eventual
+    TimeoutError says the holder was live — the signal an operator
+    needs to tell post-crash healing from waiting out a live writer."""
+    from covsonar_spark import commitlog as cl
+
+    monkeypatch.setattr(cl, "LEASE_NOTE_INTERVAL", 0.05)
+    log = cl.CommitLog(None, str(tmp_path))
+    owner = log.acquire_lease()
+    try:
+        with pytest.raises(TimeoutError) as ei:
+            log.acquire_lease(timeout=0.8)
+        err = capsys.readouterr().err
+        assert "waiting on writer lease" in err
+        assert "LIVE writer" in err
+        assert "heartbeating" in str(ei.value)
+    finally:
+        log.release_lease(owner)
+    assert log.acquire_lease(timeout=5.0)
