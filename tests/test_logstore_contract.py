@@ -526,3 +526,59 @@ def test_cas_like_metacharacters_do_not_overmatch(tmp_path):
     assert coord.get("mem://s/_log/v1.json") is None
     assert coord.get("mem://s/Xlog/v1.json") is not None
     assert fs.read_bytes("mem://s/Xlog/v1.json") == b"sib"
+
+
+def test_store_runs_on_cas_backend_end_to_end(spark, tmp_path, monkeypatch):
+    """SONAR_LOGSTORE=cas swaps the conditional-put backend under an
+    unmodified SonarStore: real ingest commits through the
+    coordinator, metadata mutations version normally, time travel and
+    vacuum work, and the stock backend reopens the SAME root
+    read-compatibly (the log format is backend-agnostic)."""
+    import os as _os
+
+    from covsonar_spark.store import SonarStore
+
+    monkeypatch.setenv("SONAR_LOGSTORE", "cas")
+    root = str(tmp_path / "cas-store")
+    st = SonarStore.open(spark, root,
+                         ref_path="/root/reference/lib/ref.fna",
+                         gff_path="/root/reference/lib/ref.gff3")
+    from covsonar_spark.logstore import CasObjectFS
+    assert isinstance(st._log.fs, CasObjectFS)
+
+    ref = st.ref_seq
+    recs = spark.createDataFrame(
+        [(f"ACC{i}", "cas e2e", ref[:i + 1 if i else 0] + ref[i + 1 if i else 0:])
+         for i in range(3)],
+        "accession string, description string, sequence string")
+    rep = st.add_fasta_df(recs)
+    assert rep["paranoid_mismatches"] == []
+    v1 = st._log.latest()[0]
+    upd = spark.createDataFrame([("ACC0", "wave-1")],
+                                "accession string, technology string")
+    st.update_metadata(upd)
+    assert _os.path.exists(_os.path.join(root, "_log", ".cas.sqlite"))
+
+    # fresh handle (fresh coordinator connections): reads + time travel
+    st2 = SonarStore.open(spark, root,
+                          ref_path="/root/reference/lib/ref.fna",
+                          gff_path="/root/reference/lib/ref.gff3")
+    assert isinstance(st2._log.fs, CasObjectFS)
+    now = {r["accession"]: r["technology"]
+           for r in st2.table("genomes").select(
+               "accession", "technology").collect()}
+    assert now["ACC0"] == "wave-1" and len(now) == 3
+    then = {r["technology"]
+            for r in st2.table_at("genomes", v1).select(
+                "technology").collect()}
+    assert then == {None}
+    st2.vacuum(min_age_s=0.0, lease_wait=30.0)
+    assert st2.table("genomes").count() == 3
+
+    # and the stock backend reopens the SAME root read-compatibly
+    monkeypatch.delenv("SONAR_LOGSTORE")
+    st3 = SonarStore.open(spark, root,
+                          ref_path="/root/reference/lib/ref.fna",
+                          gff_path="/root/reference/lib/ref.gff3")
+    assert not isinstance(st3._log.fs, CasObjectFS)
+    assert st3.table("genomes").count() == 3
