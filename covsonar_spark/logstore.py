@@ -204,24 +204,28 @@ class CasObjectFS:
 
     # -- reconciliation ------------------------------------------------
 
-    def _complete(self, dst: str, src: str) -> None:
+    def _complete(self, dst: str, src: str) -> bool:
         """Finish a crashed publish: copy src -> dst in the payload
         store, then mark the claim complete.  Idempotent — concurrent
         completers blind-PUT identical bytes (the claim fixed WHOSE
         payload wins when it was made, so every completer copies the
-        same source)."""
+        same source).  Returns True iff a payload is PUBLISHED at dst
+        afterwards (copied now, or already landed); False means the
+        source vanished with nothing at dst — the claim stays
+        incomplete (fail closed: inventing an empty winner would fork
+        history)."""
         try:
             data = self.base.read_bytes(src)
         except FileNotFoundError:
             # source vanished: if the payload already landed this is
-            # just a lost mark_complete — repair it; otherwise the
-            # claim is unreconcilable and stays (fail closed: the slot
-            # was won; inventing an empty winner would fork history)
+            # just a lost mark_complete — repair it
             if self.base.exists(dst):
                 self.coord.mark_complete(dst)
-            return
+                return True
+            return False
         self.base.write_bytes(dst, data, overwrite=True)
         self.coord.mark_complete(dst)
+        return True
 
     def _reconcile(self, prefix: str) -> None:
         for dst, src in self.coord.incomplete_under(prefix):
@@ -307,8 +311,8 @@ class CasObjectFS:
                 # treated as orphaned (its copy may still be
                 # completable from src — fail closed).
                 if self.coord.reclaim(dst, src, got[2]):
-                    self._complete(dst, src)
-                    self.base.delete(src, recursive=False)
+                    if not self._publish_won(dst, src):
+                        return False
                     return True
                 got = self.coord.get(dst)
             # slot claimed: complete a crashed winner's copy before
@@ -319,11 +323,29 @@ class CasObjectFS:
             return False
         if mode == "crash_after_claim":
             raise TimeoutError("injected: died between claim and copy")
-        self._complete(dst, src)
-        self.base.delete(src, recursive=False)
+        if not self._publish_won(dst, src):
+            return False
         if mode == "lost_ack":
             raise TimeoutError("injected: publish landed, ack lost")
         return True
+
+    def _publish_won(self, dst: str, src: str) -> bool:
+        """Winner-path tail after a successful claim: land the payload
+        and consume the source.  If the source vanished before the copy
+        (an external GC of the caller's own staged file — LocalFS's
+        os.link raises FileNotFoundError and reports a clean loss
+        there), release OUR fresh claim and report False: returning
+        True with no payload published would be a data-losing false
+        win, and leaving the empty claim would block the slot."""
+        if self._complete(dst, src):
+            self.base.delete(src, recursive=False)
+            return True
+        got = self.coord.get(dst)
+        # release only OUR claim (matched by source — staged tmp names
+        # are uuid-unique), never a successor's fresh row
+        if got is not None and not got[1] and got[0] == src:
+            self.coord.forget_if(dst, got[2])
+        return False
 
 
 def local_cas_logstore(root: str):

@@ -582,3 +582,35 @@ def test_store_runs_on_cas_backend_end_to_end(spark, tmp_path, monkeypatch):
                           gff_path="/root/reference/lib/ref.gff3")
     assert not isinstance(st3._log.fs, CasObjectFS)
     assert st3.table("genomes").count() == 3
+
+
+def test_cas_src_vanishing_after_claim_is_clean_loss(tmp_path):
+    """If the winner's own source object vanishes between the claim
+    and the copy (an external GC of its staged file), the rename must
+    report a definitive FALSE — returning True with no payload
+    published is a data-losing false win — and must release its empty
+    claim so the slot stays winnable (LocalFS's os.link raises
+    FileNotFoundError and loses cleanly in the same situation)."""
+    mem, coord, fs = _mkcas(tmp_path)
+    fs.write_bytes("mem://s/_log/v1.json.tmp-a", b'{"id": "w1"}')
+
+    real_claim = coord.claim
+
+    def claim_then_lose_src(dst, src):
+        ok = real_claim(dst, src)
+        if ok and src == "mem://s/_log/v1.json.tmp-a":
+            mem.delete(src, recursive=False)    # external GC mid-call
+        return ok
+
+    coord.claim = claim_then_lose_src
+    try:
+        assert fs.rename_no_replace("mem://s/_log/v1.json.tmp-a",
+                                    "mem://s/_log/v1.json") is False
+    finally:
+        coord.claim = real_claim
+    assert not fs.exists("mem://s/_log/v1.json")
+    # the slot stays winnable for the retry / the next writer
+    fs.write_bytes("mem://s/_log/v1.json.tmp-b", b'{"id": "w2"}')
+    assert fs.rename_no_replace("mem://s/_log/v1.json.tmp-b",
+                                "mem://s/_log/v1.json") is True
+    assert fs.read_bytes("mem://s/_log/v1.json") == b'{"id": "w2"}'
