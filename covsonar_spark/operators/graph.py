@@ -200,22 +200,47 @@ def adj_bcast_fits(n_edges: int, n_nodes: int) -> bool:
     return 2 * (n_edges * 8 + n_nodes * 24) <= ADJ_BCAST_MAX_BYTES
 
 
-def oriented_adjacency(e: DataFrame):
+# Degree-rank broadcast gate.  degr is one row per VERTEX (two BIGINTs,
+# ~24 bytes keyed in a hash relation) and the orientation step attaches
+# it TWICE (a side and b side) — so while the payload constant is far
+# smaller than adj's O(|E|) arrays, it still grows linearly with the
+# graph: at 10^9 vertices two copies are ~48 GB through the driver, the
+# same failure mode as the r8 customer/supplier hints.  Same bytes
+# convention as ADJ_BCAST_MAX_BYTES; above the gate (or when the caller
+# has no census) the attach joins carry no hint and AQE sizes them —
+# the trade_edges convention.
+DEGR_BCAST_MAX_BYTES = 128 << 20
+
+
+def degr_bcast_fits(n_nodes: int) -> bool:
+    """True when TWO broadcast copies of the degree-rank table (one
+    24-byte (v, r) hash-relation row per vertex) stay under
+    ``DEGR_BCAST_MAX_BYTES``."""
+    return 2 * n_nodes * 24 <= DEGR_BCAST_MAX_BYTES
+
+
+def oriented_adjacency(e: DataFrame, n_nodes: int | None = None):
     """(oriented, adj) for an undirected (a<b) edge list: edges
     re-oriented from the lower-(degree, id) endpoint to the higher
     (out-degree ≤ O(√E), the standard answer to power-law hubs where
     value-order a<b<c explodes on the hot node), plus the sorted
-    out-neighbor arrays of the oriented graph."""
+    out-neighbor arrays of the oriented graph.
+
+    ``n_nodes`` is the caller's vertex census (graph_triangles already
+    collects it for ``adj_bcast_fits``); the two degree-rank attach
+    joins are broadcast-hinted only when ``degr_bcast_fits(n_nodes)``
+    holds — with no census, or above the gate, they are left unhinted
+    for AQE to size."""
     deg = (e.select(F.col("a").alias("v")).union(e.select("b"))
            .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
     # rank packed into one BIGINT (deg << 32 | id): a single long compare
     # stays inside whole-stage codegen, unlike per-row struct ordering
     rank = F.expr("shiftleft(d, 32) + v")
     degr = deg.select("v", rank.alias("r"))
-    # the degree table IS |V| rows with a scalar payload — broadcasting
-    # it is always right (unlike adj, whose payload is O(|E|))
-    ranked = (e.join(F.broadcast(degr.select(F.col("v").alias("a"), F.col("r").alias("ra"))), "a")
-               .join(F.broadcast(degr.select(F.col("v").alias("b"), F.col("r").alias("rb"))), "b"))
+    hint = (F.broadcast if n_nodes is not None and degr_bcast_fits(n_nodes)
+            else (lambda df: df))
+    ranked = (e.join(hint(degr.select(F.col("v").alias("a"), F.col("r").alias("ra"))), "a")
+               .join(hint(degr.select(F.col("v").alias("b"), F.col("r").alias("rb"))), "b"))
     a_first = F.col("ra") < F.col("rb")
     oriented = ranked.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
@@ -279,8 +304,9 @@ def graph_triangles(spark, sf_dir):
     orientation + adjacency intersection (see oriented_adjacency /
     _tri_count).  |V| and |E| are counted eagerly off the persisted
     edge list — the census needs them for its output row anyway, and
-    they feed ``adj_bcast_fits``, which picks broadcast vs
-    hash-partitioned attach joins for the adjacency.
+    they feed ``adj_bcast_fits`` (broadcast vs hash-partitioned attach
+    joins for the adjacency) and ``degr_bcast_fits`` (hinted vs
+    AQE-sized degree-rank attach in orientation).
 
     NOTE this makes DataFrame CONSTRUCTION run one census job (the
     same convention as similarity.cosine_pairs_exact's auto mode,
@@ -291,9 +317,9 @@ def graph_triangles(spark, sf_dir):
     from covsonar_spark.operators.dedup import _persist_scoped
 
     e = _persist_scoped("tri_edges", copurchase_edges(spark, sf_dir))
-    oriented, adj = oriented_adjacency(e)
-    oriented = _persist_scoped("tri_oriented", oriented)
     n_edges, n_nodes = _census_stats(e)
+    oriented, adj = oriented_adjacency(e, n_nodes=n_nodes)
+    oriented = _persist_scoped("tri_oriented", oriented)
     tri = _tri_count(oriented, adj,
                      broadcast=adj_bcast_fits(n_edges, n_nodes))
     return tri.select(

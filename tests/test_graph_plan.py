@@ -43,6 +43,14 @@ def test_adj_bcast_gate_arithmetic():
     assert not graph.adj_bcast_fits(0, cap // 48 + 1)
 
 
+def test_degr_bcast_gate_arithmetic():
+    # two 24-byte hash-relation rows per vertex vs the cap
+    cap = graph.DEGR_BCAST_MAX_BYTES
+    assert graph.degr_bcast_fits(1_000)
+    assert graph.degr_bcast_fits(cap // 48)
+    assert not graph.degr_bcast_fits(cap // 48 + 1)
+
+
 def _tri_truth(edges) -> int:
     adj: dict[int, set[int]] = {}
     for a, b in edges:
@@ -53,6 +61,37 @@ def _tri_truth(edges) -> int:
         for a, b, c in itertools.combinations(sorted(adj), 3)
         if b in adj[a] and c in adj[a] and c in adj[b]
     )
+
+
+def test_degr_hints_follow_gate(spark):
+    # the two degree-rank attach joins are hinted ONLY below the gate
+    # and only when the caller supplied a census; no census or an
+    # over-gate vertex count leaves orientation to AQE
+    e = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    hinted, _ = graph.oriented_adjacency(e, n_nodes=3)
+    assert _analyzed(hinted).count("ResolvedHint") == 2
+    unhinted, _ = graph.oriented_adjacency(e)
+    assert _analyzed(unhinted).count("ResolvedHint") == 0
+    over, _ = graph.oriented_adjacency(
+        e, n_nodes=graph.DEGR_BCAST_MAX_BYTES // 48 + 1)
+    assert _analyzed(over).count("ResolvedHint") == 0
+
+
+def test_triangles_no_hints_above_both_gates(spark, monkeypatch):
+    # above BOTH gates (the 100 TB shape) not one broadcast hint
+    # survives anywhere in the triangle plan — degree attach, adjacency
+    # attach, everything is AQE/hash-partitioned
+    monkeypatch.setattr(graph, "ADJ_BCAST_MAX_BYTES", 0)
+    monkeypatch.setattr(graph, "DEGR_BCAST_MAX_BYTES", 0)
+    tri = graph.graph_triangles(spark, SF)
+    assert _analyzed(tri).count("ResolvedHint") == 0
+
+
+def test_triangles_degr_fallback_value_equal(spark, monkeypatch):
+    want = [r.asDict() for r in graph.graph_triangles(spark, SF).collect()]
+    monkeypatch.setattr(graph, "DEGR_BCAST_MAX_BYTES", 0)
+    got = [r.asDict() for r in graph.graph_triangles(spark, SF).collect()]
+    assert got == want and want[0]["n_triangles"] > 0
 
 
 def test_tri_count_paths_equal_hub_heavy(spark):
