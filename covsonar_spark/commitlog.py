@@ -82,6 +82,10 @@ LOG_DIR = "_log"
 LOCK_NAME = "LOCK"
 HINT_NAME = "_last"
 FLOOR_NAME = "_floor"
+# records which LogStore backend arbitrates this root's writes (written
+# at the first coordinator-backed open; absent on stock/legacy roots) —
+# see StoreBackendMismatch
+BACKEND_MARKER = ".backend"
 
 # a full snapshot ("checkpoint") commit is written at least every this
 # many commits; the ones between carry table DELTAS.  Bounds both the
@@ -116,6 +120,17 @@ def is_remote(path: str) -> bool:
     apply.  Single-letter schemes are Windows drive letters."""
     scheme = urlparse(path).scheme
     return len(scheme) > 1 and scheme != "file"
+
+
+class StoreBackendMismatch(RuntimeError):
+    """This writer's LogStore backend disagrees with the one recorded
+    in the root's ``_log/.backend`` marker.  Mutual exclusion is only
+    provided WITHIN a backend: a CAS-coordinator writer decides winners
+    in the coordinator table while a stock/condput writer decides on
+    the payload store itself, so one writer of each kind can both
+    'win' the same commit slot (or the lease lock) and silently lose a
+    commit.  All writers of a root must select the same backend
+    (SONAR_LOGSTORE); reads stay backend-agnostic."""
 
 
 class StoreWriteConflict(RuntimeError):
@@ -558,6 +573,51 @@ class CommitLog:
         else:
             self.fs = LocalFS() if not is_remote(root) \
                 else HadoopFS(spark, root)
+        self._backend_ok = False
+
+    def _check_backend_marker(self) -> None:
+        """Mixed-backend writer guard, once per handle before the first
+        mutation: a coordinator-arbitrated backend (cas) only provides
+        mutual exclusion when EVERY writer of the root goes through its
+        coordinator, so the first such open records a marker and any
+        later writer whose selected backend disagrees with a
+        cas-involving marker is refused.  condput-vs-stock is exempt:
+        both arbitrate on the payload store's own atomic create, so
+        they exclude each other correctly.  Reads never come here — the
+        log format is backend-agnostic."""
+        if self._backend_ok:
+            return
+        mine = getattr(self.fs, "BACKEND", "fs")
+        marker = f"{self.log_dir}/{BACKEND_MARKER}"
+
+        def _read_marker():
+            # broad catch: HadoopFS surfaces a missing file as a
+            # Py4JJavaError, not a Python FileNotFoundError
+            try:
+                return self.fs.read_bytes(marker).decode().strip()
+            except Exception:  # noqa: BLE001
+                return None
+
+        recorded = _read_marker()
+        if recorded is None and mine != "fs":
+            # first non-stock open of this root: record the backend.
+            # put-if-absent keeps a race of first-openers from tearing;
+            # on loss, read what the winner recorded.
+            try:
+                self.fs.write_bytes(marker, mine.encode(), overwrite=False)
+                recorded = mine
+            except Exception:  # noqa: BLE001 — lost the race / RO fs
+                recorded = _read_marker()
+        if (recorded is not None and recorded != mine
+                and "cas" in (recorded, mine)):
+            raise StoreBackendMismatch(
+                f"store root {self.root} is arbitrated by LogStore "
+                f"backend '{recorded}' (recorded in {marker}) but this "
+                f"writer selected '{mine}'. Mixed-backend writers can "
+                "both win one commit slot and silently lose a commit — "
+                "set SONAR_LOGSTORE so every writer of this root uses "
+                "the same backend (covsonar_spark/logstore.py).")
+        self._backend_ok = True
 
     # -- read side ----------------------------------------------------
 
@@ -851,6 +911,7 @@ class CommitLog:
             body["tables"] = tables
         raw = json.dumps(body, indent=1).encode()
         self.fs.mkdirs(self.log_dir)
+        self._check_backend_marker()
         tmp = f"{self._commit_path(new_v)}.tmp-{uuid.uuid4().hex[:8]}"
         self.fs.write_bytes(tmp, raw, overwrite=True)
         try:
@@ -957,6 +1018,7 @@ class CommitLog:
         lock = f"{self.log_dir}/{LOCK_NAME}"
         breaking = f"{lock}.breaking"
         self.fs.mkdirs(self.log_dir)
+        self._check_backend_marker()
         deadline = time.time() + timeout
         # long waits (vacuum defaults to outlasting the staleness
         # threshold) are silent otherwise — surface WHY we're waiting
@@ -1032,13 +1094,23 @@ class CommitLog:
                     continue
                 if self.fs.rename_no_replace(lock, breaking):
                     fresh = False
-                    try:
-                        # a fresh mtime proves a live lock was displaced
-                        # even when its owner record is unreadable
-                        fresh = (time.time() - self.fs.mtime(breaking)
-                                 ) <= lease_timeout
-                    except Exception:  # noqa: BLE001
-                        pass
+                    if getattr(self.fs, "RENAME_PRESERVES_MTIME", True):
+                        try:
+                            # a fresh mtime proves a live lock was
+                            # displaced even when its owner record is
+                            # unreadable.  Only meaningful on backends
+                            # whose rename carries the source mtime
+                            # (hardlink/rename); the copy-based
+                            # conditional-put backends stamp the copy
+                            # time, which ALWAYS reads fresh — trusting
+                            # it restored every displaced stale lock
+                            # and made a dead holder's lease
+                            # unbreakable forever
+                            fresh = (time.time()
+                                     - self.fs.mtime(breaking)
+                                     ) <= lease_timeout
+                        except Exception:  # noqa: BLE001
+                            pass
                     try:
                         cur = json.loads(self.fs.read_bytes(
                             breaking).decode()).get("owner")
@@ -1245,10 +1317,12 @@ class CommitLog:
             # mkdir-mutex dirs leaked by a holder (or breaker) that
             # died mid-critical-section on a hardlink-less mount;
             # .lnkprobe- : probe files leaked between create and
-            # unlink.  All honor the min-age floor so a LIVE
-            # gate/claim/probe is never deleted.
+            # unlink; .cp- : LocalCondPutStore put-if-absent staging
+            # leaked by a crash between write and unlink.  All honor
+            # the min-age floor so a LIVE gate/claim/probe is never
+            # deleted.
             if (".tmp-" in name or ".wr-" in name
-                    or ".gate" in name
+                    or ".gate" in name or ".cp-" in name
                     or name.startswith(".lnkprobe-")):
                 # gates are DIRS holding an owner stamp — recursive
                 recursive = ".gate" in name

@@ -18,7 +18,18 @@ log slot.  This module provides
   * :class:`CasObjectFS` — the LogStore built from (coordinator +
     payload store): every plain operation delegates to the payload
     store; ``rename_no_replace`` claims the destination slot in the
-    coordinator first and only the claim winner copies bytes.
+    coordinator first and only the claim winner copies bytes;
+  * :class:`CondPutObjectFS` — the CLAIM-FREE second production shape
+    (S3 ``If-None-Match: *``): the payload store's own atomic
+    put-if-absent arbitrates, the payload IS the claim, and the
+    reconciliation machinery disappears.
+
+A root's writers must ALL use the same backend: CasObjectFS decides
+winners in the coordinator while the stock/condput shapes decide on the
+payload store itself, so a mixed pair can both "win" one slot.  The
+first coordinator-backed open records a ``_log/.backend`` marker and
+CommitLog refuses mutations whose selected backend disagrees with it
+(reads stay backend-agnostic — the log format is identical).
 
 Crash anatomy (the part blind PUTs get wrong): a writer can die AFTER
 winning the claim but BEFORE its payload lands.  The claim row records
@@ -35,8 +46,8 @@ parametrized over this class):
 
   1. a conditional put that atomically claims one key for one caller
      (DynamoDB ``PutItem`` with ``attribute_not_exists``, or S3
-     ``If-None-Match: *`` conditional PUT — in the latter case the
-     payload IS the claim and reconciliation disappears);
+     ``If-None-Match: *`` conditional PUT — the latter is the
+     claim-free shape :class:`CondPutObjectFS` models);
   2. claim rows carrying (dst, src, complete) so crashed publishes
      are completable by any observer;
   3. read/list paths that reconcile incomplete claims before
@@ -86,16 +97,24 @@ class SQLiteCoordinator:
             self._local.conn = c
         return c
 
-    def claim(self, dst: str, src: str) -> bool:
-        """True iff THIS call claimed ``dst`` (the CAS)."""
+    def claim(self, dst: str, src: str) -> float | None:
+        """The fresh claim's ``at`` identity stamp iff THIS call
+        claimed ``dst`` (the CAS); None when the slot was taken.
+        Truthy-on-win, and the winner needs the stamp to condition its
+        own completion on (ABA guard in CasObjectFS._complete)."""
+        at = time.time()
         cur = self._conn().execute(
             "INSERT OR IGNORE INTO slots(path, src, complete, at)"
-            " VALUES (?, ?, 0, ?)", (dst, src, time.time()))
-        return cur.rowcount == 1
+            " VALUES (?, ?, 0, ?)", (dst, src, at))
+        return at if cur.rowcount == 1 else None
 
-    def mark_complete(self, dst: str) -> None:
+    def mark_complete(self, dst: str, at: float) -> None:
+        """Mark ONE claim (identified by its ``at`` stamp) complete —
+        an unconditioned by-path update could stamp a SUCCESSOR's fresh
+        incomplete claim complete before its payload landed."""
         self._conn().execute(
-            "UPDATE slots SET complete = 1 WHERE path = ?", (dst,))
+            "UPDATE slots SET complete = 1 WHERE path = ? AND at = ?",
+            (dst, at))
 
     def get(self, dst: str):
         """(src, complete, at) for a claimed path, or None."""
@@ -104,10 +123,11 @@ class SQLiteCoordinator:
             (dst,)).fetchone()
         return None if row is None else (row[0], bool(row[1]), row[2])
 
-    def reclaim(self, dst: str, src: str, old_at: float) -> bool:
+    def reclaim(self, dst: str, src: str, old_at: float) -> float | None:
         """Atomically replace an ORPHANED claim (identified by its
-        ``at`` stamp) with a fresh incomplete claim for this caller.
-        One transaction: delete-if-still-that-claim + insert — of any
+        ``at`` stamp) with a fresh incomplete claim for this caller,
+        returning the fresh claim's ``at`` (None on loss).  One
+        transaction: delete-if-still-that-claim + insert — of any
         set of concurrent reclaimers of the same orphan, exactly one
         succeeds (a plain forget-then-claim would let a second
         reclaimer forget the first one's FRESH claim: two winners)."""
@@ -119,12 +139,13 @@ class SQLiteCoordinator:
                 " AND complete = 1", (dst, old_at))
             if cur.rowcount != 1:
                 c.execute("ROLLBACK")
-                return False
+                return None
+            at = time.time()
             c.execute(
                 "INSERT INTO slots(path, src, complete, at)"
-                " VALUES (?, ?, 0, ?)", (dst, src, time.time()))
+                " VALUES (?, ?, 0, ?)", (dst, src, at))
             c.execute("COMMIT")
-            return True
+            return at
         except BaseException:
             c.execute("ROLLBACK")
             raise
@@ -142,10 +163,12 @@ class SQLiteCoordinator:
         return esc + "/%"
 
     def incomplete_under(self, prefix: str):
-        """[(dst, src)] of incomplete claims at or under ``prefix``."""
+        """[(dst, src, at)] of incomplete claims at or under
+        ``prefix`` — ``at`` is the claim identity a completer must
+        re-check before its blind PUT (see CasObjectFS._complete)."""
         pre = prefix.rstrip("/")
         return self._conn().execute(
-            "SELECT path, src FROM slots WHERE complete = 0"
+            "SELECT path, src, at FROM slots WHERE complete = 0"
             " AND (path = ? OR path LIKE ? ESCAPE '\\')",
             (pre, self._like_prefix(pre))).fetchall()
 
@@ -171,16 +194,16 @@ class SQLiteCoordinator:
             "DELETE FROM slots WHERE path = ? AND at = ?", (path, at))
 
     def incomplete_claiming_src(self, src: str, recursive: bool):
-        """[(dst, src)] of incomplete claims whose SOURCE is ``src``
-        (or lives under it, when recursive)."""
+        """[(dst, src, at)] of incomplete claims whose SOURCE is
+        ``src`` (or lives under it, when recursive)."""
         pre = src.rstrip("/")
         if recursive:
             return self._conn().execute(
-                "SELECT path, src FROM slots WHERE complete = 0"
+                "SELECT path, src, at FROM slots WHERE complete = 0"
                 " AND (src = ? OR src LIKE ? ESCAPE '\\')",
                 (pre, self._like_prefix(pre))).fetchall()
         return self._conn().execute(
-            "SELECT path, src FROM slots WHERE complete = 0 AND src = ?",
+            "SELECT path, src, at FROM slots WHERE complete = 0 AND src = ?",
             (pre,)).fetchall()
 
 
@@ -197,6 +220,12 @@ class CasObjectFS:
     between the claim and the payload copy — the crash window unique
     to the coordinator shape, healed by reconciliation-on-read."""
 
+    BACKEND = "cas"   # backend marker value (CommitLog mixed-writer guard)
+    # the publish is a byte COPY: the destination's mtime is the copy
+    # time, not the source's — mtime-freshness heuristics across a
+    # rename (the lease-break restore check) must not trust it
+    RENAME_PRESERVES_MTIME = False
+
     def __init__(self, base, coord: SQLiteCoordinator):
         self.base = base
         self.coord = coord
@@ -204,7 +233,7 @@ class CasObjectFS:
 
     # -- reconciliation ------------------------------------------------
 
-    def _complete(self, dst: str, src: str) -> bool:
+    def _complete(self, dst: str, src: str, at: float) -> bool:
         """Finish a crashed publish: copy src -> dst in the payload
         store, then mark the claim complete.  Idempotent — concurrent
         completers blind-PUT identical bytes (the claim fixed WHOSE
@@ -213,23 +242,41 @@ class CasObjectFS:
         afterwards (copied now, or already landed); False means the
         source vanished with nothing at dst — the claim stays
         incomplete (fail closed: inventing an empty winner would fork
-        history)."""
+        history).
+
+        ``at`` is the identity stamp of the claim being completed, and
+        it is re-checked immediately before the blind PUT / the
+        mark_complete: a completer can stall between read_bytes(src)
+        and write_bytes(dst), and if the slot is deleted in that window
+        (vacuum reaping it releases the claim via delete -> forget_if)
+        the stale PUT would RESURRECT the deleted object with no claim
+        row guarding it (ABA).  When the claim changed or vanished the
+        copy is skipped and the answer is simply whether a payload is
+        currently published."""
+        def _still_ours() -> bool:
+            got = self.coord.get(dst)
+            return got is not None and got[0] == src and got[2] == at
+
         try:
             data = self.base.read_bytes(src)
         except FileNotFoundError:
             # source vanished: if the payload already landed this is
-            # just a lost mark_complete — repair it
+            # just a lost mark_complete — repair it (only while the
+            # claim is still the one we were completing)
             if self.base.exists(dst):
-                self.coord.mark_complete(dst)
+                if _still_ours():
+                    self.coord.mark_complete(dst, at)
                 return True
             return False
+        if not _still_ours():
+            return self.base.exists(dst)
         self.base.write_bytes(dst, data, overwrite=True)
-        self.coord.mark_complete(dst)
+        self.coord.mark_complete(dst, at)
         return True
 
     def _reconcile(self, prefix: str) -> None:
-        for dst, src in self.coord.incomplete_under(prefix):
-            self._complete(dst, src)
+        for dst, src, at in self.coord.incomplete_under(prefix):
+            self._complete(dst, src, at)
 
     # -- plain surface (object-store semantics, reconciling reads) -----
 
@@ -249,8 +296,9 @@ class CasObjectFS:
         # slot's only payload, and with it gone the version would be
         # forever unreadable AND unclaimable.  Complete the publish
         # first — garbage collection doubles as the healer.
-        for dst, src in self.coord.incomplete_claiming_src(path, recursive):
-            self._complete(dst, src)
+        for dst, src, at in self.coord.incomplete_claiming_src(path,
+                                                               recursive):
+            self._complete(dst, src, at)
         # snapshot the claim identities BEFORE deleting the objects:
         # the release below must be conditioned on them.  In the window
         # between base.delete and the release, a concurrent renamer can
@@ -299,7 +347,8 @@ class CasObjectFS:
             raise TimeoutError("injected: call lost before the claim")
         if not self.base.exists(src):
             return False          # another renamer consumed src first
-        if not self.coord.claim(dst, src):
+        at = self.coord.claim(dst, src)
+        if at is None:
             got = self.coord.get(dst)
             if got is not None and got[1] and not self.base.exists(dst):
                 # ORPHANED claim: completed long ago but its object was
@@ -310,8 +359,9 @@ class CasObjectFS:
                 # the orphan's identity.  An INCOMPLETE claim is never
                 # treated as orphaned (its copy may still be
                 # completable from src — fail closed).
-                if self.coord.reclaim(dst, src, got[2]):
-                    if not self._publish_won(dst, src):
+                re_at = self.coord.reclaim(dst, src, got[2])
+                if re_at is not None:
+                    if not self._publish_won(dst, src, re_at):
                         return False
                     return True
                 got = self.coord.get(dst)
@@ -319,25 +369,34 @@ class CasObjectFS:
             # reporting the loss, so the loser's read-back sees the
             # winner's payload, not a hole
             if got is not None and not got[1]:
-                self._complete(dst, got[0])
+                self._complete(dst, got[0], got[2])
             return False
         if mode == "crash_after_claim":
             raise TimeoutError("injected: died between claim and copy")
-        if not self._publish_won(dst, src):
+        if not self._publish_won(dst, src, at):
             return False
         if mode == "lost_ack":
             raise TimeoutError("injected: publish landed, ack lost")
         return True
 
-    def _publish_won(self, dst: str, src: str) -> bool:
-        """Winner-path tail after a successful claim: land the payload
-        and consume the source.  If the source vanished before the copy
-        (an external GC of the caller's own staged file — LocalFS's
-        os.link raises FileNotFoundError and reports a clean loss
-        there), release OUR fresh claim and report False: returning
-        True with no payload published would be a data-losing false
-        win, and leaving the empty claim would block the slot."""
-        if self._complete(dst, src):
+    def _publish_won(self, dst: str, src: str, at: float) -> bool:
+        """Winner-path tail after a successful claim (identity ``at``):
+        land the payload and consume the source.  If the source
+        vanished before the copy (an external GC of the caller's own
+        staged file — LocalFS's os.link raises FileNotFoundError and
+        reports a clean loss there), release OUR fresh claim and report
+        False: returning True with no payload published would be a
+        data-losing false win, and leaving the empty claim would block
+        the slot."""
+        if self._complete(dst, src, at):
+            # a True from _complete means A payload is published; a WIN
+            # means OUR payload is.  If the slot was deleted mid-publish
+            # (released our claim) and a successor took it over, the
+            # published payload is the successor's — report a loss
+            # rather than double-winning the slot.
+            got = self.coord.get(dst)
+            if got is None or got[0] != src or got[2] != at:
+                return False
             self.base.delete(src, recursive=False)
             return True
         got = self.coord.get(dst)
@@ -346,6 +405,116 @@ class CasObjectFS:
         if got is not None and not got[1] and got[0] == src:
             self.coord.forget_if(dst, got[2])
         return False
+
+
+class CondPutObjectFS:
+    """The CLAIM-FREE conditional-put LogStore: the payload store
+    itself provides an atomic put-if-absent (S3 ``If-None-Match: *``
+    conditional PUT, GCS ``ifGenerationMatch=0``, ABS ``If-None-Match``)
+    so the payload IS the claim — no coordinator, no claim rows, and
+    reconciliation disappears entirely (there is no state in which a
+    slot is claimed but unreadable).
+
+    ``base`` must expose ``put_if_absent(path, data) -> bool`` with
+    full-object atomicity — of any set of concurrent putters for one
+    key, exactly one True, and the key then holds exactly that caller's
+    complete payload — plus the plain object surface.  Everything but
+    ``rename_no_replace`` delegates.
+
+    Crash anatomy: the only crash window is *after* the conditional PUT
+    landed and *before* the staged source is deleted — the source
+    merely leaks (vacuum reaps aged .tmp- files) and the outcome is
+    decided, because the PUT was the commit point.  A call lost in
+    flight surfaces as an exception with the outcome unknown; commit()
+    resolves it by reading the slot back, same as every backend.
+
+    ``fail`` mirrors the contract suite's injection hooks ("lost_call"
+    raises before anything happens, "lost_ack" raises after the publish
+    fully landed); there is no "crash_after_claim" — that window does
+    not exist in this shape."""
+
+    BACKEND = "condput"
+    RENAME_PRESERVES_MTIME = False   # the conditional PUT stamps now
+
+    def __init__(self, base):
+        self.base = base
+        self.fail: list[str] = []
+
+    def exists(self, path: str) -> bool:
+        return self.base.exists(path)
+
+    def mkdirs(self, path: str) -> None:
+        self.base.mkdirs(path)
+
+    def delete(self, path: str, recursive: bool = True) -> bool:
+        return self.base.delete(path, recursive=recursive)
+
+    def mtime(self, path: str) -> float:
+        return self.base.mtime(path)
+
+    def touch(self, path: str) -> None:
+        self.base.touch(path)
+
+    def write_bytes(self, path: str, data: bytes,
+                    overwrite: bool = True) -> None:
+        self.base.write_bytes(path, data, overwrite=overwrite)
+
+    def read_bytes(self, path: str) -> bytes:
+        return self.base.read_bytes(path)
+
+    def list_names(self, path: str):
+        return self.base.list_names(path)
+
+    def rename_no_replace(self, src: str, dst: str) -> bool:
+        mode = self.fail.pop(0) if self.fail else None
+        if mode == "lost_call":
+            raise TimeoutError("injected: PUT lost before landing")
+        try:
+            data = self.base.read_bytes(src)
+        except FileNotFoundError:
+            return False          # another renamer consumed src first
+        if not self.base.put_if_absent(dst, data):
+            return False
+        # the PUT was the commit point; the source is now just staging
+        # garbage — best-effort delete, vacuum reaps a leak
+        self.base.delete(src, recursive=False)
+        if mode == "lost_ack":
+            raise TimeoutError("injected: publish landed, ack lost")
+        return True
+
+
+class LocalCondPutStore:
+    """Posix payload store exposing the atomic ``put_if_absent``
+    primitive CondPutObjectFS needs: full-content tmp write + hardlink
+    (creation-atomic AND content-atomic — a reader can never observe a
+    torn object, exactly the S3 conditional-PUT guarantee).  Plain
+    operations delegate to :class:`commitlog.LocalFS`."""
+
+    def __init__(self):
+        from covsonar_spark.commitlog import LocalFS
+
+        self._fs = LocalFS()
+
+    def __getattr__(self, name):
+        return getattr(self._fs, name)
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        import uuid
+
+        p = self._fs._p(path)
+        tmp = f"{p}.cp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        try:
+            os.link(tmp, p)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
 
 def local_cas_logstore(root: str):
@@ -359,3 +528,31 @@ def local_cas_logstore(root: str):
     base.mkdirs(f"{root}/{LOG_DIR}")
     return CasObjectFS(base, SQLiteCoordinator(
         os.path.join(root, LOG_DIR, ".cas.sqlite")))
+
+
+def env_logstore(root: str):
+    """The LogStore selected by ``SONAR_LOGSTORE`` for a LOCAL root
+    (None = stock).  Tools that build a CommitLog directly (stress
+    harnesses, admin scripts) must go through this — constructing with
+    the default backend on a coordinator-arbitrated root trips the
+    mixed-writer guard by design."""
+    backend = os.environ.get("SONAR_LOGSTORE")
+    if backend == "cas":
+        return local_cas_logstore(root)
+    if backend == "condput":
+        return local_condput_logstore(root)
+    return None
+
+
+def local_condput_logstore(root: str):
+    """The deployable local composition of the claim-free shape:
+    payload bytes on the local filesystem whose put-if-absent is a
+    tmp-write + hardlink — swap :class:`LocalCondPutStore` for an S3
+    adapter whose ``put_if_absent`` issues ``PUT`` with
+    ``If-None-Match: *`` and the same store runs on raw S3 with no
+    coordinator at all."""
+    from covsonar_spark.commitlog import LOG_DIR
+
+    base = LocalCondPutStore()
+    base.mkdirs(f"{root}/{LOG_DIR}")
+    return CondPutObjectFS(base)

@@ -112,19 +112,35 @@ class MemObjectFS:
             return sorted({k[len(pre):].split("/")[0]
                            for k in self._obj if k.startswith(pre)})
 
+    def put_if_absent(self, path, data):
+        """Atomic conditional create (S3 ``If-None-Match: *``) — the
+        primitive the claim-free CondPutObjectFS shape builds on."""
+        with self._lock:
+            if path in self._obj:
+                return False
+            self._obj[path] = bytes(data)
+            self._mtime[path] = time.time()
+            return True
 
-@pytest.fixture(params=["mem", "cas"])
+
+@pytest.fixture(params=["mem", "cas", "condput"])
 def make_fs(request, tmp_path):
     """Factory for the LogStore under test: the adversarial in-memory
-    fake, or the real conditional-put backend (logstore.CasObjectFS —
-    SQLite CAS coordinator over the same fake as its payload store, so
-    the payload layer stays an object store with NO atomic rename).
-    Both expose the same ``fail`` injection hooks."""
+    fake, the coordinator-arbitrated conditional-put backend
+    (logstore.CasObjectFS — SQLite CAS coordinator over the same fake
+    as its payload store, so the payload layer stays an object store
+    with NO atomic rename), or the claim-free conditional-put backend
+    (logstore.CondPutObjectFS — the payload store's own atomic
+    put-if-absent arbitrates).  All expose the same ``fail`` injection
+    hooks."""
 
     def factory():
         mem = MemObjectFS()
         if request.param == "mem":
             return mem
+        if request.param == "condput":
+            from covsonar_spark.logstore import CondPutObjectFS
+            return CondPutObjectFS(mem)
         from covsonar_spark.logstore import CasObjectFS, SQLiteCoordinator
         return CasObjectFS(
             mem, SQLiteCoordinator(str(tmp_path / "cas.sqlite")))
@@ -582,6 +598,284 @@ def test_store_runs_on_cas_backend_end_to_end(spark, tmp_path, monkeypatch):
                           gff_path="/root/reference/lib/ref.gff3")
     assert not isinstance(st3._log.fs, CasObjectFS)
     assert st3.table("genomes").count() == 3
+
+
+# -- claim-free shape (CondPutObjectFS) ------------------------------------
+
+def _mkcondput(mem=None):
+    from covsonar_spark.logstore import CondPutObjectFS
+    mem = mem or MemObjectFS()
+    return mem, CondPutObjectFS(mem)
+
+
+def test_condput_never_uses_payload_store_rename():
+    """The claim-free shape rests ONLY on the payload store's atomic
+    put-if-absent: a full protocol exchange must never consult the
+    payload store's own rename primitive, and must leave no coordinator
+    state anywhere (the payload IS the claim)."""
+    mem, fs = _mkcondput()
+    log = _mklog(fs)
+    snap = None
+    for i in range(12):
+        snap = log.latest()
+        base = dict(snap[1]) if snap else {}
+        tables = {**{t: list(d) for t, d in base.items()},
+                  "t": base.get("t", []) + [f"d{i}"]}
+        log.commit(snap[0] if snap else 0, tables,
+                   base_tables=base if snap else None,
+                   base_checkpoint=(getattr(snap, "checkpoint", None)
+                                    if snap else None))
+    assert log.latest()[0] == 12
+    log.vacuum({}, retain_last=2, min_age_s=0.0)
+    assert mem.renames == 0
+
+
+def test_condput_loser_does_not_consume_src():
+    """A conditional PUT that loses (dst already exists) must leave the
+    caller's source untouched — the commit read-back needs nothing, but
+    a lock-acquire loop re-stages from scratch and vacuum owns the tmp;
+    eagerly deleting a loser's src would be fine, silently deleting a
+    WINNER's src on a false loss would not, so the invariant is: src is
+    consumed exactly on True."""
+    mem, fs = _mkcondput()
+    fs.write_bytes("mem://s/_log/t1", b"A")
+    assert fs.rename_no_replace("mem://s/_log/t1", "mem://s/_log/v1.json")
+    fs.write_bytes("mem://s/_log/t2", b"B")
+    assert fs.rename_no_replace("mem://s/_log/t2",
+                                "mem://s/_log/v1.json") is False
+    assert fs.read_bytes("mem://s/_log/t2") == b"B"        # src survives
+    assert fs.read_bytes("mem://s/_log/v1.json") == b"A"   # winner intact
+    assert not fs.exists("mem://s/_log/t1")                # winner's consumed
+
+
+def test_condput_crash_between_put_and_src_delete_is_decided():
+    """The shape's only crash window: the conditional PUT landed, the
+    process died before deleting its staged source.  The outcome is
+    DECIDED (the PUT was the commit point) — the read-back self-heals
+    to a win and the leaked source is ordinary vacuum fodder."""
+    mem, fs = _mkcondput()
+    log = _mklog(fs)
+    v = log.commit(0, {"t": ["a"]})
+    fs.fail = ["lost_ack"]   # lands fully, then the ack is lost
+    v2 = log.commit(v, {"t": ["a", "b"]}, commit_id="mine")
+    assert v2 == v + 1 and log.resolve(v2)["id"] == "mine"
+
+
+def test_condput_concurrent_putters_single_winner():
+    mem, _ = _mkcondput()
+    from covsonar_spark.logstore import CondPutObjectFS
+    a, b = CondPutObjectFS(mem), CondPutObjectFS(mem)
+    a.write_bytes("mem://s/ta", b"A")
+    b.write_bytes("mem://s/tb", b"B")
+    ra = a.rename_no_replace("mem://s/ta", "mem://s/v1.json")
+    rb = b.rename_no_replace("mem://s/tb", "mem://s/v1.json")
+    assert (ra, rb) in ((True, False), (False, True))
+    assert a.read_bytes("mem://s/v1.json") == (b"A" if ra else b"B")
+
+
+def test_local_condput_store_put_if_absent(tmp_path):
+    """The posix composition's primitive: tmp write + hardlink is
+    creation-atomic and content-atomic, loses cleanly on an existing
+    destination, and leaves no staging files behind."""
+    import os as _os
+
+    from covsonar_spark.logstore import LocalCondPutStore
+    st = LocalCondPutStore()
+    p = str(tmp_path / "obj")
+    assert st.put_if_absent(p, b"first") is True
+    assert st.put_if_absent(p, b"second") is False
+    assert st.read_bytes(p) == b"first"
+    assert [n for n in _os.listdir(tmp_path) if ".cp-" in n] == []
+
+
+# -- mixed-backend writer guard (ADVICE r9: backend marker) ----------------
+
+def test_backend_marker_refuses_mixed_writers(tmp_path):
+    """A root first written through the CAS coordinator records a
+    ``_log/.backend`` marker; a stock-backend writer on the same root
+    must be refused at mutation time (commit AND lease), because its
+    hardlink wins bypass the coordinator — two writers, one per
+    backend, could both win one slot.  Reads stay backend-agnostic."""
+    from covsonar_spark.commitlog import StoreBackendMismatch
+
+    mem, coord, fs = _mkcas(tmp_path)
+    log = _mklog(fs)
+    v = log.commit(0, {"t": ["a"]})
+    assert mem.read_bytes("mem://store/_log/.backend") == b"cas"
+
+    stock = _mklog(mem)                      # same root, stock semantics
+    assert stock.latest()[0] == v            # reads fine
+    with pytest.raises(StoreBackendMismatch):
+        stock.commit(v, {"t": ["a", "b"]})
+    with pytest.raises(StoreBackendMismatch):
+        stock.acquire_lease(timeout=1.0)
+    assert log.latest()[0] == v              # log unharmed
+
+    # and the reverse misconfiguration: a condput writer on a cas root
+    from covsonar_spark.logstore import CondPutObjectFS
+    cond = _mklog(CondPutObjectFS(mem))
+    with pytest.raises(StoreBackendMismatch):
+        cond.commit(v, {"t": ["a", "c"]})
+
+
+def test_backend_marker_adopts_legacy_root(tmp_path):
+    """A marker-less (stock-written) root adopted by a cas writer:
+    the first cas mutation records the marker, after which stock
+    writers are refused — the documented single-backend discipline."""
+    from covsonar_spark.commitlog import StoreBackendMismatch
+
+    mem = MemObjectFS()
+    stock = _mklog(mem)
+    v = stock.commit(0, {"t": ["a"]})
+    _, coord, fs = _mkcas(tmp_path, mem)
+    caslog = _mklog(fs)
+    v2 = caslog.commit(v, {"t": ["a", "b"]})
+    assert mem.read_bytes("mem://store/_log/.backend") == b"cas"
+    stock2 = _mklog(mem)                 # fresh stock handle, same root
+    with pytest.raises(StoreBackendMismatch):
+        stock2.commit(v2, {"t": ["a", "b", "c"]})
+
+
+def test_backend_marker_condput_and_stock_coexist():
+    """condput-vs-stock is exempt from the refusal: both arbitrate on
+    the payload store's own atomic create, so they mutually exclude
+    correctly (on posix: hardlink vs hardlink)."""
+    mem, fs = _mkcondput()
+    log = _mklog(fs)
+    v = log.commit(0, {"t": ["a"]})
+    assert mem.read_bytes("mem://store/_log/.backend") == b"condput"
+    stock = _mklog(mem)
+    v2 = stock.commit(v, {"t": ["a", "b"]})     # allowed
+    assert log.latest()[0] == v2
+
+
+# -- ABA resurrection guard (ADVICE r9) ------------------------------------
+
+def test_cas_stale_heal_does_not_resurrect_deleted_slot(tmp_path):
+    """A healer completing a crashed publish stalls between reading the
+    source and the blind PUT; the slot is deleted (vacuum reaps the
+    contended name, releasing the claim) in that window.  The stale PUT
+    must be SKIPPED — executing it would resurrect the deleted object
+    with no claim row guarding it, and the next conditional put would
+    see an unclaimed-but-present object (a forked history for recycled
+    names like the lease lock)."""
+    mem, coord, fs = _mkcas(tmp_path)
+    fs.write_bytes("mem://s/_log/v7.json.tmp-a", b'{"id": "w1"}')
+    fs.fail = ["crash_after_claim"]
+    with pytest.raises(TimeoutError):
+        fs.rename_no_replace("mem://s/_log/v7.json.tmp-a",
+                             "mem://s/_log/v7.json")
+
+    state = {"fired": False}
+    real_read = mem.read_bytes
+
+    def read_then_slot_deleted(path):
+        data = real_read(path)
+        if path == "mem://s/_log/v7.json.tmp-a" and not state["fired"]:
+            state["fired"] = True
+            # vacuum-style delete of the claimed slot lands in the
+            # healer's stall window (releases the claim via forget_if)
+            fs.delete("mem://s/_log/v7.json", recursive=False)
+        return data
+
+    mem.read_bytes = read_then_slot_deleted
+    try:
+        from covsonar_spark.logstore import CasObjectFS
+        healer = CasObjectFS(mem, coord)
+        healer.list_names("mem://s/_log")       # triggers _reconcile
+    finally:
+        mem.read_bytes = real_read
+    assert state["fired"]
+    assert not mem.exists("mem://s/_log/v7.json")       # not resurrected
+    assert coord.get("mem://s/_log/v7.json") is None    # no zombie claim
+
+
+def test_cas_mark_complete_is_identity_conditioned(tmp_path):
+    """mark_complete must not stamp a SUCCESSOR's fresh incomplete
+    claim complete: completing by (path, at) identity, a stale healer
+    that lost its claim mid-copy cannot flip the new claimant's row."""
+    from covsonar_spark.logstore import SQLiteCoordinator
+    coord = SQLiteCoordinator(str(tmp_path / "c.sqlite"))
+    at1 = coord.claim("d", "s1")
+    assert at1 is not None
+    coord.forget_if("d", at1)
+    time.sleep(0.002)                    # distinct identity stamp
+    at2 = coord.claim("d", "s2")
+    assert at2 is not None and at2 != at1
+    coord.mark_complete("d", at1)        # stale completer
+    assert coord.get("d") == ("s2", False, at2)
+    coord.mark_complete("d", at2)        # rightful completer
+    assert coord.get("d") == ("s2", True, at2)
+
+
+def test_store_runs_on_condput_backend_end_to_end(spark, tmp_path,
+                                                  monkeypatch):
+    """SONAR_LOGSTORE=condput swaps the claim-free backend under an
+    unmodified SonarStore: ingest commits land through put-if-absent,
+    metadata mutations version normally, and a stock handle reads the
+    same root (and may even write — condput/stock arbitrate on the same
+    payload-store primitive)."""
+    from covsonar_spark.store import SonarStore
+
+    monkeypatch.setenv("SONAR_LOGSTORE", "condput")
+    root = str(tmp_path / "condput-store")
+    st = SonarStore.open(spark, root,
+                         ref_path="/root/reference/lib/ref.fna",
+                         gff_path="/root/reference/lib/ref.gff3")
+    from covsonar_spark.logstore import CondPutObjectFS
+    assert isinstance(st._log.fs, CondPutObjectFS)
+
+    ref = st.ref_seq
+    recs = spark.createDataFrame(
+        [(f"ACC{i}", "condput e2e", ref) for i in range(3)],
+        "accession string, description string, sequence string")
+    rep = st.add_fasta_df(recs)
+    assert rep["paranoid_mismatches"] == []
+    v1 = st._log.latest()[0]
+    upd = spark.createDataFrame([("ACC0", "wave-1")],
+                                "accession string, technology string")
+    st.update_metadata(upd)
+    import os as _os
+    assert _os.path.exists(_os.path.join(root, "_log", ".backend"))
+
+    monkeypatch.delenv("SONAR_LOGSTORE")
+    st2 = SonarStore.open(spark, root,
+                          ref_path="/root/reference/lib/ref.fna",
+                          gff_path="/root/reference/lib/ref.gff3")
+    assert not isinstance(st2._log.fs, CondPutObjectFS)
+    now = {r["accession"]: r["technology"]
+           for r in st2.table("genomes").select(
+               "accession", "technology").collect()}
+    assert now["ACC0"] == "wave-1" and len(now) == 3
+    assert {r["technology"] for r in st2.table_at(
+        "genomes", v1).select("technology").collect()} == {None}
+
+
+@pytest.mark.parametrize("backend", ["cas", "condput"])
+def test_stale_lease_breakable_on_copy_backends(tmp_path, backend):
+    """A dead holder's stale lease must be breakable on the copy-based
+    conditional-put backends.  Their rename stamps the COPY time, so
+    the break path's mtime-freshness restore check (which assumes a
+    rename carries the source mtime, true for hardlink/rename) read
+    every displaced stale lock as 'freshly held' and restored it — the
+    restore re-stamped the mtime too, making the lease unbreakable
+    forever.  The check is now gated on RENAME_PRESERVES_MTIME."""
+    import os
+
+    from covsonar_spark.logstore import (local_cas_logstore,
+                                         local_condput_logstore)
+    root = str(tmp_path / "s")
+    mk = (local_cas_logstore if backend == "cas"
+          else local_condput_logstore)
+    log = CommitLog(None, root, fs=mk(root))
+    log.acquire_lease()
+    lock = os.path.join(root, "_log", "LOCK")
+    old_t = time.time() - 10_000
+    os.utime(lock, (old_t, old_t))       # the holder is "dead"
+    taker = CommitLog(None, root, fs=mk(root))
+    owner = taker.acquire_lease(timeout=20.0, lease_timeout=3600.0)
+    assert owner
+    taker.release_lease(owner)
 
 
 def test_cas_src_vanishing_after_claim_is_clean_loss(tmp_path):

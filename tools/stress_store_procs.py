@@ -214,8 +214,9 @@ def child_recover(root: str) -> None:
 def child_breaker(root: str) -> None:
     """Try to break + acquire a stale lease; report win/lose."""
     from covsonar_spark.commitlog import CommitLog
+    from covsonar_spark.logstore import env_logstore
 
-    log = CommitLog(None, root)
+    log = CommitLog(None, root, fs=env_logstore(root))
     try:
         owner = log.acquire_lease(timeout=3.0, lease_timeout=3600.0)
         print(json.dumps({"won": True, "owner": owner}))
@@ -342,7 +343,8 @@ def orchestrate(root: str) -> None:
 
     print("== phase 5: two-process stale-break race", flush=True)
     from covsonar_spark.commitlog import CommitLog
-    log = CommitLog(None, root)
+    from covsonar_spark.logstore import env_logstore
+    log = CommitLog(None, root, fs=env_logstore(root))
     log.acquire_lease()
     lock = os.path.join(root, "_log", "LOCK")
     old_t = time.time() - 10_000
