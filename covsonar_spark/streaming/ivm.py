@@ -60,6 +60,12 @@ class StreamingJoinView:
         # directory (crash-heal is for dead processes; a live swap in
         # THIS process is visible through this lock)
         self._swap_lock = threading.Lock()
+        # signalled when the last in-flight batch drains (see
+        # _invalidate_dim_cache: a swap must not unpersist — or rewrite
+        # the generation dirs under — a dim frame a running batch job
+        # is still consuming)
+        self._idle = threading.Condition(self._swap_lock)
+        self._inflight = 0
         # per-generation persisted dim frames (see _dim_as_of)
         self._dim_cache: dict[int, DataFrame] = {}
         # bootstrap generation 0 (idempotent: overwrite)
@@ -87,20 +93,27 @@ class StreamingJoinView:
         # thread — an unlocked insert mid-invalidation would either
         # blow up the value iteration or escape the invalidation
         with self._swap_lock:
-            got = self._dim_cache.get(gen)
-            if got is not None:
-                return got
-            paths = [os.path.join(self._dim_path, f"gen={g}")
-                     for g in range(gen + 1)
-                     if os.path.isdir(os.path.join(self._dim_path,
-                                                   f"gen={g}"))]
-            df = self.spark.read.parquet(*paths).persist()
-            self._dim_cache[gen] = df
-            return df
+            return self._dim_as_of_locked(gen)
+
+    def _dim_as_of_locked(self, gen: int) -> DataFrame:
+        got = self._dim_cache.get(gen)
+        if got is not None:
+            return got
+        paths = [os.path.join(self._dim_path, f"gen={g}")
+                 for g in range(gen + 1)
+                 if os.path.isdir(os.path.join(self._dim_path,
+                                               f"gen={g}"))]
+        df = self.spark.read.parquet(*paths).persist()
+        self._dim_cache[gen] = df
+        return df
 
     def _invalidate_dim_cache(self) -> None:
         # always called with _swap_lock held (update_dim's swap block,
-        # _heal_dim_swaps' scan); snapshot-then-clear keeps the slow
+        # _heal_dim_swaps' scan) and only after _drain_inflight() —
+        # unpersisting a dim frame (or rewriting the generation dirs
+        # under it) while a batch job is mid-join would make evicted-
+        # block recomputation re-read a swapped directory: FileNotFound
+        # or mixed-generation rows.  snapshot-then-clear keeps the slow
         # py4j unpersist calls off the shared dict either way
         frames = list(self._dim_cache.values())
         self._dim_cache.clear()
@@ -109,6 +122,15 @@ class StreamingJoinView:
                 df.unpersist()
             except Exception:  # noqa: BLE001 — session teardown races
                 pass
+
+    def _drain_inflight(self) -> None:
+        """Wait (``_swap_lock`` held, via the condition) until no
+        process_batch job is consuming a cached dim frame.  Called
+        before any generation-dir mutation + cache invalidation; the
+        streaming thread never blocks on the maintenance thread in
+        return, so there is no deadlock cycle."""
+        while self._inflight:
+            self._idle.wait(timeout=1.0)
 
     def _batch_gen(self, batch_id: int) -> int | None:
         """The dim generation a previously-written fact batch joined
@@ -150,8 +172,15 @@ class StreamingJoinView:
         # (at scale: an arbitrary source scan) computes once, not once
         # per sink; scoped to this batch, dropped before returning
         delta_fact = delta_fact.persist()
-        view_df = delta_fact.join(self._dim_as_of(gen), self.on)
+        # dim acquisition and the in-flight mark are ONE locked step:
+        # a dim swap drains _inflight before touching the generation
+        # dirs or unpersisting cached frames, so the join below never
+        # has its dim yanked (unpersisted / dirs rewritten) mid-job
+        with self._idle:
+            dim = self._dim_as_of_locked(gen)
+            self._inflight += 1
         try:
+            view_df = delta_fact.join(dim, self.on)
             with _cf.ThreadPoolExecutor(max_workers=2) as pool:
                 futs = [
                     pool.submit(
@@ -167,6 +196,10 @@ class StreamingJoinView:
                     f.result()
         finally:
             delta_fact.unpersist()
+            with self._idle:
+                self._inflight -= 1
+                if not self._inflight:
+                    self._idle.notify_all()
 
     def _heal_dim_swaps(self) -> None:
         """Recover a crash between the two renames of a dim-generation
@@ -189,8 +222,11 @@ class StreamingJoinView:
                 if os.path.isdir(committed):
                     shutil.rmtree(trash, ignore_errors=True)
                 else:
+                    # restoring changes what the generation dirs hold:
+                    # let in-flight batch jobs (other threads) drain
+                    # before mutating dirs their dim frames span
+                    self._drain_inflight()
                     os.rename(trash, committed)
-                    # a restored generation changes what the dirs hold
                     self._invalidate_dim_cache()
 
     def _gen_of_tag(self, tag: str) -> int | None:
@@ -243,6 +279,13 @@ class StreamingJoinView:
         # lock, so a concurrent process_batch heal scan (streaming
         # thread) can never observe — and "repair" — the mid-swap state
         with self._swap_lock:
+            # a tag-replay rewrite swaps an EXISTING gen dir that a
+            # running batch's persisted dim frame may span, and the
+            # invalidation below unpersists frames a running join may
+            # be consuming — drain in-flight batches first (ADVICE r9:
+            # eager unpersist widened the recompute-after-swap race to
+            # the whole batch window)
+            self._drain_inflight()
             shutil.rmtree(trash, ignore_errors=True)
             if os.path.isdir(gen_dir):
                 os.rename(gen_dir, trash)

@@ -341,3 +341,54 @@ def test_streaming_join_view_heals_interrupted_dim_swap(spark, tmp_path):
     assert os.path.isdir(gen1)
     got = sorted(tuple(r) for r in sjv3.view().collect())
     assert got == want
+
+
+def test_dim_swap_drains_inflight_batches(spark, tmp_path):
+    """ADVICE r9: update_dim's swap used to unpersist dim frames (and
+    rewrite generation dirs) while a running process_batch job could
+    still be consuming them.  The swap must now DRAIN in-flight batches
+    first: with a batch marked in flight, update_dim blocks; when the
+    batch drains, it completes and the view is exact."""
+    import threading
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from covsonar_spark.streaming.ivm import StreamingJoinView
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"))
+    c = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey", "c_name")
+    b0 = c.where(F.col("c_custkey") % 2 == 0)
+    db = c.where(F.col("c_custkey") % 2 == 1)
+
+    sjv = StreamingJoinView(spark, str(tmp_path / "state"), b0,
+                            ["c_custkey"])
+    sjv.process_batch(o.where(F.col("o_orderkey") % 2 == 0), batch_id=0)
+
+    # pin an artificial in-flight batch, exactly what process_batch
+    # holds between its locked dim acquisition and its finally-release
+    with sjv._idle:
+        sjv._inflight += 1
+    done = threading.Event()
+
+    def wave():
+        sjv.update_dim(db, "late")
+        done.set()
+
+    t = threading.Thread(target=wave, daemon=True)
+    t.start()
+    assert not done.wait(timeout=1.2)       # swap waits for the drain
+    with sjv._idle:                          # batch drains
+        sjv._inflight -= 1
+        sjv._idle.notify_all()
+    assert done.wait(timeout=30.0)           # swap proceeds to completion
+    t.join(timeout=30.0)
+
+    sjv.process_batch(o.where(F.col("o_orderkey") % 2 == 1), batch_id=1)
+    got = sorted(tuple(r) for r in sjv.view().collect())
+    want = sorted(tuple(r) for r in o.join(c, ["c_custkey"])
+                  .select(sjv.view().columns).collect())
+    assert got == want
