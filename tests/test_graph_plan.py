@@ -80,7 +80,16 @@ def test_degr_hints_follow_gate(spark):
 def test_triangles_no_hints_above_both_gates(spark, monkeypatch):
     # above BOTH gates (the 100 TB shape) not one broadcast hint
     # survives anywhere in the triangle plan — degree attach, adjacency
-    # attach, everything is AQE/hash-partitioned
+    # attach, everything is AQE/hash-partitioned.
+    # NOTE drop the scoped-persist generations first: sameResult
+    # canonicalization strips hints, so a hinted `tri_oriented` frame
+    # cached by an earlier (gate-open) build would be returned verbatim
+    # for the gate-closed plan and fail the hint census
+    from covsonar_spark.operators import dedup as D
+    for key in ("tri_edges", "tri_oriented"):
+        prev = D._GEN_CACHE.pop(key, None)
+        if prev is not None:
+            prev.unpersist()
     monkeypatch.setattr(graph, "ADJ_BCAST_MAX_BYTES", 0)
     monkeypatch.setattr(graph, "DEGR_BCAST_MAX_BYTES", 0)
     tri = graph.graph_triangles(spark, SF)
