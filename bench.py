@@ -226,8 +226,16 @@ def main() -> None:
     # the stdout JSON line ~4 KB, which round 1's capture truncated
     # ("parsed": null).  The machine-read stdout line stays compact —
     # total, unit, sf, query count, and the 5 slowest for a glance.
+    # The sidecar is PER-RUN (sf-suffixed, gitignored) so a bench run
+    # never clobbers the committed canonical snapshot BENCH_QUERIES.json
+    # (three rounds running, the driver's final bench left the tree
+    # dirty at judging time); promote a run to canonical by copying it
+    # over BENCH_QUERIES.json deliberately.  SPARK_GRAFT_QUERIES_FILE
+    # overrides the output path outright.
+    sidecar_name = os.environ.get("SPARK_GRAFT_QUERIES_FILE",
+                                  f"BENCH_QUERIES_sf{sf}.json")
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_QUERIES.json")
+                           sidecar_name)
     with open(sidecar, "w") as f:
         json.dump({"sf": sf, "total_sec": total, "hostmark_sec": hm,
                    "hostmark_mt_sec": hm_mt,
@@ -246,7 +254,7 @@ def main() -> None:
         "ingest_large_genomes_per_sec": ingest_rate_lg,
         "ingest_large_n": ingest_n_lg,
         "slowest": slowest,
-        "queries_file": "BENCH_QUERIES.json",
+        "queries_file": sidecar_name,
     }, separators=(",", ":")))
 
 
