@@ -228,7 +228,11 @@ def rfm_segmentation(orders: DataFrame) -> DataFrame:
                 F.col("last_order").cast("string").alias("last_order"),
                 "frequency",
                 F.col("monetary_d").cast("double").alias("monetary"),
-                "r", "f", "m",
+                # bigint like every engine's ntile (Spark's is the odd
+                # int32 out; the driver hash is width-sensitive)
+                F.col("r").cast("long").alias("r"),
+                F.col("f").cast("long").alias("f"),
+                F.col("m").cast("long").alias("m"),
                 F.concat_ws("", "r", "f", "m").alias("segment"))
             .orderBy("o_custkey"))
 

@@ -484,7 +484,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .where((F.col("id_a") < F.col("id_b"))
                & (F.col("chunk_idx") == first_match)
                & (F.bit_count(x) <= max_hamming))
-        .select("id_a", "id_b", F.bit_count(x).alias("hamming"))
+        .select("id_a", "id_b", F.bit_count(x).cast("long").alias("hamming"))
     )
 
 

@@ -62,8 +62,8 @@ def agg_cube_revenue(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (
         o.cube("o_orderpriority", "o_orderstatus")
-        .agg(F.grouping("o_orderpriority").alias("g_prio"),
-             F.grouping("o_orderstatus").alias("g_status"),
+        .agg(F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+             F.grouping("o_orderstatus").cast("long").alias("g_status"),
              F.count(F.lit(1)).alias("n_orders"),
              F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("sum_price"))
         .select("o_orderpriority", "o_orderstatus", "g_prio", "g_status",

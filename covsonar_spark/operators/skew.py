@@ -90,7 +90,8 @@ def diagnose(df: DataFrame, key_cols: list[str], top_k: int = 5) -> DataFrame:
            .withColumn("rank", F.row_number().over(w)))
     return (
         top.crossJoin(F.broadcast(stats))
-        .select("rank", *key_cols, "key_rows",
+        .select(F.col("rank").cast("long").alias("rank"),
+                *key_cols, "key_rows",
                 F.round(F.col("key_rows") / F.col("total_rows"), 6).alias("row_share"),
                 "n_keys",
                 F.round(F.col("max_key_rows") / F.col("avg_key_rows"), 4).alias("skew_ratio"))

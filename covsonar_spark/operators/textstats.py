@@ -26,12 +26,16 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     tokens, chars, and a BPE-ish subword-regex count (the training-data
     budget metric) — all single-pass codegen expressions, no shuffle."""
     toks = Tx.tokens(text_col)
+    # counts as bigint: DuckDB/ANSI count expressions are 64-bit while
+    # Spark's size()/length() are int32 — the oracle hash is
+    # width-sensitive
     return df.select(
         F.col(id_col),
-        Tx.token_count(text_col).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        F.length(text_col).alias("n_chars_computed"),
-        F.size(F.regexp_extract_all(text_col, F.lit(BPE_TOKEN_RE), 0)).alias("n_bpe_tokens"),
+        Tx.token_count(text_col).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.length(text_col).cast("long").alias("n_chars_computed"),
+        F.size(F.regexp_extract_all(text_col, F.lit(BPE_TOKEN_RE), 0))
+         .cast("long").alias("n_bpe_tokens"),
     )
 
 

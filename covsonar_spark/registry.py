@@ -177,7 +177,12 @@ def q3_shipping_priority(spark, sf_dir):
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .groupBy("l_orderkey",
+                 # parquet ships o_orderdate as TIMESTAMP_NTZ; the
+                 # oracle result type is TIMESTAMP — align the width
+                 # (same wall-clock rendering, width-sensitive hash)
+                 F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+                 "o_orderpriority")
         .agg(F.round(revenue.cast("double"), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
@@ -319,7 +324,8 @@ def q18_large_orders(spark, sf_dir):
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+        .select("c_name", "c_custkey", "o_orderkey",
+                F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
                 F.round(_dec("o_totalprice", 18, 2).cast("double"), 2).alias("o_total"),
                 "total_qty")
         .orderBy(F.col("o_total").desc(), F.col("o_orderkey").asc())
@@ -352,8 +358,8 @@ def agg_rollup_revenue(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.grouping("l_returnflag").alias("g_flag"),
-             F.grouping("l_linestatus").alias("g_status"),
+        .agg(F.grouping("l_returnflag").cast("long").alias("g_flag"),
+             F.grouping("l_linestatus").cast("long").alias("g_status"),
              F.count(F.lit(1)).alias("n_items"),
              F.round(F.sum(_dec("l_extendedprice", 18, 2)).cast("double"), 2).alias("sum_price"))
         .select("l_returnflag", "l_linestatus", "g_flag", "g_status",
@@ -415,7 +421,7 @@ def agg_salted_collect(spark, sf_dir):
     arr = F.col("l_orderkey_list")
     return lists.select(
         "l_returnflag",
-        F.size(arr).alias("n"),
+        F.size(arr).cast("long").alias("n"),
         F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x).alias("total"),
         F.array_min(arr).alias("lo"),
         F.array_max(arr).alias("hi"),
@@ -836,7 +842,7 @@ def window_rank_per_group(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
         .orderBy("o_custkey", "rn")
@@ -1332,9 +1338,10 @@ def text_chunk_windows(spark, sf_dir):
         docs.select("doc_id", toks.alias("t"),
                     F.posexplode(starts).alias("chunk_idx", "start"))
         .select(
-            "doc_id", "chunk_idx",
+            "doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"),
             F.concat_ws(" ", F.slice("t", F.col("start"), size)).alias("chunk_text"),
-            F.least(F.lit(size), F.size("t") - F.col("start") + 1).alias("n_tokens"))
+            F.least(F.lit(size), F.size("t") - F.col("start") + 1)
+             .cast("long").alias("n_tokens"))
         .orderBy("doc_id", "chunk_idx")
     )
 
@@ -1521,7 +1528,7 @@ chunks AS (
   FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         bit_count(xor(a.simhash, b.simhash)) AS hamming
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
   FROM chunks a JOIN chunks b USING (chunk_idx, chunk_key)
   WHERE a.doc_id < b.doc_id)
 SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b
@@ -1834,7 +1841,7 @@ def curate_corpus(spark, sf_dir):
         "doc_id", "text",
         Tx.quality_score("text").alias("quality"),
         Tx.lang_id("text").alias("pred_lang"),
-        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), 0)).alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), 0)).cast("long").alias("n_bpe_tokens"),
     )
     kept = scored.where((F.col("quality") >= 0.55) & (F.col("pred_lang") == "en"))
     clusters = dedup.duplicate_clusters(kept.select("doc_id", "text"), threshold=0.5)
@@ -3064,37 +3071,35 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 # ROTATION (started round 5): rows that have never earned a driver
 # check rotate IN; mature rows (≥4 driver-green rounds) rotate OUT to
 # the head of the second window (they stay twin-gated every run).
-# Round 9 = the THIRD MATURITY SWEEP: the window is filled STRICTLY by
-# cumulative driver-green count over CORRECTNESS_r01..r08, ties broken
-# by staleness (oldest last-checked round first) then name — the 21
-# one-green rows, then 29 of the 46 two-green rows (the 11 last
-# checked in r7 before the r8 ones).  No row outside the window has
-# fewer greens than any row inside.  Recomputed per round from the
-# CORRECTNESS_r0*.json artifacts (same fold as the r9 builder script).
+# Round 10 = the FOURTH MATURITY SWEEP: the window is filled STRICTLY
+# by cumulative driver-green count over CORRECTNESS_r01..r09, ties
+# broken by staleness (oldest last-checked round first) then name —
+# the 38 two-green rows (17 last checked r8, 21 r9), then 12 of the 36
+# three-green rows (the 7 last checked in r4, then r9 rows by name up
+# to the cut).  No row outside the window has fewer greens than any
+# row inside.  Recomputed per round from the CORRECTNESS_r0*.json
+# artifacts (fold: green = rows+schema+hash match; sort by (greens,
+# last-checked, name)).
 # ---------------------------------------------------------------------------
 
 _PRIORITY_WINDOW = [
-    # 1 driver-green round (8 last checked in r1, 13 in r6)
-    "dedup_normalized", "events_funnel", "events_markov_transitions",
-    "events_retention_cohorts", "q3_shipping_priority", "q4_order_priority",
-    "q5_local_supplier_volume", "text_token_stats", "ivm_retract_minmax",
-    "orders_rfm_segmentation", "profile_table_stats", "q14_promo_revenue",
-    "sketch_countmin", "sketch_histogram_quantile", "skew_diagnose",
-    "text_chunk_windows", "text_pmi_collocations", "text_quality_gate",
+    "q2_min_cost_supplier", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "sample_stratified", "sample_temperature_mix",
+    "sample_weighted_priority", "stream_countmin",
+    "stream_histogram_quantile", "text_bigram_lm", "text_chunk_dedup",
+    "text_fingerprint", "text_repetition", "text_tfidf_topk",
+    "ts_islands_scd2", "ts_ohlc", "window_navigation", "dedup_normalized",
+    "events_funnel", "events_markov_transitions", "events_retention_cohorts",
+    "ivm_retract_minmax", "orders_rfm_segmentation", "profile_table_stats",
+    "q14_promo_revenue", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier_volume", "sketch_countmin",
+    "sketch_histogram_quantile", "skew_diagnose", "text_chunk_windows",
+    "text_pmi_collocations", "text_quality_gate", "text_token_stats",
     "ts_ewma", "unpivot_acctbal", "window_trailing_range",
-    # 2 driver-green rounds, last checked r7 (stalest two-green rows)
-    "decontaminate",
-    "embed_kmeans", "match_metadata_semijoin", "multimodal_frames",
-    "pivot_revenue_matrix", "q13_customer_distribution", "sample_dsir",
-    "sketch_hll_setops", "stats_ab_test", "text_quality", "ts_anomaly_zscore",
-    # 2 driver-green rounds, last checked r8 (name order up to the cut)
-    "agg_stats_profile", "basket_association_rules", "forecast_linear_trend",
-    "graph_degree_stats", "ivm_orders_rollup", "join_fuzzy_levenshtein",
-    "multimodal_meta_stats", "pack_sequences", "pii_scrub",
-    "q10_returned_items", "q11_important_stock",
-    "q12_shipping_priority_classes", "q15_top_supplier",
-    "q16_parts_supplier_relationship", "q17_small_quantity",
-    "q19_disjunctive", "q20_excess_stock_suppliers", "q22_global_sales",
+    "agg_salted_collect", "ann_lsh_knn", "dq_constraint_audit",
+    "events_json_extract", "graph_pagerank", "q21_waiting_suppliers",
+    "sketch_hll_distinct", "agg_stats_profile", "basket_association_rules",
+    "decontaminate", "embed_kmeans", "forecast_linear_trend",
 ]
 assert len(_PRIORITY_WINDOW) == 50, len(_PRIORITY_WINDOW)
 assert all(k in _ALL for k in _PRIORITY_WINDOW), [
@@ -3103,17 +3108,19 @@ assert all(k in _ALL for k in _PRIORITY_WINDOW), [
 _SECOND_WINDOW = [
     # rows 51+, same (greens asc, last-checked asc, name) order so the
     # harness checking past its budget still maximizes marginal signal:
-    # the remaining two-green r8 rows, then three-green, then mature
-    "q2_min_cost_supplier", "q6_forecast_revenue", "q7_volume_shipping",
-    "q8_market_share", "sample_stratified", "sample_temperature_mix",
-    "sample_weighted_priority", "stream_countmin",
-    "stream_histogram_quantile", "text_bigram_lm", "text_chunk_dedup",
-    "text_fingerprint", "text_repetition", "text_tfidf_topk",
-    "ts_islands_scd2", "ts_ohlc", "window_navigation", "agg_salted_collect",
-    "ann_lsh_knn", "dq_constraint_audit", "events_json_extract",
-    "graph_pagerank", "q21_waiting_suppliers", "sketch_hll_distinct",
-    "agg_field_completeness", "agg_minmax_dates", "agg_percentiles",
-    "dedup_simhash", "dedup_substring", "match_count", "match_profile_bloom",
+    # the remaining three-green rows, then the four- and five-green
+    # mature tail
+    "graph_degree_stats", "ivm_orders_rollup", "join_fuzzy_levenshtein",
+    "match_metadata_semijoin", "multimodal_frames", "multimodal_meta_stats",
+    "pack_sequences", "pii_scrub", "pivot_revenue_matrix",
+    "q10_returned_items", "q11_important_stock",
+    "q12_shipping_priority_classes", "q13_customer_distribution",
+    "q15_top_supplier", "q16_parts_supplier_relationship",
+    "q17_small_quantity", "q19_disjunctive", "q20_excess_stock_suppliers",
+    "q22_global_sales", "sample_dsir", "sketch_hll_setops", "stats_ab_test",
+    "text_quality", "ts_anomaly_zscore", "agg_field_completeness",
+    "agg_minmax_dates", "agg_percentiles", "dedup_simhash",
+    "dedup_substring", "match_count", "match_profile_bloom",
     "window_running_total", "agg_cube_revenue", "dedup_semantic",
     "events_concurrent_sessions", "events_sessionize", "ivm_join_view",
     "stream_hll_distinct", "ts_gap_fill", "vcf_site_stats", "agg_histogram",
@@ -3128,10 +3135,10 @@ _SECOND_WINDOW = [
     "join_parts_never_ordered", "lineage_closure_prefix",
     "match_metadata_filters", "match_metadata_negation", "match_profile_and",
     "match_profile_exclude", "match_profile_or_groups",
-    "match_profile_semijoin", "profile_token_frequencies", "q18_large_orders",
-    "q1_pricing_summary", "stream_dedup_lsh", "text_lang_id",
-    "window_rank_per_group", "ann_pq_topk", "dedup_ngram_prefix",
-    "hybrid_search_rrf",
+    "match_profile_semijoin", "profile_token_frequencies",
+    "q18_large_orders", "q1_pricing_summary", "stream_dedup_lsh",
+    "text_lang_id", "window_rank_per_group", "ann_pq_topk",
+    "dedup_ngram_prefix", "hybrid_search_rrf",
 ]
 assert len(_SECOND_WINDOW) == len(set(_SECOND_WINDOW)), "duplicate in _SECOND_WINDOW"
 assert all(k in _ALL and k not in _PRIORITY_WINDOW for k in _SECOND_WINDOW), [
