@@ -471,6 +471,14 @@ class HadoopFS:
         self._fs = None      # resolved lazily: constructing a store on
         #                      an unreachable mount must not throw —
         #                      the first actual access does
+        # HDFS/viewfs rename moves the inode (mtime carried); the
+        # object-store connectors emulate rename as copy+delete, which
+        # stamps the copy time — the lease-break restore heuristic must
+        # not trust mtime freshness across a rename there (see
+        # acquire_lease)
+        self.RENAME_PRESERVES_MTIME = urlparse(root).scheme not in {
+            "s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs",
+            "oss", "cos", "swift"}
 
     @property
     def _Path(self):
