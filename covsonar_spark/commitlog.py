@@ -608,13 +608,22 @@ class CommitLog:
 
         recorded = _read_marker()
         if recorded is None and mine != "fs":
-            # first non-stock open of this root: record the backend.
-            # put-if-absent keeps a race of first-openers from tearing;
-            # on loss, read what the winner recorded.
+            # first non-stock open of this root: record the backend
+            # through rename_no_replace — the one primitive that is
+            # atomic put-if-absent on EVERY backend (a plain
+            # overwrite=False write_bytes is exists-then-replace on
+            # LocalFS, so two racing first-openers could both record
+            # their own backend and both pass the guard).  On loss,
+            # read what the winner recorded.
+            tmp = f"{marker}.tmp-{uuid.uuid4().hex[:8]}"
             try:
-                self.fs.write_bytes(marker, mine.encode(), overwrite=False)
-                recorded = mine
-            except Exception:  # noqa: BLE001 — lost the race / RO fs
+                self.fs.write_bytes(tmp, mine.encode(), overwrite=True)
+                if self.fs.rename_no_replace(tmp, marker):
+                    recorded = mine
+                else:
+                    self.fs.delete(tmp, recursive=False)
+                    recorded = _read_marker()
+            except Exception:  # noqa: BLE001 — RO fs / lost outcome
                 recorded = _read_marker()
         if (recorded is not None and recorded != mine
                 and "cas" in (recorded, mine)):

@@ -59,9 +59,22 @@ parametrized over this class):
 from __future__ import annotations
 
 import os
+import secrets
 import sqlite3
 import threading
 import time
+
+
+def _identity_stamp() -> float:
+    """A fresh claim's ``at`` identity: wall time plus a random
+    sub-second tail.  The stamp is compared only for EQUALITY (the
+    identity-CAS conditions on claim transitions), never for age, so
+    the tail costs nothing — and without it a slot released and
+    re-claimed within the clock's resolution (or across an NTP step
+    back) would mint the SAME identity, reopening the exact ABA the
+    stamp exists to prevent.  Wall time stays the integer part for
+    operator debuggability of the slots table."""
+    return time.time() + secrets.randbits(52) / 4503599627370496.0
 
 
 class SQLiteCoordinator:
@@ -102,7 +115,7 @@ class SQLiteCoordinator:
         claimed ``dst`` (the CAS); None when the slot was taken.
         Truthy-on-win, and the winner needs the stamp to condition its
         own completion on (ABA guard in CasObjectFS._complete)."""
-        at = time.time()
+        at = _identity_stamp()
         cur = self._conn().execute(
             "INSERT OR IGNORE INTO slots(path, src, complete, at)"
             " VALUES (?, ?, 0, ?)", (dst, src, at))
@@ -140,7 +153,7 @@ class SQLiteCoordinator:
             if cur.rowcount != 1:
                 c.execute("ROLLBACK")
                 return None
-            at = time.time()
+            at = _identity_stamp()
             c.execute(
                 "INSERT INTO slots(path, src, complete, at)"
                 " VALUES (?, ?, 0, ?)", (dst, src, at))
@@ -245,34 +258,65 @@ class CasObjectFS:
         history).
 
         ``at`` is the identity stamp of the claim being completed, and
-        it is re-checked immediately before the blind PUT / the
-        mark_complete: a completer can stall between read_bytes(src)
-        and write_bytes(dst), and if the slot is deleted in that window
-        (vacuum reaping it releases the claim via delete -> forget_if)
-        the stale PUT would RESURRECT the deleted object with no claim
-        row guarding it (ABA).  When the claim changed or vanished the
-        copy is skipped and the answer is simply whether a payload is
-        currently published."""
-        def _still_ours() -> bool:
+        it is re-checked immediately before AND immediately after the
+        blind PUT: a completer can stall between read_bytes(src) and
+        write_bytes(dst) — or inside the upload itself — while the
+        slot is deleted (vacuum reaping it releases the claim via
+        delete -> forget_if) or taken over.  The pre-check skips a
+        detectably stale copy; the post-check repairs one that landed
+        anyway: with no claim, our PUT resurrected a reaped object, so
+        delete it; with a replaced claim, re-complete from THAT claim's
+        source so the rightful payload wins.  Every observer applies
+        the same rule, so the object converges to the current claim's
+        recorded source WHILE that source exists.  Residual (inherent
+        to blind PUTs — only a conditional-PUT payload store closes it,
+        and a store that has one is the claim-free CondPutObjectFS
+        shape): a stale PUT that lands after the successor completed
+        AND consumed its source leaves stale bytes until the slot's
+        next writer.  That needs vacuum to reap a contended slot
+        mid-race; commit heads are never reaped, and the recycling
+        names (lease lock, rendezvous) are overwritten by their next
+        acquirer anyway."""
+        def _ours() -> bool:
             got = self.coord.get(dst)
             return got is not None and got[0] == src and got[2] == at
 
-        try:
-            data = self.base.read_bytes(src)
-        except FileNotFoundError:
-            # source vanished: if the payload already landed this is
-            # just a lost mark_complete — repair it (only while the
-            # claim is still the one we were completing)
-            if self.base.exists(dst):
-                if _still_ours():
-                    self.coord.mark_complete(dst, at)
+        for _ in range(4):   # follow replaced claims; bounded paranoia
+            try:
+                data = self.base.read_bytes(src)
+            except FileNotFoundError:
+                # source vanished: if the payload already landed this
+                # is just a lost mark_complete — repair it (only while
+                # the claim is still the one we were completing)
+                if self.base.exists(dst):
+                    if _ours():
+                        self.coord.mark_complete(dst, at)
+                    return True
+                return False
+            # the claim check sits immediately before the PUT — the
+            # read above can stall arbitrarily long
+            if not _ours():
+                return self.base.exists(dst)
+            self.base.write_bytes(dst, data, overwrite=True)
+            got = self.coord.get(dst)
+            if got is not None and got[0] == src and got[2] == at:
+                self.coord.mark_complete(dst, at)
                 return True
-            return False
-        if not _still_ours():
-            return self.base.exists(dst)
-        self.base.write_bytes(dst, data, overwrite=True)
-        self.coord.mark_complete(dst, at)
-        return True
+            if got is None:
+                # slot deleted while we uploaded: our PUT resurrected
+                # a reaped object with no claim row — remove it (best
+                # effort: a later legitimate winner overwrites dst
+                # regardless, so worst case is a transiently stale
+                # read, never a fork)
+                try:
+                    self.base.delete(dst, recursive=False)
+                except OSError:
+                    pass
+                return False
+            # claim replaced mid-upload: complete the successor's
+            # publish so ITS payload ends up on dst, not our stale one
+            src, at = got[0], got[2]
+        return self.base.exists(dst)
 
     def _reconcile(self, prefix: str) -> None:
         for dst, src, at in self.coord.incomplete_under(prefix):
@@ -485,10 +529,12 @@ class CondPutObjectFS:
 
 class LocalCondPutStore:
     """Posix payload store exposing the atomic ``put_if_absent``
-    primitive CondPutObjectFS needs: full-content tmp write + hardlink
-    (creation-atomic AND content-atomic — a reader can never observe a
-    torn object, exactly the S3 conditional-PUT guarantee).  Plain
-    operations delegate to :class:`commitlog.LocalFS`."""
+    primitive CondPutObjectFS needs: full-content tmp write published
+    through LocalFS's rename_no_replace (creation-atomic AND
+    content-atomic — a reader can never observe a torn object, exactly
+    the S3 conditional-PUT guarantee — including the hardlink-less
+    mount fallback).  Plain operations delegate to
+    :class:`commitlog.LocalFS`."""
 
     def __init__(self):
         from covsonar_spark.commitlog import LocalFS
@@ -501,20 +547,18 @@ class LocalCondPutStore:
     def put_if_absent(self, path: str, data: bytes) -> bool:
         import uuid
 
-        p = self._fs._p(path)
-        tmp = f"{p}.cp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "wb") as fh:
-            fh.write(data)
-        try:
-            os.link(tmp, p)
+        # full-content tmp write, then LocalFS's own rename_no_replace
+        # publishes it: that primitive already probes for hardlink
+        # support per directory and falls back to the mkdir-mutex
+        # emulation on hardlink-less mounts (exFAT / SMB / FUSE) — a
+        # raw os.link here would crash every condput publish exactly
+        # where the stock backend keeps working
+        tmp = f"{path}.cp-{uuid.uuid4().hex[:8]}"
+        self._fs.write_bytes(tmp, data, overwrite=True)
+        if self._fs.rename_no_replace(tmp, path):
             return True
-        except FileExistsError:
-            return False
-        finally:
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
+        self._fs.delete(tmp, recursive=False)
+        return False
 
 
 def local_cas_logstore(root: str):
@@ -530,17 +574,28 @@ def local_cas_logstore(root: str):
         os.path.join(root, LOG_DIR, ".cas.sqlite")))
 
 
+KNOWN_BACKENDS = ("cas", "condput")
+
+
 def env_logstore(root: str):
     """The LogStore selected by ``SONAR_LOGSTORE`` for a LOCAL root
     (None = stock).  Tools that build a CommitLog directly (stress
     harnesses, admin scripts) must go through this — constructing with
     the default backend on a coordinator-arbitrated root trips the
-    mixed-writer guard by design."""
+    mixed-writer guard by design.  An unknown value RAISES: silently
+    falling back to stock on a typo (``SONAR_LOGSTORE=CAS``) would
+    leave the operator believing a coordinator is arbitrating — and on
+    a fresh root no marker would ever be recorded to catch it."""
     backend = os.environ.get("SONAR_LOGSTORE")
     if backend == "cas":
         return local_cas_logstore(root)
     if backend == "condput":
         return local_condput_logstore(root)
+    if backend not in (None, "", "fs", "stock"):
+        raise ValueError(
+            f"unknown SONAR_LOGSTORE={backend!r}: expected one of "
+            f"{KNOWN_BACKENDS} (or unset/'fs'/'stock' for the default "
+            "backend)")
     return None
 
 

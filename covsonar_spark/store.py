@@ -270,29 +270,27 @@ class SonarStore:
 
         fs = None
         backend = os.environ.get("SONAR_LOGSTORE")
-        if backend in ("cas", "condput"):
-            if _remote_scheme(self.root):
-                # remote object storage is exactly the deployment these
-                # backends exist for, but the LOCAL compositions below
-                # wrap posix payload stores — silently falling through
-                # to HadoopFS rename semantics would leave an operator
-                # believing a coordinator is arbitrating when none is
-                import warnings
-                warnings.warn(
-                    f"SONAR_LOGSTORE={backend} has no local composition"
-                    f" for remote root {self.root}; falling back to the"
-                    " Hadoop filesystem backend. Wire the production"
-                    " adapters at the LogStore seam instead (a DynamoDB"
-                    "-style coordinator for 'cas', a conditional-PUT"
-                    " client for 'condput' — covsonar_spark/logstore.py"
-                    " documents both shapes).",
-                    RuntimeWarning, stacklevel=2)
-            elif backend == "cas":
-                from covsonar_spark.logstore import local_cas_logstore
-                fs = local_cas_logstore(self.root)
-            else:
-                from covsonar_spark.logstore import local_condput_logstore
-                fs = local_condput_logstore(self.root)
+        if backend in ("cas", "condput") and _remote_scheme(self.root):
+            # remote object storage is exactly the deployment these
+            # backends exist for, but the local compositions wrap
+            # posix payload stores — silently falling through to
+            # HadoopFS rename semantics would leave an operator
+            # believing a coordinator is arbitrating when none is
+            import warnings
+            warnings.warn(
+                f"SONAR_LOGSTORE={backend} has no local composition"
+                f" for remote root {self.root}; falling back to the"
+                " Hadoop filesystem backend. Wire the production"
+                " adapters at the LogStore seam instead (a DynamoDB"
+                "-style coordinator for 'cas', a conditional-PUT"
+                " client for 'condput' — covsonar_spark/logstore.py"
+                " documents both shapes).",
+                RuntimeWarning, stacklevel=2)
+        elif backend:
+            # env_logstore selects the backend — and RAISES on an
+            # unknown value rather than silently running stock
+            from covsonar_spark.logstore import env_logstore
+            fs = env_logstore(self.root)
         self._log = CommitLog(spark, self.root, fs=fs)
         # mutation-session state: staged dir lists per table, applied
         # over the base snapshot at commit time; the lock serializes

@@ -790,6 +790,101 @@ def test_cas_stale_heal_does_not_resurrect_deleted_slot(tmp_path):
     assert coord.get("mem://s/_log/v7.json") is None    # no zombie claim
 
 
+def test_cas_stale_upload_repaired_toward_new_claim(tmp_path):
+    """The residual blind-PUT window: the healer's upload itself lands
+    AFTER the slot was vacuumed and taken over by a new winner.  The
+    post-write claim re-check must repair toward the CURRENT claim —
+    re-copying the successor's source — so the object converges to the
+    claim's recorded payload instead of holding the stale bytes under
+    the successor's claim (a forked history)."""
+    mem, coord, fs = _mkcas(tmp_path)
+    fs.write_bytes("mem://s/_log/L.tmp-a", b"A")
+    fs.fail = ["crash_after_claim"]
+    with pytest.raises(TimeoutError):
+        fs.rename_no_replace("mem://s/_log/L.tmp-a", "mem://s/_log/L")
+
+    from covsonar_spark.logstore import CasObjectFS
+    state = {"fired": False}
+    real_write = mem.write_bytes
+
+    def write_after_takeover(path, data, overwrite=True):
+        if (path == "mem://s/_log/L" and data == b"A"
+                and not state["fired"]):
+            # the healer's stale PUT is in flight: vacuum reaps the
+            # slot and a new winner CLAIMS it (payload still pending —
+            # the window where repair material exists) before it lands
+            state["fired"] = True
+            fs.delete("mem://s/_log/L", recursive=False)
+            real_write("mem://s/_log/L.tmp-b", b"B")
+            assert coord.claim("mem://s/_log/L",
+                               "mem://s/_log/L.tmp-b") is not None
+        return real_write(path, data, overwrite=overwrite)
+
+    mem.write_bytes = write_after_takeover
+    try:
+        healer = CasObjectFS(mem, coord)
+        healer.list_names("mem://s/_log")       # triggers _reconcile
+    finally:
+        mem.write_bytes = real_write
+    assert state["fired"]
+    # the claim and the payload agree: B's bytes are published and its
+    # claim is completed by the repairing healer
+    assert fs.read_bytes("mem://s/_log/L") == b"B"
+    got = coord.get("mem://s/_log/L")
+    assert got is not None and got[0] == "mem://s/_log/L.tmp-b" and got[1]
+
+
+def test_claim_identity_stamps_are_unique(tmp_path):
+    """Identity stamps must be unique across rapid mint/release cycles
+    of one slot name — equal stamps would reopen the ABA the identity
+    CAS exists to prevent (time.time() alone repeats within clock
+    resolution or across an NTP step-back)."""
+    from covsonar_spark.logstore import SQLiteCoordinator
+    coord = SQLiteCoordinator(str(tmp_path / "c.sqlite"))
+    seen = set()
+    for _ in range(2000):
+        at = coord.claim("d", "s")
+        assert at is not None and at not in seen
+        seen.add(at)
+        coord.forget_if("d", at)
+
+
+def test_local_condput_works_without_hardlinks(tmp_path, monkeypatch):
+    """put_if_absent must survive hardlink-less mounts (exFAT / SMB /
+    FUSE): it publishes through LocalFS.rename_no_replace, which probes
+    link support per directory and falls back to the mkdir-mutex
+    emulation — a raw os.link would crash every condput publish
+    exactly where the stock backend keeps working."""
+    import os as _os
+
+    from covsonar_spark.logstore import LocalCondPutStore
+
+    def no_link(src, dst):
+        raise OSError(38, "Function not implemented")
+
+    monkeypatch.setattr(_os, "link", no_link)
+    st = LocalCondPutStore()
+    p = str(tmp_path / "obj")
+    assert st.put_if_absent(p, b"first") is True
+    assert st.put_if_absent(p, b"second") is False
+    assert st.read_bytes(p) == b"first"
+
+
+def test_env_logstore_rejects_unknown_value(tmp_path, monkeypatch):
+    """A typo'd SONAR_LOGSTORE must raise, not silently run stock —
+    the operator would believe a coordinator is arbitrating, and on a
+    fresh root no marker would ever be recorded to catch it."""
+    from covsonar_spark.logstore import env_logstore
+
+    monkeypatch.setenv("SONAR_LOGSTORE", "CAS")
+    with pytest.raises(ValueError, match="SONAR_LOGSTORE"):
+        env_logstore(str(tmp_path / "s"))
+    monkeypatch.setenv("SONAR_LOGSTORE", "")
+    assert env_logstore(str(tmp_path / "s")) is None
+    monkeypatch.delenv("SONAR_LOGSTORE")
+    assert env_logstore(str(tmp_path / "s")) is None
+
+
 def test_cas_mark_complete_is_identity_conditioned(tmp_path):
     """mark_complete must not stamp a SUCCESSOR's fresh incomplete
     claim complete: completing by (path, at) identity, a stale healer
