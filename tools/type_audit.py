@@ -45,7 +45,9 @@ def main():
     from covsonar_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    # default: the WHOLE registry — the old first-50 default let width
+    # mismatches hide in rows 51+ for three rounds
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else len(REGISTRY)
     only = set(sys.argv[3:])
 
     spark = get_spark("type-audit")
