@@ -618,13 +618,21 @@ class CommitLog:
             tmp = f"{marker}.tmp-{uuid.uuid4().hex[:8]}"
             try:
                 self.fs.write_bytes(tmp, mine.encode(), overwrite=True)
-                if self.fs.rename_no_replace(tmp, marker):
-                    recorded = mine
-                else:
+                if not self.fs.rename_no_replace(tmp, marker):
                     self.fs.delete(tmp, recursive=False)
-                    recorded = _read_marker()
             except Exception:  # noqa: BLE001 — RO fs / lost outcome
-                recorded = _read_marker()
+                pass
+            # ALWAYS re-read after publishing: rename_no_replace
+            # arbitrates within ONE backend's domain (coordinator for
+            # cas, payload store for condput/stock), so two
+            # first-openers of DIFFERENT backends racing a fresh root
+            # don't exclude each other — the re-read makes whoever's
+            # marker actually survived the winner, and the other
+            # opener sees the foreign value and refuses below.  A
+            # clobber landing after this read is the irreducible
+            # cross-domain window; any later handle of the losing
+            # backend still refuses at its own first mutation.
+            recorded = _read_marker()
         if (recorded is not None and recorded != mine
                 and "cas" in (recorded, mine)):
             raise StoreBackendMismatch(

@@ -62,19 +62,19 @@ import os
 import secrets
 import sqlite3
 import threading
-import time
 
 
 def _identity_stamp() -> float:
-    """A fresh claim's ``at`` identity: wall time plus a random
-    sub-second tail.  The stamp is compared only for EQUALITY (the
-    identity-CAS conditions on claim transitions), never for age, so
-    the tail costs nothing — and without it a slot released and
-    re-claimed within the clock's resolution (or across an NTP step
-    back) would mint the SAME identity, reopening the exact ABA the
-    stamp exists to prevent.  Wall time stays the integer part for
-    operator debuggability of the slots table."""
-    return time.time() + secrets.randbits(52) / 4503599627370496.0
+    """A fresh claim's ``at`` identity: a PURE random 52-bit token
+    (exact in float64, so SQLite REAL round-trips it bit-for-bit).
+    The stamp is compared only for EQUALITY (the identity-CAS
+    conditions on claim transitions), never for age or ordering, so it
+    carries no time component at all — a wall-time-based stamp repeats
+    within clock resolution or across an NTP step-back, and adding a
+    random fraction to epoch seconds silently truncates it to ~22
+    effective mantissa bits; a plain random integer keeps the full
+    2^-52 pairwise collision odds it advertises."""
+    return float(secrets.randbits(52))
 
 
 class SQLiteCoordinator:
@@ -83,8 +83,10 @@ class SQLiteCoordinator:
     ``claim`` is the conditional put: INSERT with path as PRIMARY KEY —
     SQLite serializes writers across processes, so of any set of
     concurrent claimers exactly one inserts.  A row is (path, src,
-    complete); ``complete=0`` means the payload copy may not have
-    landed and ``src`` is where to copy it from."""
+    complete, at); ``complete=0`` means the payload copy may not have
+    landed and ``src`` is where to copy it from; ``at`` is the claim's
+    random identity token (:func:`_identity_stamp`), compared only for
+    equality by the identity-CAS transitions."""
 
     def __init__(self, db_path: str):
         self.db_path = db_path
@@ -304,13 +306,21 @@ class CasObjectFS:
                 return True
             if got is None:
                 # slot deleted while we uploaded: our PUT resurrected
-                # a reaped object with no claim row — remove it (best
-                # effort: a later legitimate winner overwrites dst
-                # regardless, so worst case is a transiently stale
-                # read, never a fork)
+                # a reaped object with no claim row.  Remove it ONLY
+                # while the bytes are still ours and the slot is still
+                # unclaimed — a successor can legitimately claim and
+                # publish in this very window (lock names recycle),
+                # and an unconditioned delete would destroy its live
+                # object, orphaning its completed claim.  The residual
+                # check-to-delete window degrades to exactly that
+                # orphan state, which the reclaim path already heals
+                # (advisory-lease churn at worst; commit heads are
+                # never vacuumed mid-race, so no history fork).
                 try:
-                    self.base.delete(dst, recursive=False)
-                except OSError:
+                    if (self.coord.get(dst) is None
+                            and self.base.read_bytes(dst) == data):
+                        self.base.delete(dst, recursive=False)
+                except (FileNotFoundError, OSError):
                     pass
                 return False
             # claim replaced mid-upload: complete the successor's

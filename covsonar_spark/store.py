@@ -270,7 +270,8 @@ class SonarStore:
 
         fs = None
         backend = os.environ.get("SONAR_LOGSTORE")
-        if backend in ("cas", "condput") and _remote_scheme(self.root):
+        from covsonar_spark.logstore import KNOWN_BACKENDS
+        if backend in KNOWN_BACKENDS and _remote_scheme(self.root):
             # remote object storage is exactly the deployment these
             # backends exist for, but the local compositions wrap
             # posix payload stores — silently falling through to
