@@ -35,6 +35,7 @@ pattern with the IVM algebra.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import threading
@@ -134,7 +135,9 @@ class StreamingJoinView:
 
     def _batch_gen(self, batch_id: int) -> int | None:
         """The dim generation a previously-written fact batch joined
-        (encoded in its directory name), or None if never written."""
+        (encoded in its directory name, or in the compaction manifest
+        once the directory was folded away), or None if never
+        written."""
         if not os.path.isdir(self._view_path):
             return None
         pat = re.compile(rf"^batch={batch_id}_g(\d+)$")
@@ -142,7 +145,109 @@ class StreamingJoinView:
             m = pat.match(e)
             if m:
                 return int(m.group(1))
-        return None
+        got = self._compact_manifest()["consumed"].get(str(batch_id))
+        return int(got) if got is not None else None
+
+    # -- view-log compaction ----------------------------------------------
+
+    def _compact_manifest(self) -> dict:
+        """{"segments": [seq, ...], "consumed": {batch_id: gen|None}} —
+        which ``compact=<seq>`` segment dirs are LIVE and which batch
+        dirs they folded in.  A segment dir absent from the manifest is
+        invisible (a crashed compaction's leftover); a batch id in
+        ``consumed`` is excluded from reads even if its dir still
+        exists (a crashed cleanup's leftover) — so the manifest publish
+        is the single commit point and both crash windows are benign."""
+        path = os.path.join(self._view_path, "_compact.json")
+        try:
+            with open(path) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, ValueError):
+            return {"segments": [], "consumed": {}}
+
+    def _write_compact_manifest(self, m: dict) -> None:
+        import uuid
+
+        path = os.path.join(self._view_path, "_compact.json")
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(m, fh)
+        os.replace(tmp, path)     # atomic publish — never torn
+
+    def compact(self) -> int:
+        """Fold the accumulated per-batch view deltas into one
+        right-sized segment — the maintenance job the log-structured
+        layout is designed for (store.optimize's pattern; the sketch
+        store compacts the same way).  Returns how many delta dirs
+        were folded.
+
+        Replay safety: the manifest records each folded batch's pinned
+        dim generation, so ``_batch_gen``/``_pinned_gens`` still answer
+        for compacted batches, and ``process_batch`` skips the view
+        write for a replayed id that is already durably inside a
+        segment (the raw fact log is untouched — dimension waves keep
+        joining it per batch).  Crash anatomy: the segment dir is
+        written first but stays INVISIBLE until the manifest publish
+        (single atomic os.replace); consumed batch dirs are excluded by
+        the manifest even before they are deleted.  Either crash
+        leftover is healed by the next compact().  Runs on the
+        maintenance thread (same single-maintainer assumption as
+        update_dim); in-flight batches are drained before dirs are
+        consumed, and a view() DataFrame built BEFORE a compaction may
+        need re-building after it (same caveat as store.optimize)."""
+        import shutil
+
+        with self._idle:
+            self._drain_inflight()
+            m = self._compact_manifest()
+            live = set(m["segments"])
+            entries = (os.listdir(self._view_path)
+                       if os.path.isdir(self._view_path) else [])
+            # heal: segment dirs a crashed compaction left unpublished
+            for e in entries:
+                if e.startswith("compact=") and \
+                        int(e.split("=", 1)[1]) not in live:
+                    shutil.rmtree(os.path.join(self._view_path, e),
+                                  ignore_errors=True)
+            # snapshot the fold set: every live segment + every batch
+            # dir not already consumed (a consumed dir still on disk is
+            # a crashed cleanup's leftover — just delete it)
+            pat = re.compile(r"^batch=(.+?)(?:_g(\d+))?$")
+            folds, stale = [], []
+            for e in entries:
+                mt = pat.match(e)
+                if not mt:
+                    continue
+                if mt.group(1) in m["consumed"]:
+                    stale.append(e)
+                else:
+                    folds.append((e, mt.group(1), mt.group(2)))
+        for e in stale:
+            shutil.rmtree(os.path.join(self._view_path, e),
+                          ignore_errors=True)
+        if not folds and len(m["segments"]) <= 1:
+            return 0
+        seq = max(m["segments"], default=0) + 1
+        paths = ([os.path.join(self._view_path, f"compact={s}")
+                  for s in m["segments"]]
+                 + [os.path.join(self._view_path, e) for e, _, _ in folds])
+        (self.spark.read.parquet(*paths)
+         .write.mode("overwrite")
+         .parquet(os.path.join(self._view_path, f"compact={seq}")))
+        consumed = dict(m["consumed"])
+        consumed.update({bid: (int(g) if g is not None else None)
+                         for _, bid, g in folds})
+        old_segments = list(m["segments"])
+        # the commit point: after this, the old dirs are invisible
+        self._write_compact_manifest(
+            {"segments": [seq], "consumed": consumed})
+        for e, _, _ in folds:
+            shutil.rmtree(os.path.join(self._view_path, e),
+                          ignore_errors=True)
+        for s in old_segments:
+            shutil.rmtree(os.path.join(self._view_path, f"compact={s}"),
+                          ignore_errors=True)
+        return len(folds)
 
     # -- maintenance ------------------------------------------------------
 
@@ -161,6 +266,16 @@ class StreamingJoinView:
         gen = self._batch_gen(batch_id)
         if gen is None:
             gen = self._current_gen()
+        # a replayed id already folded into a compacted segment must
+        # NOT re-create its batch dir — its rows are durably inside the
+        # segment and the re-created dir would double-count.  The raw
+        # fact log is still (re)written: overwrite-idempotent, and dim
+        # waves depend on it.
+        folded = str(batch_id) in self._compact_manifest()["consumed"]
+        if folded:
+            delta_fact.write.mode("overwrite").parquet(
+                os.path.join(self._fact_path, f"batch={batch_id}"))
+            return
         # the ΔV write and the raw-ΔA log write are independent jobs
         # over the same input — submit them concurrently (driver
         # threads into one scheduler, the store-ingest pattern); the
@@ -238,8 +353,14 @@ class StreamingJoinView:
 
     def _pinned_gens(self) -> dict[str, int]:
         """batch id -> the dim generation that fact batch joined,
-        parsed from the view directory names."""
+        parsed from the view directory names plus the compaction
+        manifest (a folded batch keeps its pin — without it, a dim
+        wave after a compaction would re-join already-joined batches
+        and double-count ΔA ⋈ ΔB)."""
         out: dict[str, int] = {}
+        for bid, gen in self._compact_manifest()["consumed"].items():
+            if gen is not None:
+                out[bid] = int(gen)
         if os.path.isdir(self._view_path):
             pat = re.compile(r"^batch=(.+)_g(\d+)$")
             for e in os.listdir(self._view_path):
@@ -308,9 +429,21 @@ class StreamingJoinView:
                  .parquet(os.path.join(self._view_path, f"batch=dim_{tag}")))
 
     def view(self) -> DataFrame:
-        """The maintained join view (union of the delta log); empty
+        """The maintained join view: the compacted segments plus the
+        not-yet-folded per-batch deltas, read as explicit leaf paths
+        (a consumed batch dir still on disk — a crashed cleanup — is
+        excluded by the manifest, so reads never double-count).  Empty
         view reads fail only if NOTHING was ever processed."""
-        return self.spark.read.parquet(self._view_path).drop("batch")
+        m = self._compact_manifest()
+        paths = [os.path.join(self._view_path, f"compact={s}")
+                 for s in m["segments"]]
+        if os.path.isdir(self._view_path):
+            pat = re.compile(r"^batch=(.+?)(?:_g\d+)?$")
+            for e in sorted(os.listdir(self._view_path)):
+                mt = pat.match(e)
+                if mt and mt.group(1) not in m["consumed"]:
+                    paths.append(os.path.join(self._view_path, e))
+        return self.spark.read.parquet(*paths)
 
     def attach(self, stream_df: DataFrame, checkpoint_dir: str):
         """foreachBatch sink for a real fact stream."""

@@ -392,3 +392,78 @@ def test_dim_swap_drains_inflight_batches(spark, tmp_path):
     want = sorted(tuple(r) for r in o.join(c, ["c_custkey"])
                   .select(sjv.view().columns).collect())
     assert got == want
+
+
+def test_view_log_compaction(spark, tmp_path):
+    """StreamingJoinView.compact() folds the per-batch delta dirs into
+    one segment: the view is value-identical before/after, replayed
+    ids that were folded do not double-count (their pin lives in the
+    manifest), a dim wave AFTER a compaction still joins exactly the
+    not-yet-covered batches, and both crash leftovers (unpublished
+    segment, undeleted consumed dir) are invisible."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from covsonar_spark.streaming.ivm import StreamingJoinView
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"))
+    c = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey", "c_name")
+    b0 = c.where(F.col("c_custkey") % 2 == 0)
+    db = c.where(F.col("c_custkey") % 2 == 1)
+    d0 = o.where(F.col("o_orderkey") % 3 == 0)
+    d1 = o.where(F.col("o_orderkey") % 3 == 1)
+    d2 = o.where(F.col("o_orderkey") % 3 == 2)
+
+    state = str(tmp_path / "state")
+    sjv = StreamingJoinView(spark, state, b0, ["c_custkey"])
+    sjv.process_batch(d0, batch_id=0)
+    sjv.process_batch(d1, batch_id=1)
+    want_half = sorted(tuple(r) for r in sjv.view().collect())
+
+    folded = sjv.compact()
+    assert folded == 2
+    view_dir = os.path.join(state, "view")
+    assert [e for e in os.listdir(view_dir)
+            if e.startswith("batch=")] == []
+    assert sorted(tuple(r) for r in sjv.view().collect()) == want_half
+
+    # replay of a folded id: no batch dir re-created, no double count
+    sjv.process_batch(d0, batch_id=0)
+    assert [e for e in os.listdir(view_dir)
+            if e.startswith("batch=")] == []
+    assert sorted(tuple(r) for r in sjv.view().collect()) == want_half
+
+    # dim wave after the compaction joins the folded batches exactly
+    # once (pins come from the manifest), then another fact batch and
+    # a second compaction fold everything into one fresh segment
+    sjv.update_dim(db, "late")
+    sjv.process_batch(d2, batch_id=2)
+    want_full = sorted(tuple(r) for r in o.join(c, ["c_custkey"])
+                       .select(sjv.view().columns).collect())
+    assert sorted(tuple(r) for r in sjv.view().collect()) == want_full
+    assert sjv.compact() > 0
+    segs = [e for e in os.listdir(view_dir) if e.startswith("compact=")]
+    assert len(segs) == 1
+    assert sorted(tuple(r) for r in sjv.view().collect()) == want_full
+
+    # crash leftovers: an unpublished segment dir and an undeleted
+    # consumed batch dir are both invisible to reads...
+    shutil.copytree(os.path.join(view_dir, segs[0]),
+                    os.path.join(view_dir, "compact=99"))
+    shutil.copytree(os.path.join(view_dir, segs[0]),
+                    os.path.join(view_dir, "batch=0_g0"))
+    assert sorted(tuple(r) for r in sjv.view().collect()) == want_full
+    # ...and the next compact() heals them away
+    sjv.compact()
+    left = set(os.listdir(view_dir))
+    assert "compact=99" not in left and "batch=0_g0" not in left
+    assert sorted(tuple(r) for r in sjv.view().collect()) == want_full
+
+    # a fresh handle (new process) sees the same state
+    sjv2 = StreamingJoinView(spark, state, b0, ["c_custkey"])
+    assert sorted(tuple(r) for r in sjv2.view().collect()) == want_full
