@@ -53,7 +53,13 @@ class StreamingJoinView:
         self._fact_path = os.path.join(state_dir, "fact")
         self._dim_path = os.path.join(state_dir, "dim")
         self.on = on
-        self._seq = 0
+        # auto ids resume PAST every batch ever written (fact-log dirs
+        # plus ids folded into compacted view segments): a restarted
+        # direct caller starting at 0 would collide with a folded id,
+        # silently dropping its rows from the view while overwriting
+        # that batch's raw fact log (the sketch store's _max_batch_id
+        # rule, streaming/sketches.py)
+        self._seq = self._max_seen_batch() + 1
         # serializes a live dim swap against the streaming thread's
         # crash-heal scan: heal observing the instant between
         # update_dim's two renames would "restore" the renamed-aside
@@ -67,6 +73,10 @@ class StreamingJoinView:
         # is still consuming)
         self._idle = threading.Condition(self._swap_lock)
         self._inflight = 0
+        # True while compact() is folding dirs: new batches wait (see
+        # process_batch — a replay overwriting a dir mid-fold would
+        # race compact's scan of that same dir)
+        self._compacting = False
         # per-generation persisted dim frames (see _dim_as_of)
         self._dim_cache: dict[int, DataFrame] = {}
         # bootstrap generation 0 (idempotent: overwrite)
@@ -133,11 +143,13 @@ class StreamingJoinView:
         while self._inflight:
             self._idle.wait(timeout=1.0)
 
-    def _batch_gen(self, batch_id: int) -> int | None:
+    def _batch_gen(self, batch_id: int,
+                   manifest: dict | None = None) -> int | None:
         """The dim generation a previously-written fact batch joined
         (encoded in its directory name, or in the compaction manifest
-        once the directory was folded away), or None if never
-        written."""
+        once the directory was folded away), or None if never written.
+        ``manifest`` lets the hot path reuse an already-loaded
+        manifest instead of re-reading the file."""
         if not os.path.isdir(self._view_path):
             return None
         pat = re.compile(rf"^batch={batch_id}_g(\d+)$")
@@ -145,10 +157,50 @@ class StreamingJoinView:
             m = pat.match(e)
             if m:
                 return int(m.group(1))
-        got = self._compact_manifest()["consumed"].get(str(batch_id))
+        if manifest is None:
+            manifest = self._compact_manifest()
+        got = manifest["consumed"].get(str(batch_id))
         return int(got) if got is not None else None
 
     # -- view-log compaction ----------------------------------------------
+
+    @staticmethod
+    def _parse_batch_dir(entry: str) -> tuple[str | None, int | None]:
+        """(batch_id, gen|None) for a view delta dir name — the ONE
+        grammar every consumer (compact, view, _pinned_gens) parses
+        with.  Fact batches are ``batch=<id>_g<gen>`` with NUMERIC id
+        and gen; anything else (dim waves ``batch=dim_<tag>``) is an
+        opaque id with no gen — tags are caller-chosen strings that may
+        themselves end in ``_g<digits>``, so the suffix is only split
+        off when the id part is purely numeric."""
+        if not entry.startswith("batch="):
+            return None, None
+        name = entry.split("=", 1)[1]
+        m = re.fullmatch(r"(\d+)_g(\d+)", name)
+        if m:
+            return m.group(1), int(m.group(2))
+        return name, None
+
+    def _max_seen_batch(self) -> int:
+        """Highest NUMERIC batch id ever written: fact-log dirs (kept
+        forever — view compaction never touches them) plus ids folded
+        into view segments (belt-and-braces for a fact log lost to
+        out-of-band cleanup)."""
+        top = -1
+        if os.path.isdir(self._fact_path):
+            for e in os.listdir(self._fact_path):
+                bid = e.split("=", 1)[1] if e.startswith("batch=") else ""
+                if bid.isdigit():
+                    top = max(top, int(bid))
+        if os.path.isdir(self._view_path):
+            for bid in self._compact_manifest()["consumed"]:
+                if bid.isdigit():
+                    top = max(top, int(bid))
+            for e in os.listdir(self._view_path):
+                bid, _gen = self._parse_batch_dir(e)
+                if bid is not None and bid.isdigit():
+                    top = max(top, int(bid))
+        return top
 
     def _compact_manifest(self) -> dict:
         """{"segments": [seq, ...], "consumed": {batch_id: gen|None}} —
@@ -157,13 +209,26 @@ class StreamingJoinView:
         invisible (a crashed compaction's leftover); a batch id in
         ``consumed`` is excluded from reads even if its dir still
         exists (a crashed cleanup's leftover) — so the manifest publish
-        is the single commit point and both crash windows are benign."""
+        is the single commit point and both crash windows are benign.
+
+        A manifest that exists but does not PARSE raises — treating it
+        as empty would silently drop every compacted row from reads,
+        and the next compact() would then delete the 'unreferenced'
+        segment dirs: unrecoverable loss dressed as healing (the sketch
+        store's rule: transient read errors must surface)."""
         path = os.path.join(self._view_path, "_compact.json")
         try:
             with open(path) as fh:
                 return json.load(fh)
-        except (FileNotFoundError, ValueError):
+        except FileNotFoundError:
             return {"segments": [], "consumed": {}}
+        except ValueError as exc:
+            raise RuntimeError(
+                f"corrupt view-compaction manifest {path}: refusing to "
+                "treat it as empty (that would orphan every compacted "
+                "segment). Restore it from the segment dirs on disk — "
+                "each compact=<N> dir is one committed segment."
+            ) from exc
 
     def _write_compact_manifest(self, m: dict) -> None:
         import uuid
@@ -172,7 +237,18 @@ class StreamingJoinView:
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(m, fh)
-        os.replace(tmp, path)     # atomic publish — never torn
+            fh.flush()
+            os.fsync(fh.fileno())   # data durable BEFORE the rename —
+            #                         a reordered rename surviving a
+            #                         power loss ahead of its contents
+            #                         is exactly the torn manifest the
+            #                         parse guard refuses
+        os.replace(tmp, path)
+        dir_fd = os.open(self._view_path, os.O_RDONLY)
+        try:
+            os.fsync(dir_fd)        # the rename itself durable too
+        finally:
+            os.close(dir_fd)
 
     def compact(self) -> int:
         """Fold the accumulated per-batch view deltas into one
@@ -199,55 +275,71 @@ class StreamingJoinView:
 
         with self._idle:
             self._drain_inflight()
+            # block new batches for the whole fold: a replayed batch
+            # passing its folded-check before the manifest publish
+            # could otherwise overwrite a fold-set dir mid-scan
+            self._compacting = True
+        try:
             m = self._compact_manifest()
             live = set(m["segments"])
             entries = (os.listdir(self._view_path)
                        if os.path.isdir(self._view_path) else [])
-            # heal: segment dirs a crashed compaction left unpublished
+            folds, stale = [], []
             for e in entries:
+                # heal the crash leftovers: unpublished segment dirs
+                # and orphaned manifest tmp files
                 if e.startswith("compact=") and \
                         int(e.split("=", 1)[1]) not in live:
                     shutil.rmtree(os.path.join(self._view_path, e),
                                   ignore_errors=True)
-            # snapshot the fold set: every live segment + every batch
-            # dir not already consumed (a consumed dir still on disk is
-            # a crashed cleanup's leftover — just delete it)
-            pat = re.compile(r"^batch=(.+?)(?:_g(\d+))?$")
-            folds, stale = [], []
-            for e in entries:
-                mt = pat.match(e)
-                if not mt:
                     continue
-                if mt.group(1) in m["consumed"]:
+                if e.startswith("_compact.json.tmp-"):
+                    try:
+                        os.unlink(os.path.join(self._view_path, e))
+                    except OSError:
+                        pass
+                    continue
+                # snapshot the fold set: every batch dir not already
+                # consumed (a consumed dir still on disk is a crashed
+                # cleanup's leftover — just delete it)
+                bid, gen = self._parse_batch_dir(e)
+                if bid is None:
+                    continue
+                if bid in m["consumed"]:
                     stale.append(e)
                 else:
-                    folds.append((e, mt.group(1), mt.group(2)))
-        for e in stale:
-            shutil.rmtree(os.path.join(self._view_path, e),
-                          ignore_errors=True)
-        if not folds and len(m["segments"]) <= 1:
-            return 0
-        seq = max(m["segments"], default=0) + 1
-        paths = ([os.path.join(self._view_path, f"compact={s}")
-                  for s in m["segments"]]
-                 + [os.path.join(self._view_path, e) for e, _, _ in folds])
-        (self.spark.read.parquet(*paths)
-         .write.mode("overwrite")
-         .parquet(os.path.join(self._view_path, f"compact={seq}")))
-        consumed = dict(m["consumed"])
-        consumed.update({bid: (int(g) if g is not None else None)
-                         for _, bid, g in folds})
-        old_segments = list(m["segments"])
-        # the commit point: after this, the old dirs are invisible
-        self._write_compact_manifest(
-            {"segments": [seq], "consumed": consumed})
-        for e, _, _ in folds:
-            shutil.rmtree(os.path.join(self._view_path, e),
-                          ignore_errors=True)
-        for s in old_segments:
-            shutil.rmtree(os.path.join(self._view_path, f"compact={s}"),
-                          ignore_errors=True)
-        return len(folds)
+                    folds.append((e, bid, gen))
+            for e in stale:
+                shutil.rmtree(os.path.join(self._view_path, e),
+                              ignore_errors=True)
+            if not folds and len(m["segments"]) <= 1:
+                return 0
+            seq = max(m["segments"], default=0) + 1
+            paths = ([os.path.join(self._view_path, f"compact={s}")
+                      for s in m["segments"]]
+                     + [os.path.join(self._view_path, e)
+                        for e, _, _ in folds])
+            (self.spark.read.parquet(*paths)
+             .write.mode("overwrite")
+             .parquet(os.path.join(self._view_path, f"compact={seq}")))
+            consumed = dict(m["consumed"])
+            consumed.update({bid: gen for _, bid, gen in folds})
+            old_segments = list(m["segments"])
+            # the commit point: after this, the old dirs are invisible
+            self._write_compact_manifest(
+                {"segments": [seq], "consumed": consumed})
+            for e, _, _ in folds:
+                shutil.rmtree(os.path.join(self._view_path, e),
+                              ignore_errors=True)
+            for s in old_segments:
+                shutil.rmtree(
+                    os.path.join(self._view_path, f"compact={s}"),
+                    ignore_errors=True)
+            return len(folds)
+        finally:
+            with self._idle:
+                self._compacting = False
+                self._idle.notify_all()
 
     # -- maintenance ------------------------------------------------------
 
@@ -263,19 +355,6 @@ class StreamingJoinView:
             batch_id = self._seq
             self._seq += 1
         self._heal_dim_swaps()
-        gen = self._batch_gen(batch_id)
-        if gen is None:
-            gen = self._current_gen()
-        # a replayed id already folded into a compacted segment must
-        # NOT re-create its batch dir — its rows are durably inside the
-        # segment and the re-created dir would double-count.  The raw
-        # fact log is still (re)written: overwrite-idempotent, and dim
-        # waves depend on it.
-        folded = str(batch_id) in self._compact_manifest()["consumed"]
-        if folded:
-            delta_fact.write.mode("overwrite").parquet(
-                os.path.join(self._fact_path, f"batch={batch_id}"))
-            return
         # the ΔV write and the raw-ΔA log write are independent jobs
         # over the same input — submit them concurrently (driver
         # threads into one scheduler, the store-ingest pattern); the
@@ -287,13 +366,35 @@ class StreamingJoinView:
         # (at scale: an arbitrary source scan) computes once, not once
         # per sink; scoped to this batch, dropped before returning
         delta_fact = delta_fact.persist()
-        # dim acquisition and the in-flight mark are ONE locked step:
-        # a dim swap drains _inflight before touching the generation
-        # dirs or unpersisting cached frames, so the join below never
-        # has its dim yanked (unpersisted / dirs rewritten) mid-job
+        # ONE locked step covers the folded check, gen resolution, dim
+        # acquisition, and the in-flight mark — a dim swap drains
+        # _inflight before touching generation dirs, and compact()
+        # blocks new batches for its whole fold (checking folded
+        # OUTSIDE the lock could let a replay overwrite a fold-set dir
+        # mid-scan); the manifest is read once and reused
         with self._idle:
-            dim = self._dim_as_of_locked(gen)
-            self._inflight += 1
+            while self._compacting:
+                self._idle.wait(timeout=1.0)
+            manifest = self._compact_manifest()
+            # a replayed id already folded into a compacted segment
+            # must NOT re-create its batch dir — its rows are durably
+            # inside the segment and the re-created dir would
+            # double-count.  The raw fact log is still (re)written:
+            # overwrite-idempotent, and dim waves depend on it.
+            folded = str(batch_id) in manifest["consumed"]
+            if not folded:
+                gen = self._batch_gen(batch_id, manifest)
+                if gen is None:
+                    gen = self._current_gen()
+                dim = self._dim_as_of_locked(gen)
+                self._inflight += 1
+        if folded:
+            try:
+                delta_fact.write.mode("overwrite").parquet(
+                    os.path.join(self._fact_path, f"batch={batch_id}"))
+            finally:
+                delta_fact.unpersist()
+            return
         try:
             view_df = delta_fact.join(dim, self.on)
             with _cf.ThreadPoolExecutor(max_workers=2) as pool:
@@ -362,11 +463,10 @@ class StreamingJoinView:
             if gen is not None:
                 out[bid] = int(gen)
         if os.path.isdir(self._view_path):
-            pat = re.compile(r"^batch=(.+)_g(\d+)$")
             for e in os.listdir(self._view_path):
-                m = pat.match(e)
-                if m:
-                    out[m.group(1)] = int(m.group(2))
+                bid, gen = self._parse_batch_dir(e)
+                if bid is not None and gen is not None:
+                    out[bid] = gen
         return out
 
     def update_dim(self, delta_dim: DataFrame, tag: str) -> None:
@@ -438,10 +538,9 @@ class StreamingJoinView:
         paths = [os.path.join(self._view_path, f"compact={s}")
                  for s in m["segments"]]
         if os.path.isdir(self._view_path):
-            pat = re.compile(r"^batch=(.+?)(?:_g\d+)?$")
             for e in sorted(os.listdir(self._view_path)):
-                mt = pat.match(e)
-                if mt and mt.group(1) not in m["consumed"]:
+                bid, _gen = self._parse_batch_dir(e)
+                if bid is not None and bid not in m["consumed"]:
                     paths.append(os.path.join(self._view_path, e))
         return self.spark.read.parquet(*paths)
 

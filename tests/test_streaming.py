@@ -467,3 +467,56 @@ def test_view_log_compaction(spark, tmp_path):
     # a fresh handle (new process) sees the same state
     sjv2 = StreamingJoinView(spark, state, b0, ["c_custkey"])
     assert sorted(tuple(r) for r in sjv2.view().collect()) == want_full
+
+
+def test_view_compaction_edge_cases(spark, tmp_path):
+    """Review-found edges: a dim-wave tag shaped like g<digits> must
+    not be mis-parsed as a generation suffix; a restarted handle's
+    auto batch ids resume past folded ids instead of colliding; and a
+    corrupt manifest raises instead of silently orphaning segments."""
+    import json as _json
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from covsonar_spark.streaming.ivm import StreamingJoinView
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"))
+    c = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey", "c_name")
+    b0 = c.where(F.col("c_custkey") % 2 == 0)
+    db = c.where(F.col("c_custkey") % 2 == 1)
+    d0 = o.where(F.col("o_orderkey") % 3 == 0)
+    d1 = o.where(F.col("o_orderkey") % 3 == 1)
+
+    state = str(tmp_path / "state")
+    sjv = StreamingJoinView(spark, state, b0, ["c_custkey"])
+    sjv.process_batch(d0)                      # auto id 0
+    sjv.update_dim(db, "g5")                   # tag LOOKS like _g5
+    want0 = sorted(tuple(r) for r in d0.join(c, ["c_custkey"])
+                   .select(sjv.view().columns).collect())
+    assert sorted(tuple(r) for r in sjv.view().collect()) == want0
+    assert sjv.compact() == 2                  # batch 0 + the wave dir
+    assert sorted(tuple(r) for r in sjv.view().collect()) == want0
+    # a later wave whose dir name shares the truncated prefix is NOT
+    # swallowed by the consumed map
+    sjv.update_dim(c.limit(0), "g7")           # empty wave, new gen
+    assert sorted(tuple(r) for r in sjv.view().collect()) == want0
+
+    # restarted handle: auto ids resume past the folded batch 0
+    sjv2 = StreamingJoinView(spark, state, b0, ["c_custkey"])
+    sjv2.process_batch(d1)                     # must NOT reuse id 0
+    want01 = sorted(tuple(r)
+                    for r in d0.unionByName(d1).join(c, ["c_custkey"])
+                    .select(sjv2.view().columns).collect())
+    assert sorted(tuple(r) for r in sjv2.view().collect()) == want01
+    assert os.path.isdir(os.path.join(state, "fact", "batch=1"))
+
+    # a manifest that exists but does not parse must SURFACE
+    with open(os.path.join(state, "view", "_compact.json"), "w") as fh:
+        fh.write("{torn")
+    with _pytest.raises(RuntimeError, match="corrupt view-compaction"):
+        sjv2.view()
