@@ -45,6 +45,32 @@ def clear_scratch_cache() -> None:
                 pass
 
 
+def min_parallelism(df: DataFrame) -> DataFrame:
+    """Floor the partition count of an under-split input that feeds a
+    per-row-EXPENSIVE stage (a pandas UDF / mapInPandas kernel, or a
+    dense join probe): a single-row-group parquet file scans as ONE
+    task no matter how many cores exist, so everything until the first
+    exchange runs single-threaded (guide §2.5 "input skew ...
+    repartition immediately after the read").
+
+    Deliberately NOT applied at the generic table loader: for light
+    scan→aggregate plans the extra round-robin exchange costs more
+    than the parallelism buys (measured 1.9-3.0× slower on
+    q1/agg_group_counts/skew_diagnose at sf0.1), while the UDF-heavy
+    dedup/k-means paths win 1.2-3.6× (tools/ab_scanfloor.py).  Callers
+    are exactly the operators whose per-row work dwarfs one shuffle of
+    their (pre-projected) input.
+
+    Scale-adaptive, no local[32] constant: a production-sized input
+    already has >= defaultParallelism splits, the condition is false,
+    and the plan is untouched."""
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def _persist_scoped(key: str, df: DataFrame) -> DataFrame:
     """persist() with generation cleanup AND same-input memoization.
 
@@ -99,7 +125,7 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                 k: int = 3, arrow: bool = True) -> DataFrame:
+                 k: int = 3, arrow: bool = True, floor: bool = True) -> DataFrame:
     """Distinct word-k-gram shingle set per document (first-occurrence
     order; docs shorter than k tokens get an empty set).
 
@@ -110,6 +136,11 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shingles on local[32]) — so the vectorized path is the default;
     ``arrow=False`` keeps the pure-expression form.
     """
+    if floor:
+        # parallelism floor for the UDF + the downstream index build
+        # (``floor=False`` for the prefix path, where the flooring
+        # exchange measured net-negative — tools/ab_scanfloor.py)
+        df = min_parallelism(df)
     if not arrow:
         toks = Tx.tokens(text_col)
         return df.select(
@@ -294,7 +325,7 @@ def ngram_jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
     t = float(threshold)
     sh = _persist_scoped(
         "shingle_sets_hashed",
-        shingle_sets(df, text_col, id_col, k).select(
+        shingle_sets(df, text_col, id_col, k, floor=False).select(
             F.col(id_col),
             F.transform("shingles", lambda s: F.xxhash64(s)).alias("hashes")))
     inv = sh.select(F.col(id_col), F.size("hashes").alias("n_sh"),

@@ -113,7 +113,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tz is UTC, so NTZ wall-clock == UTC instant) and exactly reproducible
     in DuckDB via ``epoch_us(CAST(ts AS TIMESTAMP))``."""
     ensure_nanos_readable(spark, f"{sf_dir}/events.parquet")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _t(spark, sf_dir, "events")
     ts_type = dict(ev.dtypes)["ts"]
     if ts_type == "bigint":
         ev = ev.withColumn("ts_us", F.expr("ts div 1000"))

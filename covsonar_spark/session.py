@@ -14,6 +14,15 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _executor_pythonpath() -> str:
+    """PYTHONPATH for Python workers: the directory containing this
+    package (so ``spark.python.daemon.module=covsonar_spark.pydaemon``
+    resolves in the worker interpreter) plus any inherited PYTHONPATH."""
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    inherited = os.environ.get("PYTHONPATH", "")
+    return pkg_parent + (os.pathsep + inherited if inherited else "")
+
+
 def get_spark(app_name: str = "sparksonar", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
@@ -22,6 +31,14 @@ def get_spark(app_name: str = "sparksonar", shuffle_partitions: int | None = Non
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Python workers run our daemon wrapper (covsonar_spark/pydaemon.py):
+        # stock workers pay ~250 ms CPU PER TASK re-reading the immutable
+        # pyspark.zip directories (importlib.invalidate_caches) and full-heap
+        # gc.collect()s in the reuse loop — measured 4-5x total Python-side
+        # CPU on trivial 32-task jobs.  Workers must be able to import the
+        # package, so its parent dir is prepended to the executor PYTHONPATH.
+        .config("spark.python.daemon.module", "covsonar_spark.pydaemon")
+        .config("spark.executorEnv.PYTHONPATH", _executor_pythonpath())
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
