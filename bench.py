@@ -255,6 +255,10 @@ def main() -> None:
         "ingest_large_n": ingest_n_lg,
         "slowest": slowest,
         "queries_file": sidecar_name,
+        # full per-query map inline per the driver contract (the sidecar
+        # stays as the human-readable copy); compact separators keep the
+        # line ~4 KB
+        "queries": times,
     }, separators=(",", ":")))
 
 
