@@ -47,6 +47,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def clear_run_memos() -> None:
+    """Drop every cross-invocation scratch memo: the scoped persist
+    cache (dedup/similarity/textstats/graph scratch frames) and the
+    graph census-stats memo.  Timing harnesses call this before EACH
+    timed execution so every invocation computes from the parquet
+    inputs — the memos exist to bound cache growth and share work
+    WITHIN one invocation, never to carry results across runs."""
+    from covsonar_spark.operators import graph
+    from covsonar_spark.operators.dedup import clear_scratch_cache
+
+    clear_scratch_cache()
+    graph._CENSUS_STATS.clear()
+
+
 _NROWS_CACHE: dict[tuple, int | None] = {}
 
 

@@ -78,11 +78,16 @@ def main():
     spark = get_spark("oracle-harness")
     con = make_duckdb(sf_dir)
 
+    from covsonar_spark.registry import clear_run_memos
+
     failures = []
     for name, (fn, sql) in REGISTRY.items():
         if only and name not in only:
             continue
         try:
+            # same discipline as bench.py: every checked invocation
+            # computes from the parquet inputs, no cross-query memos
+            clear_run_memos()
             ok, detail = compare_query(spark, con, fn, sql, sf_dir)
         except Exception as e:  # noqa: BLE001
             ok, detail = False, f"error {e}"

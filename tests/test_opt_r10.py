@@ -1,0 +1,95 @@
+"""Round-10 optimization internals — regression tests.
+
+1. min_parallelism floors only under-split inputs: a single-partition
+   frame is spread to defaultParallelism; an already-well-split frame
+   is returned untouched (no extra exchange at production split
+   counts, the scale-adaptivity claim).
+2. shingle_sets(floor=True/False) are value-identical — the floor is
+   a pure plan change.
+3. registry.clear_run_memos() empties every cross-invocation memo
+   (the scoped-persist cache and the graph census memo), so timing
+   harnesses that call it per execution always recompute from the
+   inputs.
+4. The custom Python worker daemon module is importable, exposes the
+   manager entrypoint, and is what get_spark wires in — a typo in
+   spark.python.daemon.module surfaces as a hung job, not an error,
+   so pin it here.
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, n=64):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta "),
+                 (F.col("id") % 7).cast("string"),
+                 F.lit(" eta theta iota")).alias("text"),
+    )
+
+
+def test_min_parallelism_floors_undersplit(spark):
+    from covsonar_spark.operators.dedup import min_parallelism
+
+    one = _docs(spark).coalesce(1)
+    floored = min_parallelism(one)
+    assert floored.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_min_parallelism_leaves_wellsplit_untouched(spark):
+    from covsonar_spark.operators.dedup import min_parallelism
+
+    par = spark.sparkContext.defaultParallelism
+    wide = _docs(spark).repartition(par)
+    assert min_parallelism(wide) is wide
+
+
+def test_shingle_sets_floor_identity(spark):
+    from covsonar_spark.operators.dedup import shingle_sets
+
+    docs = _docs(spark).coalesce(1)
+    on = {(r["doc_id"], tuple(r["shingles"]))
+          for r in shingle_sets(docs, floor=True).collect()}
+    off = {(r["doc_id"], tuple(r["shingles"]))
+           for r in shingle_sets(docs, floor=False).collect()}
+    assert on == off and len(on) == 64
+
+
+def test_clear_run_memos_empties_all_memos(spark):
+    from covsonar_spark.operators import graph
+    from covsonar_spark.operators import dedup
+    from covsonar_spark.registry import clear_run_memos
+
+    df = dedup._persist_scoped("test_clear_memo", _docs(spark))
+    df.count()
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    graph._census_stats(edges)
+    assert dedup._GEN_CACHE and graph._CENSUS_STATS
+    clear_run_memos()
+    assert not dedup._GEN_CACHE and not graph._CENSUS_STATS
+
+
+def test_pydaemon_module_wiring(spark):
+    import importlib
+
+    mod_name = spark.conf.get("spark.python.daemon.module", None)
+    if mod_name is None:
+        pytest.skip("externally-owned session without the daemon knob")
+    mod = importlib.import_module(mod_name)
+    assert callable(getattr(mod, "manager"))
+    # the wrapper must be installed on the pyspark daemon module global,
+    # which is how forked workers resolve it
+    from pyspark import daemon as stock
+    assert stock.worker is mod.worker
+
+
+def test_pydaemon_udf_roundtrip(spark):
+    # a pandas UDF actually runs through the custom daemon's workers
+    @F.pandas_udf("long")
+    def double(s):
+        return s * 2
+
+    got = (spark.range(0, 100, 1, 8).select(F.sum(double("id"))).collect()[0][0])
+    assert got == 9900
