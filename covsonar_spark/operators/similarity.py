@@ -137,6 +137,11 @@ def cosine_pairs_exact(df: DataFrame, threshold: float,
     M = np.array([r[1] for r in side], dtype=np.float64)
     dim = M.shape[1]
     bc = spark.sparkContext.broadcast((ids, M))
+    # The probe side carries the O(n·|bcast|·dim) kernel — a
+    # single-row-group parquet input would run it as ONE task (guide
+    # §2.5 input skew).  Floor its parallelism; production-sized inputs
+    # already have >= defaultParallelism splits and are untouched.
+    from covsonar_spark.operators.dedup import min_parallelism
 
     def score(batches):
         ids_b, Mb = bc.value
@@ -159,7 +164,7 @@ def cosine_pairs_exact(df: DataFrame, threshold: float,
             yield pd.DataFrame({"id_a": a_ids[ii], "id_b": ids_b[jj],
                                 "cosine": cos[ii, jj]})
 
-    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+    return min_parallelism(df.select(F.col(id_col), F.col(vec_col))).mapInPandas(
         score, schema="id_a long, id_b long, cosine double")
 
 
