@@ -670,11 +670,20 @@ def _kmeans_fit(df: DataFrame, k: int, iters: int,
     cents = [list(map(float, c)) for _, c in init]
     k = min(k, len(cents))    # tables smaller than k shrink the model
     dim = len(cents[0])
+    # The dim-wide mean aggregate is built as ONE parameterized-SQL
+    # string instead of `agg(*[F.round(F.avg(col[i]))...])`: the Column
+    # construction alone cost ~0.46 s PER LLOYD ITERATION in Py4J
+    # round-trips (hundreds of JVM calls for 64 dims), and analyzing 64
+    # separate Column trees added ~0.3 s to each collect — parse-once
+    # SQL measured 0.46→0.07 s build and ~0.8→0.5 s job at sf0.1, with
+    # bit-identical centroid output (same avg/round expressions).
+    mean_exprs = ", ".join(
+        f"round(avg(cast({vec_col}[{i}] as double)), 6) AS m{i}"
+        for i in range(dim))
     for _ in range(iters):
         assigned = _kmeans_assign_pass(df, cents, vec_col, id_col)
-        stats = assigned.groupBy("cid").agg(
-            *[F.round(F.avg(F.col(vec_col)[i].cast("double")), 6).alias(f"m{i}")
-              for i in range(dim)])
+        stats = df.sparkSession.sql(
+            f"SELECT cid, {mean_exprs} FROM {{a}} GROUP BY cid", a=assigned)
         new = {r["cid"]: [r[f"m{i}"] for i in range(dim)] for r in stats.collect()}
         cents = [new.get(c, cents[c]) for c in range(k)]
     return cents
@@ -909,9 +918,12 @@ def pq_topk(df: DataFrame, query_id: int = 0, k_top: int = 10,
 
     assigned = df.select(id_col, vec_col).mapInPandas(
         assign_gen, "s int, cid long, sv array<double>")
-    stats = assigned.groupBy("s", "cid").agg(
-        *[F.round(F.avg(F.col("sv")[i]), 6).alias(f"m{i}")
-          for i in range(PQ_SUB)])
+    # parse-once SQL for the sub-dim mean agg (same Py4J-construction
+    # saving as _kmeans_fit; identical avg/round expressions)
+    stats = df.sparkSession.sql(
+        "SELECT s, cid, " + ", ".join(
+            f"round(avg(sv[{i}]), 6) AS m{i}" for i in range(PQ_SUB))
+        + " FROM {a} GROUP BY s, cid", a=assigned)
     upd = {(r["s"], r["cid"]): [r[f"m{i}"] for i in range(PQ_SUB)]
            for r in stats.collect()}
     books = [[upd.get((s, c), init[s][c]) for c in range(k_eff)]
