@@ -41,9 +41,17 @@ def basket_association_rules(spark, sf_dir):
     (operators/graph.py) but KEEP per-order multiplicity = #orders
     containing both; item supports broadcast onto the pairs.
     confidence = sup_ab/sup_a, lift = N·sup_ab/(sup_a·sup_b)."""
+    from covsonar_spark.operators.dedup import _persist_scoped
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = (li.groupBy("l_orderkey")
-               .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps")))
+    # the basket aggregate (the one wide shuffle) feeds pair supports,
+    # item supports AND the order census — scope-persist it so the
+    # lineitem scan + collect_set shuffle run once, not once per
+    # consumer (the plan showed 5 lineitem scans before)
+    baskets = _persist_scoped(
+        "basket_baskets",
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps")))
     pair_sup = (
         baskets.select(F.explode(F.expr(
             "flatten(transform(ps, (x, i) ->"
@@ -55,8 +63,14 @@ def basket_association_rules(spark, sf_dir):
     item_sup = (baskets.select(F.explode("ps").alias("item"))
                 .groupBy("item").agg(F.count(F.lit(1)).alias("sup")))
     n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
-    directed = pair_sup.select("a", "b", "sup_ab").union(
-        pair_sup.select(F.col("b").alias("a"), F.col("a").alias("b"), "sup_ab"))
+    # both rule directions generated map-side from ONE pass over the
+    # aggregated pairs (explode of the two orientations) — the earlier
+    # union form planned the whole basket→pair-explode→aggregate
+    # pipeline once per branch
+    directed = pair_sup.select(F.explode(F.array(
+        F.struct(F.col("a"), F.col("b")),
+        F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+    )).alias("d"), "sup_ab").select("d.a", "d.b", "sup_ab")
     rules = (
         directed
         .join(F.broadcast(item_sup.select(F.col("item").alias("a"),

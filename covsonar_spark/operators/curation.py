@@ -335,8 +335,15 @@ def dsir_importance(docs: DataFrame, target: DataFrame, k: int = 50,
              .cast("long") % buckets).alias("h")
         return occ.select(F.col(id_col), h) if with_id else occ.select(h)
 
-    occ = occurrences(docs, with_id=True)
-    t_occ = occurrences(target, with_id=False)
+    # scope-persist both occurrence frames: occ feeds the corpus model,
+    # the totals AND the per-doc scoring join (3 consumers), t_occ the
+    # target model and totals (2) — unpersisted, every consumer re-ran
+    # the tokenize + bigram-explode + md5 pipeline over the raw text
+    # (the plan showed 5 documents scans; now one per side)
+    from covsonar_spark.operators.dedup import _persist_scoped
+
+    occ = _persist_scoped("dsir_occ", occurrences(docs, with_id=True))
+    t_occ = _persist_scoped("dsir_tocc", occurrences(target, with_id=False))
     cc = occ.groupBy("h").agg(F.count(F.lit(1)).alias("cc"))
     tc = t_occ.groupBy("h").agg(F.count(F.lit(1)).alias("tc"))
     totals = occ.agg(F.count(F.lit(1)).alias("cn")).crossJoin(

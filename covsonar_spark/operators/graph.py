@@ -81,6 +81,22 @@ def trade_edges(spark, sf_dir) -> DataFrame:
     )
 
 
+# Plan-truncation gate for the PageRank iteration.  Below this many
+# vertices the per-iteration rank table is driver-sized, so each
+# iteration MATERIALIZES its ranks (collect + literal re-frame): the
+# unrolled lazy form nests every iteration's plan inside the next
+# broadcast build — for the 3-iteration nation-graph query that is a
+# 168-operator physical plan whose Catalyst optimization alone costs
+# more than the (tiny) data — while the truncated form plans three
+# ~15-operator queries.  The rank ARITHMETIC stays in Spark either way
+# (same join/agg/round expressions over the same persisted trans
+# partitioning), so the values are bit-identical; only the lineage is
+# cut.  Above the gate (a genuinely large vertex set — not the
+# always-25-node nation graph) the lazy unrolled form is kept: an
+# O(|V|) per-iteration collect would be the r8/r9 'weak' failure mode.
+PR_RANKS_LOCAL_MAX = 1 << 14
+
+
 def pagerank(edges: DataFrame, iters: int = PR_ITERS, damp: float = DAMP) -> DataFrame:
     """Weighted PageRank over a DataFrame edge list.  Nodes = src∪dst;
     transition weight = edge weight / node out-weight; dangling nodes
@@ -96,14 +112,21 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, damp: float = DAMP) -> Dat
     from covsonar_spark.operators.dedup import _persist_scoped
 
     edges = _persist_scoped("pagerank_edges", edges)
-    nodes = edges.select(F.col("src").alias("node")).union(
-        edges.select(F.col("dst"))).distinct()
+    spark = edges.sparkSession
+    # one explode pass for the node census (not select(src) ∪
+    # select(dst), which plans the edge pipeline once per branch)
+    nodes = edges.select(
+        F.explode(F.array("src", "dst")).alias("node")).distinct()
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("ow"))
     trans = _persist_scoped(
         "pagerank_trans",
         edges.join(out_w, "src")
         .select("src", "dst", (F.col("weight") / F.col("ow")).alias("p")))
     n_nodes = nodes.count()
+    truncate = n_nodes <= PR_RANKS_LOCAL_MAX
+    if truncate:
+        # every iteration (and the final projection) re-reads nodes
+        nodes = _persist_scoped("pagerank_nodes", nodes)
     ranks = nodes.select("node", F.round(F.lit(1.0 / n_nodes), 6).alias("rank"))
     for _ in range(iters):
         contrib = (trans.join(F.broadcast(ranks), trans.src == ranks.node)
@@ -114,6 +137,10 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, damp: float = DAMP) -> Dat
                          F.round(F.lit((1.0 - damp) / n_nodes)
                                  + F.lit(damp) * F.coalesce(F.col("c"), F.lit(0.0)),
                                  6).alias("rank")))
+        if truncate:
+            # cut the lineage: next iteration's broadcast side is a
+            # literal local relation, not the whole previous plan
+            ranks = spark.createDataFrame(ranks.collect(), schema=ranks.schema)
     return ranks
 
 
@@ -239,7 +266,10 @@ def oriented_adjacency(e: DataFrame, n_nodes: int | None = None,
     the orientation joins — without it, each consumer (and each
     broadcast side in ``_tri_count``) re-runs the degree aggregate and
     both attach joins from the raw edge list."""
-    deg = (e.select(F.col("a").alias("v")).union(e.select("b"))
+    # one explode pass over the edge list (not select(a) ∪ select(b),
+    # which plans the upstream edge build once per union branch — the
+    # _census_stats convention)
+    deg = (e.select(F.explode(F.array("a", "b")).alias("v"))
            .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
     # rank packed into one BIGINT (deg << 32 | id): a single long compare
     # stays inside whole-stage codegen, unlike per-row struct ordering
@@ -368,9 +398,15 @@ SELECT (SELECT count(*) FROM nodes) AS n_nodes,
 
 def graph_degree_stats(spark, sf_dir):
     """Degree distribution of the co-purchase graph: how many nodes
-    have each degree.  Two skinny aggregates over the edge list."""
+    have each degree.  Two skinny aggregates over the edge list.
+
+    Endpoints come from ONE ``explode(array(a, b))`` pass: the earlier
+    ``select(a).union(select(b))`` form planned the whole edge build
+    (groupBy(l_orderkey) + pair explode + distinct) TWICE — one full
+    copy per union branch — because nothing persists the un-cached
+    edge frame.  Same rows, one build."""
     e = copurchase_edges(spark, sf_dir)
-    deg = (e.select(F.col("a").alias("v")).union(e.select("b"))
+    deg = (e.select(F.explode(F.array("a", "b")).alias("v"))
            .groupBy("v").agg(F.count(F.lit(1)).alias("degree")))
     return (deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
             .orderBy("degree"))

@@ -967,16 +967,21 @@ def events_concurrent_sessions(spark, sf_dir):
     inequality join, so the binned plan's exactness is value-checked."""
     from pyspark.sql import Window
 
+    from covsonar_spark.operators.dedup import _persist_scoped
+
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
     gap = F.col("ts_us") - F.lag("ts_us").over(w)
     boundary = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
-    sess = (
+    # scope-persist: BOTH sides of the overlap join consume sess —
+    # unpersisted, the sessionize window + aggregate over events ran
+    # once per side
+    sess = _persist_scoped(
+        "concurrent_sess",
         ev.withColumn("session_seq", F.sum(boundary).over(w))
         .groupBy("user_id", "session_seq")
         .agg(F.min("ts_us").alias("s_us"), F.max("ts_us").alias("e_us"))
-        .select("user_id", "s_us", "e_us")
-    )
+        .select("user_id", "s_us", "e_us"))
     a = sess.select(F.col("user_id").alias("user_a"),
                     F.col("s_us").alias("sa"), F.col("e_us").alias("ea"))
     b = sess.select(F.col("user_id").alias("user_b"),

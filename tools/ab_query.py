@@ -39,9 +39,14 @@ def main() -> None:
     n_workers = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark.range(0, 4 * n_workers, 1, n_workers).select(_warm("id")).count()
 
+    from covsonar_spark.registry import clear_run_memos
+
     fn, _sql = REGISTRY[name]
     times, rows = [], 0
     for _ in range(n_runs):
+        # same discipline as bench.py: no scratch memo survives into a
+        # timed execution — every run computes from the parquet inputs
+        clear_run_memos()
         t0 = time.perf_counter()
         rows = fn(spark, sf_dir).count()
         times.append(round(time.perf_counter() - t0, 3))
