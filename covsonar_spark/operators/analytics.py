@@ -41,17 +41,15 @@ def basket_association_rules(spark, sf_dir):
     (operators/graph.py) but KEEP per-order multiplicity = #orders
     containing both; item supports broadcast onto the pairs.
     confidence = sup_ab/sup_a, lift = N·sup_ab/(sup_a·sup_b)."""
-    from covsonar_spark.operators.dedup import _persist_scoped
-
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # the basket aggregate (the one wide shuffle) feeds pair supports,
-    # item supports AND the order census — scope-persist it so the
-    # lineitem scan + collect_set shuffle run once, not once per
-    # consumer (the plan showed 5 lineitem scans before)
-    baskets = _persist_scoped(
-        "basket_baskets",
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps")))
+    # the basket aggregate feeds pair supports, item supports and the
+    # order census as three plan copies — left UNCACHED deliberately: a
+    # scoped persist of it measured 2.2× slower in a 4-pair interleaved
+    # A/B at sf0.1 (the columnar cache build of the ps arrays plus the
+    # populate barrier cost more than the duplicated branches, which
+    # the scheduler runs as parallel stages of one job)
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps")))
     pair_sup = (
         baskets.select(F.explode(F.expr(
             "flatten(transform(ps, (x, i) ->"

@@ -335,15 +335,13 @@ def dsir_importance(docs: DataFrame, target: DataFrame, k: int = 50,
              .cast("long") % buckets).alias("h")
         return occ.select(F.col(id_col), h) if with_id else occ.select(h)
 
-    # scope-persist both occurrence frames: occ feeds the corpus model,
-    # the totals AND the per-doc scoring join (3 consumers), t_occ the
-    # target model and totals (2) — unpersisted, every consumer re-ran
-    # the tokenize + bigram-explode + md5 pipeline over the raw text
-    # (the plan showed 5 documents scans; now one per side)
-    from covsonar_spark.operators.dedup import _persist_scoped
-
-    occ = _persist_scoped("dsir_occ", occurrences(docs, with_id=True))
-    t_occ = _persist_scoped("dsir_tocc", occurrences(target, with_id=False))
+    # the occurrence frames feed 3 (occ) / 2 (t_occ) consumers as plan
+    # copies — left UNCACHED deliberately: scope-persisting both
+    # measured 1.3× slower in a 4-pair interleaved A/B at sf0.1 (cache
+    # populate serializes the pipeline; the duplicated tokenize+md5
+    # branches run as parallel stages of one job and are wall-free)
+    occ = occurrences(docs, with_id=True)
+    t_occ = occurrences(target, with_id=False)
     cc = occ.groupBy("h").agg(F.count(F.lit(1)).alias("cc"))
     tc = t_occ.groupBy("h").agg(F.count(F.lit(1)).alias("tc"))
     totals = occ.agg(F.count(F.lit(1)).alias("cn")).crossJoin(

@@ -171,27 +171,22 @@ def text_pmi_collocations(spark, sf_dir):
     counts collapse to |vocab| rows and broadcast; the bigram count
     is the one wide shuffle.  Deterministic ordering (rounded pmi
     desc, then pair) and a min-count floor keep the result stable."""
-    from covsonar_spark.operators.dedup import _persist_scoped
-
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.split("text", " ").alias("t"))
-    # scope-persist the two count models: uni feeds the token total AND
-    # both broadcast sides (3 consumers), bi the pair total and the
-    # rule scan (2) — unpersisted, each consumer re-tokenized the raw
-    # text (5 documents scans in the plan; now one per model)
-    uni = _persist_scoped(
-        "pmi_uni",
-        toks.select(F.explode("t").alias("w"))
-        .groupBy("w").agg(F.count(F.lit(1)).alias("cw")))
-    bi = _persist_scoped(
-        "pmi_bi",
-        toks.select(F.explode(F.expr(
+    # uni/bi feed multiple consumers as plan copies — left UNCACHED
+    # deliberately: scope-persisting both measured 2.7× slower in a
+    # 4-pair interleaved A/B at sf0.1 (cache populate serializes the
+    # pipeline; the duplicated tokenize branches run as parallel
+    # stages of one job and are wall-free at this scale)
+    uni = (toks.select(F.explode("t").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("cw")))
+    bi = (toks.select(F.explode(F.expr(
             "CASE WHEN size(t) < 2 THEN array() ELSE "
             "transform(sequence(1, size(t) - 1),"
             " i -> struct(element_at(t, i) AS a, element_at(t, i+1) AS b)) END"))
-        .alias("p"))
-        .select("p.a", "p.b")
-        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab")))
+          .alias("p"))
+          .select("p.a", "p.b")
+          .groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab")))
     n_tok = uni.agg(F.sum("cw").alias("nt"))
     n_pair = bi.agg(F.sum("cab").alias("np"))
     ua = uni.select(F.col("w").alias("a"), F.col("cw").alias("ca"))

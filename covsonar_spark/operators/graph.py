@@ -81,27 +81,20 @@ def trade_edges(spark, sf_dir) -> DataFrame:
     )
 
 
-# Plan-truncation gate for the PageRank iteration.  Below this many
-# vertices the per-iteration rank table is driver-sized, so each
-# iteration MATERIALIZES its ranks (collect + literal re-frame): the
-# unrolled lazy form nests every iteration's plan inside the next
-# broadcast build — for the 3-iteration nation-graph query that is a
-# 168-operator physical plan whose Catalyst optimization alone costs
-# more than the (tiny) data — while the truncated form plans three
-# ~15-operator queries.  The rank ARITHMETIC stays in Spark either way
-# (same join/agg/round expressions over the same persisted trans
-# partitioning), so the values are bit-identical; only the lineage is
-# cut.  Above the gate (a genuinely large vertex set — not the
-# always-25-node nation graph) the lazy unrolled form is kept: an
-# O(|V|) per-iteration collect would be the r8/r9 'weak' failure mode.
-PR_RANKS_LOCAL_MAX = 1 << 14
-
-
 def pagerank(edges: DataFrame, iters: int = PR_ITERS, damp: float = DAMP) -> DataFrame:
     """Weighted PageRank over a DataFrame edge list.  Nodes = src∪dst;
     transition weight = edge weight / node out-weight; dangling nodes
     simply emit no mass (simplified standard).  Each iteration rounds
-    rank to 6 decimals — the cross-engine fixpoint pin."""
+    rank to 6 decimals — the cross-engine fixpoint pin.
+
+    The iterations stay LAZY (one unrolled plan, one action): an
+    alternative that materialized each iteration's ranks to the driver
+    (collect + literal re-frame, cutting the plan from 168 operators to
+    three ~15-operator queries) measured 2.0× SLOWER in a 4-pair
+    interleaved A/B at sf0.1 — the per-iteration Python↔JVM round trip
+    and job-submission overhead cost more than Catalyst spends on the
+    big plan, whose independent subtrees the scheduler runs in
+    parallel within the single action."""
     # scoped persist: the edge aggregation pipeline feeds the node
     # census, the transition build, AND every iteration's join —
     # without it the upstream fact scan re-runs per action.  Scoped
@@ -112,7 +105,6 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, damp: float = DAMP) -> Dat
     from covsonar_spark.operators.dedup import _persist_scoped
 
     edges = _persist_scoped("pagerank_edges", edges)
-    spark = edges.sparkSession
     # one explode pass for the node census (not select(src) ∪
     # select(dst), which plans the edge pipeline once per branch)
     nodes = edges.select(
@@ -123,10 +115,6 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, damp: float = DAMP) -> Dat
         edges.join(out_w, "src")
         .select("src", "dst", (F.col("weight") / F.col("ow")).alias("p")))
     n_nodes = nodes.count()
-    truncate = n_nodes <= PR_RANKS_LOCAL_MAX
-    if truncate:
-        # every iteration (and the final projection) re-reads nodes
-        nodes = _persist_scoped("pagerank_nodes", nodes)
     ranks = nodes.select("node", F.round(F.lit(1.0 / n_nodes), 6).alias("rank"))
     for _ in range(iters):
         contrib = (trans.join(F.broadcast(ranks), trans.src == ranks.node)
@@ -137,10 +125,6 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, damp: float = DAMP) -> Dat
                          F.round(F.lit((1.0 - damp) / n_nodes)
                                  + F.lit(damp) * F.coalesce(F.col("c"), F.lit(0.0)),
                                  6).alias("rank")))
-        if truncate:
-            # cut the lineage: next iteration's broadcast side is a
-            # literal local relation, not the whole previous plan
-            ranks = spark.createDataFrame(ranks.collect(), schema=ranks.schema)
     return ranks
 
 

@@ -1031,26 +1031,21 @@ def events_funnel(spark, sf_dir):
     condition (click after first view, purchase after first
     qualifying click) folds into ONE shuffle with min() aggregates,
     no self-joins, no window sort. Counts users reaching each stage."""
-    from covsonar_spark.operators.dedup import _persist_scoped
-
     ev = _events(spark, sf_dir)
     # stage k's earliest qualifying time must follow stage k-1's first
     # qualifying time; each stage is one groupBy(user) min aggregate
     # joined forward — per-user 2-column frames, no window sort.
-    # v and c are each consumed TWICE (the next stage's join + their
-    # own count branch): scope-persist the tiny per-user frames so the
-    # events scan + stage aggregate run once per stage, not once per
-    # consumer (6 events scans in the plan before, 3 after).
-    v = _persist_scoped(
-        "funnel_v",
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id").agg(F.min("ts_us").alias("t_view")))
-    c = _persist_scoped(
-        "funnel_c",
-        ev.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts_us") > F.col("t_view"))
-        .groupBy("user_id").agg(F.min("ts_us").alias("t_click")))
+    # v and c are each consumed twice (next stage's join + their own
+    # count branch) and left UNCACHED deliberately: scope-persisting
+    # them measured no better (median 1.03×) in a 4-pair interleaved
+    # A/B at sf0.1 — the duplicated filtered aggregates run as
+    # parallel stages of one job.
+    v = ev.where(F.col("event_type") == "view") \
+        .groupBy("user_id").agg(F.min("ts_us").alias("t_view"))
+    c = ev.where(F.col("event_type") == "click") \
+        .join(v, "user_id") \
+        .where(F.col("ts_us") > F.col("t_view")) \
+        .groupBy("user_id").agg(F.min("ts_us").alias("t_click"))
     p = ev.where(F.col("event_type") == "purchase") \
         .join(c, "user_id") \
         .where(F.col("ts_us") > F.col("t_click")) \
