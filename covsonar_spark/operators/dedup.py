@@ -416,6 +416,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     avoids the cross join at scale).
     """
     assert num_hashes % band_rows == 0
+    # sig feeds both band-join sides as plan copies and is left
+    # UNCACHED deliberately: a scoped persist measured 1.5-7× slower
+    # in a 3-pair interleaved A/B at sf0.1 (cache populate serializes
+    # the pipeline; the duplicated signature aggregate runs as
+    # parallel stages of one job) — the shingle stage below it is
+    # already cache-shared via the "shingle_sets" scoped persist
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
     n_bands = num_hashes // band_rows
     band_structs = [
@@ -485,6 +491,11 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     exact chunk) — equi-join per chunk, then exact Hamming verification
     via ``bit_count(xor)``.
     """
+    # s feeds both chunk-join sides as plan copies and is left
+    # UNCACHED deliberately: a scoped persist measured 1.2-6× slower
+    # in a 3-pair interleaved A/B at sf0.1 — even with the bit-vote
+    # pandas UDF duplicated, the parallel branch stages beat the
+    # cache-populate barrier at this scale
     s = simhash(df, text_col, id_col, bits)
     n_chunks = max_hamming + 1
     chunk_bits = bits // n_chunks
