@@ -91,9 +91,16 @@ def decontaminate(df: DataFrame, k: int = 3, eval_mod: int = 10,
     Shingling reuses dedup.shingle_sets' Arrow-batched path (the JVM
     HOF form measures ~6× slower — see that docstring).
     """
-    from covsonar_spark.operators.dedup import shingle_sets
+    from covsonar_spark.operators.dedup import _persist_scoped, shingle_sets
 
-    shingled = shingle_sets(df, text_col, id_col, k) \
+    # scoped persist of the pre-explode shingle arrays: BOTH branches
+    # below (train stream and eval vocabulary) consume the shingle
+    # pandas-UDF stage, which otherwise evaluates twice over the full
+    # corpus — the exact "expensive serialized UDF stage" category the
+    # round-10 fan-out A/Bs showed persists DO win on (unlike cheap
+    # codegen subtrees, where the cache barrier loses)
+    shingled = _persist_scoped(
+        "shingle_sets", shingle_sets(df, text_col, id_col, k)) \
         .select(F.col(id_col), F.explode("shingles").alias("shingle"))
     is_eval = (F.col(id_col) % eval_mod) == 0
     train = shingled.where(~is_eval)

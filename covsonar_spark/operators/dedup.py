@@ -159,7 +159,17 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                          for t in texts)
         ])
 
-    return df.select(F.col(id_col), shingle_udf(text_col).alias("shingles"))
+    # asNondeterministic (guide §4.4): downstream explode("shingles")
+    # inserts an implicit `size(shingles) > 0 AND isnotnull(shingles)`
+    # filter, and the optimizer pushes it below a SECOND copy of this
+    # UDF — every explode-consuming caller (the jaccard inverted index,
+    # minhash_signatures, decontaminate) was paying the dominant
+    # pandas-UDF stage twice per row (two ArrowEvalPython nodes in the
+    # plan).  The function is pure, so the only effect of the flag is
+    # forbidding that duplication; plan-pinned by
+    # test_opt_r10.py::test_shingle_udf_evaluates_once.
+    return df.select(F.col(id_col),
+                     shingle_udf.asNondeterministic()(text_col).alias("shingles"))
 
 
 def _jaccard(a: Column, b: Column) -> Column:
@@ -347,6 +357,12 @@ def ngram_jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
     prefix_len = (F.col("n_sh")
                   - F.ceil(F.col("n_sh") * F.lit(t) - F.lit(_EPS)).cast("int")
                   + F.lit(1))
+    # prefix feeds both self-join sides as plan copies and is left
+    # UNCACHED deliberately: a scoped persist of this frame (dedup the
+    # dfreq aggregate + rank window per side) measured 1.40-1.86×
+    # SLOWER in all 4 interleaved A/B passes at sf0.1 (r10) — the
+    # cache-populate barrier costs more than the duplicated build,
+    # whose two branch copies run as parallel stages of one job
     prefix = (
         inv.join(F.broadcast(dfreq), "shingle")
         .withColumn("rnk", F.row_number().over(w))

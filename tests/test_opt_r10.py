@@ -93,3 +93,49 @@ def test_pydaemon_udf_roundtrip(spark):
 
     got = (spark.range(0, 100, 1, 8).select(F.sum(double("id"))).collect()[0][0])
     assert got == 9900
+
+
+def _unique_arrow_eval_nodes(df):
+    """Unique ArrowEvalPython operators in the formatted physical plan
+    (cache-build subplans reprint per InMemoryTableScan reference, so
+    node IDs — not text occurrences — are what count executions)."""
+    import re
+
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    ops = dict(re.findall(r"^\((\d+)\) ([A-Za-z]+)", plan, re.M))
+    return sum(1 for name in ops.values() if name == "ArrowEvalPython")
+
+
+def test_shingle_udf_evaluates_once(spark):
+    """guide §4.4 regression pin: explode("shingles") inserts an
+    implicit size/isnotnull filter, and with a DETERMINISTIC UDF the
+    optimizer pushes it below a second copy of the UDF — two
+    ArrowEvalPython nodes, the dominant dedup stage paid twice.
+    shingle_sets marks the UDF nondeterministic, so the
+    explode-consuming plan must hold exactly ONE ArrowEvalPython."""
+    from covsonar_spark.operators.dedup import shingle_sets
+
+    sh = shingle_sets(_docs(spark), floor=False)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    assert _unique_arrow_eval_nodes(exploded) == 1
+    # and the de-duplicated plan still computes the right thing
+    assert exploded.count() == 64 * 8
+
+
+def test_decontaminate_single_shingle_pass(spark):
+    """decontaminate's train and eval branches must both read the
+    scoped-persisted shingle frame — one ArrowEvalPython in the whole
+    plan, not one per branch."""
+    from covsonar_spark.operators.curation import decontaminate
+    from covsonar_spark.registry import clear_run_memos
+
+    clear_run_memos()
+    out = decontaminate(_docs(spark))
+    assert _unique_arrow_eval_nodes(out) == 1
+    rows = {r["doc_id"] for r in out.collect()}
+    # every train doc shares its template shingles with an eval doc of
+    # the same id % 7 class (ids 0,7,14,... are eval), so hits exist
+    assert rows and all(d % 10 != 0 for d in rows)
+    clear_run_memos()
