@@ -105,8 +105,16 @@ def site_table(calls: DataFrame, chrom: str = "NC_045512.2") -> DataFrame:
     # (map-side combine collapses the call set to the distinct-variant
     # vocabulary before the shuffle) → per-site rollup. No per-call
     # genotype-index join, no second pass over the calls.
-    per_alt = typed.groupBy("pos", "vcf_type", "alt").agg(
-        F.count(F.lit(1)).alias("c"), F.min("ref").alias("ref"))
+    # ref rides in the GROUP KEY, not a min() buffer: (pos, ref, alt) IS
+    # the variant identity (the reference's own row key), so ref is
+    # functionally determined within a (pos, vcf_type, alt) group and
+    # grouping by it is value-identical — while a min(string) aggregate
+    # buffer forces SortAggregate (strings are not mutable fixed-width),
+    # i.e. a full sort of the call table per aggregate.  With count as
+    # the only buffer both aggregate passes run as HashAggregate
+    # (plan: 4 SortAggregate + their Sorts -> HashAggregate, r10).
+    per_alt = typed.groupBy("pos", "vcf_type", "alt", "ref").agg(
+        F.count(F.lit(1)).alias("c"))
     sites = per_alt.groupBy("pos", "vcf_type").agg(
         F.array_sort(F.collect_list(F.struct("alt", "c"))).alias("ac_pairs"),
         F.min("ref").alias("ref"),

@@ -1977,13 +1977,22 @@ def vcf_site_stats(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     pos = (F.col("l_partkey") % 997 + 1)
+    # alt is carried as its 1..4 index into 'ACGT' through the min():
+    # the alphabet string is sorted, so min(index) == min(char) — and an
+    # INT min buffer hash-aggregates where a STRING min forces a
+    # SortAggregate (full sort of the call table); the char is restored
+    # after the aggregate.  Value-identical, plan-only change (r10).
+    alt_i = (F.col("l_orderkey") % 4 + 1).cast("int")
     base = li.select(
         F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("accession"),
         pos.alias("pos"),
         F.substring(F.lit("ACGT"), (pos % 4 + 1).cast("int"), 1).alias("ref"),
-        F.substring(F.lit("ACGT"), (F.col("l_orderkey") % 4 + 1).cast("int"), 1).alias("alt"),
-    ).where(F.col("ref") != F.col("alt"))
-    calls = base.groupBy("accession", "pos", "ref").agg(F.min("alt").alias("alt"))
+        alt_i.alias("alt_i"),
+    ).where(F.col("ref") != F.substring(F.lit("ACGT"), F.col("alt_i"), 1))
+    calls = (base.groupBy("accession", "pos", "ref")
+             .agg(F.min("alt_i").alias("alt_i"))
+             .select("accession", "pos", "ref",
+                     F.substring(F.lit("ACGT"), F.col("alt_i"), 1).alias("alt")))
     return (
         V.site_table(calls, chrom="SYN")
         .select("pos", "ref", "alt", "vcf_id", "an", "ac", "info")
