@@ -340,7 +340,16 @@ def dsir_importance(docs: DataFrame, target: DataFrame, k: int = 50,
                 " (w, i) -> concat(w, ' ', t[i + 1]))")).alias("bg"))
         h = (F.conv(F.substring(F.md5(F.col("bg")), 1, 15), 16, 10)
              .cast("long") % buckets).alias("h")
-        return occ.select(F.col(id_col), h) if with_id else occ.select(h)
+        out = occ.select(F.col(id_col), h) if with_id else occ.select(h)
+        # h is never null (explode emits no row for a null/empty bigram
+        # array), so this filter is a semantic no-op — it exists to make
+        # every plan copy of the occurrence subtree CANONICALLY IDENTICAL
+        # to the copies under the model joins, where the optimizer infers
+        # the same isnotnull(h) from the join condition.  Identical
+        # subtrees are what lets Spark's exchange reuse compute the
+        # model aggregate once (ReusedExchange) instead of re-running
+        # the tokenize+md5 pass for the totals branches.
+        return out.where(F.col("h").isNotNull())
 
     # the occurrence frames feed 3 (occ) / 2 (t_occ) consumers as plan
     # copies — left UNCACHED deliberately: scope-persisting both
@@ -351,8 +360,16 @@ def dsir_importance(docs: DataFrame, target: DataFrame, k: int = 50,
     t_occ = occurrences(target, with_id=False)
     cc = occ.groupBy("h").agg(F.count(F.lit(1)).alias("cc"))
     tc = t_occ.groupBy("h").agg(F.count(F.lit(1)).alias("tc"))
-    totals = occ.agg(F.count(F.lit(1)).alias("cn")).crossJoin(
-        t_occ.agg(F.count(F.lit(1)).alias("tn")))
+    # the totals are Σ_h of the model counts — deriving them from the
+    # B-row models instead of re-counting occ/t_occ removes one full
+    # tokenize+md5 pass per side: the model subtree below each total is
+    # now byte-identical to the model itself, so Spark's exchange reuse
+    # computes it ONCE (ReusedExchange in the plan) and only the trivial
+    # post-shuffle roll-up differs.  coalesce guards the empty-side
+    # case where sum() is NULL but count() was 0.
+    totals = (
+        cc.agg(F.coalesce(F.sum("cc"), F.lit(0)).alias("cn"))
+        .crossJoin(tc.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("tn"))))
     term = (F.log((F.col("tc") + 1.0) / (F.col("tn") + float(buckets)))
             - F.log((F.col("cc") + 1.0) / (F.col("cn") + float(buckets))))
     return (occ.join(cc, "h").join(tc, "h", "left").na.fill({"tc": 0})

@@ -139,3 +139,25 @@ def test_decontaminate_single_shingle_pass(spark):
     # the same id % 7 class (ids 0,7,14,... are eval), so hits exist
     assert rows and all(d % 10 != 0 for d in rows)
     clear_run_memos()
+
+
+def test_dsir_totals_reuse_model_exchanges(spark):
+    """dsir_importance derives the cn/tn totals from the B-row models
+    (Σ_h of the counts) instead of re-counting the occurrence frames;
+    with the canonically-matched isnotnull(h) filter the model subtrees
+    are identical, so AQE must REUSE both model exchanges — the totals
+    cost two 2048-row roll-ups, not two extra tokenize+md5 corpus
+    passes.  Executed-plan assertion (reuse is an AQE runtime rewrite,
+    invisible in the initial plan)."""
+    from covsonar_spark.operators.curation import dsir_importance
+
+    docs = _docs(spark)
+    target = docs.where(F.col("doc_id") % 3 == 0)
+    out = dsir_importance(docs, target, k=10)
+    rows = out.collect()
+    assert len(rows) == 10
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("simple"))
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 2
