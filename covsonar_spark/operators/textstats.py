@@ -68,8 +68,20 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, text_col: str = "text",
     # CONSTRUCTION time (the bm25/quality_gate pattern, kept lazy)
     n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.select(id_col, "term").distinct() \
-                .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df derives FROM tf (one row per (doc, term) by construction), not
+    # from a second distinct over the exploded tokens: counting tf rows
+    # per term IS counting distinct docs per term.  The always-true
+    # `tf >= 1` filter (count(1) per existing group is ≥ 1) is load-
+    # bearing: it forces the roll-up to consume the tf column, so the
+    # optimizer cannot prune the count buffer out of the inner
+    # aggregate — which keeps the df branch's partial-aggregate
+    # exchange byte-identical to tf's own, and AQE's exchange reuse
+    # then computes the corpus explode+shuffle ONCE (ReusedExchange in
+    # the final plan; previously two full-width Generate+Exchange
+    # chains, zero reuse).  Without the filter, column pruning narrows
+    # the inner aggregate and the subtrees stop matching.
+    dfreq = (tf.where(F.col("tf") >= 1)
+             .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
     scored = (tf.join(F.broadcast(dfreq), "term")
               .crossJoin(F.broadcast(n_docs))
               .select(
@@ -97,10 +109,27 @@ def bm25_scores(df: DataFrame, query_terms: list[str], *,
 
     idf = ln((N - df + 0.5) / (df + 0.5) + 1)  (Lucene form, ≥ 0)
     """
-    toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    # the explicit isnotnull(id) is a semantic no-op (a null-id row can
+    # never reach the output — the dl join is inner on id — and df
+    # matches countDistinct's null exclusion) but it is load-bearing for
+    # the plan: the tf branch gets the same filter INFERRED from the dl
+    # join, and only canonically identical branches let AQE reuse the
+    # corpus explode+filter exchange for the df roll-up below.
+    toks = (df.where(F.col(id_col).isNotNull())
+            .select(F.col(id_col),
+                    F.explode(F.split(F.col(text_col), " ")).alias("tok")))
     hits = toks.where(F.col("tok").isin(query_terms))
     tf = hits.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = hits.groupBy("tok").agg(F.countDistinct(id_col).alias("df"))
+    # df derives FROM tf (one row per (doc, tok)), not from a second
+    # countDistinct over hits: counting tf rows per tok IS counting
+    # distinct docs per tok, and the always-true `tf >= 1` filter keeps
+    # the count buffer in the inner aggregate so its partial-agg
+    # exchange stays byte-identical to tf's own — AQE's exchange reuse
+    # then runs the corpus explode+filter+shuffle ONCE (the
+    # tfidf_top_terms trick; without the filter, column pruning narrows
+    # the inner aggregate and the subtrees stop matching).
+    dfreq = (tf.where(F.col("tf") >= 1)
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
     dl = df.select(F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("dl"))
     corpus = df.agg(F.count(F.lit(1)).alias("n_docs"),
                     F.avg(F.size(F.split(F.col(text_col), " "))).alias("avgdl"))

