@@ -435,11 +435,27 @@ class LocalFS:
             # Without this, a breaker claiming between our owner check
             # and our rmtree could be left gate-less mid-critical-
             # section, letting a third writer mkdir in.
-            try:
-                os.mkdir(claim)
-            except OSError:
-                pass    # breaker active (or leaked claim): not ours
-            else:
+            # The claim is held by OTHER RELEASERS only for the
+            # microseconds between their mkdir(claim) and rmdir(claim)
+            # — but a releaser descheduled inside that window while the
+            # NEXT holder runs its whole critical section made that
+            # holder skip cleanup and leak its gate (observed once
+            # under a 30x-oversubscribed host: the next writer to the
+            # same dst then pays the full 60 s staleness wait).  A
+            # genuine breaker claim cannot target THIS gate — it is
+            # seconds old, far from stale — so retry briefly instead
+            # of skipping; the bounded deadline keeps a leaked claim
+            # from stalling releases.
+            release_deadline = time.time() + 1.0
+            while True:
+                try:
+                    os.mkdir(claim)
+                except OSError:
+                    if time.time() > release_deadline:
+                        break     # leaked claim: leave the gate to the
+                        #           next breaker's staleness takeover
+                    time.sleep(0.001)
+                    continue
                 try:
                     cur = self._gate_owner(gate)
                     if cur == my or (not stamped and cur is None):
@@ -451,6 +467,7 @@ class LocalFS:
                         os.rmdir(claim)
                     except OSError:
                         pass
+                break
 
     def list_names(self, path: str) -> list[str]:
         p = self._p(path)
