@@ -4,11 +4,13 @@ n-gram Jaccard, MinHash+LSH, SimHash.
 Scale design (100 TB corpus):
   * exact dedup — one hash-groupBy; map-side partial agg, single shuffle
     on the 128-bit content hash (uniform keys, no skew).
-  * MinHash+LSH — signatures are built with one groupBy over exploded
-    shingles (64 ``min`` partial aggs combine map-side); candidate
-    generation is a self-equi-join on (band_idx, band_key), i.e. a shuffle
-    on band keys rather than an O(n²) cross join; only candidates are
-    verified with the exact Jaccard.
+  * MinHash+LSH — signatures are computed map-only inside the Arrow
+    Python stage that already holds each doc's shingle list (zero
+    shuffles; the old explode → groupBy(min×n) form's shuffle carried
+    one row per doc anyway); candidate generation is a self-equi-join
+    on (band_idx, band_key), i.e. a shuffle on band keys rather than an
+    O(n²) cross join; only candidates are verified with the exact
+    Jaccard.
   * all hash functions are md5-derived so signatures are portable across
     engines (the DuckDB oracle reproduces them bit-for-bit).
 
@@ -301,6 +303,54 @@ def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
              (i * 40503 + 1) % MINHASH_P) for i in range(num_hashes)]
 
 
+# one compiled sig-UDF per signature width: pandas_udf construction
+# cloudpickles the closure, so per-call creation would tax every
+# streaming micro-batch
+_SIG_UDFS: dict[int, object] = {}
+
+
+def _minhash_sig_udf(num_hashes: int):
+    """Arrow UDF: shingle array → minhash signature (array<long>, NULL
+    for an empty set — mirroring how the explode form drops those docs).
+
+    Bit-identical to the SQL form by construction: the base hash is
+    ``int(md5('0:'+s).hexdigest()[:15], 16) % P`` (conv(...,16,10) of 15
+    hex chars is the same non-negative 60-bit integer, and ``%`` agrees
+    across engines because every operand is non-negative), and the
+    affine products stay under 2^62 so int64 never overflows.
+    """
+    got = _SIG_UDFS.get(num_hashes)
+    if got is not None:
+        return got
+    import hashlib
+
+    coeffs = minhash_coeffs(num_hashes)
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)
+    b_vec = np.array([b for _, b in coeffs], dtype=np.int64)
+    p = MINHASH_P
+
+    @F.pandas_udf("array<long>")
+    def sig_udf(shingle_lists: pandas.Series) -> pandas.Series:
+        md5 = hashlib.md5
+        out = []
+        for sl in shingle_lists:
+            if sl is None or len(sl) == 0:
+                out.append(None)
+                continue
+            hs = np.fromiter(
+                (int(md5(("0:" + s).encode("utf-8")).hexdigest()[:15], 16) % p
+                 for s in sl),
+                dtype=np.int64, count=len(sl))
+            out.append(((hs[:, None] * a_vec + b_vec) % p).min(axis=0).tolist())
+        return pandas.Series(out)
+
+    # nondeterministic for the same reason as the shingle UDF (§4.4):
+    # the isNotNull filter above it must not clone the Python stage
+    got = sig_udf.asNondeterministic()
+    _SIG_UDFS[num_hashes] = got
+    return got
+
+
 def ngram_jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
                                id_col: str = "doc_id", k: int = 3,
                                threshold: float = 0.5) -> DataFrame:
@@ -400,25 +450,33 @@ def ngram_jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       k: int = 3, num_hashes: int = 32) -> DataFrame:
+                       k: int = 3, num_hashes: int = 32,
+                       shingles_df: DataFrame | None = None) -> DataFrame:
     """MinHash signature per document: for each of ``num_hashes`` affine
     hash functions over one md5-derived base hash, the min over the
     distinct shingle set.
 
-    Single shuffle: explode shingles → groupBy(id) with ``num_hashes``
-    ``min()`` aggregates (all combine map-side). One md5 per shingle —
-    the affine family (a_i·h + b_i mod P) is codegen arithmetic, so
-    signature width costs almost nothing extra.
+    MAP-ONLY (guide §4.2/§2.4): the md5 base hash and the affine mins
+    run inside the Arrow Python stage that already holds the shingle
+    list (``_minhash_sig_udf``), so the former explode → groupBy(min×n)
+    form's shuffle stage disappears — map-side combine meant that
+    shuffle carried one row per document anyway, i.e. the aggregate
+    bought nothing the map cannot do, while costing a full extra stage
+    per caller (two per LSH self-join side, and one per streaming
+    micro-batch).  Values are bit-identical (see ``_minhash_sig_udf``);
+    docs with an empty shingle set are dropped exactly as the explode
+    dropped them.  ``shingles_df`` lets a caller that already persisted
+    the shingle frame (the LSH verification cache) derive signatures
+    from it instead of re-tokenizing the corpus.
     """
-    sh = shingle_sets(df, text_col, id_col, k)
-    base = (_md5_hash64(F.col("shingle"), 0) % F.lit(MINHASH_P)).alias("h")
-    exploded = sh.select(F.col(id_col), F.explode("shingles").alias("shingle")) \
-                 .select(F.col(id_col), base)
-    aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
-    ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    sh = shingles_df if shingles_df is not None \
+        else shingle_sets(df, text_col, id_col, k)
+    sig = (sh.select(F.col(id_col),
+                     _minhash_sig_udf(num_hashes)("shingles").alias("sig"))
+           .where(F.col("sig").isNotNull()))
+    return sig.select(
+        F.col(id_col),
+        *[F.col("sig")[i].alias(f"mh_{i}") for i in range(num_hashes)])
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -432,13 +490,18 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     avoids the cross join at scale).
     """
     assert num_hashes % band_rows == 0
-    # sig feeds both band-join sides as plan copies and is left
-    # UNCACHED deliberately: a scoped persist measured 1.5-7× slower
-    # in a 3-pair interleaved A/B at sf0.1 (cache populate serializes
-    # the pipeline; the duplicated signature aggregate runs as
-    # parallel stages of one job) — the shingle stage below it is
-    # already cache-shared via the "shingle_sets" scoped persist
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    # ONE shingle materialization feeds everything: signatures derive
+    # from the same scoped-persisted shingle frame the verification
+    # join reads (shingles_df=sh), so the tokenizing UDF runs once.
+    # sig itself still feeds both band-join sides as plan copies and is
+    # left UNCACHED deliberately: a scoped persist of the signature
+    # pipeline measured 1.5-7× slower in a 3-pair interleaved A/B at
+    # sf0.1 (cache populate serializes the pipeline; the duplicated
+    # stage runs as parallel branches of one job), and post-rewrite the
+    # duplicated work is only the md5+affine sig UDF over cached
+    # shingle arrays — map-only, no shuffle (see minhash_signatures).
+    sh = _persist_scoped("shingle_sets", shingle_sets(df, text_col, id_col, k))
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes, shingles_df=sh)
     n_bands = num_hashes // band_rows
     band_structs = [
         F.struct(
@@ -458,7 +521,6 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         .select("id_a", "id_b")
         .distinct()
     )
-    sh = _persist_scoped("shingle_sets", shingle_sets(df, text_col, id_col, k))
     cand = (
         cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")

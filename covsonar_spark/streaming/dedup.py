@@ -5,7 +5,7 @@ ingest time is "is this NEW document a near-dup of ANYTHING seen so
 far" — without rescanning the corpus. This module keeps a persistent
 LSH band store and processes each micro-batch as:
 
-    1. MinHash-sign the batch (one shuffle, map-side-combined mins —
+    1. MinHash-sign the batch (map-only Arrow stage, zero shuffles —
        operators/dedup.minhash_signatures);
     2. explode signatures into band keys and equi-join the NEW bands
        against (band store ∪ new bands) — work is O(new × colliding),

@@ -214,3 +214,37 @@ def test_bm25_df_reuse_in_hybrid_and_value_identity(spark):
     assert "isFinalPlan=true" in plan
     assert plan.count("ReusedExchange") >= 1
     clear_run_memos()
+
+
+def test_minhash_signatures_map_only_and_value_identity(spark):
+    """minhash_signatures computes the md5 base hash + affine mins
+    inside the Arrow stage that already holds the shingle list — the
+    plan must hold ZERO Exchange nodes (the old explode → groupBy(min×n)
+    form paid a shuffle stage per caller), and the values must be
+    bit-identical to that old expression form, including dropping docs
+    whose shingle set is empty."""
+    from covsonar_spark.operators.dedup import (
+        MINHASH_P, _md5_hash64, minhash_coeffs, minhash_signatures,
+        shingle_sets)
+
+    par = spark.sparkSession.sparkContext.defaultParallelism \
+        if hasattr(spark, "sparkSession") else spark.sparkContext.defaultParallelism
+    docs = _docs(spark).repartition(par).unionByName(
+        spark.createDataFrame([(1000, ""), (1001, "three word doc")],
+                              "doc_id long, text string").repartition(par))
+    new = minhash_signatures(docs, num_hashes=8)
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    # the input's own round-robin repartitions remain; the signature
+    # pipeline must add NO aggregation shuffle of its own
+    assert "hashpartitioning" not in plan
+
+    sh = shingle_sets(docs, floor=False)
+    base = (_md5_hash64(F.col("shingle"), 0) % F.lit(MINHASH_P)).alias("h")
+    exploded = (sh.select("doc_id", F.explode("shingles").alias("shingle"))
+                .select("doc_id", base))
+    old = exploded.groupBy("doc_id").agg(*[
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(8))])
+    o = sorted(map(tuple, old.collect()))
+    n = sorted(map(tuple, new.collect()))
+    assert o == n and len(n) == 65  # empty-text doc dropped by both forms
