@@ -530,34 +530,69 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     return cand
 
 
+# one compiled fingerprint-UDF per bit width (same rationale as _SIG_UDFS)
+_SIMHASH_UDFS: dict[int, object] = {}
+
+
+def _simhash_fp_udf(bits: int):
+    """Arrow UDF: distinct-token array → SimHash fingerprint (long;
+    NULL for a NULL token array, mirroring how the explode form dropped
+    null-text docs).  The md5 base hash is the portable 60-bit form of
+    ``_md5_hash64`` computed in Python — bit-identical across engines
+    because ``int(md5('0:'+tok).hexdigest()[:15], 16)`` IS
+    conv(substr(md5(..),1,15),16,10); the bit voting is the same numpy
+    matrix op the collect_list form used, and a vote SUM is
+    order-independent, so moving it upstream of any shuffle changes
+    nothing."""
+    got = _SIMHASH_UDFS.get(bits)
+    if got is not None:
+        return got
+    import hashlib
+
+    @F.pandas_udf("long")
+    def fp_udf(tok_lists: pandas.Series) -> pandas.Series:
+        md5 = hashlib.md5
+        shifts = np.arange(bits, dtype=np.int64)
+        out = []
+        for toks in tok_lists:
+            # None AND empty both drop, mirroring the explode form
+            # (split() never yields an empty array, but mirror exactly)
+            if toks is None or len(toks) == 0:
+                out.append(None)
+                continue
+            arr = np.fromiter(
+                (int(md5(("0:" + t).encode("utf-8")).hexdigest()[:15], 16)
+                 for t in toks),
+                dtype=np.int64, count=len(toks))
+            votes = ((arr[:, None] >> shifts) & 1).sum(axis=0) * 2 - len(arr)
+            out.append(int(((votes > 0).astype(np.int64) << shifts).sum()))
+        return pandas.Series(out)
+
+    got = fp_udf.asNondeterministic()
+    _SIMHASH_UDFS[bits] = got
+    return got
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 32) -> DataFrame:
     """SimHash fingerprint over distinct tokens: bit b of the fingerprint is
     1 iff Σ_tokens sign(bit b of md5-hash(token)) > 0.
 
-    The per-token hash is md5-derived (portable to the DuckDB oracle);
-    the bit voting runs as one collect_list + vectorized numpy popcount
-    per document — integer-exact, and ~3× faster than ``bits``
-    conditional sum() aggregates (one aggregate instead of 48, and the
-    vote matrix is a single (tokens × bits) numpy op).
+    MAP-ONLY (guide §4.2/§2.4, the minhash_signatures rewrite's twin):
+    tokenization stays a JVM builtin, and the md5 hashes + bit votes run
+    in one Arrow stage over the token array — the former explode →
+    groupBy(collect_list) form shuffled one row per token hash and then
+    rebuilt the per-doc array the scan already had.  Values are
+    bit-identical (see ``_simhash_fp_udf``); null-text docs drop exactly
+    as the explode dropped them.  The ``min_parallelism`` floor replaces
+    the parallelism the old aggregation shuffle provided for free on
+    under-split local inputs (no-op at production split counts).
     """
-    import numpy as np
-
-    toks = df.select(F.col(id_col), F.explode(Tx.distinct_tokens(text_col)).alias("tok"))
-    hs = toks.select(F.col(id_col), _md5_hash64(F.col("tok"), 0).alias("h")) \
-             .groupBy(id_col).agg(F.collect_list("h").alias("hs"))
-
-    @F.pandas_udf("long")
-    def fp_udf(hlists: pandas.Series) -> pandas.Series:
-        shifts = np.arange(bits, dtype=np.int64)
-        out = []
-        for hl in hlists:
-            arr = np.asarray(hl, dtype=np.int64)
-            votes = ((arr[:, None] >> shifts) & 1).sum(axis=0) * 2 - len(arr)
-            out.append(int(((votes > 0).astype(np.int64) << shifts).sum()))
-        return pandas.Series(out)
-
-    return hs.select(F.col(id_col), fp_udf("hs").alias("simhash"))
+    df = min_parallelism(df)
+    return (df.select(
+        F.col(id_col),
+        _simhash_fp_udf(bits)(Tx.distinct_tokens(text_col)).alias("simhash"))
+        .where(F.col("simhash").isNotNull()))
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -17,6 +17,7 @@
 """
 from __future__ import annotations
 
+import pandas
 import pytest
 from pyspark.sql import functions as F
 
@@ -248,3 +249,43 @@ def test_minhash_signatures_map_only_and_value_identity(spark):
     o = sorted(map(tuple, old.collect()))
     n = sorted(map(tuple, new.collect()))
     assert o == n and len(n) == 65  # empty-text doc dropped by both forms
+
+
+def test_simhash_map_only_and_value_identity(spark):
+    """simhash computes md5 token hashes + bit votes inside one Arrow
+    stage over the distinct-token array — zero aggregation shuffle in
+    the fingerprint plan (the old form shuffled one row per token hash
+    into a collect_list), values bit-identical to that form including
+    dropping null-text docs."""
+    import numpy as np
+
+    from covsonar_spark.functions import text as Tx
+    from covsonar_spark.operators.dedup import _md5_hash64, simhash
+
+    par = spark.sparkContext.defaultParallelism
+    docs = _docs(spark).repartition(par).unionByName(
+        spark.createDataFrame([(1000, ""), (1001, None)],
+                              "doc_id long, text string").repartition(par))
+    new = simhash(docs, bits=48)
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan
+
+    toks = docs.select("doc_id", F.explode(Tx.distinct_tokens("text")).alias("tok"))
+    hs = (toks.select("doc_id", _md5_hash64(F.col("tok"), 0).alias("h"))
+          .groupBy("doc_id").agg(F.collect_list("h").alias("hs")))
+
+    @F.pandas_udf("long")
+    def fp_old(hlists):
+        shifts = np.arange(48, dtype=np.int64)
+        out = []
+        for hl in hlists:
+            arr = np.asarray(hl, dtype=np.int64)
+            votes = ((arr[:, None] >> shifts) & 1).sum(axis=0) * 2 - len(arr)
+            out.append(int(((votes > 0).astype(np.int64) << shifts).sum()))
+        return pandas.Series(out)
+
+    old = hs.select("doc_id", fp_old("hs").alias("simhash"))
+    o = sorted(map(tuple, old.collect()))
+    n = sorted(map(tuple, new.collect()))
+    # doc 1000 ("") keeps its one empty-string token; doc 1001 (null) drops
+    assert o == n and len(n) == 65
