@@ -683,13 +683,17 @@ def substring_containment_pairs(df: DataFrame, text_col: str = "text",
     # everywhere) and a stride-tricks sliding-window min. Recall only
     # needs hash determinism; the exact instr verify absorbs
     # collisions.
-    out_schema = f"{id_col} long, len int, fp long"
+    # n_fp (the doc's selected-fingerprint count) rides on every row:
+    # the UDF knows len(sel) for free, so deriving it downstream with a
+    # groupBy + join back would re-shuffle the fingerprint table to
+    # recount what the map already counted (guide §2.4)
+    out_schema = f"{id_col} long, len int, fp long, n_fp int"
     B = np.uint64(1099511628211)  # FNV-ish odd multiplier, full period mod 2^64
     powers = B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
 
     def winnow(batches):
         for pdf in batches:
-            ids, lens, fps = [], [], []
+            ids, lens, fps, nfps = [], [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
                 n = len(b)
@@ -710,7 +714,9 @@ def substring_containment_pairs(df: DataFrame, text_col: str = "text",
                 ids.extend([doc_id] * len(sel))
                 lens.extend([n] * len(sel))
                 fps.extend(sel.astype(np.int64))
-            yield pandas.DataFrame({id_col: ids, "len": lens, "fp": fps})
+                nfps.extend([len(sel)] * len(sel))
+            yield pandas.DataFrame({id_col: ids, "len": lens, "fp": fps,
+                                    "n_fp": nfps})
 
     # generation-scoped persist: the fingerprint table feeds the size
     # aggregate AND both sides of the self-join — without it the winnow
@@ -725,8 +731,7 @@ def substring_containment_pairs(df: DataFrame, text_col: str = "text",
     # to equal the inner's fingerprint count is therefore lossless
     # (above the w+k−1 threshold) and collapses the verify set from
     # every-pair-sharing-one-fp (~1M at 5000 docs) to near-real pairs.
-    n_fp = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
-    a = fps.join(n_fp, id_col).select(
+    a = fps.select(
         F.col(id_col).alias("inner_id"), F.col("len").alias("len_a"),
         F.col("n_fp").alias("n_fp_a"), "fp")
     b = fps.select(F.col(id_col).alias("outer_id"), F.col("len").alias("len_b"), "fp")

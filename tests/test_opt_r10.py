@@ -289,3 +289,39 @@ def test_simhash_map_only_and_value_identity(spark):
     n = sorted(map(tuple, new.collect()))
     # doc 1000 ("") keeps its one empty-string token; doc 1001 (null) drops
     assert o == n and len(n) == 65
+
+
+def test_winnow_nfp_rides_on_fingerprint_rows(spark):
+    """substring_containment_pairs: the winnow UDF emits each doc's
+    selected-fingerprint count on every row (n_fp), so the containment
+    filter needs no groupBy + join back over the fingerprint table —
+    the column must equal a recount, and the pair output must be
+    unchanged on a corpus with real containments."""
+    from covsonar_spark.operators.dedup import (_persist_scoped,
+                                                substring_containment_pairs)
+    from covsonar_spark.registry import clear_run_memos
+
+    clear_run_memos()
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    docs = spark.createDataFrame(
+        [(1, base * 4), (2, base * 2), (3, "unrelated text entirely " * 6),
+         (4, base * 4 + "suffix tail"), (5, "")],
+        "doc_id long, text string")
+    pairs = {tuple(r) for r in
+             substring_containment_pairs(docs, k=8, w=16).collect()}
+    # doc2 ⊂ doc1, doc2 ⊂ doc4, doc1 ⊂ doc4 (prefix); 3 and 5 nowhere
+    assert (2, 1) in pairs and (2, 4) in pairs and (1, 4) in pairs
+    assert all(i not in (3, 5) and o not in (3, 5) for i, o in pairs)
+    # n_fp on every row equals the per-doc row count
+    from pyspark.sql import functions as SF
+    clear_run_memos()
+    import covsonar_spark.operators.dedup as D
+    tbl = D._GEN_CACHE.get("winnow_fps")
+    if tbl is None:  # rebuild if the memo was cleared with the query
+        substring_containment_pairs(docs, k=8, w=16).collect()
+        tbl = D._GEN_CACHE["winnow_fps"]
+    recount = tbl.groupBy("doc_id").agg(SF.count(SF.lit(1)).alias("c"))
+    bad = (tbl.join(recount, "doc_id")
+           .where(SF.col("n_fp") != SF.col("c")).count())
+    assert bad == 0
+    clear_run_memos()
