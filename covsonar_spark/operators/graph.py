@@ -231,7 +231,7 @@ def degr_bcast_fits(n_nodes: int) -> bool:
 
 
 def oriented_adjacency(e: DataFrame, n_nodes: int | None = None,
-                       persist=None):
+                       persist=None, deg: DataFrame | None = None):
     """(oriented, adj) for an undirected (a<b) edge list: edges
     re-oriented from the lower-(degree, id) endpoint to the higher
     (out-degree ≤ O(√E), the standard answer to power-law hubs where
@@ -249,12 +249,18 @@ def oriented_adjacency(e: DataFrame, n_nodes: int | None = None,
     downstream consumer of either frame shares one materialization of
     the orientation joins — without it, each consumer (and each
     broadcast side in ``_tri_count``) re-runs the degree aggregate and
-    both attach joins from the raw edge list."""
-    # one explode pass over the edge list (not select(a) ∪ select(b),
-    # which plans the upstream edge build once per union branch — the
-    # _census_stats convention)
-    deg = (e.select(F.explode(F.array("a", "b")).alias("v"))
-           .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+    both attach joins from the raw edge list.
+
+    ``deg`` is an optional caller-supplied (v, d) degree table —
+    ``graph_triangles`` persists one and derives its census from it,
+    so the explode + groupBy degree pass over the edge list runs once
+    per query instead of once for the census and once here."""
+    if deg is None:
+        # one explode pass over the edge list (not select(a) ∪
+        # select(b), which plans the upstream edge build once per
+        # union branch — the _census_stats convention)
+        deg = (e.select(F.explode(F.array("a", "b")).alias("v"))
+               .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
     # rank packed into one BIGINT (deg << 32 | id): a single long compare
     # stays inside whole-stage codegen, unlike per-row struct ordering
     rank = F.expr("shiftleft(d, 32) + v")
@@ -325,14 +331,32 @@ def _census_stats(e: DataFrame) -> tuple[int, int]:
     return row["n_edges"], row["n_nodes"]
 
 
+def _census_from_deg(deg: DataFrame) -> tuple[int, int]:
+    """(n_edges, n_nodes) from a (v, d) degree table: Σd = 2|E| on a
+    distinct undirected edge list and every vertex with an edge has a
+    deg row, so the |V|-row roll-up replaces a second full pass over
+    the edge list (``div`` keeps the halving in integer space — a
+    double division would lose exactness past 2^53 edges).  Same
+    identity-keyed memo discipline as ``_census_stats``."""
+    got = _CENSUS_STATS.get(id(deg))
+    if got is not None and got[0] is deg:
+        return got[1], got[2]
+    row = deg.agg(F.expr("coalesce(sum(d) div 2, 0)").alias("n_edges"),
+                  F.count(F.lit(1)).alias("n_nodes")).collect()[0]
+    _CENSUS_STATS.clear()
+    _CENSUS_STATS[id(deg)] = (deg, row["n_edges"], row["n_nodes"])
+    return row["n_edges"], row["n_nodes"]
+
+
 def graph_triangles(spark, sf_dir):
     """Global triangle census of the co-purchase graph: DEGREE
     orientation + adjacency intersection (see oriented_adjacency /
     _tri_count).  |V| and |E| are counted eagerly off the persisted
-    edge list — the census needs them for its output row anyway, and
-    they feed ``adj_bcast_fits`` (broadcast vs hash-partitioned attach
-    joins for the adjacency) and ``degr_bcast_fits`` (hinted vs
-    AQE-sized degree-rank attach in orientation).
+    DEGREE table (a |V|-row roll-up — see ``_census_from_deg``) — the
+    census needs them for its output row anyway, and they feed
+    ``adj_bcast_fits`` (broadcast vs hash-partitioned attach joins for
+    the adjacency) and ``degr_bcast_fits`` (hinted vs AQE-sized
+    degree-rank attach in orientation).
 
     NOTE this makes DataFrame CONSTRUCTION run one census job (the
     same convention as similarity.cosine_pairs_exact's auto mode,
@@ -343,14 +367,23 @@ def graph_triangles(spark, sf_dir):
     from covsonar_spark.operators.dedup import _persist_scoped
 
     e = _persist_scoped("tri_edges", copurchase_edges(spark, sf_dir))
-    n_edges, n_nodes = _census_stats(e)
+    # ONE degree pass serves both the census and the orientation: deg
+    # is persisted, the census is a |V|-row roll-up of it (Σd = 2|E|),
+    # and oriented_adjacency consumes the same frame — the former
+    # explode+countDistinct census was a second full pass over e that
+    # recomputed nothing the degree aggregate doesn't already hold
+    deg = _persist_scoped(
+        "tri_deg",
+        e.select(F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+    n_edges, n_nodes = _census_from_deg(deg)
     # oriented is persisted BEFORE adj derives from it, and adj itself
     # is persisted: _tri_count consumes adj twice (nu and nv sides) —
     # unpersisted, each broadcast re-ran the degree aggregate + both
     # attach joins + the collect_list shuffle from the raw edge list
     # (measured ~1.5 s of the warm 4.2 s query at sf0.1)
     oriented, adj = oriented_adjacency(
-        e, n_nodes=n_nodes,
+        e, n_nodes=n_nodes, deg=deg,
         persist=lambda df: _persist_scoped("tri_oriented", df))
     adj = _persist_scoped("tri_adj", adj)
     tri = _tri_count(oriented, adj,
