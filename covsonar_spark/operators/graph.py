@@ -114,15 +114,24 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, damp: float = DAMP) -> Dat
         "pagerank_trans",
         edges.join(out_w, "src")
         .select("src", "dst", (F.col("weight") / F.col("ow")).alias("p")))
-    n_nodes = nodes.count()
-    ranks = nodes.select("node", F.round(F.lit(1.0 / n_nodes), 6).alias("rank"))
+    # the node count stays IN-PLAN (a broadcast 1-row aggregate crossed
+    # into each rank frame — exactly the SQL twin's `CROSS JOIN nn`):
+    # an eager nodes.count() here cost a whole extra job whose only
+    # output was two double constants, serializing the edge-aggregate
+    # materialization behind a driver round-trip.  Bit-identity: the
+    # divisions are the same IEEE doubles whether Python or codegen
+    # divides them, and round() was always Spark's.
+    nn = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n")))
+    ranks = nodes.crossJoin(nn).select(
+        "node", F.round(F.lit(1.0) / F.col("n"), 6).alias("rank"))
     for _ in range(iters):
         contrib = (trans.join(F.broadcast(ranks), trans.src == ranks.node)
                    .groupBy("dst")
                    .agg(F.sum(F.col("p") * F.col("rank")).alias("c")))
         ranks = (nodes.join(contrib, nodes.node == contrib.dst, "left")
+                 .crossJoin(nn)
                  .select("node",
-                         F.round(F.lit((1.0 - damp) / n_nodes)
+                         F.round(F.lit(1.0 - damp) / F.col("n")
                                  + F.lit(damp) * F.coalesce(F.col("c"), F.lit(0.0)),
                                  6).alias("rank")))
     return ranks
