@@ -589,6 +589,10 @@ BNLJ_ALLOWED = {
     "sample_dsir", "text_tfidf_topk", "text_quality_gate",
     "text_pmi_collocations", "sketch_histogram_quantile",
     "skew_diagnose", "dedup_substring", "dq_constraint_audit",
+    # r10 §20: the node census is a broadcast 1-row aggregate crossed
+    # into each rank frame (the SQL twin's CROSS JOIN nn) — O(1) rows
+    # by construction, replacing an eager count() job
+    "graph_pagerank",
 }
 
 _WIDE = ("lineitem", "orders", "documents", "events")
