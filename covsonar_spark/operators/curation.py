@@ -98,9 +98,22 @@ def decontaminate(df: DataFrame, k: int = 3, eval_mod: int = 10,
     # pandas-UDF stage, which otherwise evaluates twice over the full
     # corpus — the exact "expensive serialized UDF stage" category the
     # round-10 fan-out A/Bs showed persists DO win on (unlike cheap
-    # codegen subtrees, where the cache barrier loses)
+    # codegen subtrees, where the cache barrier loses).
+    # floor=False (round 11): the driver's 8-vs-32-core scaling data
+    # showed this LIGHT consumer anti-scaling (1.26 s at 32 cores vs
+    # 0.69 s at 8) — the defaultParallelism repartition + the wide
+    # cache populate cost more than the small corpus's UDF work saves
+    # here, unlike the heavy dedup self-joins where the floor won
+    # 0.46-0.73x.  Four-variant probe (tools/ab_lightshingle.py, both
+    # core counts): floor=False+persist best-of-3 0.76 s vs 1.29-1.47 s
+    # current at 32 cores, neutral at 8 (0.76 vs 0.78).  At production
+    # scale the floor was a no-op anyway (inputs have >= par splits).
+    # Own scope key (not the jaccard family's "shingle_sets"): the
+    # shared slot thrashed when a pipeline alternated the two operator
+    # families in one generation (round-10 ADVICE).
     shingled = _persist_scoped(
-        "shingle_sets", shingle_sets(df, text_col, id_col, k)) \
+        "decontam_shingles", shingle_sets(df, text_col, id_col, k,
+                                          floor=False)) \
         .select(F.col(id_col), F.explode("shingles").alias("shingle"))
     is_eval = (F.col(id_col) % eval_mod) == 0
     train = shingled.where(~is_eval)

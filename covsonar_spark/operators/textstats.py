@@ -244,13 +244,25 @@ def _per_doc_shingles(df: DataFrame, k: int, text_col: str, id_col: str,
     one plan, and the shingle UDF is the dominant cost."""
     from covsonar_spark.operators.dedup import _persist_scoped, shingle_sets
 
-    sh = shingle_sets(df.select(F.col(id_col), F.col(source_col),
-                                F.col(text_col)), text_col, id_col, k)
-    per_doc = (df.select(F.col(id_col), F.col(source_col))
-               .join(sh, id_col)
-               .select(F.col(source_col), F.col(id_col),
-                       F.explode("shingles").alias("shingle")))
-    return _persist_scoped("boilerplate_per_doc", per_doc)
+    # round 11: persist the PRE-explode arrays (one row per doc), not
+    # the exploded per-shingle frame — caching one row per SHINGLE was
+    # the expensive half of this query's 32-core anti-scaling (driver
+    # scaling ratio 0.66), and the UDF-once guarantee only needs the
+    # array frame cached; the join+explode below is cheap codegen the
+    # three consumers re-run from the cache.  floor=False for the same
+    # reason as decontaminate (light consumer; the defaultParallelism
+    # repartition lost at high core counts).  Probe evidence
+    # (tools/ab_lightshingle.py): 1.12 s -> 0.75 s best-of-3 at 32
+    # cores, 0.60 -> 0.64 at 8 (noise band).
+    sh = _persist_scoped(
+        "boilerplate_shingles",
+        shingle_sets(df.select(F.col(id_col), F.col(source_col),
+                               F.col(text_col)), text_col, id_col, k,
+                     floor=False))
+    return (df.select(F.col(id_col), F.col(source_col))
+            .join(sh, id_col)
+            .select(F.col(source_col), F.col(id_col),
+                    F.explode("shingles").alias("shingle")))
 
 
 def boilerplate_ngrams(df: DataFrame, k: int = 3, min_df_frac: float = 0.5,
