@@ -172,6 +172,12 @@ def sessionize_stateful(events: DataFrame, gap_us: int = 1800 * 1_000_000,
 
     timeout = (GroupStateTimeout.ProcessingTimeTimeout if flush_timeout_ms
                else GroupStateTimeout.NoTimeout)
+    # project to the two columns the stateful fn reads BEFORE the state
+    # shuffle (guide §4.1/§2.3): applyInPandasWithState is opaque to
+    # column pruning, so without this every events column — including
+    # the fat props JSON string — rides the user_id exchange and the
+    # Arrow boundary into Python just to be ignored
+    events = events.select("user_id", "ts_us")
     return events.groupBy("user_id").applyInPandasWithState(
         fn, outputStructType=out_schema, stateStructType=state_schema,
         outputMode="append", timeoutConf=timeout)
