@@ -352,8 +352,17 @@ def cm_cells(df: DataFrame, key_col: str) -> DataFrame:
 
 
 def cm_estimate(cells: DataFrame, keys: DataFrame) -> DataFrame:
-    """(key, cm_est) — min over the d counters each key hashes into.
-    ``keys`` is a one-column frame of distinct keys to estimate."""
+    """(key, [carried...], cm_est) — min over the d counters each key
+    hashes into.  ``keys`` is a frame of distinct keys to estimate;
+    any EXTRA columns (functionally determined by key, e.g. the exact
+    count the caller will report next to the estimate) ride through
+    the probe aggregate as additional group keys — which lets callers
+    that already aggregated the corpus once avoid a SECOND corpus
+    scan + join-back just to re-attach those columns (the DuckDB twin
+    always carried exact_count through its probe CTE this way; every
+    probe row inner-matches a cell because the key's own occurrences
+    put a count in every counter it hashes to)."""
+    extra = [c for c in keys.columns if c != "key"]
     rows = F.array(*[F.lit(i) for i in range(CM_D)])
     probes = (
         keys.withColumn("i", F.explode(rows))
@@ -361,7 +370,7 @@ def cm_estimate(cells: DataFrame, keys: DataFrame) -> DataFrame:
             _h60(F.concat_ws(":", F.col("i"), F.col("key"))), F.lit(CM_W)))
     )
     return (probes.join(F.broadcast(cells), ["i", "bucket"])
-            .groupBy("key").agg(F.min("cnt").alias("cm_est")))
+            .groupBy("key", *extra).agg(F.min("cnt").alias("cm_est")))
 
 
 def sketch_countmin(spark, sf_dir):
@@ -373,10 +382,14 @@ def sketch_countmin(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     cells = cm_cells(ev, "event_type")
     exact = (ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_count")))
+    # exact_count rides through the probe aggregate (cm_estimate's
+    # carried-columns path) instead of a second events scan + exact
+    # aggregate + join-back — one corpus pass removed (guide §2.4);
+    # the SQL twin's probe CTE has always been written this way
     return (
-        cm_estimate(cells, exact.select(F.col("event_type").alias("key")))
+        cm_estimate(cells, exact.select(F.col("event_type").alias("key"),
+                                        "exact_count"))
         .withColumnRenamed("key", "event_type")
-        .join(exact, "event_type")
         .select("event_type", "cm_est", "exact_count")
         .orderBy("event_type")
     )

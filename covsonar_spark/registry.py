@@ -2845,9 +2845,12 @@ def _stream_countmin(spark, sf_dir):
     for i in range(3):
         cm.process_batch(ev.where(F.col("event_id") % 3 == i))
     exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_count"))
-    return (cm.estimates(exact.select(F.col("event_type").alias("key")))
+    # exact_count carried through the probe aggregate (cm_estimate):
+    # the old join-back planned the events scan + exact aggregate a
+    # SECOND time (0 ReusedExchange in the executed plan) — guide §2.4
+    return (cm.estimates(exact.select(F.col("event_type").alias("key"),
+                                      "exact_count"))
             .withColumnRenamed("key", "event_type")
-            .join(exact, "event_type")
             .select("event_type", "cm_est", "exact_count")
             .orderBy("event_type"))
 
