@@ -386,16 +386,23 @@ def graph_triangles(spark, sf_dir):
         e.select(F.explode(F.array("a", "b")).alias("v"))
         .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
     n_edges, n_nodes = _census_from_deg(deg)
-    # oriented is persisted BEFORE adj derives from it, and adj itself
-    # is persisted: _tri_count consumes adj twice (nu and nv sides) —
-    # unpersisted, each broadcast re-ran the degree aggregate + both
-    # attach joins + the collect_list shuffle from the raw edge list
-    # (measured ~1.5 s of the warm 4.2 s query at sf0.1)
-    oriented, adj = oriented_adjacency(
-        e, n_nodes=n_nodes, deg=deg,
-        persist=lambda df: _persist_scoped("tri_oriented", df))
+    # ONE materialization serves every consumer: adj is persisted, and
+    # the probe-side edge stream is adj EXPLODED BACK to (u, v) rows —
+    # explode(collect_list(v)) per u is exactly the oriented edge
+    # multiset (row order differs; the Σ|∩| aggregate is
+    # order-independent), so the separate 1.2M-row ``oriented`` cache
+    # the round-10 code kept between the orientation joins and the
+    # collect_list shuffle is redundant: the probe now reads the same
+    # |V|-row adj cache as the two broadcast sides (round 11; the r10
+    # form's extra cache populate barrier measured ~0.2-0.4 s at
+    # sf0.1).  _tri_count still needs adj persisted — unpersisted, each
+    # broadcast re-ran the degree aggregate + both attach joins + the
+    # collect_list shuffle from the raw edge list (measured ~1.5 s of
+    # the warm 4.2 s query at sf0.1).
+    _, adj = oriented_adjacency(e, n_nodes=n_nodes, deg=deg)
     adj = _persist_scoped("tri_adj", adj)
-    tri = _tri_count(oriented, adj,
+    probe = adj.select("u", F.explode("nb").alias("v"))
+    tri = _tri_count(probe, adj,
                      broadcast=adj_bcast_fits(n_edges, n_nodes))
     return tri.select(
         F.lit(n_nodes).cast("long").alias("n_nodes"),
